@@ -1,0 +1,95 @@
+"""Tumbling time-bucket assignment (reference parity: P3-P11).
+
+The reference attaches a half-open bucket ``[bucket_start, bucket_end)`` of
+fixed width ``bucket_interval`` seconds to every record, derived from a
+designated timestamp field (``audit_utils/utils.py:62-97``). Two source
+encodings are supported (``TS_LEGEND``, ``utils.py:14-21``):
+
+- ``epoch``:  integer/float seconds since the Unix epoch; bucket math is
+  ``start = (long(epoch) // interval) * interval`` (``utils.py:216-238``).
+- ``iso``:    ``%Y-%m-%dT%H:%M:%S.%fZ`` strings parsed then bucketed via
+  seconds-since-midnight (``utils.py:184-214``) — which equals the epoch
+  formula whenever ``interval`` evenly divides 86400, the documented
+  requirement (reference README:44).
+
+Spark-first design: both paths compile to pure Catalyst expressions
+(cast + floor + multiply) that stay inside whole-stage codegen — no UDFs.
+We deliberately use the explicit floor formula rather than ``F.window``
+so the output columns are plain BIGINT epoch seconds exactly like the
+reference's output rows; ``with_time_window`` offers the native
+``window()`` struct for watermarked streaming aggregations.
+
+At 100 TB scale: bucket assignment is a narrow (per-row) transformation —
+no shuffle — and the downstream ``groupBy(bucket, keys)`` shuffle hashes
+on low-cardinality-per-interval keys; AQE handles sizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Reference ISO format: '%Y-%m-%dT%H:%M:%S.%fZ' (utils.py:240-250).
+ISO_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+BUCKET_TYPES = ("epoch", "iso", "timestamp")
+
+
+def epoch_seconds(col: Column, bucket_type: str = "epoch") -> Column:
+    """Normalize a source column to integer epoch seconds (BIGINT).
+
+    ``epoch``: numeric seconds, truncated like the reference's ``long()``
+    cast (utils.py:16). ``iso``: reference ISO-8601 format. ``timestamp``:
+    a native timestamp column (superset of the reference; what the parquet
+    test tables carry).
+    """
+    if bucket_type == "epoch":
+        return col.cast("long")
+    if bucket_type == "iso":
+        return F.to_timestamp(col, ISO_TS_FORMAT).cast("long")
+    if bucket_type == "timestamp":
+        return col.cast("timestamp").cast("long")
+    raise ValueError(f"unknown bucket_type {bucket_type!r}; expected one of {BUCKET_TYPES}")
+
+
+def bucket_start_col(col: Column, interval: int, bucket_type: str = "epoch") -> Column:
+    """``(epoch // interval) * interval`` — reference utils.py:235-236."""
+    secs = epoch_seconds(col, bucket_type)
+    return (F.floor(secs / interval) * interval).cast("long")
+
+
+def with_bucket(
+    df: DataFrame,
+    field: str,
+    interval: int,
+    bucket_type: str = "epoch",
+    start_name: str = "bucket_start",
+    end_name: str = "bucket_end",
+) -> DataFrame:
+    """Append ``bucket_start``/``bucket_end`` BIGINT columns (P3).
+
+    Half-open ``[start, end)`` semantics, epoch-aligned, exactly the
+    reference's ``json_dict_bucket_parse`` output shape (utils.py:62-97).
+    """
+    if interval <= 0:
+        raise ValueError(f"bucket interval must be positive, got {interval}")
+    start = bucket_start_col(F.col(field), interval, bucket_type)
+    return df.withColumn(start_name, start).withColumn(
+        end_name, (start + F.lit(interval)).cast("long")
+    )
+
+
+def with_time_window(df: DataFrame, field: str, interval: int) -> DataFrame:
+    """Native ``F.window`` variant for watermarked streaming aggregation.
+
+    Produces the same epoch-aligned tumbling buckets as ``with_bucket``
+    but as a ``window struct<start,end>`` that Structured Streaming can
+    age out with ``withWatermark`` — the scale-ready late-data path the
+    reference lacks (SURVEY §2.11: reference accepts late data forever).
+    """
+    return df.withColumn("window", F.window(F.col(field), f"{interval} seconds"))
+
+
+def bucket_now_epoch(interval: int = 20) -> Column:
+    """Current-time bucket start (reference ``bucket_now_epoch``, utils.py:168-182)."""
+    return bucket_start_col(F.current_timestamp(), interval, bucket_type="timestamp")

@@ -1,0 +1,78 @@
+"""Field projection / rename via conversion map, and JSON decode (P1, P2, S5).
+
+Reference semantics: ``json_dict_parse(json_str, conversion_dict)``
+(``audit_utils/utils.py:23-60``) parses a flat JSON object and keeps only
+the keys named in ``conversion_dict`` (``{new_key: old_key}``), renaming
+them. A record missing a mapped key raises KeyError in the reference
+(utils.py:58) and kills the batch; here malformed/missing records are
+routed to a permissive path instead (``from_json`` PERMISSIVE + a
+``_corrupt_record`` column) so one bad message can't stall a 100 TB
+stream.
+
+Spark-first: ``from_json`` + ``select(alias...)`` — Catalyst's
+``OptimizeJsonExprs`` prunes the JSON parse down to only the referenced
+fields, so the conversion map doubles as column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def project_fields(df: DataFrame, conversion: dict[str, str]) -> DataFrame:
+    """Project + rename existing columns: ``{new_name: old_name}`` (P2)."""
+    return df.select(*[F.col(old).alias(new) for new, old in conversion.items()])
+
+
+def infer_flat_schema(conversion: dict[str, str], bucket_field_src: str | None = None) -> T.StructType:
+    """Build a permissive flat StructType for the mapped source keys.
+
+    The reference never declares message types (values are whatever
+    ``json.loads`` yields); StringType for every field plus Spark's later
+    casts reproduces that forgiving behavior while keeping the decode
+    JVM-side.
+    """
+    fields = {old: T.StringType() for old in conversion.values()}
+    if bucket_field_src is not None:
+        fields.setdefault(bucket_field_src, T.StringType())
+    return T.StructType([T.StructField(name, dtype, True) for name, dtype in fields.items()])
+
+
+def decode_json_values(
+    df: DataFrame,
+    conversion: dict[str, str],
+    value_col: str = "value",
+    schema: T.StructType | None = None,
+    bucket_field_src: str | None = None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """JSON-string column -> projected/renamed columns (S5 + P2 fused).
+
+    ``conversion`` maps ``{new_key: old_json_key}``. Optionally keeps the
+    raw value of unparseable records in ``_corrupt_record`` (dead-letter
+    path; the reference would instead crash the batch, utils.py:58).
+    """
+    if schema is None:
+        schema = infer_flat_schema(conversion, bucket_field_src)
+    parsed = df.withColumn(
+        "_j",
+        F.from_json(F.col(value_col).cast("string"), schema, {"mode": "PERMISSIVE"}),
+    )
+    cols = [F.col(f"_j.{old}").alias(new) for new, old in conversion.items()]
+    if bucket_field_src is not None and bucket_field_src not in conversion.values():
+        cols.append(F.col(f"_j.{bucket_field_src}").alias(bucket_field_src))
+    if keep_corrupt:
+        cols.append(
+            F.when(F.col("_j").isNull(), F.col(value_col).cast("string"))
+            .alias(CORRUPT_COL)
+        )
+    return parsed.select(*cols)
+
+
+def drop_kafka_keys(df: DataFrame) -> DataFrame:
+    """Kafka (key, value) -> value-as-string (P1; reference main.py:124)."""
+    return df.select(F.col("value").cast("string").alias("value"))

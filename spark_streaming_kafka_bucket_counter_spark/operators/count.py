@@ -1,0 +1,55 @@
+"""Bucketed group-count — THE core reference query (A1), plus the
+cross-batch merged variant (A5).
+
+Reference: ``lines.map(lambda l: (message_parse(l), 1)).reduceByKey(add)``
+(``spark-streaming-kafka-bucket-counter.py:125-126``) — count per distinct
+(projected-fields + time-bucket) key. The reference groups on a serialized
+JSON *string* as the key; here Spark groups on real columns, which at scale
+means: map-side partial aggregation (HashAggregate partial->final, the
+``reduceByKey`` combiner analog), a single hash shuffle on the group keys,
+and whole-stage codegen end to end — no Python, no string blobs.
+
+``merged_count`` reproduces the MySQL-upsert path's semantics
+(``INSERT ... ON DUPLICATE KEY UPDATE count = count + n``, main.py:453-455):
+counts accumulated across all batches = a plain groupBy over the full
+input. In streaming it is the stateful ``groupBy().count()`` in update
+mode; on static data the two coincide.
+
+Scale: the bucket column has bounded cardinality per time interval, so the
+shuffle keys are (projected dims x buckets) — well distributed unless one
+dimension value dominates; AQE skew-join/partition-coalescing handles that
+without manual salting for counts (partial aggs collapse skew before the
+exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.buckets import with_bucket
+
+
+def bucket_count(
+    df: DataFrame,
+    keys: list[str],
+    bucket_field: str,
+    interval: int,
+    bucket_type: str = "epoch",
+    count_name: str = "count",
+) -> DataFrame:
+    """Count per (keys..., bucket_start, bucket_end) — reference A1 + P3."""
+    bucketed = with_bucket(df, bucket_field, interval, bucket_type)
+    return bucketed.groupBy(*keys, "bucket_start", "bucket_end").agg(
+        F.count(F.lit(1)).alias(count_name)
+    )
+
+
+def merged_count(df: DataFrame, keys: list[str], count_name: str = "count") -> DataFrame:
+    """Cross-batch accumulated count per key (reference A5 upsert semantics)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def select_max(df: DataFrame, column: str, alias: str | None = None) -> DataFrame:
+    """MAX aggregate (reference A4: ``select_max``, models.py:667-700)."""
+    return df.agg(F.max(F.col(column)).alias(alias or f"max_{column}"))

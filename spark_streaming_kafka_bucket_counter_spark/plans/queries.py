@@ -1,0 +1,388 @@
+"""The named-query catalog: every operator from SURVEY.md §2, exposed as
+(spark, sf_dir) -> DataFrame callables with matching DuckDB oracle SQL.
+
+Registration pattern: ``@query(name, oracle_sql)`` adds both halves to the
+registries consumed by ``__spark_entry__.queries()`` / ``oracle_sql()``.
+Column-name/alias parity between the Spark plan and the oracle SQL is part
+of the contract (the driver hashes values under sorted column names).
+
+Determinism rules used throughout (so order-insensitive value hashes
+match across engines):
+- never emit raw DOUBLE aggregates: sums of doubles are accumulation-order
+  dependent. Money aggregates are computed as exact integer cents
+  (``CAST(ROUND(x * 10000) AS BIGINT)`` per row — exact because inputs
+  have <=4 meaningful decimals — then summed as BIGINT).
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT; always cast back to BIGINT.
+- timestamps are compared as epoch seconds (BIGINT), never as raw
+  timestamp values (parquet ns vs us representations differ).
+- LIMIT queries carry a total order (explicit tie-break column).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import predicates as P
+from ..functions.buckets import ISO_TS_FORMAT, with_bucket
+from ..functions.projection import decode_json_values, project_fields
+from ..operators.count import bucket_count, merged_count, select_max
+from ..sources.files import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# epoch-seconds of a timestamp column, truncated to whole seconds the same
+# way Spark's timestamp->long cast does (floor for positive epochs).
+_DUCK_EPOCH = "CAST(floor(epoch({col})) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# A1 + P3/P4: THE core query — count per (projected keys, tumbling bucket).
+# Reference: main.py:125-126 reduceByKey over json_dict_bucket_parse keys.
+# ---------------------------------------------------------------------------
+@query(
+    "bucket_count_epoch",
+    f"""
+    SELECT event_type,
+           ({_DUCK_EPOCH.format(col='ts')} // 20) * 20      AS bucket_start,
+           ({_DUCK_EPOCH.format(col='ts')} // 20) * 20 + 20 AS bucket_end,
+           COUNT(*) AS "count"
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_bucket_count_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20s tumbling bucket-count of events by event_type (reference A1)."""
+    return bucket_count(
+        _t(spark, sf_dir, "events"),
+        keys=["event_type"],
+        bucket_field="ts",
+        interval=20,
+        bucket_type="timestamp",
+    )
+
+
+@query(
+    "bucket_count_multikey",
+    f"""
+    SELECT event_type, user_id,
+           ({_DUCK_EPOCH.format(col='ts')} // 300) * 300       AS bucket_start,
+           ({_DUCK_EPOCH.format(col='ts')} // 300) * 300 + 300 AS bucket_end,
+           COUNT(*) AS "count"
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_bucket_count_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key projection + 5-min buckets (conversion map with 2 fields)."""
+    return bucket_count(
+        _t(spark, sf_dir, "events"),
+        keys=["event_type", "user_id"],
+        bucket_field="ts",
+        interval=300,
+        bucket_type="timestamp",
+    )
+
+
+# P10 + P5: ISO-8601 parse path ('iso' bucket_type in TS_LEGEND).
+@query(
+    "bucket_count_iso",
+    f"""
+    WITH iso AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_ts FROM events
+    )
+    SELECT event_type,
+           (CAST(floor(epoch(strptime(iso_ts, '%Y-%m-%dT%H:%M:%S.%fZ'))) AS BIGINT) // 60) * 60      AS bucket_start,
+           (CAST(floor(epoch(strptime(iso_ts, '%Y-%m-%dT%H:%M:%S.%fZ'))) AS BIGINT) // 60) * 60 + 60 AS bucket_end,
+           COUNT(*) AS "count"
+    FROM iso
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_bucket_count_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the reference's ISO format, then bucket-count.
+
+    Exercises P10 (cast_iso_to_dtime parity: '%Y-%m-%dT%H:%M:%S.%fZ') and
+    the 'iso' branch of TS_LEGEND (utils.py:14-21).
+    """
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", ISO_TS_FORMAT).alias("iso_ts")
+    )
+    return bucket_count(
+        events, keys=["event_type"], bucket_field="iso_ts", interval=60, bucket_type="iso"
+    )
+
+
+# P2: conversion-map projection/rename {new: old}.
+@query(
+    "project_rename",
+    """
+    SELECT event_id AS eid, event_type AS etype, user_id AS uid FROM events
+    """,
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return project_fields(
+        _t(spark, sf_dir, "events"),
+        {"eid": "event_id", "etype": "event_type", "uid": "user_id"},
+    )
+
+
+# S5 + P2: JSON-string decode through a conversion map (the Kafka value path
+# on static data; props is a JSON object column).
+@query(
+    "json_decode_count",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS "count"
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_decode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_json_values(
+        _t(spark, sf_dir, "events"), conversion={"k": "k"}, value_col="props"
+    )
+    return merged_count(decoded.select(F.col("k").cast("long").alias("k")), ["k"])
+
+
+# A5: cross-batch accumulated count (MySQL upsert semantics == plain groupBy
+# over the full input).
+@query(
+    "merged_count_by_type",
+    'SELECT event_type, COUNT(*) AS "count" FROM events GROUP BY 1',
+)
+def q_merged_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merged_count(_t(spark, sf_dir, "events"), ["event_type"])
+
+
+# A4: MAX aggregate (select_max, models.py:667-700).
+@query("select_max", "SELECT MAX(o_orderkey) AS max_o_orderkey FROM orders")
+def q_select_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return select_max(_t(spark, sf_dir, "orders"), "o_orderkey")
+
+
+# Q1: SELECT * (select_all, models.py:309-333).
+@query("select_all", "SELECT * FROM nation")
+def q_select_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "nation")
+
+
+# ---------------------------------------------------------------------------
+# F1-F11: comparator predicate algebra (DumpTable family).
+# ---------------------------------------------------------------------------
+_EV_COLS = "event_id, event_type, user_id, value"
+
+
+@query(
+    "predicate_eq",
+    f"SELECT {_EV_COLS} FROM events WHERE event_type = 'click'",
+)
+def q_predicate_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.select(df, {"event_type": "click"})
+
+
+@query(
+    "predicate_range",
+    f"SELECT {_EV_COLS} FROM events WHERE value >= 10 AND value <= 100",
+)
+def q_predicate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.select_range(df, {"value": (10, 100)})
+
+
+@query(
+    "predicate_range_open",
+    f"SELECT {_EV_COLS} FROM events WHERE value >= 50",
+)
+def q_predicate_range_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """None = unbounded side (models.py:1070-1078)."""
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.select_range(df, {"value": (50, None)})
+
+
+@query(
+    "predicate_erange",
+    f"SELECT {_EV_COLS} FROM events WHERE value > 10 AND value < 100",
+)
+def q_predicate_erange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.general_select(df, {"value": (10, 100)}, "erange")
+
+
+@query("predicate_gte", f"SELECT {_EV_COLS} FROM events WHERE user_id >= 90")
+def q_predicate_gte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.select_gte(df, {"user_id": 90})
+
+
+@query("predicate_gt", f"SELECT {_EV_COLS} FROM events WHERE user_id > 90")
+def q_predicate_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.select_gt(df, {"user_id": 90})
+
+
+@query("predicate_lte", f"SELECT {_EV_COLS} FROM events WHERE user_id <= 5")
+def q_predicate_lte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.select_lte(df, {"user_id": 5})
+
+
+@query("predicate_lt", f"SELECT {_EV_COLS} FROM events WHERE user_id < 5")
+def q_predicate_lt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.select_lt(df, {"user_id": 5})
+
+
+@query(
+    "predicate_custom_expr",
+    f"SELECT {_EV_COLS} FROM events WHERE event_type = 'view' AND value > 50",
+)
+def q_predicate_custom_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: 'custom:' comparator == parsed SQL boolean (eval replacement)."""
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.general_select(df, {"value": None}, "custom:event_type = 'view' AND value > 50")
+
+
+@query(
+    "predicate_per_field",
+    f"SELECT {_EV_COLS} FROM events WHERE event_type = 'purchase' AND value >= 20 AND value <= 80",
+)
+def q_predicate_per_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: per-field comparator dict (c_general_select, models.py:874-928)."""
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    return P.c_general_select(
+        df, {"event_type": ("eq", "purchase"), "value": ("range", (20, 80))}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2: arbitrary-SQL pass-through — the serving layer's full-SQL surface
+# (run_cmd, models.py:155-187). Spark SQL is the strict superset engine;
+# demonstrated with multi-join aggregations the reference could only reach
+# via SQLite on tiny accumulated tables.
+# ---------------------------------------------------------------------------
+_REVENUE_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+
+
+@query(
+    "sql_join_revenue_by_nation",
+    f"""
+    SELECT n_name, CAST(SUM({_REVENUE_CENTS}) AS BIGINT) AS revenue_x10k,
+           COUNT(*) AS "count"
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sql_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join aggregate via spark.sql over registered views (H2/Q2).
+
+    Scale notes: nation (25 rows) is broadcast; customer->orders->lineitem
+    join keys are the natural co-partitioning keys. Revenue is summed as
+    exact integer 1/10000ths (see module docstring).
+    """
+    for name in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT n_name, SUM({_REVENUE_CENTS}) AS revenue_x10k, COUNT(*) AS count
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@query(
+    "sql_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q_sql_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT pass-through (sort/limit ride through Q2).
+
+    Spark plans this as TakeOrderedAndProject — no global sort shuffle.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2/R4/H6: retention + recent-N-batches semantics. The serving store's
+# RST_ID batch counter is modeled by a daily pseudo-batch id over events;
+# retention == keep batches newer than (max - clean_interval)
+# (clean(), models.py:702-735).
+# ---------------------------------------------------------------------------
+@query(
+    "retention_recent_batches",
+    f"""
+    WITH tagged AS (
+      SELECT event_id, event_type, ({_DUCK_EPOCH.format(col='ts')} // 86400) AS batch_id
+      FROM events
+    )
+    SELECT event_id, event_type, batch_id
+    FROM tagged
+    WHERE batch_id > (SELECT MAX(batch_id) FROM tagged) - 7
+    """,
+)
+def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the most recent N batches (R2 clean + H6 /rv/<n> semantics).
+
+    The max-batch-id subquery becomes a 1-row broadcast join — no shuffle
+    of the big side, scale-safe.
+    """
+    tagged = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            (F.floor(F.col("ts").cast("long") / 86400)).cast("long").alias("batch_id"),
+        )
+    )
+    max_batch = tagged.agg(F.max("batch_id").alias("_max_batch"))
+    return (
+        tagged.join(F.broadcast(max_batch))
+        .filter(F.col("batch_id") > F.col("_max_batch") - 7)
+        .select("event_id", "event_type", "batch_id")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

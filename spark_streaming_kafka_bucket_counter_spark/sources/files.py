@@ -1,0 +1,92 @@
+"""File-based sources: parquet test tables, JSON side files, file streams.
+
+``load_tables`` registers the driver-generated tables as temp views so the
+serving layer's arbitrary-SQL endpoint (reference H2, ``GET /c/<sql>``)
+can query them by name — the Spark analog of the reference's ATTACHed
+SQLite databases (models.py:189-224).
+
+Scale: `spark.read.parquet` gives partition pruning + predicate pushdown +
+column pruning for free; at 100 TB the same call reads a partitioned table
+root, and everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table, normalizing parquet TIMESTAMP(NANOS) columns.
+
+    Spark 4 rejects nanosecond parquet timestamps outright; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as BIGINT
+    nanoseconds, which we truncate to microsecond timestamps — the same
+    truncation DuckDB 1.x applies reading the file, so both engines see
+    identical values. The conf is session-dynamic, set here defensively
+    because the driver may hand us its own SparkSession.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load every test table; optionally register temp views for SQL."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def json_file_to_dict(path: str) -> dict:
+    """Driver-side JSON side-file loader (reference S6, utils.py:265-274)."""
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def open_or_none(path: str | None) -> str | None:
+    """File-or-None loader (reference S9, utils.py:375-381)."""
+    if not path:
+        return None
+    try:
+        with open(path) as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
+def read_json_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-based streaming source (newline-JSON), for Kafka-less testing.
+
+    Mirrors the Kafka value stream shape: one string column ``value``.
+    """
+    return (
+        spark.readStream.schema("value string")
+        .text(path)
+    )

@@ -1,0 +1,38 @@
+"""Every catalog query with an oracle must hash-match DuckDB at sf0.001.
+
+This mirrors the driver's CORRECTNESS gate (run at sf0.01); a pass here is
+the strongest local predictor of a driver pass.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_kafka_bucket_counter_spark.plans import queries as catalog
+from tests.conftest import SF_DIR
+from tests.oracle_harness import compare, spark_signature
+
+ORACLED = sorted(catalog.ORACLES)
+NO_ORACLE = sorted(set(catalog.QUERIES) - set(catalog.ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    ok, detail = compare(spark, duck, catalog.QUERIES[name], catalog.ORACLES[name], SF_DIR)
+    assert ok, f"{name}: {detail}"
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_query_runs_rows_only(spark, name):
+    n, cols, _ = spark_signature(catalog.QUERIES[name](spark, SF_DIR))
+    assert n >= 0 and cols
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(["event_type", "bucket_start", "bucket_end", "count"]) <= set(df.columns)
+    assert set(e.oracle_sql()) <= set(e.queries())
