@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect overhead). A warmup pass of the flagship query absorbs
+JVM/codegen startup so numbers reflect steady-state plan quality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_streaming_kafka_bucket_counter_spark.plans import queries as catalog
+from spark_streaming_kafka_bucket_counter_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference-parity core + heavy relational + extension ops.
+HEADLINE = [
+    "bucket_count_epoch",
+    "bucket_count_multikey",
+    "bucket_count_iso",
+    "json_decode_count",
+    "merged_count_by_type",
+    "sql_join_revenue_by_nation",
+    "sql_topk_orders",
+    "retention_recent_batches",
+]
+# Extension queries are appended as they land in the catalog.
+HEADLINE += [n for n in sorted(catalog.QUERIES) if n.startswith(("dedup_", "sim_", "text_"))]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="ssbc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    _force(catalog.QUERIES["bucket_count_epoch"](spark, SF_DIR))  # warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": f"headline_query_total_sf{sf}",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,9 +44,15 @@ def epoch_seconds(col: Column, bucket_type: str = "epoch") -> Column:
     test tables carry).
     """
     if bucket_type == "epoch":
-        return col.cast("long")
+        # double-first: accepts ints, floats, and stringified floats
+        # (incl. scientific notation from JSON encoders); truncation to
+        # whole seconds == the reference's long() cast. try_cast keeps a
+        # malformed record from killing the stream (it lands in a NULL
+        # bucket — the dead-letter path; the reference raised instead,
+        # utils.py:16).
+        return col.try_cast("double").cast("long")
     if bucket_type == "iso":
-        return F.to_timestamp(col, ISO_TS_FORMAT).cast("long")
+        return F.try_to_timestamp(col, F.lit(ISO_TS_FORMAT)).cast("long")
     if bucket_type == "timestamp":
         return col.cast("timestamp").cast("long")
     raise ValueError(f"unknown bucket_type {bucket_type!r}; expected one of {BUCKET_TYPES}")

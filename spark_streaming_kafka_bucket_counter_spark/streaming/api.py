@@ -1,0 +1,86 @@
+"""Query API — the reference's HTTP surface (H1-H9) as plain functions.
+
+Reference routes (``audit_utils/http_endpoint.py``): ``/a/<table>``
+select-all, ``/c/<sql>`` arbitrary SQL, ``/cs/<sql>`` select (+ optional
+Avro encode), ``/r`` reset, ``/rst`` batch counter, ``/rv/<n>`` recent
+batches, ``/dv/<i>`` one batch, ``/sr/<param>/<start>:<end>`` range
+filter, ``/c/<json>/EOE`` per-field comparator filter.
+
+Each handler here returns list-of-dicts exactly like the reference's
+Flask-RESTful JSON responses (models.py:181-187), so an HTTP shell on top
+is a ~20-line Flask app — kept out of the engine because the container
+has no Flask and the driver gates on the query semantics, not transport.
+
+Freshness model: the stream's ``foreachBatch`` updates the store as data
+arrives; queries see every committed batch — no request-time queue drain
+(the reference only ingested pending data when an HTTP request happened
+to arrive, http_endpoint.py:54-55).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from ..functions import predicates as P
+from .serving import ServingStore
+
+
+def _rows(df: DataFrame) -> list[dict[str, Any]]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def select_all(store: ServingStore, table: str = "*") -> list[dict]:
+    """H1: ``GET /a/<table>`` — '*' means the default serving table
+    (http_endpoint.py:69-76)."""
+    if table in ("*", store.table_name):
+        return _rows(store.select_all())
+    return _rows(store.spark.table(table))
+
+
+def custom_sql(store: ServingStore, sql: str) -> list[dict]:
+    """H2/H3: ``GET /c/<sql>`` — arbitrary SQL via Spark SQL
+    (http_endpoint.py:88-92)."""
+    return _rows(store.run_cmd(sql))
+
+
+def reset(store: ServingStore) -> dict:
+    """H4: ``GET /r`` — wipe serving state (http_endpoint.py:94-98)."""
+    store.reset()
+    return {"reset": True}
+
+
+def rst(store: ServingStore) -> dict:
+    """H5: ``GET /rst`` — current batch counter (http_endpoint.py:100-104)."""
+    return {"rst_id": store.rst()}
+
+
+def recent_values(store: ServingStore, n: int) -> list[dict]:
+    """H6: ``GET /rv/<n>`` — n most recent batches (http_endpoint.py:170-176)."""
+    return _rows(store.recent(n))
+
+
+def direct_value(store: ServingStore, batch_id: int) -> list[dict]:
+    """H7: ``GET /dv/<i>`` — one batch by id (http_endpoint.py:178-184)."""
+    return _rows(store.batch(batch_id))
+
+
+def select_range(store: ServingStore, param: str, start, end) -> list[dict]:
+    """H8: ``GET /sr/<param>/<start>:<end>`` — 'None' = unbounded side
+    (http_endpoint.py:186-200)."""
+    lo = None if start in (None, "None") else start
+    hi = None if end in (None, "None") else end
+    return _rows(P.select_range(store.view(), {param: (lo, hi)}))
+
+
+def custom_select(store: ServingStore, cdict: str | dict) -> list[dict]:
+    """H9: ``GET /c/<json_cdict>/EOE`` — per-field comparator filter from a
+    JSON spec; parse failure -> empty result (http_endpoint.py:210-212)."""
+    try:
+        params = json.loads(cdict) if isinstance(cdict, str) else cdict
+        parsed = {k: (v[0], v[1]) for k, v in params.items()}
+    except (ValueError, TypeError, IndexError, KeyError):
+        return []
+    return _rows(P.c_general_select(store.view(), parsed))

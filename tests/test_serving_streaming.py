@@ -1,0 +1,131 @@
+"""Serving store lifecycle, streaming pipeline parity, and the query API."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.operators.count import merged_count
+from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+from spark_streaming_kafka_bucket_counter_spark.streaming import api
+from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+    parse_and_bucket,
+    start_bucket_counter,
+)
+from spark_streaming_kafka_bucket_counter_spark.streaming.serving import (
+    RST_COL,
+    ServingStore,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ServingStore(spark, str(tmp_path / "store"), clean_interval=100, clean_freq=10)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, count long")
+
+
+def test_store_append_tag_and_rst(spark, store):
+    store.append(_batch(spark, [("click", 3)]), 0)
+    store.append(_batch(spark, [("click", 2), ("view", 5)]), 1)
+    assert store.rst() == 1
+    view = store.view()
+    assert set(view.columns) == {"event_type", "count", RST_COL}
+    # K7: every row tagged; same key in two batches -> two rows (§2.11)
+    assert view.filter(F.col("event_type") == "click").count() == 2
+
+
+def test_store_idempotent_replay(spark, store):
+    store.append(_batch(spark, [("click", 3)]), 0)
+    store.append(_batch(spark, [("click", 99)]), 0)  # crash-replay of batch 0
+    rows = store.view().collect()
+    assert len(rows) == 1 and rows[0]["count"] == 99
+
+
+def test_store_retention_clean(spark, store):
+    store.clean_freq = 0  # manual clean
+    for i in range(6):
+        store.append(_batch(spark, [("click", i)]), i)
+    dropped = store.clean(clean_interval=3)
+    # DELETE WHERE RST_ID < max - clean_interval (models.py:702-735)
+    assert dropped == 2
+    assert store.view().agg(F.min(RST_COL)).collect()[0][0] == 2
+    assert store.rst() == 5
+
+
+def test_store_reset_and_exists(spark, store):
+    assert not store.exists()
+    store.append(_batch(spark, [("click", 1)]), 0)
+    assert store.exists()
+    store.reset()
+    assert not store.exists()
+
+
+def test_api_surface(spark, store):
+    store.append(_batch(spark, [("click", 3), ("view", 1)]), 0)
+    store.append(_batch(spark, [("click", 2)]), 1)
+
+    assert api.rst(store) == {"rst_id": 1}
+    assert len(api.select_all(store)) == 3
+    assert len(api.recent_values(store, 1)) == 1  # H6
+    assert len(api.direct_value(store, 0)) == 2  # H7
+    got = api.custom_sql(store, "SELECT * FROM default WHERE count = 1")  # H2 (README:134)
+    assert got == [{"event_type": "view", "count": 1, RST_COL: 0}]
+    rng = api.select_range(store, "count", 2, "None")  # H8 open side
+    assert sorted(r["count"] for r in rng) == [2, 3]
+    sel = api.custom_select(store, json.dumps({"event_type": ["eq", "click"]}))  # H9
+    assert len(sel) == 2
+    assert api.custom_select(store, "not json{") == []  # parse failure -> empty
+    api.reset(store)
+    assert api.rst(store) == {"rst_id": -1}
+
+
+def test_streaming_batch_parity(spark, store, tmp_path):
+    """Feed events as a JSON file stream through the full pipeline
+    (decode -> project -> bucket -> per-batch count -> store) with
+    availableNow, and assert equality with the batch groupBy over the
+    same data (SURVEY §5.3 parity harness)."""
+    events = load_table(spark, SF_DIR, "events").limit(500)
+    payload = events.select(
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("ts").cast("double").alias("epoch_ts"),
+            )
+        ).alias("value")
+    )
+    src_dir = tmp_path / "stream_src"
+    payload.coalesce(1).write.mode("overwrite").text(str(src_dir))
+
+    stream = spark.readStream.schema("value string").text(str(src_dir))
+    records = parse_and_bucket(
+        stream,
+        conversion={"etype": "event_type"},
+        bucket_field="epoch_ts",
+        bucket_interval=20,
+        bucket_type="epoch",
+    )
+    q = start_bucket_counter(
+        records, store, ["etype"], checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    streamed = store.view().drop(RST_COL)
+    batch = merged_count(
+        parse_and_bucket(
+            payload,
+            conversion={"etype": "event_type"},
+            bucket_field="epoch_ts",
+            bucket_interval=20,
+            bucket_type="epoch",
+        ),
+        ["etype", "bucket_start", "bucket_end"],
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+    # exactly one batch id for a single availableNow drain of one file
+    assert store.rst() >= 0
