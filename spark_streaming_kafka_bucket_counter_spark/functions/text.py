@@ -1,0 +1,256 @@
+"""Text-analysis building blocks for training-data pipelines: tokenize,
+shingle, hash, language-ID, quality scoring, fingerprinting.
+
+Beyond-reference scope (BASELINE.json north star): these are the column
+primitives a 100 TB LLM-data pipeline needs, built as pure Catalyst
+expressions — no Python in the row path, whole-stage codegen end to end.
+
+Every builder here has a DuckDB-SQL twin (the ``*_SQL`` constants /
+``*_sql`` helpers) used by the oracle queries; keeping both sides in one
+module is what keeps them semantically locked:
+
+- tokens: non-empty pieces of lower(text) split on whitespace runs
+- shingles: k-word n-grams (k-grams over the token sequence)
+- token_hash16: first 4 hex chars of md5 -> 16-bit int (the shared,
+  engine-portable hash for simhash/fingerprints — Spark ``conv`` vs
+  DuckDB ``CAST('0x…')``)
+- quality score: punctuation / stopword / length ratios; all counts are
+  exact integers, each ratio is ONE IEEE division (deterministic across
+  engines — never a float accumulation)
+- lang-id: stopword-list hit counts + argmax (n-gram heuristic)
+- fingerprints: md5 over normalized text (exact) and a position-weighted
+  rolling hash over token hashes (content-sensitive), both exact-integer
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Non-empty lowercase whitespace tokens."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def tokens_sql(col: str) -> str:
+    return f"list_filter(string_split_regex(lower({col}), '\\s+'), x -> x <> '')"
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """k-word shingles of a token array (empty when fewer than k tokens).
+
+    Guarded with ``when`` because Spark's ``sequence(1, n)`` runs
+    *descending* for n < 1, unlike DuckDB's empty ``generate_series``.
+    """
+    n = F.size(tok)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(tok: str, k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        f"(SELECT CASE WHEN len(t) >= {k} THEN "
+        f"list_transform(generate_series(1, len(t) - {k - 1}), i -> {parts}) "
+        f"ELSE [] END FROM (SELECT {tok} AS t))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable hashing
+# ---------------------------------------------------------------------------
+
+
+def token_hash16(col: Column) -> Column:
+    """16-bit integer hash: first 4 hex chars of md5 (portable to DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+
+def token_hash16_sql(col: str) -> str:
+    return f"CAST('0x' || substr(md5({col}), 1, 4) AS BIGINT)"
+
+
+def token_hash32(col: Column) -> Column:
+    """32-bit variant (first 8 hex chars) for lower collision rates."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def token_hash32_sql(col: str) -> str:
+    return f"CAST('0x' || substr(md5({col}), 1, 8) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+_PUNCT_RE = r"[.,!?;:]"
+
+
+def quality_columns(text_col: Column, tok: Column | None = None) -> dict[str, Column]:
+    """Exact-integer quality components + single-division ratios.
+
+    Pass a pre-materialized token COLUMN as ``tok`` when calling from a
+    plan that can ``withColumn`` it first: higher-order functions are
+    interpreted without common-subexpression elimination, so an inline
+    ``tokens(text)`` expression would re-tokenize once per lambda
+    reference.
+    """
+    if tok is None:
+        tok = tokens(text_col)
+    n_tokens = F.size(tok)
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(text_col, _PUNCT_RE, ""))
+    stop_hits = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(tok))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_uniq_tokens": uniq.cast("long"),
+        "punct_count": punct.cast("long"),
+        "stopword_count": stop_hits.cast("long"),
+        # each ratio: one division of two exact ints -> bit-identical
+        # across engines
+        "stopword_ratio": stop_hits.cast("double") / n_tokens,
+        "uniq_ratio": uniq.cast("double") / n_tokens,
+        "avg_token_len": (n_chars - n_tokens + 1).cast("double") / n_tokens,
+    }
+
+
+def quality_sql(text_col: str) -> dict[str, str]:
+    tok = tokens_sql(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "n_chars": f"CAST(length({text_col}) AS BIGINT)",
+        "n_tokens": f"CAST(len({tok}) AS BIGINT)",
+        "n_uniq_tokens": f"CAST(len(list_distinct({tok})) AS BIGINT)",
+        "punct_count": (
+            f"CAST(length({text_col}) - length(regexp_replace({text_col}, '{_PUNCT_RE}', '', 'g')) AS BIGINT)"
+        ),
+        "stopword_count": f"CAST(len(list_filter({tok}, x -> x IN ({stop_list}))) AS BIGINT)",
+        "stopword_ratio": f"CAST(len(list_filter({tok}, x -> x IN ({stop_list}))) AS DOUBLE) / len({tok})",
+        "uniq_ratio": f"CAST(len(list_distinct({tok})) AS DOUBLE) / len({tok})",
+        "avg_token_len": f"CAST(length({text_col}) - len({tok}) + 1 AS DOUBLE) / len({tok})",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "is", "that"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+
+def langid_columns(text_col: Column, tok: Column | None = None) -> dict[str, Column]:
+    """Marker-hit counts per language + argmax (ties/zero -> 'und')."""
+    if tok is None:
+        tok = tokens(text_col)
+
+    def _hit_counter(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    hits = {
+        lang: F.size(F.filter(tok, _hit_counter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    # first language (in declaration order) achieving the max, if any hit
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    out = {f"hits_{lang}": hits[lang].cast("long") for lang in langs}
+    out["lang_pred"] = pred
+    return out
+
+
+def langid_sql(text_col: str) -> dict[str, str]:
+    tok = tokens_sql(text_col)
+    hits = {
+        lang: f"len(list_filter({tok}, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join(hits[lang] for lang in langs)})"
+    whens = " ".join(f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in langs)
+    out = {f"hits_{lang}": f"CAST({hits[lang]} AS BIGINT)" for lang in langs}
+    out["lang_pred"] = f"CASE WHEN {best} = 0 THEN 'und' ELSE (CASE {whens} ELSE 'und' END) END"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints
+# ---------------------------------------------------------------------------
+
+ROLL_MOD = 1_000_000_007
+ROLL_WEIGHTS = (1, 31, 961, 29791)  # 31^(pos % 4)
+
+
+def normalized_text(col: Column) -> Column:
+    """lower + collapse whitespace runs + trim (the canonical form)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def normalized_text_sql(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def md5_fingerprint_sql(col: str) -> str:
+    return f"md5({normalized_text_sql(col)})"
+
+
+def rolling_fingerprint(text_col: Column, tok: Column | None = None) -> Column:
+    """Position-weighted token-hash fingerprint (rolling-hash flavor).
+
+    fp = SUM_i( hash16(token_i) * 31^(i % 4) ) mod 1e9+7 — order-sensitive
+    (via the position weight) yet expressible as a commutative integer
+    SUM, so it is exact and parallelizable: each partition sums its rows,
+    no sequential fold needed at 100 TB.
+
+    Pass a materialized token column as ``tok`` (see quality_columns note:
+    an inline expression re-tokenizes once per element_at reference).
+    """
+    if tok is None:
+        tok = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(tok))
+    w = ROLL_WEIGHTS
+    terms = F.transform(
+        idx,
+        lambda i: token_hash16(F.element_at(tok, i.cast("int")))
+        * F.element_at(F.array(*[F.lit(x) for x in w]), ((i - 1) % 4 + 1).cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.when(F.size(tok) > 0, total % ROLL_MOD).otherwise(F.lit(0)).cast("long")
+
+
+def rolling_fingerprint_sql(text_col: str) -> str:
+    tok = tokens_sql(text_col)
+    h = token_hash16_sql("t[i]")
+    weights = f"[{', '.join(map(str, ROLL_WEIGHTS))}]"
+    return (
+        "(SELECT CASE WHEN len(t) = 0 THEN 0 ELSE CAST("
+        f"list_sum(list_transform(generate_series(1, len(t)), i -> {h} * ({weights})[(i-1) % 4 + 1]))"
+        f" % {ROLL_MOD} AS BIGINT) END FROM (SELECT {tok} AS t))"
+    )

@@ -1,0 +1,301 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Beyond-reference scope (BASELINE.json north star). All operators are
+DataFrame compositions — hashing via md5 (portable to the DuckDB
+oracles), set math via explode + join + groupBy, signatures via
+conditional aggregation. No Python UDFs anywhere.
+
+Scale design (the whole point of these ops at 100 TB):
+- exact dedup: one hash-shuffle on the fingerprint; Catalyst plans
+  partial aggregation so identical docs collapse map-side first.
+- n-gram Jaccard: the naive all-pairs O(n^2) comparison is replaced by an
+  inverted-index self-join on shingles — only docs *sharing* a shingle
+  meet. Ultra-frequent shingles (stop-shingles) blow up the join at
+  scale; ``max_shingle_freq`` drops them (standard suppression; unset =
+  exact semantics for the oracle).
+- MinHash LSH: per-doc signatures via groupBy (one shuffle), then the
+  candidate join is on *band* values — O(candidates), not O(n^2); the
+  exact Jaccard verify runs only on candidates. Band count / rows-per-
+  band tune the recall/cost tradeoff.
+- SimHash: a single groupBy producing a 16-bit signature per doc;
+  near-dup candidates join on signature bytes (each hamming-<=k match
+  shares at least one exact half, pigeonhole).
+- embedding cosine: see operators/similarity.py for the bucketed path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """One row per distinct content: keeper id (min), dup count.
+
+    ``normalized=True`` dedups on the md5 of whitespace/case-normalized
+    text (the usual first pass); ``False`` uses the raw text bytes.
+    """
+    key = md5_fingerprint(F.col(text_col)) if normalized else F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), key.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of each content group (the actual
+    dedup transform used in a pipeline)."""
+    w = Window.partitionBy(md5_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index rows.
+
+    ``max_shingle_freq`` drops shingles present in more than that many
+    docs (scale-path stop-shingle suppression).
+    """
+    # Materialize the token array before the shingle HOF: interpreted
+    # lambdas re-evaluate inline sub-expressions per element, so
+    # shingles(tokens(text)) would re-tokenize O(tokens) times per row.
+    sh = (
+        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tok"))
+        .select("doc", F.explode(F.array_distinct(shingles(F.col("_tok"), k))).alias("shingle"))
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "shingle")
+            .drop("_df")
+        )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word-k-gram Jaccard >= threshold.
+
+    Inverted-index join: pairs materialize only for docs sharing >=1
+    shingle. Output: doc_a < doc_b, intersection/set sizes (exact ints),
+    jaccard (one IEEE division).
+    """
+    sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq)
+    # The inverted index feeds both the sizes agg and the pair join —
+    # materialize it once (at cluster scale: checkpoint/exchange reuse).
+    sh = sh.persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_j = MIN over shingles of
+    md5('<j>:' || shingle).
+
+    Hash family = seeded md5, min taken over the *hex string* ordering —
+    portable across engines, and MIN is an algebraic aggregate so Spark
+    computes all ``num_hashes`` mins in ONE partial+final groupBy pass
+    (no per-hash shuffle).
+    """
+    sh = doc_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Signatures are cut into ``bands`` bands of ``num_hashes // bands``
+    rows; each band is hashed to a bucket key; docs sharing ANY band
+    bucket become candidates (join per band, unioned, distinct). Then the
+    exact k-gram Jaccard verifies candidates — so the output is a subset
+    of :func:`ngram_jaccard_pairs` (LSH trades recall for never doing the
+    all-pairs comparison).
+    """
+    rows_per_band = num_hashes // bands
+    sh = doc_shingles(df, id_col, text_col, k).persist()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+
+    cand = None
+    for b in range(bands):
+        left = banded.select(F.col("doc").alias("doc_a"), F.col(f"band_{b}").alias("bk"))
+        right = banded.select(F.col("doc").alias("doc_b"), F.col(f"band_{b}").alias("bk"))
+        pairs = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    candidates = cand.distinct()
+
+    # Exact-Jaccard verify restricted to candidate docs: semi-join the
+    # inverted index down to docs that appear in any candidate pair, THEN
+    # run the pair join — verification cost scales with candidates, not
+    # the corpus (the point of LSH).
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc").persist()
+    sizes = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh_c.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    verified = (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return candidates.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash over token multiset (16-bit, md5-derived bit votes).
+
+    For each bit b: vote = SUM over tokens of (bit_b(hash16(token))*2-1);
+    signature bit b = 1 iff vote > 0. All-integer, one explode + one
+    groupBy; the ``bits`` conditional sums are one aggregation pass.
+    """
+    from ..functions.text import token_hash16
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).withColumn("h", token_hash16(F.col("token")))
+    votes = tok.groupBy("doc").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1) * 2 - 1).alias(f"v_{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming.
+
+    Scale path: join on signature halves (pigeonhole — any pair within
+    hamming <= k shares an exact half when the signature is split into
+    k'+1 > k pieces... with 2 halves this finds hamming <= max where at
+    least one half matches exactly; a recall-tuned candidate set), then
+    exact hamming verify via bit_count.
+    """
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    half = 1 << (bits // 2)
+    s = sig.withColumn("hi", (F.col("simhash") / half).cast("long")).withColumn(
+        "lo", F.col("simhash") % half
+    )
+    cand = None
+    for part in ("hi", "lo"):
+        left = s.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), F.col(part).alias("pk"))
+        right = s.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), F.col(part).alias("pk"))
+        pairs = (
+            left.join(right, "pk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sim_a", "sim_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return (
+        cand.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,341 @@
+"""Extension queries: training-data pipeline operators (dedup, similarity,
+text analysis, multimodal) with DuckDB oracles.
+
+Registered into the same catalog as the reference-parity queries; see
+plans/queries.py for the cross-engine determinism rules. The DuckDB SQL
+here is generated from the same constants (stopword lists, hash recipes,
+thresholds) as the Spark plans via functions/text.py's ``*_sql`` helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from .queries import _t, query
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (one source of truth for the DuckDB side)
+# ---------------------------------------------------------------------------
+
+_TOK = X.tokens_sql("text")
+_DOC_SHINGLES = f"""
+  tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+  sh AS (SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END AS shingles
+         FROM tok),
+  ds AS (SELECT DISTINCT doc, shingle
+         FROM (SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh))
+"""
+
+_JACCARD_FROM_DS = """
+  sizes AS (SELECT doc, COUNT(*) AS n FROM ds GROUP BY doc),
+  inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+            FROM ds a JOIN ds b USING (shingle)
+            WHERE a.doc < b.doc
+            GROUP BY 1, 2),
+  jac AS (SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b,
+                 CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+          FROM inter
+          JOIN sizes sa ON inter.doc_a = sa.doc
+          JOIN sizes sb ON inter.doc_b = sb.doc)
+"""
+
+_EMB_DOUBLE = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+_COSINE_AB = (
+    "ROUND(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL_COLS = ",\n       ".join(
+    f"{sql} AS {name}" for name, sql in X.quality_sql("text").items()
+)
+
+
+@query(
+    "text_quality",
+    f"SELECT doc_id,\n       {_QUALITY_SQL_COLS}\nFROM documents",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punctuation/stopword quality metrics per document."""
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    cols = X.quality_columns(F.col("text"), tok=F.col("_tok"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+_LANGID_SQL_COLS = ",\n       ".join(
+    f"{sql} AS {name}" for name, sql in X.langid_sql("text").items()
+)
+
+
+@query(
+    "text_langid",
+    f"SELECT doc_id, lang AS lang_declared,\n       {_LANGID_SQL_COLS}\nFROM documents",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the declared lang column."""
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    cols = X.langid_columns(F.col("text"), tok=F.col("_tok"))
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_declared"), *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           {X.md5_fingerprint_sql('text')} AS md5_fp,
+           {X.rolling_fingerprint_sql('text')} AS roll_fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5-of-normalized) + rolling (position-weighted token hash)
+    document fingerprints."""
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        X.md5_fingerprint(F.col("text")).alias("md5_fp"),
+        X.rolling_fingerprint(F.col("text"), tok=F.col("_tok")).alias("roll_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT {X.md5_fingerprint_sql('text')} AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text hash (hash-groupBy)."""
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DOC_SHINGLES}, {_JACCARD_FROM_DS}
+    SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard
+    FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5 (inverted-index join)."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.5
+    )
+
+
+_SIG_COLS = ", ".join(
+    f"MIN(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+)
+
+
+@query(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_DOC_SHINGLES}
+    SELECT doc, {_SIG_COLS} FROM ds GROUP BY doc
+    """,
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signatures (seeded-md5 min over 3-gram shingles)."""
+    return D.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, k=3
+    )
+
+
+_BAND0 = "md5(sig_0 || '|' || sig_1 || '|' || sig_2 || '|' || sig_3)"
+_BAND1 = "md5(sig_4 || '|' || sig_5 || '|' || sig_6 || '|' || sig_7)"
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DOC_SHINGLES}, {_JACCARD_FROM_DS},
+    sig AS (SELECT doc, {_SIG_COLS} FROM ds GROUP BY doc),
+    banded AS (SELECT doc, {_BAND0} AS band_0, {_BAND1} AS band_1 FROM sig),
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b ON a.band_0 = b.band_0 WHERE a.doc < b.doc
+      UNION
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b ON a.band_1 = b.band_1 WHERE a.doc < b.doc
+    )
+    SELECT jac.doc_a, jac.doc_b, n_common, size_a, size_b, jaccard
+    FROM cand JOIN jac ON cand.doc_a = jac.doc_a AND cand.doc_b = jac.doc_b
+    WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (2 bands x 4 rows) verified by exact Jaccard."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=8,
+        bands=2,
+        k=3,
+        threshold=0.5,
+    )
+
+
+_H16 = X.token_hash16_sql("token")
+_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}" for b in range(16)
+)
+_SIMHASH_VAL = " + ".join(f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (SELECT doc, token
+                 FROM (SELECT doc_id AS doc, unnest({_TOK}) AS token FROM documents)),
+    h AS (SELECT doc, {_H16} AS h FROM tok),
+    votes AS (SELECT doc, {_VOTES} FROM h GROUP BY doc)
+    SELECT doc, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM votes
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures over the token multiset."""
+    return D.simhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_EMB_DOUBLE}
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_AB} AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (exact all-pairs cosine >= 0.4 baseline)."""
+    return S.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_cosine",
+    f"""
+    WITH {_EMB_DOUBLE},
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS cand_id, {_COSINE_AB} AS cosine
+      FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        query_df=emb.filter(F.col("vec_id") < 10),
+        top_k=5,
+    )
+
+
+_BUCKET_SQL = " + ".join(f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))
+
+
+@query(
+    "sim_lsh_bucketed",
+    f"""
+    WITH {_EMB_DOUBLE},
+    kb AS (SELECT vec_id, v, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM e)
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_AB} AS cosine
+      FROM kb a JOIN kb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucketed LSH near-neighbor pairs (the scale path: same-bucket
+    candidates only, cosine >= 0.3)."""
+    return S.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        bucketed=True,
+        planes=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_meta",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT)               AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS BIGINT)     AS width,
+           CAST((strlen(text) * 7) % 480 + 1 AS BIGINT) AS height,
+           CAST(3 AS BIGINT)                          AS channels
+    FROM documents
+    """,
+)
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> image metadata via Arrow mapInPandas (stub decode).
+
+    The oracle checks the *plumbing* (bytes in, schema/values out); the
+    decode itself is the deterministic stub documented in
+    operators/multimodal.py.
+    """
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.decode_image_meta(docs)
+
+
+@query(
+    "multimodal_audio_frames",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT)        AS n_bytes,
+           CAST(strlen(text) // 160 AS BIGINT) AS n_frames,
+           CAST(16000 AS BIGINT)               AS sample_rate
+    FROM documents
+    """,
+)
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> fixed-size frame sampling metadata (stub)."""
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.sample_audio_frames(docs, frame_bytes=160)

@@ -386,3 +386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# Extension operators (dedup / similarity / text / multimodal) register
+# themselves into the same catalog on import.
+from . import extensions  # noqa: E402,F401

@@ -1,0 +1,116 @@
+"""Semantic checks for dedup/similarity/text/multimodal operators —
+beyond hash-matching: do they find what they should find?"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.operators import dedup as D
+from spark_streaming_kafka_bucket_counter_spark.operators import multimodal as M
+from spark_streaming_kafka_bucket_counter_spark.operators import similarity as S
+from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    docs = _docs(spark)
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    out = D.exact_duplicates(both, "doc_id", "text")
+    assert out.filter(F.col("n_copies") == 2).count() == 5
+    kept = D.drop_exact_duplicates(both, "doc_id", "text")
+    assert kept.count() == docs.count()
+    # min-id representative wins
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark):
+    """The generated corpus contains near-dup pairs (jaccard >= 0.8);
+    the inverted-index join must surface them, and identical docs score 1."""
+    docs = _docs(spark)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert 0.5 <= p["jaccard"] <= 1.0
+    clone = docs.limit(1).withColumn("doc_id", F.lit(999999))
+    with_clone = docs.unionByName(clone)
+    out = D.ngram_jaccard_pairs(with_clone, "doc_id", "text", threshold=0.99)
+    exact = out.filter(F.col("doc_b") == 999999).collect()
+    assert len(exact) == 1 and exact[0]["jaccard"] == 1.0
+
+
+def test_minhash_lsh_subset_of_exact_with_recall(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        # 2 bands x 4 rows at j>=0.8 planted dups -> high recall expected
+        assert len(lsh) / len(exact) >= 0.5
+
+
+def test_simhash_near_pairs_low_hamming_for_near_dups(spark):
+    docs = _docs(spark)
+    clone = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 777000)
+    both = docs.unionByName(clone)
+    pairs = D.simhash_near_pairs(both, "doc_id", "text", max_hamming=0).collect()
+    clones_found = {r["doc_b"] - 777000 for r in pairs if r["doc_b"] >= 777000}
+    assert len(clones_found) == 3  # identical docs -> identical simhash
+
+
+def test_cosine_topk_self_similarity_and_rank(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    clone = emb.limit(1).withColumn("vec_id", F.lit(888888))
+    both = emb.unionByName(clone)
+    out = S.cosine_topk(
+        both, "vec_id", "embedding", query_df=both.filter(F.col("vec_id") == 888888), top_k=3
+    ).collect()
+    assert out[0]["rank"] == 1
+    assert out[0]["cosine"] == 1.0  # the original of the clone
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] >= out[1]["cosine"] >= out[2]["cosine"]
+
+
+def test_bucketed_pairs_subset_of_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, bucketed=True
+        ).collect()
+    }
+    assert bucketed <= exact
+
+
+def test_multimodal_stub_plumbing(spark):
+    docs = M.with_binary_payload(_docs(spark).limit(20))
+    assert dict(docs.dtypes)["payload"] == "binary"
+    meta = M.decode_image_meta(docs).collect()
+    assert len(meta) == 20
+    for r in meta:
+        assert r["width"] == r["n_bytes"] % 640 + 1
+        assert 1 <= r["height"] <= 480 and r["channels"] == 3
+    frames = M.sample_audio_frames(docs).collect()
+    assert all(r["n_frames"] == r["n_bytes"] // 160 for r in frames)
+
+
+def test_multimodal_real_decoder_gated(spark):
+    import pytest
+
+    docs = M.with_binary_payload(_docs(spark).limit(1))
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.decode_image_meta(docs, decoder="real")
