@@ -44,14 +44,20 @@ def _unpack(args: Any) -> tuple[Any, Any]:
     return lo, hi
 
 
+# NB comparator argument order follows the reference exactly:
+# ``comparison(a, b)`` receives a = the PARAMETER, b = the ROW value
+# (models.py:828-831 "the `a` argument comes from the dict_params and the
+# `b` argument is the entry from the table"). So ``gt`` with param 2
+# keeps rows WHERE 2 > row_value — i.e. column < param — as pinned by the
+# DumpTable doctest (models.py:847-858: gt({'count': 2}) -> count=1 row).
 COMPARATORS: dict[str, Callable[[Column, Any], Column]] = {
     "eq": lambda col, v: col == F.lit(v),
     "range": lambda col, args: _range(col, *_unpack(args), inclusive=True),
     "erange": lambda col, args: _range(col, *_unpack(args), inclusive=False),
-    "gte": lambda col, v: col >= F.lit(v),
-    "gt": lambda col, v: col > F.lit(v),
-    "lte": lambda col, v: col <= F.lit(v),
-    "lt": lambda col, v: col < F.lit(v),
+    "gte": lambda col, v: F.lit(v) >= col,
+    "gt": lambda col, v: F.lit(v) > col,
+    "lte": lambda col, v: F.lit(v) <= col,
+    "lt": lambda col, v: F.lit(v) < col,
 }
 
 
@@ -94,8 +100,9 @@ def c_general_select(df: DataFrame, params: dict[str, tuple[str, Any]]) -> DataF
     return df.filter(reduce(lambda a, b: a & b, conds))
 
 
-# F3-F9 convenience wrappers mirroring the reference method names
-# (models.py:930-952).
+# F3-F9 convenience wrappers mirroring the reference method names AND
+# their param-vs-row comparison direction (models.py:930-952): e.g.
+# ``select_gt(df, {'count': 2})`` keeps rows with count < 2.
 def select(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     return general_select(df, params, "eq")
 

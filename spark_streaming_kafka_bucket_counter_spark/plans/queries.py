@@ -227,25 +227,27 @@ def q_predicate_erange(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.general_select(df, {"value": (10, 100)}, "erange")
 
 
-@query("predicate_gte", f"SELECT {_EV_COLS} FROM events WHERE user_id >= 90")
+# Reference comparator direction: comparison(param, row) — so select_gte
+# with param 90 keeps rows WHERE 90 >= user_id (models.py:828-858).
+@query("predicate_gte", f"SELECT {_EV_COLS} FROM events WHERE 90 >= user_id")
 def q_predicate_gte(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
     return P.select_gte(df, {"user_id": 90})
 
 
-@query("predicate_gt", f"SELECT {_EV_COLS} FROM events WHERE user_id > 90")
+@query("predicate_gt", f"SELECT {_EV_COLS} FROM events WHERE 90 > user_id")
 def q_predicate_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
     return P.select_gt(df, {"user_id": 90})
 
 
-@query("predicate_lte", f"SELECT {_EV_COLS} FROM events WHERE user_id <= 5")
+@query("predicate_lte", f"SELECT {_EV_COLS} FROM events WHERE 5 <= user_id")
 def q_predicate_lte(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
     return P.select_lte(df, {"user_id": 5})
 
 
-@query("predicate_lt", f"SELECT {_EV_COLS} FROM events WHERE user_id < 5")
+@query("predicate_lt", f"SELECT {_EV_COLS} FROM events WHERE 5 < user_id")
 def q_predicate_lt(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
     return P.select_lt(df, {"user_id": 5})
@@ -336,6 +338,126 @@ def q_sql_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 25
+        """
+    )
+
+
+@query(
+    "sql_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)      AS sum_qty_x100,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_x100,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavor aggregate suite through the SQL surface (Q2).
+
+    Money/quantity sums as exact integer cents (module docstring rules).
+    """
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT))      AS sum_qty_x100,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_x100,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "sql_distinct_count",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_sql_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation (expand + two-phase agg under the hood)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "sql_left_join_agg",
+    """
+    SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sql_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join + null-skipping COUNT semantics through the SQL surface."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "sql_window_rank",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+             CAST(row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q_sql_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function (top-3 orders per market segment)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT c_mktsegment, o_orderkey,
+                 CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
+                 CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rn <= 3
+        """
+    )
+
+
+@query(
+    "sql_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_sql_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT) through the SQL surface."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
         """
     )
 
