@@ -96,6 +96,23 @@ def with_time_window(df: DataFrame, field: str, interval: int) -> DataFrame:
     return df.withColumn("window", F.window(F.col(field), f"{interval} seconds"))
 
 
+def with_bucket_iso_strings(
+    df: DataFrame,
+    field: str,
+    interval: int,
+    bucket_type: str = "epoch",
+) -> DataFrame:
+    """P8: bucket bounds rendered as reference-format ISO strings
+    (``bucket_datetime``, utils.py:132-166 — unused by the reference main
+    path but part of its API surface). Built on the epoch variant, then
+    formatted."""
+    out = with_bucket(df, field, interval, bucket_type)
+    fmt = lambda c: F.date_format(F.timestamp_seconds(F.col(c)), ISO_TS_FORMAT)  # noqa: E731
+    return out.withColumn("bucket_start_iso", fmt("bucket_start")).withColumn(
+        "bucket_end_iso", fmt("bucket_end")
+    )
+
+
 def bucket_now_epoch(interval: int = 20) -> Column:
     """Current-time bucket start (reference ``bucket_now_epoch``, utils.py:168-182)."""
     return bucket_start_col(F.current_timestamp(), interval, bucket_type="timestamp")

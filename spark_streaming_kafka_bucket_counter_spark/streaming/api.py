@@ -75,6 +75,31 @@ def select_range(store: ServingStore, param: str, start, end) -> list[dict]:
     return _rows(P.select_range(store.view(), {param: (lo, hi)}))
 
 
+def custom_sql_avro(store: ServingStore, sql: str, avro_schema_json: str):
+    """H3: ``GET /cs/<sql>`` with Avro-encoded response rows
+    (http_endpoint.py:78-86 + dict_to_avro utils.py:276-304).
+
+    Returns a DataFrame with one binary ``avro`` column; requires the
+    spark-avro package (import-gated like the source-side decoder).
+    """
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as exc:  # pragma: no cover - environment dependent
+        raise ImportError(
+            "Avro response encoding requires pyspark.sql.avro (spark-avro "
+            "package on the Spark classpath)"
+        ) from exc
+    from pyspark.sql import functions as F
+
+    df = store.run_cmd(sql)
+    return df.select(to_avro(F.struct(*df.columns), avro_schema_json).alias("avro"))
+
+
+def delete(store: ServingStore, conditions: dict) -> dict:
+    """Q3 surface: DELETE with ANDed equality predicates."""
+    return {"deleted": store.delete(conditions)}
+
+
 def custom_select(store: ServingStore, cdict: str | dict) -> list[dict]:
     """H9: ``GET /c/<json_cdict>/EOE`` — per-field comparator filter from a
     JSON spec; parse failure -> empty result (http_endpoint.py:210-212)."""

@@ -163,6 +163,37 @@ class ServingStore:
                 dropped += 1
         return dropped
 
+    def delete(self, conditions: dict[str, object]) -> int:
+        """Q3: DELETE with ANDed equality predicates (models.py:447-481).
+
+        Lakehouse-style delete: only partitions containing matching rows
+        are rewritten (read -> anti-filter -> overwrite that partition);
+        untouched batches are untouched files. Returns #rows deleted.
+        """
+        from functools import reduce
+
+        if not conditions:
+            return 0
+        cond = reduce(
+            lambda a, b: a & b, [F.col(k) == F.lit(v) for k, v in conditions.items()]
+        )
+        deleted = 0
+        for bid in self._batch_ids():
+            part = self.batch(bid)
+            n_match = part.filter(cond).count()
+            if n_match == 0:
+                continue
+            keep = part.filter(~cond | cond.isNull()).drop(RST_COL)
+            # stage to temp dir then swap, so we never read+overwrite the
+            # same files in one job
+            tmp = self.path / f"_staging_{RST_COL}={bid}"
+            keep.write.mode("overwrite").parquet(str(tmp))
+            final = self.path / f"{RST_COL}={bid}"
+            shutil.rmtree(final, ignore_errors=True)
+            tmp.rename(final)
+            deleted += n_match
+        return deleted
+
     def reset(self) -> None:
         """H4/D5: '/r' — wipe all state (in-memory db reconnect semantics,
         README:159-176)."""
