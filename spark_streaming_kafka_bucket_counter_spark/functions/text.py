@@ -41,6 +41,35 @@ def tokens_sql(col: str) -> str:
     return f"list_filter(string_split_regex(lower({col}), '\\s+'), x -> x <> '')"
 
 
+# BPE-ish pre-tokenization regex (GPT-2 style simplified so the same
+# pattern runs identically under Java regex and DuckDB's RE2 — RE2 has no
+# lookahead, so the trailing-space rules are dropped): a word with an
+# optional apostrophe suffix, a digit run, or one non-space symbol.
+BPE_TOKEN_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(text_col: Column, tok: Column | None = None) -> Column:
+    """Whitespace token count (size of the `tokens` array)."""
+    return F.size(tok if tok is not None else tokens(text_col)).cast("long")
+
+
+def token_count_ws_sql(col: str) -> str:
+    return f"CAST(len({tokens_sql(col)}) AS BIGINT)"
+
+
+def token_count_bpe(text_col: Column) -> Column:
+    """BPE-ish token count: number of `BPE_TOKEN_RE` matches. A cheap,
+    deterministic proxy for LLM token accounting (true BPE merges need a
+    vocab; the regex pre-tokenizer is the scale-relevant part — one
+    codegen'd regex pass per row, no Python)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
+def token_count_bpe_sql(col: str) -> str:
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+
+
 def shingles(tok: Column, k: int = 3) -> Column:
     """k-word shingles of a token array (empty when fewer than k tokens).
 

@@ -99,6 +99,84 @@ def sign_bucket(vec: Column, planes: int = 8) -> Column:
     return bucket.cast("long")
 
 
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16
+) -> DataFrame:
+    """IVF cell assignment: each vector -> its nearest centroid's cell.
+
+    Centroids are the deterministic seed set (``id < n_centroids``) so the
+    operator and its SQL oracle agree bit-for-bit; production swaps in
+    k-means means — the *plumbing* is the scale-relevant part and is real:
+    centroids broadcast (tiny), one scan over N vectors scoring K
+    centroids map-side, then one shuffle keyed on the vector id to pick
+    the argmax cell. Cell id becomes the partition key for probing.
+
+    Ties broken by (cosine DESC, centroid id ASC) — deterministic.
+    """
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .join(F.broadcast(cent))
+        .select("_id", "_vec", "cid", cosine(F.col("_vec"), F.col("cvec")).alias("_sim"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cid"))
+    return scored.withColumn("_rn", F.row_number().over(w))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame | None = None,
+    query_ids_below: int | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    top_k: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the query's ``nprobe`` nearest
+    cells instead of scanning all N candidates.
+
+    Scale shape: candidate vectors are assigned to exactly one cell
+    (rn = 1); a query scores only vectors in its nprobe closest cells, so
+    the search join is a hash join on the small-int cell id — work drops
+    from O(Q x N) to O(Q x N x nprobe / K), and dense cells are split by
+    AQE skew handling. Recall is tuned by ``nprobe`` / ``n_centroids``.
+    """
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids).persist()
+    cand = assigned.filter(F.col("_rn") == 1).select(
+        F.col("_id").alias("cand_id"), F.col("_vec").alias("cand_vec"), "cid"
+    )
+    probes = assigned.filter(F.col("_rn") <= nprobe)
+    if query_ids_below is not None:
+        probes = probes.filter(F.col("_id") < query_ids_below)
+    elif query_df is not None:
+        probes = probes.join(
+            F.broadcast(query_df.select(F.col(id_col).alias("_id"))), "_id"
+        )
+    else:
+        raise ValueError("provide query_ids_below or query_df")
+    q = probes.select(
+        F.col("_id").alias("query_id"), F.col("_vec").alias("query_vec"), "cid"
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def normalized(vec: Column, norm_col: Column) -> Column:
     """Unit-normalized double vector given a PRE-MATERIALIZED norm column.
 

@@ -113,6 +113,26 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           {X.token_count_ws_sql('text')} AS n_ws_tokens,
+           {X.token_count_bpe_sql('text')} AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting: whitespace tokens + BPE-ish regex
+    pre-tokenizer matches (the LLM-token-count proxy)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        X.token_count_ws(F.col("text"), tok=F.col("_tok")).alias("n_ws_tokens"),
+        X.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -295,6 +315,52 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         bucketed=True,
         planes=8,
+    )
+
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@query(
+    "sim_ivf_topk",
+    f"""
+    WITH {_EMB_DOUBLE},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    scored AS (
+      SELECT e.vec_id AS id, e.v, cent.cid,
+             {_COS.format(a='e.v', b='cent.cv')} AS sim
+      FROM e CROSS JOIN cent),
+    ranked AS (
+      SELECT id, v, cid,
+             row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+      FROM scored),
+    cand AS (SELECT id AS cand_id, v AS cand_v, cid FROM ranked WHERE rn = 1),
+    probe AS (SELECT id AS query_id, v AS query_v, cid
+              FROM ranked WHERE rn <= 2 AND id < 10),
+    pair AS (
+      SELECT p.query_id, c.cand_id,
+             {_COS.format(a='p.query_v', b='c.cand_v')} AS cosine
+      FROM probe p JOIN cand c ON p.cid = c.cid AND c.cand_id <> p.query_id)
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+    FROM pair QUALIFY rank <= 5
+    """,
+)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (16 deterministic seed cells, nprobe=2) for
+    query vectors vec_id < 10 — the partition-pruned ANN scale path."""
+    return S.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        query_ids_below=10,
+        n_centroids=16,
+        nprobe=2,
+        top_k=5,
     )
 
 

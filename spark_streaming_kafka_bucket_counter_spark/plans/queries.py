@@ -172,6 +172,62 @@ def q_merged_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged_count(_t(spark, sf_dir, "events"), ["event_type"])
 
 
+# A5 via the CUSTOM stateful operator: the applyInPandasWithState running
+# count, driven end-to-end through Structured Streaming (availableNow over
+# the events parquet). max(count) per key is the final running total no
+# matter how the file source splits micro-batches, so the streaming result
+# is oracle-checkable against the plain batch GROUP BY.
+@query(
+    "stateful_running_count",
+    f"""
+    SELECT event_type,
+           ({_DUCK_EPOCH.format(col='ts')} // 3600) * 3600        AS bucket_start,
+           ({_DUCK_EPOCH.format(col='ts')} // 3600) * 3600 + 3600 AS bucket_end,
+           COUNT(*) AS "count"
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..functions.buckets import with_bucket
+    from ..streaming.stateful import start_stateful_counter
+
+    name = f"srSan_{uuid.uuid4().hex[:8]}"
+    # raw parquet schema (ts = TIMESTAMP(NANOS) surfaces as bigint under
+    # nanosAsLong); the stream applies the same ns -> us truncation as
+    # sources.files.load_table so values match the batch/oracle path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source requires a directory path; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts = F.col("ts")
+    if dict(zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.floor(ts / 1000).cast("long"))
+    records = with_bucket(
+        stream.select("event_type", ts.cast("double").alias("epoch_ts")),
+        "epoch_ts",
+        3600,
+        "epoch",
+    ).select("event_type", "bucket_start", "bucket_end")
+    q = start_stateful_counter(
+        records, ["event_type"], tempfile.mkdtemp(prefix="ssbc_ckpt_"), query_name=name
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT event_type, bucket_start, bucket_end, max(count) AS count
+        FROM {name} GROUP BY 1, 2, 3
+        """
+    )
+
+
 # A4: MAX aggregate (select_max, models.py:667-700).
 @query("select_max", "SELECT MAX(o_orderkey) AS max_o_orderkey FROM orders")
 def q_select_max(spark: SparkSession, sf_dir: str) -> DataFrame:
