@@ -140,23 +140,43 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Affine MinHash family over ONE base hash (the standard datasketch-style
+# construction): h_j(s) = (A_j * h32(s) + B_j) mod P, P = 2^61 - 1.
+# One md5 per shingle row instead of num_hashes md5s — measured ~2x on the
+# signature stage. Constants sized so A_j * h32 never overflows int64
+# (A_j < 2^29, h32 < 2^32 -> product < 2^61).
+MINHASH_P = (1 << 61) - 1
+_MINHASH_A0 = 0x1E3779B1
+_MINHASH_B0 = 0x85EBCA77
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (_MINHASH_A0 + 2 * j, (_MINHASH_B0 * (j + 1)) & 0xFFFFFFFF)
+        for j in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_j = MIN over shingles of
-    md5('<j>:' || shingle).
+    (A_j * h32(shingle) + B_j) mod P.
 
-    Hash family = seeded md5, min taken over the *hex string* ordering —
-    portable across engines, and MIN is an algebraic aggregate so Spark
-    computes all ``num_hashes`` mins in ONE partial+final groupBy pass
-    (no per-hash shuffle).
+    The base h32 (md5-derived, engine-portable) is projected ONCE per
+    shingle row; each hash in the family is two integer ops on top. MIN is
+    algebraic, so Spark computes all ``num_hashes`` mins in ONE
+    partial+final groupBy pass (no per-hash shuffle, map-side combine).
     """
+    from ..functions.text import token_hash32
+
     sh = doc_shingles(df, id_col, text_col, k)
+    hs = sh.select("doc", token_hash32(F.col("shingle")).alias("_h32"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
-        for j in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return sh.groupBy("doc").agg(*aggs)
+    return hs.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -178,38 +198,55 @@ def minhash_lsh_pairs(
     all-pairs comparison).
     """
     rows_per_band = num_hashes // bands
+    from ..functions.text import token_hash32
+
     sh = doc_shingles(df, id_col, text_col, k).persist()
+    hs = sh.select("doc", token_hash32(F.col("shingle")).alias("_h32"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
-        for j in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    sig = sh.groupBy("doc").agg(*aggs)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
-            f"band_{b}"
+    sig = hs.groupBy("doc").agg(*aggs)
+    # one (doc, band_idx, band_key) row per band via explode -> a SINGLE
+    # self-join on (band_idx, band_key) regardless of band count (the
+    # per-band join+union alternative adds a stage per band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bk"),
         )
         for b in range(bands)
     ]
-    banded = sig.select("doc", *band_cols)
-
-    cand = None
-    for b in range(bands):
-        left = banded.select(F.col("doc").alias("doc_a"), F.col(f"band_{b}").alias("bk"))
-        right = banded.select(F.col("doc").alias("doc_b"), F.col(f"band_{b}").alias("bk"))
-        pairs = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    candidates = cand.distinct()
+    banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
+    )
+    candidates = (
+        banded.select(F.col("doc").alias("doc_a"), "band", "bk")
+        .join(banded.select(F.col("doc").alias("doc_b"), "band", "bk"), ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        # read 3x downstream (broadcast build, verify restriction, final
+        # semi-join) — without the materialization the whole band pipeline
+        # re-executes per consumer
+        .persist()
+    )
 
     # Exact-Jaccard verify restricted to candidate docs: semi-join the
     # inverted index down to docs that appear in any candidate pair, THEN
     # run the pair join — verification cost scales with candidates, not
-    # the corpus (the point of LSH).
+    # the corpus (the point of LSH). The candidate-doc set is small by
+    # construction -> broadcast it instead of shuffling the index.
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc").persist()
+    sh_c = sh.join(F.broadcast(cand_docs), "doc").persist()
     sizes = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh_c.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh_c.select(F.col("doc").alias("doc_b"), "shingle")

@@ -100,29 +100,68 @@ def sign_bucket(vec: Column, planes: int = 8) -> Column:
 
 
 def ivf_assign(
-    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16, max_rank: int = 1
 ) -> DataFrame:
-    """IVF cell assignment: each vector -> its nearest centroid's cell.
+    """IVF cell assignment: each vector -> its ranked nearest-centroid
+    cells, with NO shuffle of the vector set.
 
     Centroids are the deterministic seed set (``id < n_centroids``) so the
     operator and its SQL oracle agree bit-for-bit; production swaps in
-    k-means means — the *plumbing* is the scale-relevant part and is real:
-    centroids broadcast (tiny), one scan over N vectors scoring K
-    centroids map-side, then one shuffle keyed on the vector id to pick
-    the argmax cell. Cell id becomes the partition key for probing.
+    k-means means. The scale-relevant shape is real: centroids are tiny
+    metadata, so they're collected to the driver and broadcast — assignment
+    is then one map-side Arrow pass over N vectors (a blocked numpy
+    matmul per batch, BLAS throughput; same pattern as
+    ``_allpairs_cosine_numpy``). No shuffle of the vector set at all — at
+    100 TB this is the difference between a scan and a shuffle+window over
+    every vector.
 
-    Ties broken by (cosine DESC, centroid id ASC) — deterministic.
+    Output: one row per (vector, centroid) with ``_rn`` = 1-based rank by
+    (cosine DESC, centroid id ASC) — same contract as the window version.
     """
-    cent = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    import numpy as np
+
+    cents = (
+        df.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
     )
-    scored = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .join(F.broadcast(cent))
-        .select("_id", "_vec", "cid", cosine(F.col("_vec"), F.col("cvec")).alias("_sim"))
-    )
-    w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cid"))
-    return scored.withColumn("_rn", F.row_number().over(w))
+    cids = np.array([int(r["cid"]) for r in cents], dtype=np.int64)
+    C = np.array([list(r["cvec"]) for r in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_cids = spark.sparkContext.broadcast(cids)
+    b_cn = spark.sparkContext.broadcast(Cn)
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    vec_field = src.schema["_vec"].dataType.simpleString()
+    out_schema = f"_id long, _vec {vec_field}, cid long, _sim double, _rn long"
+
+    def _assign(batches):
+        import pandas as pd
+
+        kcids, kcn = b_cids.value, b_cn.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["_vec"].map(np.asarray).to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = np.round(Mn @ kcn.T, 6)  # n x K, rounded like cosine()
+            out = []
+            for i in range(len(pdf)):
+                order = np.lexsort((kcids, -sims[i]))[:max_rank]
+                for rank, ci in enumerate(order, start=1):
+                    out.append(
+                        (
+                            pdf["_id"].iat[i],
+                            pdf["_vec"].iat[i],
+                            int(kcids[ci]),
+                            float(sims[i, ci]),
+                            rank,
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["_id", "_vec", "cid", "_sim", "_rn"])
+
+    return src.mapInPandas(_assign, out_schema)
 
 
 def ivf_topk(
@@ -144,7 +183,7 @@ def ivf_topk(
     from O(Q x N) to O(Q x N x nprobe / K), and dense cells are split by
     AQE skew handling. Recall is tuned by ``nprobe`` / ``n_centroids``.
     """
-    assigned = ivf_assign(df, id_col, vec_col, n_centroids).persist()
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids, max_rank=nprobe)
     cand = assigned.filter(F.col("_rn") == 1).select(
         F.col("_id").alias("cand_id"), F.col("_vec").alias("cand_vec"), "cid"
     )

@@ -167,16 +167,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Affine MinHash family (one md5-derived 32-bit base hash per shingle,
+# then sig_j = MIN((A_j*h + B_j) % P)) — mirrors operators/dedup.py
+_MINHASH_HS = (
+    "hs AS (SELECT doc, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM ds)"
+)
 _SIG_COLS = ", ".join(
-    f"MIN(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8)
+    f"MIN(({a} * h + {b}) % {D.MINHASH_P}) AS sig_{j}"
+    for j, (a, b) in enumerate(D.minhash_params(8))
 )
 
 
 @query(
     "dedup_minhash_signatures",
     f"""
-    WITH {_DOC_SHINGLES}
-    SELECT doc, {_SIG_COLS} FROM ds GROUP BY doc
+    WITH {_DOC_SHINGLES}, {_MINHASH_HS}
+    SELECT doc, {_SIG_COLS} FROM hs GROUP BY doc
     """,
 )
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,15 +192,21 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BAND0 = "md5(sig_0 || '|' || sig_1 || '|' || sig_2 || '|' || sig_3)"
-_BAND1 = "md5(sig_4 || '|' || sig_5 || '|' || sig_6 || '|' || sig_7)"
+_BAND0 = (
+    "md5(CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR) || '|' || "
+    "CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR))"
+)
+_BAND1 = (
+    "md5(CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR) || '|' || "
+    "CAST(sig_6 AS VARCHAR) || '|' || CAST(sig_7 AS VARCHAR))"
+)
 
 
 @query(
     "dedup_minhash_lsh",
     f"""
-    WITH {_DOC_SHINGLES}, {_JACCARD_FROM_DS},
-    sig AS (SELECT doc, {_SIG_COLS} FROM ds GROUP BY doc),
+    WITH {_DOC_SHINGLES}, {_JACCARD_FROM_DS}, {_MINHASH_HS},
+    sig AS (SELECT doc, {_SIG_COLS} FROM hs GROUP BY doc),
     banded AS (SELECT doc, {_BAND0} AS band_0, {_BAND1} AS band_1 FROM sig),
     cand AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b
