@@ -36,7 +36,11 @@ HEADLINE = [
     "retention_recent_batches",
 ]
 # Extension queries are appended as they land in the catalog.
-HEADLINE += [n for n in sorted(catalog.QUERIES) if n.startswith(("dedup_", "sim_", "text_"))]
+HEADLINE += [
+    n
+    for n in sorted(catalog.QUERIES)
+    if n.startswith(("dedup_", "sim_", "text_", "sample_", "curation_"))
+]
 
 
 def _force(df) -> None:

@@ -377,6 +377,108 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+from ..operators import sampling as SP  # noqa: E402
+
+_SPLIT_BUCKET = SP.hash_bucket_sql("doc_id", 100, "split")
+_STRAT_BUCKET = SP.hash_bucket_sql("doc_id", 100, "strat")
+_STRAT_RATES = {"en": 10, "zh": 100, "fr": 50}
+
+
+@query(
+    "sample_hash_split",
+    f"""
+    SELECT doc_id, {_SPLIT_BUCKET} AS bucket,
+           CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/10 train-eval split via salted content-hash buckets
+    (partition- and engine-independent, unlike seed-based sample())."""
+    return SP.with_split(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id", train_pct=90
+    )
+
+
+@query(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_STRAT_BUCKET} <
+          CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 100 WHEN 'fr' THEN 50 ELSE 0 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample: 10% en, 100% zh, 50% fr —
+    one filter, no shuffle."""
+    return SP.stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        _STRAT_RATES,
+        default_pct=0,
+    )
+
+
+_Q = X.quality_sql("text")
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, text,
+             {_Q['n_tokens']} AS n_tokens,
+             {_Q['uniq_ratio']} AS uniq_ratio
+      FROM documents),
+    filtered AS (
+      SELECT * FROM q WHERE n_tokens >= 10 AND uniq_ratio >= 0.3),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {X.md5_fingerprint_sql('text')} ORDER BY doc_id) AS _rn
+        FROM filtered) WHERE _rn = 1),
+    labeled AS (
+      SELECT lang,
+             CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train' ELSE 'eval' END AS split,
+             n_tokens
+      FROM kept)
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation flagship: quality filter -> exact dedup (keep
+    min id) -> deterministic 90/10 split -> corpus stats per (lang, split).
+
+    Composes the training-data operators into the shape a real pipeline
+    runs at 100 TB: every stage is a projection/filter except one window
+    (dedup keeper) and the final aggregation — two shuffles total.
+    """
+    from ..operators.dedup import drop_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    qc = X.quality_columns(F.col("text"), tok=F.col("_tok"))
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        qc["n_tokens"].alias("n_tokens"),
+        qc["uniq_ratio"].alias("uniq_ratio"),
+    )
+    filtered = scored.filter((F.col("n_tokens") >= 10) & (F.col("uniq_ratio") >= 0.3))
+    kept = drop_exact_duplicates(filtered, "doc_id", "text")
+    labeled = SP.with_split(kept, "doc_id", train_pct=90)
+    return labeled.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,63 @@
+"""Semantic tests for deterministic sampling and IVF approximate search
+(the properties the oracle hash-match can't express: stability, recall)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.operators import sampling as SP
+from spark_streaming_kafka_bucket_counter_spark.operators import similarity as S
+from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+from tests.conftest import SF_DIR
+
+
+def test_split_is_stable_under_repartition(spark):
+    """The whole point vs sample(): membership must not depend on physical
+    layout."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    a = SP.with_split(docs, "doc_id").select("doc_id", "split")
+    b = SP.with_split(docs.repartition(7), "doc_id").select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_split_partitions_and_rate(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    lab = SP.with_split(docs, "doc_id", train_pct=90)
+    counts = dict(lab.groupBy("split").count().collect())
+    assert counts.get("train", 0) + counts.get("eval", 0) == n
+    # hash buckets are ~uniform; 90/10 within a generous tolerance
+    assert 0.8 * n <= counts.get("train", 0) <= 0.97 * n
+
+
+def test_different_salts_give_different_samples(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    s1 = {r[0] for r in SP.sample_fraction(docs, "doc_id", 50, salt="a").collect()}
+    s2 = {r[0] for r in SP.sample_fraction(docs, "doc_id", 50, salt="b").collect()}
+    assert s1 != s2  # independent hash families
+
+
+def test_stratified_rates_respected(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    out = SP.stratified_sample(docs, "doc_id", "lang", {"zh": 100}, default_pct=0)
+    got = out.groupBy("lang").count().collect()
+    assert {r["lang"] for r in got} == {"zh"}
+    assert got[0]["count"] == docs.filter(F.col("lang") == "zh").count()
+
+
+def test_ivf_results_subset_of_brute_force_candidates(spark):
+    """Every IVF hit must be a real vector with the exact brute-force
+    cosine; recall over the true top-5 should be substantial."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = S.cosine_topk(
+        emb, "vec_id", "embedding", query_df=emb.filter(F.col("vec_id") < 10), top_k=5
+    )
+    approx = S.ivf_topk(
+        emb, "vec_id", "embedding", query_ids_below=10, n_centroids=16, nprobe=2
+    )
+    ex = {(r["query_id"], r["cand_id"]): r["cosine"] for r in exact.collect()}
+    ap = {(r["query_id"], r["cand_id"]): r["cosine"] for r in approx.collect()}
+    # scores agree exactly where pairs overlap (same math, same rounding)
+    overlap = set(ex) & set(ap)
+    assert all(ex[p] == ap[p] for p in overlap)
+    assert len(overlap) / len(ex) >= 0.3  # recall floor for nprobe=2/16 cells
