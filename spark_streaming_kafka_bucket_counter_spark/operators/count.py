@@ -53,3 +53,32 @@ def merged_count(df: DataFrame, keys: list[str], count_name: str = "count") -> D
 def select_max(df: DataFrame, column: str, alias: str | None = None) -> DataFrame:
     """MAX aggregate (reference A4: ``select_max``, models.py:667-700)."""
     return df.agg(F.max(F.col(column)).alias(alias or f"max_{column}"))
+
+
+def salted_count(
+    df: DataFrame,
+    keys: list[str],
+    salt_buckets: int = 8,
+    count_name: str = "count",
+) -> DataFrame:
+    """Skew-proof two-stage count: salt the key, partial-count per
+    (key, salt), then merge the partials per key.
+
+    For COUNT, Spark's map-side partial aggregation already collapses
+    skew before the exchange, so plain ``groupBy`` is usually enough.
+    The salted form matters when partials can't absorb the skew — very
+    high cardinality per task, or aggregates carrying heavy state
+    (collect_list, exact distinct). The first shuffle spreads one hot key
+    over ``salt_buckets`` reducers; the second merges ``salt_buckets``
+    rows per key — bounded, tiny. Semantics identical to ``merged_count``
+    (same oracle SQL), salt never escapes the operator.
+    """
+    # partition-id salt: deterministic, keeps the map-side combine local,
+    # and spreads any single hot key across salt_buckets reducers
+    salt = F.spark_partition_id() % salt_buckets
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(count_name))

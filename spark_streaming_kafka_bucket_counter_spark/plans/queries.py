@@ -518,6 +518,43 @@ def q_sql_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (subtotal lattice) through the SQL surface — one
+    pass, Spark expands the sets without re-scanning the input."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# A1 under synthetic skew: the salted two-stage variant must produce the
+# exact same totals as the plain groupBy (the oracle never sees the salt).
+@query(
+    "salted_count_by_type",
+    'SELECT event_type, COUNT(*) AS "count" FROM events GROUP BY 1',
+)
+def q_salted_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.count import salted_count
+
+    return salted_count(_t(spark, sf_dir, "events"), ["event_type"], salt_buckets=8)
+
+
 # ---------------------------------------------------------------------------
 # R2/R4/H6: retention + recent-N-batches semantics. The serving store's
 # RST_ID batch counter is modeled by a daily pseudo-batch id over events;

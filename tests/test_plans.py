@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the scale properties .explain() shows —
+pushdown, pruning, broadcast joins, shuffle counts — pinned as tests so a
+plan regression fails CI, not a 100 TB run.
+
+These inspect the executed/optimized plan strings; they intentionally pin
+the *shape* (operator classes present/absent), not exact formatting.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from spark_streaming_kafka_bucket_counter_spark.plans import queries as catalog
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = catalog.QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_predicate_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "predicate_eq")
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,click\)", plan)
+
+
+def test_projection_prunes_scan_columns(spark):
+    """project_rename reads 3 of events' 6 columns; the parquet ReadSchema
+    must not include the unused ones (column pruning through the rename)."""
+    plan = _plan(spark, "project_rename")
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    assert "props" not in m.group(1) and "value" not in m.group(1)
+
+
+def test_revenue_join_broadcasts_dimensions(spark):
+    """customer/nation/region are small dims: all joins must be broadcast
+    (no sort-merge shuffle of lineitem against a dimension)."""
+    plan = _plan(spark, "sql_join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucket_count_single_shuffle(spark):
+    """The core A1 count: partial HashAggregate -> ONE Exchange -> final.
+    More than one exchange means the partial-agg combiner was lost."""
+    plan = _plan(spark, "bucket_count_epoch")
+    # "(n) Exchange" detail headers — one per physical exchange operator
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_sampling_is_shuffle_free(spark):
+    """Deterministic sampling is a pure projection+filter — any Exchange
+    would mean the split operator stopped being partition-local."""
+    plan = _plan(spark, "sample_stratified")
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+
+
+def test_core_count_stays_in_codegen(spark):
+    """The reference-parity hot path must stay JVM-side: no Python eval
+    operators (BatchEvalPython / ArrowEvalPython / mapInPandas) anywhere
+    in the core count plan."""
+    plan = _plan(spark, "bucket_count_multikey")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # the whole pipeline is Scan -> Project -> partial agg -> exchange ->
+    # final agg: nothing else may appear between scan and aggregate
+    assert re.search(r"HashAggregate", plan)
