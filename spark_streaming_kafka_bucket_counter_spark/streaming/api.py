@@ -7,9 +7,9 @@ batches, ``/dv/<i>`` one batch, ``/sr/<param>/<start>:<end>`` range
 filter, ``/c/<json>/EOE`` per-field comparator filter.
 
 Each handler here returns list-of-dicts exactly like the reference's
-Flask-RESTful JSON responses (models.py:181-187), so an HTTP shell on top
-is a ~20-line Flask app — kept out of the engine because the container
-has no Flask and the driver gates on the query semantics, not transport.
+Flask-RESTful JSON responses (models.py:181-187). The HTTP transport
+lives in ``streaming/http.py`` (stdlib ThreadingHTTPServer — no Flask
+dependency) with the reference's exact route scheme.
 
 Freshness model: the stream's ``foreachBatch`` updates the store as data
 arrives; queries see every committed batch — no request-time queue drain

@@ -1,0 +1,85 @@
+"""End-to-end HTTP endpoint test: real sockets, real JSON, the reference's
+curl transcript (README.md:110-177) replayed against the rebuilt routes."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from spark_streaming_kafka_bucket_counter_spark.streaming.http import serve
+from spark_streaming_kafka_bucket_counter_spark.streaming.serving import ServingStore
+
+
+@pytest.fixture()
+def endpoint(spark, tmp_path):
+    store = ServingStore(spark, str(tmp_path / "store"), clean_interval=100, clean_freq=10)
+    store.append(
+        spark.createDataFrame(
+            [("click", 1), ("view", 4)], "event_type string, count long"
+        ),
+        0,
+    )
+    store.append(
+        spark.createDataFrame([("click", 2)], "event_type string, count long"), 1
+    )
+    server, _ = serve(store)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _get(base, path):
+    quoted = urllib.parse.quote(path)
+    with urllib.request.urlopen(base + quoted) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_select_all_and_star_default(endpoint):
+    status, rows = _get(endpoint, "/a/*")
+    assert status == 200 and len(rows) == 3
+    assert {r["event_type"] for r in rows} == {"click", "view"}
+
+
+def test_custom_sql_route(endpoint):
+    # the reference's README example: /c/Select * FROM default WHERE count=1
+    status, rows = _get(endpoint, "/c/Select * FROM default WHERE count=1")
+    assert status == 200 and len(rows) == 1 and rows[0]["event_type"] == "click"
+
+
+def test_rst_and_recent_and_direct(endpoint):
+    assert _get(endpoint, "/rst")[1] == {"rst_id": 1}
+    status, recent = _get(endpoint, "/rv/1")
+    assert status == 200 and {r["count"] for r in recent} == {2}
+    status, b0 = _get(endpoint, "/dv/0")
+    assert status == 200 and len(b0) == 2
+
+
+def test_range_filter_route(endpoint):
+    status, rows = _get(endpoint, "/sr/count/2:None")
+    assert status == 200 and sorted(r["count"] for r in rows) == [2, 4]
+
+
+def test_comparator_dict_route(endpoint):
+    cdict = json.dumps({"count": ["lte", 2]})
+    status, rows = _get(endpoint, f"/c/{cdict}/EOE")
+    assert status == 200 and sorted(r["count"] for r in rows) == [2, 4]
+    # parse failure -> empty result, not an error (http_endpoint.py:210-212)
+    status, rows = _get(endpoint, "/c/not json/EOE")
+    assert status == 200 and rows == []
+
+
+def test_bad_sql_is_json_error_not_traceback(endpoint):
+    import urllib.error
+
+    try:
+        status, body = _get(endpoint, "/c/SELECT nope FROM missing")
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 500 and "error" in body
+
+
+def test_reset_wipes_state(endpoint):
+    assert _get(endpoint, "/r")[1] == {"reset": True}
+    assert _get(endpoint, "/a/*")[1] == []
