@@ -423,6 +423,38 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_quality_summary",
+    f"""
+    WITH q AS (SELECT lang, {X.quality_sql('text')['n_tokens']} AS n_tokens
+               FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           ROUND(quantile_cont(n_tokens, 0.5), 6)  AS p50_tokens,
+           ROUND(quantile_cont(n_tokens, 0.9), 6)  AS p90_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+    FROM q GROUP BY lang
+    """,
+)
+def q_text_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (exact percentiles; both
+    engines use the same linear-interpolation formula on exact ints, one
+    final rounding as the cross-engine guard)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    n_tokens = F.size(F.col("_tok")).cast("long")
+    base = docs.select("lang", n_tokens.alias("n_tokens"))
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )
+
+
 _Q = X.quality_sql("text")
 
 
