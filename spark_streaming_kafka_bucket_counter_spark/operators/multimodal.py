@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = "doc_id long, n_bytes long, width long, height long, channels long"
 AUDIO_META_SCHEMA = "doc_id long, n_bytes long, n_frames long, sample_rate long"
+RESIZE_META_SCHEMA = (
+    "doc_id long, width long, height long, out_width long, out_height long, out_bytes long"
+)
+VIDEO_META_SCHEMA = "doc_id long, n_bytes long, fps long, n_frames_total long, n_sampled long"
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -71,6 +75,100 @@ def decode_image_meta(df: DataFrame, decoder: str = "stub") -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(_decode, IMAGE_META_SCHEMA)
+
+
+def resize_images(df: DataFrame, target: int = 256, decoder: str = "stub") -> DataFrame:
+    """Decode + fit-resize plan: scale the longer side down to ``target``
+    px (never upscale), preserving aspect ratio in integer math.
+
+    Stub decode dims are the same deterministic recipe as
+    :func:`decode_image_meta`; the resize arithmetic itself
+    (``out = max(1, dim * target // longest)``) is the real logic a
+    PIL-backed decoder would share. ``out_bytes`` = out_w * out_h * 3
+    (the budget planners care about post-resize).
+    """
+    if decoder == "real":  # pragma: no cover - env gated
+        _require_real_decoder("image")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            w = n % 640 + 1
+            h = (n * 7) % 480 + 1
+            longest = w.combine(h, max).clip(lower=target)
+            out_w = (w * target // longest).clip(lower=1)
+            out_h = (h * target // longest).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": w,
+                    "height": h,
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "out_bytes": out_w * out_h * 3,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, RESIZE_META_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, stride: int = 30, decoder: str = "stub") -> DataFrame:
+    """Binary payload -> frame-sampling plan: every ``stride``-th frame
+    (frame 0 always included), the standard keyframe-ish sampling shape.
+
+    Stub: fps = 30, n_frames_total = n_bytes % 9000 + 30 (deterministic
+    pseudo-duration); n_sampled = (n_frames_total - 1) // stride + 1.
+    """
+    if decoder == "real":  # pragma: no cover - env gated
+        _require_real_decoder("video")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            total = n % 9000 + 30
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n,
+                    "fps": 30,
+                    "n_frames_total": total,
+                    "n_sampled": (total - 1) // stride + 1,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, VIDEO_META_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 8, decoder: str = "stub") -> DataFrame:
+    """Binary payload -> fixed-dim pseudo-embedding (feature extraction
+    plumbing; a real encoder model slots into the same mapInPandas shape).
+
+    Stub: feature j = int(md5(payload)[4j:4j+4], 16) / 65535 — one IEEE
+    division, so the doubles are bit-identical across engines (no
+    round(): its half-even/half-up semantics differ between engines).
+    Emitted as ``f0..f{dim-1}`` double columns (stable column-compare
+    shape; collect to array<float> downstream if needed).
+    """
+    if decoder == "real":  # pragma: no cover - env gated
+        _require_real_decoder("feature")
+    if not 1 <= dim <= 8:
+        raise ValueError("stub md5 recipe yields at most 8 features")
+
+    import hashlib
+
+    schema = "doc_id long, " + ", ".join(f"f{j} double" for j in range(dim))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hexes = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            out = {"doc_id": pdf["doc_id"].astype("int64")}
+            for j in range(dim):
+                out[f"f{j}"] = hexes.map(
+                    lambda h, j=j: int(h[4 * j : 4 * j + 4], 16) / 65535.0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_extract, schema)
 
 
 def sample_audio_frames(df: DataFrame, frame_bytes: int = 160, decoder: str = "stub") -> DataFrame:

@@ -551,3 +551,65 @@ def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> fixed-size frame sampling metadata (stub)."""
     docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
     return M.sample_audio_frames(docs, frame_bytes=160)
+
+
+@query(
+    "multimodal_image_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(strlen(text) % 640 + 1 AS BIGINT)       AS width,
+             CAST((strlen(text) * 7) % 480 + 1 AS BIGINT) AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           GREATEST(1, width  * 256 // GREATEST(width, height, 256)) AS out_width,
+           GREATEST(1, height * 256 // GREATEST(width, height, 256)) AS out_height,
+           GREATEST(1, width  * 256 // GREATEST(width, height, 256))
+         * GREATEST(1, height * 256 // GREATEST(width, height, 256)) * 3 AS out_bytes
+    FROM m
+    """,
+)
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + aspect-preserving fit-resize plan (never upscales);
+    integer resize math is shared with a real PIL decoder."""
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.resize_images(docs, target=256)
+
+
+@query(
+    "multimodal_video_frames",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT)                         AS n_bytes,
+           CAST(30 AS BIGINT)                                   AS fps,
+           CAST(strlen(text) % 9000 + 30 AS BIGINT)             AS n_frames_total,
+           CAST((strlen(text) % 9000 + 30 - 1) // 30 + 1 AS BIGINT) AS n_sampled
+    FROM documents
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: every 30th frame of the stub-decoded
+    stream (frame 0 always kept)."""
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.sample_video_frames(docs, stride=30)
+
+
+_FEATURE_SQL_COLS = ",\n           ".join(
+    f"CAST('0x' || substr(md5(text), {4 * j + 1}, 4) AS INT) / 65535.0 AS f{j}"
+    for j in range(8)
+)
+
+
+@query(
+    "multimodal_features",
+    f"""
+    SELECT doc_id,
+           {_FEATURE_SQL_COLS}
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: md5-derived 8-dim pseudo-embedding per
+    payload (a real encoder slots into the same Arrow batch shape)."""
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return M.extract_features(docs, dim=8)

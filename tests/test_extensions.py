@@ -108,6 +108,25 @@ def test_multimodal_stub_plumbing(spark):
     assert all(r["n_frames"] == r["n_bytes"] // 160 for r in frames)
 
 
+def test_multimodal_resize_video_features(spark):
+    docs = M.with_binary_payload(_docs(spark).limit(20))
+    for r in M.resize_images(docs, target=256).collect():
+        longest = max(r["width"], r["height"], 256)
+        assert r["out_width"] == max(1, r["width"] * 256 // longest)
+        assert r["out_height"] == max(1, r["height"] * 256 // longest)
+        assert max(r["out_width"], r["out_height"]) <= 256  # never upscale
+        assert r["out_bytes"] == r["out_width"] * r["out_height"] * 3
+    for r in M.sample_video_frames(docs, stride=30).collect():
+        assert r["n_frames_total"] == r["n_bytes"] % 9000 + 30
+        assert r["n_sampled"] == (r["n_frames_total"] - 1) // 30 + 1
+        assert r["n_sampled"] >= 1  # frame 0 always kept
+    feats = M.extract_features(docs, dim=8).collect()
+    assert all(0.0 <= r[f"f{j}"] <= 1.0 for r in feats for j in range(8))
+    # deterministic: same payload -> same features
+    again = M.extract_features(docs, dim=8).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
 def test_multimodal_real_decoder_gated(spark):
     import pytest
 
