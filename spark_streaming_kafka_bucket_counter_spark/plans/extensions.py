@@ -256,6 +256,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH tok AS (SELECT doc, token
+                 FROM (SELECT doc_id AS doc, unnest({_TOK}) AS token FROM documents)),
+    h AS (SELECT doc, {_H16} AS h FROM tok),
+    votes AS (SELECT doc, {_VOTES} FROM h GROUP BY doc),
+    sig AS (SELECT doc, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM votes),
+    s AS (SELECT doc, simhash, simhash // 256 AS hi, simhash % 256 AS lo FROM sig),
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+      FROM s a JOIN s b ON a.hi = b.hi WHERE a.doc < b.doc
+      UNION
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+      FROM s a JOIN s b ON a.lo = b.lo WHERE a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: half-signature pigeonhole candidates,
+    exact hamming <= 3 verify via bit_count."""
+    return D.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, max_hamming=3
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     f"""
     WITH {_EMB_DOUBLE}

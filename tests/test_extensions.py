@@ -96,6 +96,24 @@ def test_bucketed_pairs_subset_of_exact(spark):
     assert bucketed <= exact
 
 
+def test_simhash_near_pairs_verified(spark):
+    docs = _docs(spark).limit(200)
+    sig = {r["doc"]: r["simhash"] for r in D.simhash_signatures(docs, "doc_id", "text").collect()}
+    pairs = D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["hamming"] == bin(sig[r["doc_a"]] ^ sig[r["doc_b"]]).count("1")
+        assert r["hamming"] <= 3
+    # pigeonhole recall: any hamming<=3 pair differing in only one half is found
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = sig[a] ^ sig[b]
+            if bin(x).count("1") <= 3 and (x < 256 or x % 256 == 0):
+                assert (a, b) in found
+
+
 def test_multimodal_stub_plumbing(spark):
     docs = M.with_binary_payload(_docs(spark).limit(20))
     assert dict(docs.dtypes)["payload"] == "binary"
