@@ -230,44 +230,57 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        # read 3x downstream (broadcast build, verify restriction, final
-        # semi-join) — without the materialization the whole band pipeline
+        # read twice downstream (candidate-doc broadcast build + the final
+        # pair join) — without the materialization the whole band pipeline
         # re-executes per consumer
         .persist()
     )
 
     # Exact-Jaccard verify restricted to candidate docs: semi-join the
-    # inverted index down to docs that appear in any candidate pair, THEN
-    # run the pair join — verification cost scales with candidates, not
-    # the corpus (the point of LSH). The candidate-doc set is small by
-    # construction -> broadcast it instead of shuffling the index.
+    # inverted index down to docs that appear in any candidate pair, then
+    # verify each pair directly as a set intersection of the two docs'
+    # shingle sets (array_intersect over collect_set) — per-pair cost is
+    # O(|set_a| + |set_b|) with NO pair-explosion join and no separate
+    # sizes aggregation. Verification cost scales with candidates, not the
+    # corpus (the point of LSH). The candidate-doc set is small by
+    # construction -> broadcast it on both joins instead of shuffling.
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_docs), "doc").persist()
-    sizes = sh_c.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh_c.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh_c.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    doc_sets = (
+        sh.join(F.broadcast(cand_docs), "doc")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("sh_set"))
     )
-    verified = (
-        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "size_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "size_b"}), "doc_b")
+    return (
+        candidates.join(
+            F.broadcast(
+                doc_sets.select(F.col("doc").alias("doc_a"), F.col("sh_set").alias("set_a"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                doc_sets.select(F.col("doc").alias("doc_b"), F.col("sh_set").alias("set_b"))
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).cast("long").alias("n_common"),
+            F.size("set_a").cast("long").alias("size_a"),
+            F.size("set_b").cast("long").alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-    )
-    return candidates.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard"
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
     )
 
 
@@ -317,21 +330,27 @@ def simhash_near_pairs(
     """
     sig = simhash_signatures(df, id_col, text_col, bits)
     half = 1 << (bits // 2)
-    s = sig.withColumn("hi", (F.col("simhash") / half).cast("long")).withColumn(
-        "lo", F.col("simhash") % half
-    )
-    cand = None
-    for part in ("hi", "lo"):
-        left = s.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), F.col(part).alias("pk"))
-        right = s.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), F.col(part).alias("pk"))
-        pairs = (
-            left.join(right, "pk")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sim_a", "sim_b")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    # one (doc, part, key) row per half via explode -> a SINGLE self-join
+    # on (part, key); both join sides share the signature pipeline's
+    # exchange (ReusedExchange), vs the per-half join+union alternative
+    # which re-runs the explode+groupBy per branch
+    s = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), (F.col("simhash") / half).cast("long").alias("pk")),
+                F.struct(F.lit(1).alias("part"), (F.col("simhash") % half).alias("pk")),
+            )
+        ).alias("p"),
+    ).select("doc", "simhash", F.col("p.part").alias("part"), F.col("p.pk").alias("pk"))
+    left = s.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "part", "pk")
+    right = s.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "part", "pk")
     return (
-        cand.distinct()
+        left.join(right, ["part", "pk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
