@@ -63,6 +63,15 @@ def test_sampling_is_shuffle_free(spark):
     assert not re.findall(r"\(\d+\) Exchange", plan)
 
 
+def test_lsh_verify_joins_are_broadcast(spark):
+    """MinHash-LSH's exact-verify stage joins the candidate pairs against
+    the candidate shingle-sets (small by construction, explicitly
+    broadcast-hinted): they must plan as BroadcastHashJoin so the
+    inverted index is never shuffled during verification."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+
+
 def test_core_count_stays_in_codegen(spark):
     """The reference-parity hot path must stay JVM-side: no Python eval
     operators (BatchEvalPython / ArrowEvalPython / mapInPandas) anywhere
