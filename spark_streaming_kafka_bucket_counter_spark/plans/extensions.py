@@ -641,3 +641,69 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload (a real encoder slots into the same Arrow batch shape)."""
     docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
     return M.extract_features(docs, dim=8)
+
+
+# Fixed left-assoc fold order keeps the doubles bit-identical across
+# engines (each term is one product; the sum is 7 IEEE adds in order).
+_FDOT = " + ".join(f"a.f{j} * b.f{j}" for j in range(8))
+_FNORM_A = "sqrt(" + " + ".join(f"a.f{j} * a.f{j}" for j in range(8)) + ")"
+_FNORM_B = "sqrt(" + " + ".join(f"b.f{j} * b.f{j}" for j in range(8)) + ")"
+
+
+@query(
+    "multimodal_feature_topk",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+           {_FEATURE_SQL_COLS}
+      FROM documents),
+    scored AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
+             ({_FDOT}) / ({_FNORM_A} * {_FNORM_B}) AS cosine
+      FROM f a JOIN f b ON a.doc_id < 5 AND a.doc_id <> b.doc_id)
+    SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q_multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> similarity composition: extract pseudo-embeddings from
+    the binary payloads, then brute-force cosine top-3 neighbors for query
+    docs (doc_id < 5). The query side is broadcast; candidates stream."""
+    docs = M.with_binary_payload(_t(spark, sf_dir, "documents"))
+    feats = M.extract_features(docs, dim=8)
+
+    def _named(df: DataFrame, prefix: str, idc: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(idc), *[F.col(f"f{j}").alias(f"{prefix}{j}") for j in range(8)]
+        )
+
+    q = _named(feats.filter(F.col("doc_id") < 5), "q", "query_id")
+    c = _named(feats, "c", "cand_id")
+    fdot = None
+    qsq, csq = None, None
+    for j in range(8):
+        term = F.col(f"q{j}") * F.col(f"c{j}")
+        fdot = term if fdot is None else fdot + term
+        qt, ct = F.col(f"q{j}") * F.col(f"q{j}"), F.col(f"c{j}") * F.col(f"c{j}")
+        qsq = qt if qsq is None else qsq + qt
+        csq = ct if csq is None else csq + ct
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (fdot / (F.sqrt(qsq) * F.sqrt(csq))).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
