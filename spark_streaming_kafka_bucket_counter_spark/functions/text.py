@@ -110,6 +110,17 @@ def token_hash16_sql(col: str) -> str:
     return f"CAST('0x' || substr(md5({col}), 1, 4) AS BIGINT)"
 
 
+def token_hash16_at(col: Column, part: int) -> Column:
+    """16-bit hash from md5 hex chars [4*part+1, 4*part+4] — four
+    independent 16-bit hashes (part 0..3) from ONE md5, used as the
+    per-band bit sources of the 64-bit SimHash."""
+    return F.conv(F.substring(F.md5(col), 4 * part + 1, 4), 16, 10).cast("long")
+
+
+def token_hash16_at_sql(col: str, part: int) -> str:
+    return f"CAST('0x' || substr(md5({col}), {4 * part + 1}, 4) AS BIGINT)"
+
+
 def token_hash32(col: Column) -> Column:
     """32-bit variant (first 8 hex chars) for lower collision rates."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

@@ -18,9 +18,11 @@ Scale design (the whole point of these ops at 100 TB):
   candidate join is on *band* values — O(candidates), not O(n^2); the
   exact Jaccard verify runs only on candidates. Band count / rows-per-
   band tune the recall/cost tradeoff.
-- SimHash: a single groupBy producing a 16-bit signature per doc;
-  near-dup candidates join on signature bytes (each hamming-<=k match
-  shares at least one exact half, pigeonhole).
+- SimHash: a single groupBy producing the signature per doc; near-dup
+  candidates join on signature pieces (pigeonhole: split into
+  ``max_hamming + 1`` pieces for guaranteed recall — the 64-bit 4-band
+  variant; the 16-bit 2-half variant guarantees recall only for
+  hamming <= 1 and is kept as the compact recall-tuned recipe).
 - embedding cosine: see operators/similarity.py for the bucketed path.
 """
 
@@ -30,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_fingerprint, shingles, tokens
+from ._cache import unpersist_with
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -122,7 +125,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "size_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "size_b"}), "doc_b")
         .withColumn(
@@ -133,6 +136,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
     )
+    return unpersist_with(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +191,8 @@ def minhash_lsh_pairs(
     bands: int = 2,
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+    broadcast_max_docs: int = 100_000,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -196,11 +202,18 @@ def minhash_lsh_pairs(
     exact k-gram Jaccard verifies candidates — so the output is a subset
     of :func:`ngram_jaccard_pairs` (LSH trades recall for never doing the
     all-pairs comparison).
+
+    ``max_shingle_freq`` drops stop-shingles before hashing (the same
+    scale control as the exact-Jaccard path). ``broadcast_max_docs``
+    gates the verify-stage broadcast: the candidate-doc set is only
+    small *while candidates are few* — on a near-dup-heavy corpus it
+    grows with N, so past the bound the verify joins fall back to plain
+    shuffle hash joins (AQE picks the strategy).
     """
     rows_per_band = num_hashes // bands
     from ..functions.text import token_hash32
 
-    sh = doc_shingles(df, id_col, text_col, k).persist()
+    sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq).persist()
     hs = sh.select("doc", token_hash32(F.col("shingle")).alias("_h32"))
     aggs = [
         F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{j}")
@@ -242,27 +255,33 @@ def minhash_lsh_pairs(
     # shingle sets (array_intersect over collect_set) — per-pair cost is
     # O(|set_a| + |set_b|) with NO pair-explosion join and no separate
     # sizes aggregation. Verification cost scales with candidates, not the
-    # corpus (the point of LSH). The candidate-doc set is small by
-    # construction -> broadcast it on both joins instead of shuffling.
+    # corpus (the point of LSH).
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
+    # Broadcast only while the candidate-doc set is verifiably small:
+    # candidates is already persisted, so this count reuses cached blocks.
+    # Past the bound, a plain shuffle join (AQE-decided) replaces the
+    # broadcast — an unconditional hint here would ship an O(N) set to
+    # every executor on a near-dup-heavy corpus.
+    small = cand_docs.count() <= broadcast_max_docs
+    hint = F.broadcast if small else (lambda d: d)
     doc_sets = (
-        sh.join(F.broadcast(cand_docs), "doc")
+        sh.join(hint(cand_docs), "doc")
         .groupBy("doc")
         .agg(F.collect_set("shingle").alias("sh_set"))
     )
-    return (
+    out = (
         candidates.join(
-            F.broadcast(
+            hint(
                 doc_sets.select(F.col("doc").alias("doc_a"), F.col("sh_set").alias("set_a"))
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(
+            hint(
                 doc_sets.select(F.col("doc").alias("doc_b"), F.col("sh_set").alias("set_b"))
             ),
             "doc_b",
@@ -282,6 +301,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
     )
+    return unpersist_with(out, sh, candidates)
 
 
 # ---------------------------------------------------------------------------
@@ -320,13 +340,19 @@ def simhash_signatures(
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 3
 ) -> DataFrame:
-    """Candidate pairs with hamming(simhash) <= max_hamming.
+    """CANDIDATE pairs with hamming(simhash) <= max_hamming, from the
+    2-half pigeonhole over the 16-bit signature.
 
-    Scale path: join on signature halves (pigeonhole — any pair within
-    hamming <= k shares an exact half when the signature is split into
-    k'+1 > k pieces... with 2 halves this finds hamming <= max where at
-    least one half matches exactly; a recall-tuned candidate set), then
-    exact hamming verify via bit_count.
+    Recall caveat (by construction): splitting into 2 halves guarantees a
+    shared exact half only for hamming <= 1. With the default
+    ``max_hamming=3``, pairs whose differing bits span BOTH halves are
+    not candidates — the output is a candidate SUBSET with guaranteed
+    recall only for hamming <= 1. For guaranteed full recall at
+    hamming <= 3 use :func:`simhash64_near_pairs` (4 bands = max_hamming
+    + 1 pieces, the standard construction). Also note 16-bit halves have
+    only 256 distinct values per part — candidate count grows ~N^2/256,
+    quadratic at corpus scale; the 64-bit variant's 2^16-value bands are
+    the scale path.
     """
     sig = simhash_signatures(df, id_col, text_col, bits)
     half = 1 << (bits // 2)
@@ -352,6 +378,102 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash (the scale recipe: 4 x 16-bit pigeonhole bands)
+# ---------------------------------------------------------------------------
+
+SIMHASH64_PARTS = 4  # bands; full recall guaranteed for hamming <= parts-1
+
+
+def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 64-bit SimHash as 4 x 16-bit parts (columns p0..p3).
+
+    Each part's bit votes come from an independent 16-bit hash carved
+    from ONE md5 per token (hex chars [4k+1, 4k+4]) — so the whole
+    64-bit signature costs one md5 + 64 conditional integer sums in a
+    single groupBy pass (algebraic, map-side partials). Keeping the
+    signature as 4 BIGINT parts sidesteps 64-bit sign overflow and IS
+    the banding: the parts double as the LSH join keys.
+    """
+    from ..functions.text import token_hash16_at
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    h = tok.select(
+        "doc", *[token_hash16_at(F.col("token"), k).alias(f"_h{k}") for k in range(SIMHASH64_PARTS)]
+    )
+    votes = h.groupBy("doc").agg(
+        *[
+            F.sum(F.shiftright(F.col(f"_h{k}"), b).bitwiseAND(1) * 2 - 1).alias(f"v_{k}_{b}")
+            for k in range(SIMHASH64_PARTS)
+            for b in range(16)
+        ]
+    )
+    parts = []
+    for k in range(SIMHASH64_PARTS):
+        sig = None
+        for b in range(16):
+            bit = F.when(F.col(f"v_{k}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        parts.append(sig.cast("long").alias(f"p{k}"))
+    return votes.select("doc", *parts)
+
+
+def simhash64_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash64) <= max_hamming — FULL
+    recall: the signature is split into 4 disjoint 16-bit bands, so any
+    pair within hamming <= 3 differs in at most 3 bands and must share
+    at least one band exactly (pigeonhole, 4 = max_hamming + 1).
+
+    Scale shape vs the 16-bit variant: band keys take 2^16 values per
+    part (not 2^8), so same-key candidate groups shrink ~256x — the
+    candidate set stays near-linear where the 16-bit recipe went
+    quadratic. One exploded self-join on (band, key) regardless of band
+    count; exact hamming verify is 4 bit_counts over the carried parts.
+    """
+    if max_hamming > SIMHASH64_PARTS - 1:
+        raise ValueError(
+            f"full recall holds only for max_hamming <= {SIMHASH64_PARTS - 1}"
+        )
+    sig = simhash64_signatures(df, id_col, text_col)
+    pcols = [f"p{k}" for k in range(SIMHASH64_PARTS)]
+    s = sig.select(
+        "doc",
+        *pcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"p{k}").alias("bk"))
+                    for k in range(SIMHASH64_PARTS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc", *pcols, F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    left = s.select(
+        F.col("doc").alias("doc_a"), *[F.col(p).alias(f"a_{p}") for p in pcols], "band", "bk"
+    )
+    right = s.select(
+        F.col("doc").alias("doc_b"), *[F.col(p).alias(f"b_{p}") for p in pcols], "band", "bk"
+    )
+    hamming = None
+    for p in pcols:
+        term = F.bit_count(F.col(f"a_{p}").bitwiseXOR(F.col(f"b_{p}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", *[f"a_{p}" for p in pcols], *[f"b_{p}" for p in pcols])
+        .distinct()
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

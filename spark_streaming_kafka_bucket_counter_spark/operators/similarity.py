@@ -234,26 +234,33 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     bucketed: bool = False,
     planes: int = 8,
+    block_rows: int = 4096,
+    driver_allpairs: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
-    ``bucketed=False``: exact all-pairs baseline, executed as blocked
-    matrix products (numpy under ``mapInPandas``): each Arrow batch of
-    rows is multiplied against the broadcast unit-normalized matrix —
-    BLAS-level throughput instead of per-element interpreted expression
-    eval. O(N^2) work by definition; at 100 TB use the bucketed path.
+    ``bucketed=False`` (default): exact all-pairs via the DISTRIBUTED
+    blocked grid (:func:`_blocked_allpairs_cosine`) — O(N^2) work by
+    definition, but no driver-side materialization and per-task memory
+    bounded by ``block_rows``. ``driver_allpairs=True`` opts into the
+    old driver-broadcast numpy path (small-data oracle mode only; caps
+    out around 10^6 vectors and OOMs the driver past that).
     ``bucketed=True``: candidates restricted to equal sign-buckets —
-    the scale path (misses cross-bucket pairs by design; raise recall
-    with multi-probe or more planes). Rows are normalized once, so the
-    per-pair cost is one dot-product fold.
+    the sub-quadratic scale path (misses cross-bucket pairs by design;
+    raise recall with multi-probe or more planes). Rows are normalized
+    once, so the per-pair cost is one dot-product fold.
     """
     if not bucketed:
-        return _allpairs_cosine_numpy(df, id_col, vec_col, threshold)
+        if driver_allpairs:
+            return _allpairs_cosine_numpy(df, id_col, vec_col, threshold)
+        return _blocked_allpairs_cosine(df, id_col, vec_col, threshold, block_rows)
     # Persist the per-row norm + bucket projection: without the
     # materialization barrier, Catalyst's projection collapse would inline
     # norm(vec) into the post-join output and re-fold it once per PAIR
     # instead of once per row (measured 5x slower). With it, pair scoring
     # is a single dot fold + scalar divide.
+    from ._cache import unpersist_with
+
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
@@ -268,7 +275,7 @@ def cosine_near_dup_pairs(
         F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"),
         F.col("_nrm").alias("nrm_b"), "bucket",
     )
-    return (
+    out = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -279,6 +286,87 @@ def cosine_near_dup_pairs(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+    return unpersist_with(out, base)
+
+
+def _blocked_allpairs_cosine(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_rows: int = 4096
+) -> DataFrame:
+    """Exact all-pairs cosine with NO driver-side materialization: the
+    standard blocked grid join.
+
+    Rows are hashed into ``B = ceil(N / block_rows)`` blocks; every
+    unordered block pair (i <= j) is one grid cell. Each row is fanned
+    out to its B cells via a broadcast join against the tiny replication
+    map (B x (B+1) rows of metadata — the only thing built on the
+    driver), then one ``applyInPandas`` per cell runs a blocked numpy
+    matmul (BLAS throughput). Every unordered row pair lands in exactly
+    one cell, so the output is identical to the driver-broadcast path.
+
+    Scale shape: shuffle volume is N x B rows (the intrinsic sqrt-grid
+    replication cost of exact all-pairs); per-task memory is two blocks
+    (~2 x block_rows x d doubles), independent of N. The only driver
+    action is a count() to size the grid. Emitted cosines are rounded to
+    6 dp, matching the expression/oracle implementations.
+    """
+    import math
+
+    import numpy as np
+
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    n = src.count()
+    if n == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    n_blocks = max(1, math.ceil(n / block_rows))
+    blocked = src.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
+    )
+    # replication map: block k is side A of cells (k, j >= k) and side B
+    # of cells (i < k, k) -> each row fans out to exactly n_blocks cells
+    rep = [
+        row
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+        for row in ([(i, i, j, 0)] + ([(j, i, j, 1)] if j != i else []))
+    ]
+    rep_df = spark.createDataFrame(rep, "_blk int, _ci int, _cj int, _side int")
+    fan = blocked.join(F.broadcast(rep_df), "_blk").drop("_blk")
+
+    def _score(pdf):
+        import pandas as pd
+
+        a = pdf[pdf["_side"] == 0]
+        ids_a = a["_id"].to_numpy(dtype=np.int64)
+        if not len(ids_a):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        Ma = np.stack(a["_vec"].map(np.asarray).to_numpy()).astype(np.float64)
+        Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
+        b = pdf[pdf["_side"] == 1]
+        if len(b):  # off-diagonal cell: A x B, blocks are disjoint
+            ids_b = b["_id"].to_numpy(dtype=np.int64)
+            Mb = np.stack(b["_vec"].map(np.asarray).to_numpy()).astype(np.float64)
+            Mb /= np.linalg.norm(Mb, axis=1, keepdims=True)
+            sims = Ma @ Mb.T
+            np.round(sims, 6, out=sims)
+            ai, bj = np.nonzero(sims >= threshold)
+            la, lb = ids_a[ai], ids_b[bj]
+        else:  # diagonal cell: within-block upper triangle
+            sims = Ma @ Ma.T
+            np.round(sims, 6, out=sims)
+            ai, bj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_a[None, :]))
+            la, lb = ids_a[ai], ids_a[bj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(la, lb),
+                "id_b": np.maximum(la, lb),
+                "cosine": sims[ai, bj],
+            }
+        )
+
+    return fan.groupBy("_ci", "_cj").applyInPandas(
+        _score, "id_a long, id_b long, cosine double"
     )
 
 

@@ -283,6 +283,48 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 64-bit SimHash: 4 independent 16-bit part-hashes from one md5 per token,
+# 64 bit-vote sums, parts double as the LSH bands (full recall, hamming<=3).
+_H64 = {k: X.token_hash16_at_sql("token", k) for k in range(D.SIMHASH64_PARTS)}
+_VOTES64 = ", ".join(
+    f"SUM(CASE WHEN (h{k} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{k}_{b}"
+    for k in range(D.SIMHASH64_PARTS)
+    for b in range(16)
+)
+_PARTS64 = ", ".join(
+    "CAST("
+    + " + ".join(f"(CASE WHEN v_{k}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    + f" AS BIGINT) AS p{k}"
+    for k in range(D.SIMHASH64_PARTS)
+)
+_HAMMING64 = " + ".join(
+    f"bit_count(xor(a.p{k}, b.p{k}))" for k in range(D.SIMHASH64_PARTS)
+)
+_BAND_MATCH64 = " OR ".join(f"a.p{k} = b.p{k}" for k in range(D.SIMHASH64_PARTS))
+
+
+@query(
+    "dedup_simhash64_pairs",
+    f"""
+    WITH tok AS (SELECT doc, token
+                 FROM (SELECT doc_id AS doc, unnest({_TOK}) AS token FROM documents)),
+    h AS (SELECT doc, {', '.join(f'{sql} AS h{k}' for k, sql in _H64.items())} FROM tok),
+    votes AS (SELECT doc, {_VOTES64} FROM h GROUP BY doc),
+    sig AS (SELECT doc, {_PARTS64} FROM votes)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST({_HAMMING64} AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON ({_BAND_MATCH64}) AND a.doc < b.doc
+    WHERE {_HAMMING64} <= 3
+    """,
+)
+def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: 4x16-bit pigeonhole bands (FULL
+    recall for hamming <= 3), exact hamming verify over the parts."""
+    return D.simhash64_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     f"""
@@ -294,7 +336,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (exact all-pairs cosine >= 0.4 baseline)."""
+    """Embedding near-dup pairs: exact all-pairs cosine >= 0.4 via the
+    DISTRIBUTED blocked grid (no driver-side vector materialization)."""
     return S.cosine_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
@@ -659,7 +702,7 @@ _FNORM_B = "sqrt(" + " + ".join(f"b.f{j} * b.f{j}" for j in range(8)) + ")"
       FROM documents),
     scored AS (
       SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
-             ({_FDOT}) / ({_FNORM_A} * {_FNORM_B}) AS cosine
+             ROUND(({_FDOT}) / ({_FNORM_A} * {_FNORM_B}), 6) AS cosine
       FROM f a JOIN f b ON a.doc_id < 5 AND a.doc_id <> b.doc_id)
     SELECT query_id, cand_id, cosine,
            CAST(row_number() OVER (
@@ -696,7 +739,9 @@ def q_multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            (fdot / (F.sqrt(qsq) * F.sqrt(csq))).alias("cosine"),
+            # same 6-dp rounding guard as cosine(): raw doubles would rely
+            # on bit-identical expression association across engines
+            F.round(fdot / (F.sqrt(qsq) * F.sqrt(csq)), 6).alias("cosine"),
         )
     )
     from pyspark.sql import Window

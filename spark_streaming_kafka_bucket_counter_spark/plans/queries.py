@@ -219,7 +219,12 @@ def q_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_stateful_counter(
         records, ["event_type"], tempfile.mkdtemp(prefix="ssbc_ckpt_"), query_name=name
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stateful_running_count: availableNow drain did not finish "
+            "within 300s — refusing to query a partially-populated sink"
+        )
     return spark.sql(
         f"""
         SELECT event_type, bucket_start, bucket_end, max(count) AS count

@@ -1,0 +1,143 @@
+"""Scale-hardening tests for the round-2 fixes: the distributed blocked
+all-pairs cosine, 64-bit SimHash recall, size-gated LSH broadcasts, and
+cache lifecycle (no leaked persisted RDDs).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import gc
+import io
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.operators import dedup as D
+from spark_streaming_kafka_bucket_counter_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Blocked all-pairs cosine
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_allpairs_matches_driver_path(spark):
+    """The distributed grid must emit the exact same pair set as the
+    driver-broadcast numpy baseline — including across multiple blocks
+    (block_rows=16 forces a real multi-cell grid at sf0.001)."""
+    emb = _emb(spark)
+    blocked = S.cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, block_rows=16)
+    driver = S.cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4, driver_allpairs=True)
+    assert _rows(blocked) == _rows(driver)
+
+
+def test_blocked_allpairs_plan_is_distributed(spark):
+    """Plan pin: the default embedding near-dup path must run as a grouped
+    Arrow stage (FlatMapGroupsInPandas) with the replication map broadcast
+    — and never a cartesian product or a driver-side collect-limit."""
+    df = S.cosine_near_dup_pairs(_emb(spark), "vec_id", "embedding", threshold=0.4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "CollectLimit" not in plan
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash64_full_recall_at_hamming_3(spark):
+    """Pigeonhole guarantee: the banded candidate join must find EVERY
+    pair with hamming <= 3 — verified against the brute-force all-pairs
+    hamming over the same signatures."""
+    docs = _docs(spark).limit(120)
+    sig = D.simhash64_signatures(docs, "doc_id", "text")
+    a = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"p{k}").alias(f"a{k}") for k in range(4)])
+    b = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"p{k}").alias(f"b{k}") for k in range(4)])
+    ham = None
+    for k in range(4):
+        t = F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+        ham = t if ham is None else ham + t
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    banded = D.simhash64_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    assert _rows(banded) == _rows(brute)
+
+
+def test_simhash64_rejects_unguaranteed_hamming():
+    import pytest
+
+    with pytest.raises(ValueError, match="full recall"):
+        D.simhash64_near_pairs(None, "doc_id", "text", max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# Size-gated LSH verify
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_shuffle_path_matches_broadcast_path(spark):
+    """broadcast_max_docs=0 forces the shuffle-join verify; results must
+    be identical to the (default) broadcast verify."""
+    docs = _docs(spark)
+    bcast = D.minhash_lsh_pairs(docs, "doc_id", "text")
+    shuffle = D.minhash_lsh_pairs(docs, "doc_id", "text", broadcast_max_docs=0)
+    assert _rows(bcast) == _rows(shuffle)
+
+
+def test_lsh_max_shingle_freq_reaches_lsh_path(spark):
+    """The stop-shingle control must apply on the LSH path: an absurdly
+    low bound drops every shingle, so no candidates survive."""
+    out = D.minhash_lsh_pairs(_docs(spark), "doc_id", "text", max_shingle_freq=0)
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Cache lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_operator_caches_drain_after_result_gc(spark):
+    """The persisted intermediates (inverted index, candidates, bucket
+    projection) must be unpersisted once the consumer drops the result —
+    a long-lived session (bench loop / serving) must not accumulate
+    storage."""
+    before = _n_persistent(spark)
+    docs, emb = _docs(spark), _emb(spark)
+    results = [
+        D.ngram_jaccard_pairs(docs, "doc_id", "text"),
+        D.minhash_lsh_pairs(docs, "doc_id", "text"),
+        S.cosine_near_dup_pairs(emb, "vec_id", "embedding", bucketed=True),
+    ]
+    for df in results:
+        df.count()
+    assert _n_persistent(spark) > before  # caches live while results are held
+    del results, df
+    gc.collect()
+    assert _n_persistent(spark) == before
