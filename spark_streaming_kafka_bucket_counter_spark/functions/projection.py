@@ -49,12 +49,21 @@ def decode_json_values(
     schema: T.StructType | None = None,
     bucket_field_src: str | None = None,
     keep_corrupt: bool = False,
+    bucket_field_alias: str | None = None,
 ) -> DataFrame:
     """JSON-string column -> projected/renamed columns (S5 + P2 fused).
 
     ``conversion`` maps ``{new_key: old_json_key}``. Optionally keeps the
     raw value of unparseable records in ``_corrupt_record`` (dead-letter
     path; the reference would instead crash the batch, utils.py:58).
+
+    The bucket source field is read from the RAW parsed record regardless
+    of the conversion map — same as the reference, which buckets from the
+    undecoded dict (utils.py:93-94). With ``bucket_field_alias`` set, it
+    is always appended under that (reserved) name, so a conversion map
+    that renames or drops the source field can't break the bucketing
+    stage. Without an alias it is appended under its own name when no
+    identity mapping already carries it.
     """
     if schema is None:
         schema = infer_flat_schema(conversion, bucket_field_src)
@@ -63,8 +72,14 @@ def decode_json_values(
         F.from_json(F.col(value_col).cast("string"), schema, {"mode": "PERMISSIVE"}),
     )
     cols = [F.col(f"_j.{old}").alias(new) for new, old in conversion.items()]
-    if bucket_field_src is not None and bucket_field_src not in conversion.values():
-        cols.append(F.col(f"_j.{bucket_field_src}").alias(bucket_field_src))
+    if bucket_field_src is not None:
+        if bucket_field_alias is not None:
+            cols.append(F.col(f"_j.{bucket_field_src}").alias(bucket_field_alias))
+        elif conversion.get(bucket_field_src) != bucket_field_src:
+            # no identity-mapped output column carries the source value;
+            # re-append it (covers both "not projected at all" and
+            # "projected under a new name")
+            cols.append(F.col(f"_j.{bucket_field_src}").alias(bucket_field_src))
     if keep_corrupt:
         cols.append(
             F.when(F.col("_j").isNull(), F.col(value_col).cast("string"))

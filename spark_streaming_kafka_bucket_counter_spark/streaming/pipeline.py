@@ -32,6 +32,11 @@ from ..operators.count import merged_count
 from .serving import ServingStore
 
 
+# reserved internal column: the raw bucket source value, independent of
+# whatever the conversion map projects (it may rename or drop the field)
+BUCKET_SRC_COL = "_bucket_src"
+
+
 def parse_and_bucket(
     stream: DataFrame,
     conversion: dict[str, str],
@@ -44,15 +49,22 @@ def parse_and_bucket(
 
     The streaming analog of ``json_dict_bucket_parse`` (utils.py:62-97):
     decode JSON, apply the {new: old} conversion map, attach
-    bucket_start/bucket_end.
+    bucket_start/bucket_end. Matching the reference, the bucket is always
+    computed from the RAW ``bucket_field`` of the decoded record
+    (utils.py:93-94) — a conversion map that renames the source field
+    (e.g. ``{"ts_new": "timestamp"}`` with ``bucket_field="timestamp"``)
+    still buckets correctly; the raw field itself appears in the output
+    only if the map projects it.
     """
     decoded = decode_json_values(
-        stream, conversion, value_col=value_col, bucket_field_src=bucket_field
+        stream,
+        conversion,
+        value_col=value_col,
+        bucket_field_src=bucket_field,
+        bucket_field_alias=BUCKET_SRC_COL,
     )
-    bucketed = with_bucket(decoded, bucket_field, bucket_interval, bucket_type)
-    if bucket_field not in conversion:
-        bucketed = bucketed.drop(bucket_field)
-    return bucketed
+    bucketed = with_bucket(decoded, BUCKET_SRC_COL, bucket_interval, bucket_type)
+    return bucketed.drop(BUCKET_SRC_COL)
 
 
 def start_bucket_counter(

@@ -45,6 +45,60 @@ def _get(base, path):
         return json.loads(resp.read())
 
 
+def test_cli_e2e_with_renamed_bucket_field(spark, tmp_path):
+    """The conversion map renames the bucket source field (ts_new <-
+    epoch_ts) — the pipeline must still bucket from the raw field and
+    count per (etype, ts_new, bucket)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [{"event_type": "click", "epoch_ts": 7200} for _ in range(3)]
+    (src / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    msg_map = tmp_path / "msg_map.json"
+    msg_map.write_text(json.dumps({"etype": "event_type", "ts_new": "epoch_ts"}))
+    cfg = tmp_path / "config.ini"
+    cfg.write_text(
+        f"""
+[KafkaSettings]
+broker = unused:9092
+topic = unused
+source_dir = {src}
+
+[MsgSettings]
+bucket_interval = 3600
+bucket_field = epoch_ts
+bucket_type = epoch
+msg_map_schema = {msg_map}
+
+[HTTPEndpointSetting]
+sqlite_db = :memory:
+sqlite_table = default
+clean_interval = 100
+clean_freq = 10
+port = 0
+"""
+    )
+    query, store, server = run(
+        str(cfg),
+        spark=spark,
+        blocking=False,
+        store_path=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.awaitTermination(120)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        rows_out = _get(base, "/a/*")
+        got = {
+            (r["etype"], r["ts_new"], r["bucket_start"], r["count"]) for r in rows_out
+        }
+        assert got == {("click", "7200", 7200, 3)}
+    finally:
+        server.shutdown()
+        if query.isActive:
+            query.stop()
+
+
 def test_config_driven_pipeline_end_to_end(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

@@ -129,3 +129,40 @@ def test_streaming_batch_parity(spark, store, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
     # exactly one batch id for a single availableNow drain of one file
     assert store.rst() >= 0
+
+
+def test_parse_and_bucket_with_renamed_bucket_field(spark):
+    """A conversion map that RENAMES the bucket source field must still
+    bucket from the raw field (reference utils.py:93-94 reads the bucket
+    field from the undecoded dict, independent of the map)."""
+    payload = spark.createDataFrame(
+        [(json.dumps({"event_type": "click", "timestamp": 45}),),
+         (json.dumps({"event_type": "view", "timestamp": 75}),)],
+        "value string",
+    )
+    out = parse_and_bucket(
+        payload,
+        conversion={"etype": "event_type", "ts_new": "timestamp"},
+        bucket_field="timestamp",
+        bucket_interval=20,
+        bucket_type="epoch",
+    )
+    rows = {tuple(r) for r in out.select("etype", "ts_new", "bucket_start", "bucket_end").collect()}
+    assert rows == {("click", "45", 40, 60), ("view", "75", 60, 80)}
+
+
+def test_parse_and_bucket_dropped_bucket_field_still_buckets(spark):
+    """Map that does NOT project the bucket field: bucket columns appear,
+    the raw field does not (pre-fix behavior, must keep working)."""
+    payload = spark.createDataFrame(
+        [(json.dumps({"event_type": "click", "timestamp": 45}),)], "value string"
+    )
+    out = parse_and_bucket(
+        payload,
+        conversion={"etype": "event_type"},
+        bucket_field="timestamp",
+        bucket_interval=20,
+        bucket_type="epoch",
+    )
+    assert set(out.columns) == {"etype", "bucket_start", "bucket_end"}
+    assert [tuple(r) for r in out.collect()] == [("click", 40, 60)]
