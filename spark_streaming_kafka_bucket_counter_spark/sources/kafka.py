@@ -12,10 +12,13 @@ exercised by unit tests only up to builder construction; the decode
 functions are pure DataFrame transforms testable on static data (the
 pipeline is source-agnostic past ``value``).
 
-Avro: ``from_avro`` needs the spark-avro package on the classpath; gated
-behind an import-try with a clear error. The reference's multi-record
-Avro framing (S4, ``avro_to_dict`` with msg_count) is unnecessary here —
-Kafka delivers one record per row.
+Avro: ``from_avro`` (spark-avro package) is the fast JVM path when its
+jar is on the classpath; otherwise the pure-Python wire-format codec in
+``functions/avro_lite.py`` decodes the same bytes under Arrow
+``mapInPandas`` — both paths produce the same ``j`` struct. The
+reference's multi-record Avro framing (S4, ``avro_to_dict`` with
+msg_count) is record concatenation, handled by
+``avro_lite.decode_records``.
 """
 
 from __future__ import annotations
@@ -58,17 +61,22 @@ def kafka_values(df: DataFrame) -> DataFrame:
 def avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
     """S3: Avro-encoded values -> struct column ``j`` (utils.py:341-373).
 
-    Requires the spark-avro package (org.apache.spark:spark-avro_2.13).
+    Uses spark-avro's codegen'd ``from_avro`` when the external module is
+    on the classpath (the fast path — pure JVM). Otherwise falls back to
+    the pure-Python Avro binary codec (``functions/avro_lite.py``, Arrow
+    ``mapInPandas`` batches) — same wire format, same ``j`` struct
+    contract, always executable.
     """
     try:
+        # the python wrapper imports even without the jar; building the
+        # column is what touches the JVM class, so failure surfaces here
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as exc:  # pragma: no cover - environment dependent
-        raise ImportError(
-            "Avro decode requires pyspark.sql.avro (spark-avro package on "
-            "the Spark classpath); add "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
-        ) from exc
-    return df.select(from_avro(F.col("value"), avro_schema_json).alias("j"))
+
+        return df.select(from_avro(F.col("value"), avro_schema_json).alias("j"))
+    except Exception:  # jar absent -> executed pure-Python fallback
+        from ..functions.avro_lite import avro_decode_df
+
+        return avro_decode_df(df, avro_schema_json, value_col="value")
 
 
 def kafka_sink_writer(

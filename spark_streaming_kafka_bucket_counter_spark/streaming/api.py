@@ -79,20 +79,21 @@ def custom_sql_avro(store: ServingStore, sql: str, avro_schema_json: str):
     """H3: ``GET /cs/<sql>`` with Avro-encoded response rows
     (http_endpoint.py:78-86 + dict_to_avro utils.py:276-304).
 
-    Returns a DataFrame with one binary ``avro`` column; requires the
-    spark-avro package (import-gated like the source-side decoder).
+    Returns a DataFrame with one binary ``avro`` column. Uses spark-avro's
+    ``to_avro`` when the external module is on the classpath, else the
+    pure-Python Avro codec (``functions/avro_lite.py``) — same bytes.
     """
-    try:
-        from pyspark.sql.avro.functions import to_avro
-    except ImportError as exc:  # pragma: no cover - environment dependent
-        raise ImportError(
-            "Avro response encoding requires pyspark.sql.avro (spark-avro "
-            "package on the Spark classpath)"
-        ) from exc
     from pyspark.sql import functions as F
 
     df = store.run_cmd(sql)
-    return df.select(to_avro(F.struct(*df.columns), avro_schema_json).alias("avro"))
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        return df.select(to_avro(F.struct(*df.columns), avro_schema_json).alias("avro"))
+    except Exception:  # jar absent -> executed pure-Python fallback
+        from ..functions.avro_lite import avro_encode_df
+
+        return avro_encode_df(df, avro_schema_json)
 
 
 def delete(store: ServingStore, conditions: dict) -> dict:

@@ -15,8 +15,12 @@ Spark-first: the same declarative schema drives
   upsert per batch (connection-per-batch, not per-row like the
   reference's row loop at models.py:374-413).
 
-No JDBC-reachable database exists in the test container; builders are
-unit-tested at the SQL-text level and the executor path is gated.
+The executor path is exercised end-to-end in tests against embedded
+Apache Derby (ships with the Spark distribution for the Hive metastore):
+``tests/test_jdbc_upsert.py`` runs two batches through
+:func:`jdbc_upsert_batch` and asserts the MERGE accumulates counts — the
+reference's A5 wire-level semantics (main.py:453-455) — with no external
+database required.
 """
 
 from __future__ import annotations
@@ -79,7 +83,9 @@ def merge_sql(
     ``{'count': 't.count + s.count'}``.
     """
     on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-    sets = ", ".join(f"t.{c} = {expr}" for c, expr in update_cols.items())
+    # ANSI: SET names the target column unqualified (qualified targets are
+    # a MySQL-ism that Derby/Postgres reject); expressions keep t./s.
+    sets = ", ".join(f"{c} = {expr}" for c, expr in update_cols.items())
     ins_cols = ", ".join(insert_cols)
     ins_vals = ", ".join(f"s.{c}" for c in insert_cols)
     return (
@@ -96,15 +102,24 @@ def jdbc_upsert_batch(
     key_cols: list[str],
     update_cols: dict[str, str],
     properties: dict[str, str] | None = None,
+    staging_column_types: str | None = None,
 ) -> None:
     """K3 as a ``foreachBatch`` body: stage the batch, merge server-side.
 
     Connection-per-batch (vs the reference's connection-per-partition with
     row-at-a-time execute, main.py:375-408). Requires a JDBC driver on the
     classpath; raises a clear error otherwise.
+
+    ``staging_column_types`` overrides the staging table's DDL types
+    (Spark's dialect default for StringType is CLOB on some databases —
+    e.g. Derby — which cannot be compared in a MERGE ON clause; pass
+    ``"event_type VARCHAR(64)"``-style overrides for key columns).
     """
     staging = f"{table}_staging"
-    batch_df.write.jdbc(jdbc_url, staging, mode="overwrite", properties=properties or {})
+    writer = batch_df.write
+    if staging_column_types:
+        writer = writer.option("createTableColumnTypes", staging_column_types)
+    writer.jdbc(jdbc_url, staging, mode="overwrite", properties=properties or {})
     stmt = merge_sql(table, staging, key_cols, update_cols, list(batch_df.columns))
     spark = batch_df.sparkSession
     # Issue the merge through the JVM driver connection.

@@ -1,0 +1,68 @@
+"""Executed JDBC upsert path (reference K3): jdbc_upsert_batch run for
+real against embedded Apache Derby (the JDBC database that ships inside
+the Spark distribution for the Hive metastore) — two batches must
+accumulate counts via the server-side MERGE, the reference's A5
+wire-level semantics (main.py:453-455).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_kafka_bucket_counter_spark.streaming.sinks import jdbc_upsert_batch
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby(spark, url):
+    try:
+        spark._jvm.java.lang.Class.forName(DERBY_DRIVER)
+    except Exception:
+        pytest.skip(
+            "no embedded JDBC database available: the Derby driver jar "
+            f"({DERBY_DRIVER}) is not on the Spark classpath in this "
+            "environment, and no external DB exists in the container"
+        )
+    return spark._jvm.java.sql.DriverManager.getConnection(url)
+
+
+def test_jdbc_upsert_accumulates_counts(spark, tmp_path):
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/upsertdb;create=true"
+    con = _derby(spark, url)
+    con.createStatement().execute(
+        "CREATE TABLE counts (event_type VARCHAR(64) PRIMARY KEY, cnt BIGINT)"
+    )
+    con.close()
+
+    # Spark quotes the DataFrame's column names verbatim in the staging
+    # DDL, while the MERGE references them unquoted (folded to uppercase
+    # by Derby) — so the batch columns must use the database's canonical
+    # case for unquoted identifiers
+    batches = [
+        spark.createDataFrame([("click", 3), ("view", 1)], "EVENT_TYPE string, CNT long"),
+        spark.createDataFrame([("click", 2)], "EVENT_TYPE string, CNT long"),
+    ]
+    for b in batches:
+        jdbc_upsert_batch(
+            b,
+            url,
+            "counts",
+            key_cols=["EVENT_TYPE"],
+            update_cols={"CNT": "t.CNT + s.CNT"},
+            properties={"driver": DERBY_DRIVER},
+            # Spark's Derby dialect maps StringType to CLOB, which Derby
+            # cannot compare in a MERGE ON clause — force VARCHAR
+            staging_column_types="EVENT_TYPE VARCHAR(64)",
+        )
+
+    con = _derby(spark, url)
+    rs = con.createStatement().executeQuery(
+        "SELECT event_type, cnt FROM counts ORDER BY event_type"
+    )
+    rows = []
+    while rs.next():
+        rows.append((rs.getString(1), rs.getLong(2)))
+    con.close()
+    # click seen in both batches -> 3 + 2; view only in batch 1
+    assert rows == [("click", 5), ("view", 1)]
