@@ -72,6 +72,18 @@ def test_lsh_verify_joins_are_broadcast(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
 
 
+def test_simhash64_band_join_shape(spark):
+    """The 64-bit SimHash candidate stage must be ONE equi-join on the
+    exploded (band, bk) keys — band keys carry the full 16-bit part value
+    (2^16 distinct per band), never a cartesian or a reduced-key join."""
+    plan = _plan(spark, "dedup_simhash64_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # join keys are the exploded band id + full band value
+    assert re.search(r"\[band#\d+L?, bk#\d+L?\]", plan), plan
+    assert "bit_count" in plan  # exact hamming verify present
+
+
 def test_core_count_stays_in_codegen(spark):
     """The reference-parity hot path must stay JVM-side: no Python eval
     operators (BatchEvalPython / ArrowEvalPython / mapInPandas) anywhere
