@@ -77,4 +77,6 @@ def test_merge_sql_shape():
     )
     assert sql.startswith("MERGE INTO counts t USING counts_staging s ON")
     assert "t.etype = s.etype AND t.bucket_start = s.bucket_start" in sql
-    assert "UPDATE SET t.count = t.count + s.count" in sql
+    # ANSI: SET names the target column unqualified (Derby/Postgres
+    # reject the MySQL-style qualified target)
+    assert "UPDATE SET count = t.count + s.count" in sql
