@@ -1,0 +1,78 @@
+"""Distinct-count sketching: KMV (k-minimum-values) estimator built from
+engine-portable md5 hashes — the deterministic cousin of HyperLogLog.
+
+Why KMV here: HLL implementations differ across engines (register
+layouts, bias tables), so ``approx_count_distinct`` can never hash-match
+a DuckDB oracle. KMV has a closed-form estimator driven ONLY by the hash
+function: hash every value uniformly into [0, 2^32), keep the k smallest
+distinct hashes; if fewer than k distinct values exist the answer is
+exact, else estimate (k-1) / (h_k / 2^32) where h_k is the k-th smallest
+hash. Same md5-derived hash on both engines -> identical estimates,
+bit for bit.
+
+Scale design: distinct (group, hash) pairs first (partial-agg shuffle),
+then ONE window pass ranks hashes within each group and keeps rank <= k
+— the surviving set is k rows per group, so the final aggregation is
+tiny. No per-group collect_set materialization (which would buffer whole
+groups in memory at 100 TB); the window's sort is bounded by the same
+shuffle the distinct already paid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_hash32, token_hash32_sql
+
+HASH_SPACE = float(1 << 32)
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group distinct-count estimate via KMV over md5 hashes.
+
+    Output: group cols + ``n_kept`` (distinct hashes kept, <= k),
+    ``estimate`` (double, 6 dp) — exact when the group has < k distinct
+    values, else the KMV estimator.
+    """
+    hashed = df.select(
+        *group_cols, token_hash32(F.col(value_col).cast("string")).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise(F.lit(float(k - 1)) / (F.max("_h") / F.lit(HASH_SPACE))),
+            6,
+        ).alias("estimate"),
+    )
+
+
+def kmv_distinct_sql(
+    table: str, group_cols: list[str], value_col: str, k: int = 64
+) -> str:
+    """DuckDB oracle twin of :func:`kmv_distinct` (same hash, same
+    estimator, same rounding)."""
+    groups = ", ".join(group_cols)
+    h = token_hash32_sql(f"CAST({value_col} AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {groups}, {h} AS h FROM {table}
+    ),
+    kept AS (
+      SELECT {groups}, h,
+             row_number() OVER (PARTITION BY {groups} ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT {groups},
+           COUNT(*) AS n_kept,
+           ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE {float(k - 1)} / (MAX(h) / {HASH_SPACE}) END, 6) AS estimate
+    FROM kept WHERE rn <= {k}
+    GROUP BY {groups}
+    """

@@ -1,0 +1,184 @@
+"""Analytics extension queries: sessionization, dedup clustering
+(connected components), distinct-count sketching, vocabulary/IDF — the
+event-log and corpus-statistics operators a training-data pipeline runs
+alongside dedup/similarity, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators import dedup as D
+from ..operators.graph import component_summary, transitive_closure_sql
+from ..operators.sessions import session_summary, session_summary_sql
+from ..operators.sketches import kmv_distinct, kmv_distinct_sql
+from .extensions import _DOC_SHINGLES, _JACCARD_FROM_DS, _MINHASH_HS, _SIG_COLS, _BAND0, _BAND1
+from .queries import _DUCK_EPOCH, _t, query
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based event sessions)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP = 1800  # 30 min
+
+
+@query(
+    "sessionize_events",
+    session_summary_sql(
+        "events",
+        "user_id",
+        _DUCK_EPOCH.format(col="ts"),
+        _SESSION_GAP,
+        ["event_id"],
+    ),
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user over the event log: one
+    shuffle on user_id, lag + running-sum islands, integer-only math."""
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("ts_e"), "event_id"
+    )
+    return session_summary(
+        events, "user_id", "ts_e", _SESSION_GAP, order_cols=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over verified near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_DOC_SHINGLES}, {_JACCARD_FROM_DS}, {_MINHASH_HS},
+    sig AS (SELECT doc, {_SIG_COLS} FROM hs GROUP BY doc),
+    banded AS (SELECT doc, {_BAND0} AS band_0, {_BAND1} AS band_1 FROM sig),
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b ON a.band_0 = b.band_0 WHERE a.doc < b.doc
+      UNION
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b ON a.band_1 = b.band_1 WHERE a.doc < b.doc
+    ),
+    pairs AS (
+      SELECT jac.doc_a, jac.doc_b
+      FROM cand JOIN jac ON cand.doc_a = jac.doc_a AND cand.doc_b = jac.doc_b
+      WHERE jaccard >= 0.5
+    ),
+    {transitive_closure_sql('pairs')}
+    SELECT component, COUNT(*) AS n_members, MAX(node) AS max_member
+    FROM cc GROUP BY 1
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (MinHash-LSH verified) -> duplicate CLUSTERS via
+    iterative min-label propagation; one row per component with the
+    canonical keeper (= component id, the min doc) and cluster size.
+
+    The Spark side is the iterative join+min loop (operators/graph.py);
+    the oracle replays it as a recursive transitive closure — both must
+    agree exactly.
+    """
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=8, bands=2, k=3, threshold=0.5,
+    )
+    return component_summary(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count sketch (KMV)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_distinct_users",
+    kmv_distinct_sql("events", ["event_type"], "user_id", k=64),
+)
+def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type (k=64) — the
+    deterministic, oracle-matchable stand-in for HLL at 100 TB."""
+    return kmv_distinct(_t(spark, sf_dir, "events"), ["event_type"], "user_id", k=64)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / IDF over the document corpus
+# ---------------------------------------------------------------------------
+
+_TOK = X.tokens_sql("text")
+_DOC_TOKENS = f"""
+  dtok AS (SELECT DISTINCT doc_id, token
+           FROM (SELECT doc_id, unnest({_TOK}) AS token FROM documents))
+"""
+
+
+@query(
+    "vocab_top_tokens",
+    f"""
+    WITH {_DOC_TOKENS},
+    df AS (SELECT d.lang, t.token, COUNT(*) AS n_docs
+           FROM dtok t JOIN documents d USING (doc_id)
+           GROUP BY 1, 2)
+    SELECT lang, token, n_docs,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT lang, token, n_docs,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_docs DESC, token) AS rn
+          FROM df)
+    WHERE rn <= 10
+    """,
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language by document frequency (vocabulary
+    skimming): distinct (doc, token) explode -> one groupBy -> one
+    window; ties broken by token for cross-engine determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
+    )
+    df = dtok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.col("n_docs").desc(), F.col("token"))
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "token", "n_docs", "rank")
+    )
+
+
+@query(
+    "text_idf",
+    f"""
+    WITH {_DOC_TOKENS},
+    df AS (SELECT token, COUNT(*) AS doc_freq FROM dtok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, doc_freq,
+           ROUND(ln((n_docs + 1) / CAST(doc_freq + 1 AS DOUBLE)), 6) AS idf
+    FROM df CROSS JOIN n
+    WHERE doc_freq >= 5
+    """,
+)
+def q_text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus IDF table (smoothed, tokens in >= 5 docs): distinct
+    (doc, token) -> doc_freq groupBy; the corpus size joins in as a
+    1-row broadcast — no second scan shuffle. One ln of one division,
+    rounded: deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
+    )
+    df = dtok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df.join(F.broadcast(n))
+        .filter(F.col("doc_freq") >= 5)
+        .select(
+            "token",
+            "doc_freq",
+            F.round(
+                F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1).cast("double")), 6
+            ).alias("idf"),
+        )
+    )

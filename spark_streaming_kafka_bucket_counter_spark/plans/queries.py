@@ -608,6 +608,8 @@ def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
 
 
-# Extension operators (dedup / similarity / text / multimodal) register
-# themselves into the same catalog on import.
+# Extension operators (dedup / similarity / text / multimodal, then
+# sessions / clustering / sketches / vocab) register themselves into the
+# same catalog on import.
 from . import extensions  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401

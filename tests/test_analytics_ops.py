@@ -1,0 +1,85 @@
+"""Unit tests for the analytics operators: connected components on
+hand-built graphs, sessionization edge cases, KMV sketch properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.operators.graph import (
+    component_summary,
+    connected_components,
+)
+from spark_streaming_kafka_bucket_counter_spark.operators.sessions import session_summary
+from spark_streaming_kafka_bucket_counter_spark.operators.sketches import kmv_distinct
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # island {10, 11}, and a triangle {20, 21, 22}
+    got = _cc(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+    )
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path: min label must travel the full diameter
+    edges = [(i, i + 1) for i in range(12)]
+    got = _cc(spark, edges)
+    assert got == {(i, 0) for i in range(13)}
+
+
+def test_component_summary_shape(spark):
+    df = spark.createDataFrame([(5, 9), (9, 7), (1, 2)], "doc_a long, doc_b long")
+    rows = {
+        (r["component"], r["n_members"], r["max_member"])
+        for r in component_summary(df).collect()
+    }
+    assert rows == {(5, 3, 9), (1, 2, 2)}
+
+
+def test_session_summary_gap_and_ties(spark):
+    rows = [
+        # user 1: two sessions (gap 100 > 30), with a timestamp tie
+        (1, 100, 1), (1, 110, 2), (1, 110, 3), (1, 300, 4),
+        # user 2: single event
+        (2, 50, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_e long, event_id long")
+    got = {
+        (r["user_id"], r["session_idx"], r["n_events"], r["session_start"],
+         r["session_end"], r["duration_s"])
+        for r in session_summary(df, "user_id", "ts_e", 30, ["event_id"]).collect()
+    }
+    assert got == {
+        (1, 0, 3, 100, 110, 10),
+        (1, 1, 1, 300, 300, 0),
+        (2, 0, 1, 50, 50, 0),
+    }
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct values must report the exact
+    count (the estimator only engages at >= k)."""
+    df = spark.createDataFrame(
+        [("a", i % 5) for i in range(50)] + [("b", i) for i in range(200)],
+        "g string, v long",
+    )
+    got = {r["g"]: (r["n_kept"], r["estimate"]) for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert got["a"] == (5, 5.0)
+    n_kept, est = got["b"]
+    assert n_kept == 64
+    assert 100 <= est <= 400  # unbiased-ish estimate of 200 within 2x
