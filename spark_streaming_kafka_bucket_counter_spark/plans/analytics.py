@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..operators import dedup as D
+from ..operators.asof import asof_join, asof_join_sql
 from ..operators.graph import component_summary, transitive_closure_sql
 from ..operators.sessions import session_summary, session_summary_sql
 from ..operators.sketches import kmv_distinct, kmv_distinct_sql
@@ -42,6 +43,41 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return session_summary(
         events, "user_id", "ts_e", _SESSION_GAP, order_cols=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (clicks matched to the user's most recent purchase)
+# ---------------------------------------------------------------------------
+
+_EPOCH_TS = _DUCK_EPOCH.format(col="ts")
+
+
+@query(
+    "asof_last_purchase",
+    f"""
+    WITH clicks AS (SELECT user_id, {_EPOCH_TS} AS ts_e, event_id FROM events
+                    WHERE event_type = 'click'),
+    purch AS (SELECT user_id, {_EPOCH_TS} AS ts_e, event_id, value FROM events
+              WHERE event_type = 'purchase'),
+    {asof_join_sql('clicks', 'purch', 'user_id', 'ts_e',
+                   ['event_id'], ['event_id', 'value'], 'event_id')}
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click annotated with the user's most recent
+    purchase at-or-before the click (NULLs when none precedes). One
+    shuffle on user_id + one window pass — no range-join explosion."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("long").alias("ts_e"), "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("ts_e"), "event_id", "value"
+    )
+    return asof_join(
+        clicks, purchases, "user_id", "ts_e",
+        right_cols=["event_id", "value"], tie_col="event_id",
     )
 
 

@@ -71,6 +71,35 @@ def test_session_summary_gap_and_ties(spark):
     }
 
 
+def test_asof_join_semantics(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        # (key, ts, id): click at 100 (after p1), at 150 (equal-ts match),
+        # at 40 (no preceding purchase), user 2 with no purchases at all
+        [(1, 100, 11), (1, 150, 12), (1, 40, 10), (2, 99, 20)],
+        "user_id long, ts_e long, event_id long",
+    )
+    right = spark.createDataFrame(
+        # two purchases tied at ts=150 -> max event_id (92) must win
+        [(1, 50, 90, 5.0), (1, 150, 91, 6.0), (1, 150, 92, 7.0)],
+        "user_id long, ts_e long, event_id long, value double",
+    )
+    out = asof_join(
+        left, right, "user_id", "ts_e", right_cols=["event_id", "value"], tie_col="event_id"
+    )
+    got = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"]) for r in out.collect()
+    }
+    assert got == {
+        10: (None, None),      # nothing at-or-before ts 40
+        11: (90, 5.0),         # purchase at 50
+        12: (92, 7.0),         # inclusive equal-ts, tie -> max event_id
+        20: (None, None),      # user with no purchases
+    }
+    assert out.count() == 4  # every left row survives
+
+
 def test_kmv_exact_below_k(spark):
     """Groups with fewer than k distinct values must report the exact
     count (the estimator only engages at >= k)."""
