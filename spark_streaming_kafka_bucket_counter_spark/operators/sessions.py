@@ -66,6 +66,29 @@ def session_summary(
     )
 
 
+def streaming_session_counts(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming-native sessionization: Spark's ``session_window`` merges
+    events within ``gap_seconds`` into state-backed sessions, watermark
+    evicts closed state — the unbounded-stream form of
+    :func:`session_summary` (same grouping whenever no inter-event gap
+    equals the threshold exactly; the batch op keeps equal-gap events
+    together, ``session_window`` splits them)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("session"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def session_summary_sql(
     table: str, user_col: str, ts_expr: str, gap_seconds: int, order_cols: list[str]
 ) -> str:

@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from ..functions import text as X
 from ..operators import dedup as D
 from ..operators.asof import asof_join, asof_join_sql
-from ..operators.graph import component_summary, transitive_closure_sql
+from ..operators.graph import (
+    component_summary,
+    drop_near_duplicate_docs,
+    transitive_closure_sql,
+)
 from ..operators.sessions import session_summary, session_summary_sql
 from ..operators.sketches import kmv_distinct, kmv_distinct_sql
 from .extensions import _DOC_SHINGLES, _JACCARD_FROM_DS, _MINHASH_HS, _SIG_COLS, _BAND0, _BAND1
@@ -85,11 +89,9 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup clustering: connected components over verified near-dup pairs
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE {_DOC_SHINGLES}, {_JACCARD_FROM_DS}, {_MINHASH_HS},
+# the MinHash-LSH verified-pair pipeline as a reusable WITH-chain (same
+# constants as the dedup_minhash_lsh oracle)
+_LSH_PAIRS_CTES = f"""{_DOC_SHINGLES}, {_JACCARD_FROM_DS}, {_MINHASH_HS},
     sig AS (SELECT doc, {_SIG_COLS} FROM hs GROUP BY doc),
     banded AS (SELECT doc, {_BAND0} AS band_0, {_BAND1} AS band_1 FROM sig),
     cand AS (
@@ -103,7 +105,13 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT jac.doc_a, jac.doc_b
       FROM cand JOIN jac ON cand.doc_a = jac.doc_a AND cand.doc_b = jac.doc_b
       WHERE jaccard >= 0.5
-    ),
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     {transitive_closure_sql('pairs')}
     SELECT component, COUNT(*) AS n_members, MAX(node) AS max_member
     FROM cc GROUP BY 1
@@ -123,6 +131,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8, bands=2, k=3, threshold=0.5,
     )
     return component_summary(pairs, "doc_a", "doc_b")
+
+
+@query(
+    "dedup_drop_near_duplicates",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    {transitive_closure_sql('pairs')}
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+    """,
+)
+def q_dedup_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup dedup TRANSFORM: LSH-verified pairs ->
+    clusters -> anti-join the corpus against non-canonical members
+    (keeper = min doc id per component). What a real curation pipeline
+    actually runs after pair generation."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=2, k=3, threshold=0.5
+    )
+    return drop_near_duplicate_docs(
+        docs.select("doc_id", "lang"), pairs, "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------

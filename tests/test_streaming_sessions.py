@@ -1,0 +1,82 @@
+"""Streaming-native sessionization: Spark's session_window (state-backed,
+watermark-evicted, append-mode) must group events identically to the
+batch islands operator whenever no inter-event gap equals the threshold
+exactly."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.operators.sessions import (
+    session_summary,
+    streaming_session_counts,
+)
+
+ROWS = [
+    # user 1: burst at 0/10/20, second session at 100/105
+    (1, 0, 1), (1, 10, 2), (1, 20, 3), (1, 100, 4), (1, 105, 5),
+    # user 2: single event
+    (2, 50, 6),
+]
+GAP = 30
+FLUSH_USER = 99  # late high-ts event that advances the watermark past
+#                  every real session end so append mode emits them
+
+
+def test_session_window_matches_batch_islands(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    f1 = src / "a_events.json"
+    f1.write_text(
+        "\n".join(
+            json.dumps({"user_id": u, "ts_e": t, "event_id": e}) for u, t, e in ROWS
+        )
+    )
+    f2 = src / "b_flush.json"
+    f2.write_text(json.dumps({"user_id": FLUSH_USER, "ts_e": 10_000, "event_id": 999}))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))  # ensure f1 is the earlier batch
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_e long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", F.timestamp_seconds("ts_e").alias("ts"))
+    )
+    q = (
+        streaming_session_counts(stream, "user_id", "ts", GAP)
+        .select(
+            "user_id",
+            F.col("session.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_native")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    streamed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql(
+            f"SELECT * FROM sessions_native WHERE user_id <> {FLUSH_USER}"
+        ).collect()
+    }
+
+    batch_df = spark.createDataFrame(ROWS, "user_id long, ts_e long, event_id long")
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_summary(batch_df, "user_id", "ts_e", GAP, ["event_id"]).collect()
+    }
+    assert streamed == batch == {
+        (1, 0, 3),
+        (1, 100, 2),
+        (2, 50, 1),
+    }
