@@ -236,6 +236,54 @@ def langid_sql(text_col: str) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Redaction (safety filtering)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) treat
+# identically: no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = r"[0-9]{7,}"  # phone-ish / account-ish digit runs
+
+
+def redact_columns(text_col: Column) -> dict[str, Column]:
+    """PII-ish scrub: count then mask emails and long digit runs.
+
+    Counts are exact integers from the PRE-redaction text; the redacted
+    text replaces matches with fixed tags (stable across engines). One
+    codegen'd regex pass per pattern, no Python."""
+    n_emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), F.lit(0)))
+    n_digit_runs = F.size(
+        F.regexp_extract_all(text_col, F.lit(LONG_DIGITS_RE), F.lit(0))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"),
+        LONG_DIGITS_RE,
+        "<NUM>",
+    )
+    return {
+        "n_emails": n_emails.cast("long"),
+        "n_digit_runs": n_digit_runs.cast("long"),
+        "redacted_len": F.length(redacted).cast("long"),
+        "redacted_fp": F.md5(redacted),
+    }
+
+
+def redact_sql(col: str) -> dict[str, str]:
+    email = EMAIL_RE.replace("'", "''")
+    digits = LONG_DIGITS_RE
+    red = (
+        f"regexp_replace(regexp_replace({col}, '{email}', '<EMAIL>', 'g'), "
+        f"'{digits}', '<NUM>', 'g')"
+    )
+    return {
+        "n_emails": f"CAST(len(regexp_extract_all({col}, '{email}')) AS BIGINT)",
+        "n_digit_runs": f"CAST(len(regexp_extract_all({col}, '{digits}')) AS BIGINT)",
+        "redacted_len": f"CAST(length({red}) AS BIGINT)",
+        "redacted_fp": f"md5({red})",
+    }
+
+
+# ---------------------------------------------------------------------------
 # Fingerprints
 # ---------------------------------------------------------------------------
 

@@ -172,6 +172,53 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Redaction + sequence packing (curation tail)
+# ---------------------------------------------------------------------------
+
+_REDACT_COLS = ",\n           ".join(
+    f"{sql} AS {name}" for name, sql in X.redact_sql("text").items()
+)
+
+
+@query(
+    "text_redact",
+    f"""
+    SELECT doc_id,
+           {_REDACT_COLS}
+    FROM documents
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish safety scrub: count + mask emails and long digit runs
+    (patterns restricted to Java-regex/RE2-identical syntax); redacted
+    text is fingerprinted so the oracle checks the masking itself."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = X.redact_columns(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+from ..operators.packing import pack_documents, pack_documents_sql  # noqa: E402
+
+_PACK_BUDGET = 4096
+
+
+@query(
+    "pack_sequences",
+    pack_documents_sql(
+        "documents", "doc_id", X.token_count_ws_sql("text"), _PACK_BUDGET
+    ),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-chunk packing of documents into 4096-token
+    training sequences across 16 hash shards — one shuffle, one window."""
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    sized = docs.select(
+        "doc_id", X.token_count_ws(F.col("text"), tok=F.col("_tok")).alias("n_ws")
+    )
+    return pack_documents(sized, "doc_id", "n_ws", _PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary / IDF over the document corpus
 # ---------------------------------------------------------------------------
 
