@@ -43,8 +43,13 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = und.select("u").distinct().withColumn("label", F.col("u"))
-    labels = labels.localCheckpoint(eager=True)
+    # lazy localCheckpoint: the convergence aggregate right below is the
+    # action that materializes it, so each round costs ONE Spark job
+    # (eager=True would double that — checkpoint job + sum job)
+    labels = (
+        und.select("u").distinct().withColumn("label", F.col("u"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor = (
@@ -55,7 +60,7 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # monotone -> equal sum == fixpoint
