@@ -104,6 +104,26 @@ def start_bucket_counter(
     return writer.trigger(**trigger).start()
 
 
+def streaming_drop_duplicates(
+    records: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming-native exact dedup ACROSS micro-batches (ingestion
+    dedup — at-least-once sources replay records; training pipelines
+    must not double-count them).
+
+    ``dropDuplicatesWithinWatermark`` keys executor state by ``keys`` and
+    evicts entries once the watermark passes ``delay`` — bounded state,
+    the knob a plain ``dropDuplicates`` on a stream lacks (its state
+    grows forever, the same flaw as the reference's MySQL mirror). At
+    scale: one shuffle on the key per micro-batch, state store lookups
+    are per-key point reads.
+    """
+    return records.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def start_merged_counter(
     records: DataFrame,
     group_cols: list[str],
