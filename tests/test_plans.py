@@ -84,6 +84,26 @@ def test_simhash64_band_join_shape(spark):
     assert "bit_count" in plan  # exact hamming verify present
 
 
+def test_sessionize_single_shuffle(spark):
+    """Sessionization is ONE hash exchange on the user key feeding both
+    window passes — a second exchange would mean the lag and running-sum
+    windows stopped sharing the partitioning."""
+    plan = _plan(spark, "sessionize_events")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    """The as-of join must plan as union + ONE exchange + ONE window —
+    never a join operator (the naive ts_r <= ts_l range join would appear
+    as BroadcastNestedLoopJoin/CartesianProduct and explode at scale)."""
+    plan = _plan(spark, "asof_last_purchase")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan
+
+
 def test_core_count_stays_in_codegen(spark):
     """The reference-parity hot path must stay JVM-side: no Python eval
     operators (BatchEvalPython / ArrowEvalPython / mapInPandas) anywhere
