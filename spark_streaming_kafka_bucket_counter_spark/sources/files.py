@@ -64,6 +64,26 @@ def load_tables(
     return out
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key — the
+    co-located-join layout: two tables bucketed the same way join with
+    NO exchange (and no sort, when sorted), because each bucket pair is
+    already partition-aligned on disk.
+
+    This is the 100 TB lever for repeated fact-fact joins (e.g.
+    orders x lineitem on the order key): pay one layout-time shuffle,
+    then every downstream join skips both sides' exchanges. Parquet
+    managed table in the session warehouse (`saveAsTable` — bucketing
+    metadata lives in the catalog).
+    """
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
 def json_file_to_dict(path: str) -> dict:
     """Driver-side JSON side-file loader (reference S6, utils.py:265-274)."""
     with open(path) as fh:
