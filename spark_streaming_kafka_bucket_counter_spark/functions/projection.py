@@ -67,9 +67,17 @@ def decode_json_values(
     """
     if schema is None:
         schema = infer_flat_schema(conversion, bucket_field_src)
+    options = {"mode": "PERMISSIVE"}
+    if keep_corrupt:
+        # PERMISSIVE mode yields an all-NULL struct for malformed input
+        # (not a NULL struct), so corrupt rows are only detectable via
+        # the dedicated corrupt-record field declared IN the schema
+        if CORRUPT_COL not in schema.fieldNames():
+            schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+        options["columnNameOfCorruptRecord"] = CORRUPT_COL
     parsed = df.withColumn(
         "_j",
-        F.from_json(F.col(value_col).cast("string"), schema, {"mode": "PERMISSIVE"}),
+        F.from_json(F.col(value_col).cast("string"), schema, options),
     )
     cols = [F.col(f"_j.{old}").alias(new) for new, old in conversion.items()]
     if bucket_field_src is not None:
@@ -81,10 +89,7 @@ def decode_json_values(
             # "projected under a new name")
             cols.append(F.col(f"_j.{bucket_field_src}").alias(bucket_field_src))
     if keep_corrupt:
-        cols.append(
-            F.when(F.col("_j").isNull(), F.col(value_col).cast("string"))
-            .alias(CORRUPT_COL)
-        )
+        cols.append(F.col(f"_j.{CORRUPT_COL}").alias(CORRUPT_COL))
     return parsed.select(*cols)
 
 
