@@ -83,3 +83,30 @@ def test_bad_sql_is_json_error_not_traceback(endpoint):
 def test_reset_wipes_state(endpoint):
     assert _get(endpoint, "/r")[1] == {"reset": True}
     assert _get(endpoint, "/a/*")[1] == []
+
+
+def test_concurrent_clients(endpoint):
+    """ThreadingHTTPServer + thread-safe Spark session: 16 parallel
+    clients mixing routes must all succeed with consistent answers (the
+    reference served one Flask worker against SQLite)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = [
+        "/a/*",
+        "/rst",
+        "/rv/1",
+        "/dv/0",
+        "/sr/count/1:None",
+        "/c/Select * FROM default WHERE count=2",
+    ] * 3
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(lambda p: (p, *_get(endpoint, p)), paths))
+    for path, status, body in results:
+        assert status == 200, path
+    by_path = {}
+    for path, _, body in results:
+        by_path.setdefault(path, []).append(json.dumps(body, sort_keys=True))
+    # every repeat of the same query returned the identical answer
+    for path, bodies in by_path.items():
+        assert len(set(bodies)) == 1, path
+    assert {r["count"] for r in results[0][2]} == {1, 2, 4}
