@@ -74,3 +74,78 @@ def stratified_sample(
     for value, pct in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
     return df.filter(hash_bucket(F.col(id_col), buckets, salt) < rate)
+
+
+def token_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_tokens_col: str,
+    target_shares: dict[str, float],
+    buckets: int = 10_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample groups so the surviving corpus hits a target TOKEN
+    mixture (the pretraining data-mixture op: "50% en / 30% fr / 20% zh
+    of the final token budget").
+
+    Construction: the limiting group sets the final size
+    (``final_total = min_g totals_g / share_g`` — that group is kept
+    whole), every other group's keep-rate is
+    ``share_g * final_total / totals_g``, and membership is the usual
+    deterministic hash-bucket threshold (doc-level sampling approximates
+    the token share; exact for iid doc lengths).
+
+    Scale shape: one groupBy for the totals (group-cardinality rows),
+    scalar min via a 1-row broadcast, rates broadcast back onto the
+    corpus — the corpus itself is touched by exactly one projection +
+    filter, no corpus shuffle. Rounding: thresholds are floored to
+    integer buckets with an explicitly parenthesized expression so the
+    DuckDB oracle computes bit-identical doubles.
+    """
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        sorted(target_shares.items()), f"{group_col} string, _share double"
+    )
+    totals = df.groupBy(group_col).agg(F.sum(n_tokens_col).alias("_total"))
+    sized = totals.join(F.broadcast(shares), group_col)
+    final_total = sized.agg(F.min(F.col("_total") / F.col("_share")).alias("_ft"))
+    thresholds = sized.crossJoin(F.broadcast(final_total)).select(
+        group_col,
+        F.floor(
+            F.lit(buckets) * ((F.col("_share") * F.col("_ft")) / F.col("_total"))
+        ).alias("_thr"),
+    )
+    return df.join(F.broadcast(thresholds), group_col).filter(
+        hash_bucket(F.col(id_col), buckets, salt) < F.col("_thr")
+    ).drop("_thr")
+
+
+def token_mixture_sample_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    n_tokens_expr: str,
+    target_shares: dict[str, float],
+    buckets: int = 10_000,
+    salt: str = "mix",
+) -> str:
+    """DuckDB oracle twin (same hash, same parenthesization)."""
+    shares_rows = ", ".join(
+        f"('{g}', {s})" for g, s in sorted(target_shares.items())
+    )
+    bucket = hash_bucket_sql(id_col, buckets, salt)
+    return f"""
+    WITH src AS (SELECT *, {n_tokens_expr} AS _ntok FROM {table}),
+    shares({group_col}, _share) AS (VALUES {shares_rows}),
+    totals AS (SELECT {group_col}, SUM(_ntok) AS _total FROM src GROUP BY 1),
+    sized AS (SELECT t.{group_col}, _total, _share
+              FROM totals t JOIN shares USING ({group_col})),
+    ft AS (SELECT MIN(_total / _share) AS _ft FROM sized),
+    thr AS (SELECT {group_col},
+                   FLOOR({buckets} * ((_share * _ft) / _total)) AS _thr
+            FROM sized CROSS JOIN ft)
+    SELECT src.{id_col}, src.{group_col}, CAST(src._ntok AS BIGINT) AS n_tokens
+    FROM src JOIN thr USING ({group_col})
+    WHERE {bucket} < _thr
+    """

@@ -172,6 +172,38 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-mixture sampling (the pretraining data-mixture op)
+# ---------------------------------------------------------------------------
+
+from ..operators.sampling import (  # noqa: E402
+    token_mixture_sample,
+    token_mixture_sample_sql,
+)
+
+_MIX_SHARES = {"en": 0.5, "fr": 0.3, "zh": 0.2}
+
+
+@query(
+    "sample_token_mixture",
+    token_mixture_sample_sql(
+        "documents", "doc_id", "lang", X.token_count_ws_sql("text"), _MIX_SHARES
+    ),
+)
+def q_sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample languages to a 50/30/20 en/fr/zh TOKEN mixture: the
+    limiting language is kept whole, the rest are hash-thresholded to
+    their share of the final token budget — one corpus projection+filter,
+    no corpus shuffle."""
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    sized = docs.select(
+        "doc_id", "lang",
+        X.token_count_ws(F.col("text"), tok=F.col("_tok")).alias("n_tokens"),
+    )
+    out = token_mixture_sample(sized, "doc_id", "lang", "n_tokens", _MIX_SHARES)
+    return out.select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
 # Redaction + sequence packing (curation tail)
 # ---------------------------------------------------------------------------
 
