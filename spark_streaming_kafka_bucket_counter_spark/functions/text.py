@@ -236,6 +236,60 @@ def langid_sql(text_col: str) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Character entropy (compression-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+
+def char_array(text_col: Column) -> Column:
+    """Lowercased per-character array — MATERIALIZE this via withColumn
+    before passing to :func:`char_entropy` (interpreted HOF lambdas have
+    no CSE: an inline split would re-split the text once per referenced
+    element; see the quality_columns note)."""
+    return F.split(F.lower(text_col), "")
+
+
+def char_entropy(chars: Column, decimals: int = 6) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    cheap compression-ratio proxy (low entropy = repetitive/boilerplate,
+    high = diverse text). ``chars`` must be a pre-materialized
+    :func:`char_array` COLUMN.
+
+    Determinism: float sums are accumulation-order dependent, so the
+    entropy terms are folded IN CHARACTER ORDER over the sorted distinct
+    chars — one fixed left-to-right fold per row that the DuckDB oracle
+    replays identically (list_reduce), then one rounding. No shuffle, no
+    explode: counting happens inside per-row higher-order functions.
+    """
+    n = F.size(chars).cast("double")
+    distinct_sorted = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        distinct_sorted,
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"),
+    )
+    terms = F.transform(counts, lambda cnt: (cnt / n) * F.log2(cnt / n))
+    ent = -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(n > 0, F.round(ent, decimals)).otherwise(F.lit(0.0))
+
+
+def char_array_sql(col: str) -> str:
+    return f"string_split(lower({col}), '')"
+
+
+def char_entropy_sql(chars: str, decimals: int = 6) -> str:
+    """DuckDB twin over a (CTE-materialized) char-array expression:
+    same sorted distinct chars, same in-order fold."""
+    n = f"CAST(len({chars}) AS DOUBLE)"
+    distinct_sorted = f"list_sort(list_distinct({chars}))"
+    counts = (
+        f"list_transform({distinct_sorted}, "
+        f"c -> CAST(len(list_filter({chars}, x -> x = c)) AS DOUBLE))"
+    )
+    terms = f"list_transform({counts}, cnt -> (cnt / {n}) * log2(cnt / {n}))"
+    ent = f"-list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+    return f"CASE WHEN len({chars}) > 0 THEN ROUND({ent}, {decimals}) ELSE 0.0 END"
+
+
+# ---------------------------------------------------------------------------
 # Redaction (safety filtering)
 # ---------------------------------------------------------------------------
 

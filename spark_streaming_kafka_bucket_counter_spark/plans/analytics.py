@@ -172,6 +172,34 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Character entropy (compression-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_entropy",
+    f"""
+    WITH c AS (SELECT doc_id, {X.char_array_sql('text')} AS ch FROM documents)
+    SELECT doc_id,
+           CAST(len(list_distinct(ch)) AS BIGINT) AS n_distinct_chars,
+           {X.char_entropy_sql('ch')} AS char_entropy
+    FROM c
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal (bits/char,
+    in-order float fold so both engines agree; see char_entropy)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_ch", X.char_array(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.col("_ch"))).cast("long").alias("n_distinct_chars"),
+        X.char_entropy(F.col("_ch")).alias("char_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-mixture sampling (the pretraining data-mixture op)
 # ---------------------------------------------------------------------------
 
