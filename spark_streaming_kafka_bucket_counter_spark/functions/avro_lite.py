@@ -88,6 +88,11 @@ def _write_value(out: bytearray, typ, v) -> None:
         if v is not None:
             raise ValueError(f"null type with non-null value {v!r}")
         return
+    if v is None:
+        # a None for a non-nullable type must fail loudly — silently
+        # coercing (str(None) -> 'None', bool(None) -> False) would emit
+        # corrupted payloads and diverge from spark-avro, which errors
+        raise ValueError(f"None for non-nullable Avro type {typ!r}")
     if typ == "boolean":
         out.append(1 if v else 0)
     elif typ in ("int", "long"):
@@ -122,6 +127,11 @@ def _union_index(union: list, v) -> int:
         pref = ("long", "int")
     elif isinstance(v, numbers.Real):
         pref = ("double", "float")
+        # Arrow hands int64-with-nulls to pandas as float64, so integral
+        # values of a nullable-int union arrive as floats — route them to
+        # the integer branch when no float branch exists
+        if not any(p in union for p in pref) and float(v).is_integer():
+            pref = ("long", "int")
     elif isinstance(v, str):
         pref = ("string",)
     else:

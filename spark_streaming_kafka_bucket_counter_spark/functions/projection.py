@@ -73,7 +73,11 @@ def decode_json_values(
         # (not a NULL struct), so corrupt rows are only detectable via
         # the dedicated corrupt-record field declared IN the schema
         if CORRUPT_COL not in schema.fieldNames():
-            schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+            # copy — StructType.add mutates in place, and the schema may
+            # be a caller-owned object reused elsewhere
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+            )
         options["columnNameOfCorruptRecord"] = CORRUPT_COL
     parsed = df.withColumn(
         "_j",

@@ -50,7 +50,11 @@ def connected_components(
         und.select("u").distinct().withColumn("label", F.col("u"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0) sum: an int64 sum could wrap (non-ANSI) with
+    # hash-scale node ids and fake a fixpoint via collision
+    _sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_sum).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neighbor = (
             und.join(labels.withColumnRenamed("u", "v"), "v")
@@ -62,11 +66,18 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(_sum).collect()[0][0]
         if cur_sum == prev_sum:  # monotone -> equal sum == fixpoint
+            converged = True
             break
         prev_sum = cur_sum
     und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the bound) — raise max_iter; "
+            "returning partial labels would silently split real clusters"
+        )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 

@@ -94,7 +94,9 @@ def token_mixture_sample(
     whole), every other group's keep-rate is
     ``share_g * final_total / totals_g``, and membership is the usual
     deterministic hash-bucket threshold (doc-level sampling approximates
-    the token share; exact for iid doc lengths).
+    the token share; exact for iid doc lengths). Thresholds are CEILed
+    so the limiting group's float-error keep-ratio (1.0 - epsilon)
+    still keeps every bucket; other groups overshoot by < 1/buckets.
 
     Scale shape: one groupBy for the totals (group-cardinality rows),
     scalar min via a 1-row broadcast, rates broadcast back onto the
@@ -110,9 +112,13 @@ def token_mixture_sample(
     totals = df.groupBy(group_col).agg(F.sum(n_tokens_col).alias("_total"))
     sized = totals.join(F.broadcast(shares), group_col)
     final_total = sized.agg(F.min(F.col("_total") / F.col("_share")).alias("_ft"))
+    # CEIL, not floor: the limiting group's keep-ratio is 1.0 only up to
+    # float error (share * (total/share) / total) — a floor would drop
+    # its top hash bucket and break the "kept whole" guarantee; ceil
+    # overshoots other groups by at most one bucket (1/buckets)
     thresholds = sized.crossJoin(F.broadcast(final_total)).select(
         group_col,
-        F.floor(
+        F.ceil(
             F.lit(buckets) * ((F.col("_share") * F.col("_ft")) / F.col("_total"))
         ).alias("_thr"),
     )
@@ -143,7 +149,7 @@ def token_mixture_sample_sql(
               FROM totals t JOIN shares USING ({group_col})),
     ft AS (SELECT MIN(_total / _share) AS _ft FROM sized),
     thr AS (SELECT {group_col},
-                   FLOOR({buckets} * ((_share * _ft) / _total)) AS _thr
+                   CEIL({buckets} * ((_share * _ft) / _total)) AS _thr
             FROM sized CROSS JOIN ft)
     SELECT src.{id_col}, src.{group_col}, CAST(src._ntok AS BIGINT) AS n_tokens
     FROM src JOIN thr USING ({group_col})

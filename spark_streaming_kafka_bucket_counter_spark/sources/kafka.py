@@ -67,16 +67,23 @@ def avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
     ``mapInPandas`` batches) — same wire format, same ``j`` struct
     contract, always executable.
     """
+    # ONLY a missing spark-avro jar triggers the fallback: Spark 4 raises
+    # AnalysisException[AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE] at plan
+    # time (older lines: TypeError "'JavaPackage' object is not
+    # callable"). Real analysis errors — bad schema, missing column —
+    # must propagate, not silently reroute to the slower Python path.
     try:
-        # the python wrapper imports even without the jar; building the
-        # column is what touches the JVM class, so failure surfaces here
         from pyspark.sql.avro.functions import from_avro
 
         return df.select(from_avro(F.col("value"), avro_schema_json).alias("j"))
-    except Exception:  # jar absent -> executed pure-Python fallback
-        from ..functions.avro_lite import avro_decode_df
+    except (ImportError, TypeError):
+        pass
+    except Exception as exc:
+        if "AVRO_NOT_LOADED" not in str(exc):
+            raise
+    from ..functions.avro_lite import avro_decode_df
 
-        return avro_decode_df(df, avro_schema_json, value_col="value")
+    return avro_decode_df(df, avro_schema_json, value_col="value")
 
 
 def kafka_sink_writer(

@@ -86,14 +86,20 @@ def custom_sql_avro(store: ServingStore, sql: str, avro_schema_json: str):
     from pyspark.sql import functions as F
 
     df = store.run_cmd(sql)
+    # only a missing spark-avro jar falls back (see sources/kafka.py
+    # avro_values for the error-class rationale)
     try:
         from pyspark.sql.avro.functions import to_avro
 
         return df.select(to_avro(F.struct(*df.columns), avro_schema_json).alias("avro"))
-    except Exception:  # jar absent -> executed pure-Python fallback
-        from ..functions.avro_lite import avro_encode_df
+    except (ImportError, TypeError):
+        pass
+    except Exception as exc:
+        if "AVRO_NOT_LOADED" not in str(exc):
+            raise
+    from ..functions.avro_lite import avro_encode_df
 
-        return avro_encode_df(df, avro_schema_json)
+    return avro_encode_df(df, avro_schema_json)
 
 
 def delete(store: ServingStore, conditions: dict) -> dict:

@@ -84,6 +84,60 @@ def test_multi_record_framing():
     assert A.decode_records(fields, blob) == USERS
 
 
+def test_none_for_non_nullable_type_raises():
+    """A None in a schema-non-nullable field must fail loudly — silent
+    coercion (str(None) -> 'None', bool(None) -> False) would emit
+    corrupted payloads."""
+    fields = A.parse_schema(
+        json.dumps(
+            {
+                "type": "record",
+                "name": "t",
+                "fields": [
+                    {"name": "s", "type": "string"},
+                    {"name": "b", "type": "boolean"},
+                ],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="non-nullable"):
+        A.encode_record(fields, {"s": None, "b": True})
+    with pytest.raises(ValueError, match="non-nullable"):
+        A.encode_record(fields, {"s": "x"})  # missing field -> None
+
+
+def test_spark_encode_nullable_int_union_with_nulls(spark):
+    """Arrow hands int64-with-nulls to pandas as float64; integral
+    floats must still route to the int branch of ['int','null']."""
+    df = spark.createDataFrame(
+        [("a", 256), ("b", None), ("c", 7)],
+        "name string, favorite_number int",
+    )
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "U",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "favorite_number", "type": ["int", "null"]},
+            ],
+        }
+    )
+    encoded = A.avro_encode_df(df, schema).collect()
+    fields = A.parse_schema(schema)
+    got = sorted(
+        tuple(A.decode_record(fields, bytes(r["avro"])).items()) for r in encoded
+    )
+    assert got == sorted(
+        tuple(d.items())
+        for d in [
+            {"name": "a", "favorite_number": 256},
+            {"name": "b", "favorite_number": None},
+            {"name": "c", "favorite_number": 7},
+        ]
+    )
+
+
 def test_unsupported_schema_rejected():
     with pytest.raises(ValueError, match="unsupported"):
         A.parse_schema(
