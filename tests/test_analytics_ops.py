@@ -100,6 +100,59 @@ def test_asof_join_semantics(spark):
     assert out.count() == 4  # every left row survives
 
 
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shard writer: parquet partitioned by shard, rows inside each
+    shard ordered by (pack_id, offset) for straight-scan loading."""
+    import os
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.packing import (
+        pack_documents,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(40)], "doc_id long, text string"
+    )
+    sized = docs.selectExpr("doc_id", "10 + doc_id % 7 as n_tokens")
+    packed = pack_documents(sized, "doc_id", "n_tokens", budget=64, n_shards=4)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, docs, "doc_id", out)
+
+    shards = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shards) >= 2  # 40 docs over 4 hash shards
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    assert {"doc_id", "n_tokens", "offset", "pack_id", "text", "shard"} <= set(back.columns)
+    # within every file, rows are (pack_id, offset)-sorted
+    for shard_dir in shards:
+        pdf = spark.read.parquet(f"{out}/{shard_dir}").toPandas()
+        ordered = pdf.sort_values(["pack_id", "offset"]).reset_index(drop=True)
+        assert (pdf[["pack_id", "offset"]].values == ordered[["pack_id", "offset"]].values).all()
+
+
+def test_open_or_none_and_now_bucket(spark, tmp_path):
+    """S9 file-or-none loader + P9 current-time bucket (the two
+    remaining untested reference helpers)."""
+    import time
+
+    from spark_streaming_kafka_bucket_counter_spark.functions.buckets import (
+        bucket_now_epoch,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import open_or_none
+
+    assert open_or_none(None) is None
+    assert open_or_none("") is None
+    p = tmp_path / "f.txt"
+    p.write_text("payload")
+    assert open_or_none(str(p)) == "payload"
+
+    before = int(time.time())
+    start = spark.range(1).select(bucket_now_epoch(20).alias("bs")).collect()[0]["bs"]
+    after = int(time.time())
+    assert start % 20 == 0
+    assert start <= after and start + 20 > before  # bucket overlaps now
+
+
 def test_kmv_exact_below_k(spark):
     """Groups with fewer than k distinct values must report the exact
     count (the estimator only engages at >= k)."""
