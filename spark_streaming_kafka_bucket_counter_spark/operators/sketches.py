@@ -53,6 +53,95 @@ def kmv_distinct(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group approximate quantiles via a fixed-bin histogram — the
+    scale path for percentiles: exact ``percentile`` buffers every value
+    of a group in memory, while the histogram is a (group, bin) count
+    with map-side combine, one cumulative window over ``bins`` rows per
+    group, and a closed-form answer (upper edge of the first bin whose
+    cumulative count reaches ceil(q*N); error <= one bin width).
+
+    The [lo, hi) domain is DECLARED, not data-derived — that keeps the
+    sketch one-pass, mergeable, and deterministic (both engines bin with
+    the same floor/clamp arithmetic). Out-of-domain values clamp to the
+    edge bins.
+    """
+    w = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / F.lit(w)).cast("int")),
+    )
+    counts = df.groupBy(*group_cols, b.alias("_bin")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(win)).withColumn(
+        "_n", F.sum("_cnt").over(tot)
+    )
+    upper = F.lit(lo) + (F.col("_bin") + 1) * F.lit(w)
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for q in qs:
+        name = f"p{str(q).replace('0.', '')}"
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")), upper)),
+                6,
+            ).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB oracle twin (same binning, same ceil-rank rule)."""
+    groups = ", ".join(group_cols)
+    w = (hi - lo) / bins
+    b = (
+        f"LEAST({bins - 1}, GREATEST(0, "
+        f"CAST(FLOOR(({value_col} - {lo}) / {w}) AS INTEGER)))"
+    )
+    q_cols = ", ".join(
+        f"ROUND(MIN(CASE WHEN cum >= CEIL({q} * n) THEN {lo} + (bin + 1) * {w} END), 6)"
+        f" AS p{str(q).replace('0.', '')}"
+        for q in qs
+    )
+    return f"""
+    WITH binned AS (
+      SELECT {groups}, {b} AS bin, COUNT(*) AS cnt
+      FROM {table} GROUP BY {groups}, bin
+    ),
+    cumed AS (
+      SELECT {groups}, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY {groups} ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY {groups}) AS n
+      FROM binned
+    )
+    SELECT {groups}, CAST(MAX(n) AS BIGINT) AS n, {q_cols}
+    FROM cumed GROUP BY {groups}
+    """
+
+
 def kmv_distinct_sql(
     table: str, group_cols: list[str], value_col: str, k: int = 64
 ) -> str:

@@ -18,7 +18,12 @@ from ..operators.graph import (
     transitive_closure_sql,
 )
 from ..operators.sessions import session_summary, session_summary_sql
-from ..operators.sketches import kmv_distinct, kmv_distinct_sql
+from ..operators.sketches import (
+    histogram_quantiles,
+    histogram_quantiles_sql,
+    kmv_distinct,
+    kmv_distinct_sql,
+)
 from .extensions import _DOC_SHINGLES, _JACCARD_FROM_DS, _MINHASH_HS, _SIG_COLS, _BAND0, _BAND1
 from .queries import _DUCK_EPOCH, _t, query
 
@@ -169,6 +174,22 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user estimate per event_type (k=64) — the
     deterministic, oracle-matchable stand-in for HLL at 100 TB."""
     return kmv_distinct(_t(spark, sf_dir, "events"), ["event_type"], "user_id", k=64)
+
+
+_QDOMAIN = (0.0, 128.0)
+
+
+@query(
+    "sketch_value_quantiles",
+    histogram_quantiles_sql("events", ["event_type"], "value", *_QDOMAIN, bins=256),
+)
+def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch p50/p90/p99 of event value per type — one
+    (group, bin) aggregation with map-side combine instead of exact
+    percentile's whole-group value buffering."""
+    return histogram_quantiles(
+        _t(spark, sf_dir, "events"), ["event_type"], "value", *_QDOMAIN, bins=256
+    )
 
 
 # ---------------------------------------------------------------------------
