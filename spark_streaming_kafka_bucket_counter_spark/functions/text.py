@@ -73,17 +73,29 @@ def token_count_bpe_sql(col: str) -> str:
 def shingles(tok: Column, k: int = 3) -> Column:
     """k-word shingles of a token array (empty when fewer than k tokens).
 
-    Guarded with ``when`` because Spark's ``sequence(1, n)`` runs
-    *descending* for n < 1, unlike DuckDB's empty ``generate_series``.
+    Construction: k shifted ``slice``s of the token array combined with
+    ``zip_with`` concatenation — NOT ``transform(sequence, i ->
+    element_at(tok, i+j))``. The lambda-free-variable form matters for
+    performance: higher-order-function lambdas re-evaluate any captured
+    outer EXPRESSION once per element (there is no common-subexpression
+    elimination inside interpreted lambdas), so an inline ``tok`` like
+    ``tokens(text)`` would re-tokenize the document O(n_tokens * k) times
+    per row (~10x wall-clock on the bench corpus). Here every lambda
+    touches only its own lambda variables; ``tok`` is referenced k+2
+    times at projection top level, each a single per-row evaluation.
+
+    Guarded with ``when`` because a negative ``slice`` length errors,
+    unlike DuckDB's empty ``generate_series``.
     """
     n = F.size(tok)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    make = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
+    m = n - (k - 1)  # number of shingles
+    make = F.slice(tok, 1, m)
+    for j in range(1, k):
+        make = F.zip_with(
+            make,
+            F.slice(tok, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
 
 

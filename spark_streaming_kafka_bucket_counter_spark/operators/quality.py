@@ -1,0 +1,241 @@
+"""Repetition-based quality filtering and benchmark decontamination.
+
+Beyond-reference scope (BASELINE.json north star): the two corpus-hygiene
+passes every pretraining pipeline runs between raw text and training
+shards.
+
+**Repetition filters** (the Gopher rules, arXiv:2112.11446 Table A1,
+re-expressed for documents without line structure): a document is
+low-quality when a large share of its n-grams are repeats, or when one
+n-gram dominates the text. Signals:
+
+- ``dup_ngram_frac(n)`` = 1 - distinct-n-grams / total-n-grams — computed
+  entirely with array higher-order functions (``shingles`` +
+  ``array_distinct``), a pure per-row projection: no shuffle, codegen'd,
+  embarrassingly parallel at 100 TB.
+- ``top_ngram_stats`` = the modal n-gram and the fraction of n-gram slots
+  it occupies. Needs a per-document mode, which no HOF computes — one
+  explode + groupBy(doc, gram) with map-side partials, then a window pick.
+  Shuffle volume is bounded by distinct (doc, gram) pairs, not corpus
+  bytes.
+
+**Decontamination** (the GPT-3 appendix-C recipe): drop/flag training
+documents sharing k-gram overlap with an evaluation benchmark. The eval
+side is small by construction (benchmarks are thousands of prompts, not
+terabytes), so its distinct k-gram hash set broadcasts; the corpus side
+is ``explode(array_distinct(shingles))`` → broadcast-hash-join → one
+groupBy(doc) — the corpus is never shuffled on anything wider than
+doc_id, and the join adds no exchange. k-grams are compared by the
+portable 32-bit md5 recipe (`token_hash32`), identical in the DuckDB
+oracles, so both engines see the same (rare) collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    shingles,
+    shingles_sql,
+    token_hash32,
+    token_hash32_sql,
+    tokens,
+    tokens_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Projection-only repetition signals (no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_frac(tok: Column, n: int) -> Column:
+    """Fraction of n-gram slots occupied by repeated n-grams:
+    ``1 - distinct/total`` as a single division of exact ints (bit-identical
+    across engines); 0.0 for documents with no n-grams."""
+    sh = shingles(tok, n)
+    total = F.size(sh)
+    uniq = F.size(F.array_distinct(sh))
+    return F.when(total > 0, (total - uniq).cast("double") / total).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac_sql(tok: str, n: int) -> str:
+    sh = shingles_sql(tok, n)
+    return (
+        f"(SELECT CASE WHEN len(s) > 0 THEN "
+        f"CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s) "
+        f"ELSE 0.0 END FROM (SELECT {sh} AS s))"
+    )
+
+
+def repetition_columns(text_col: Column, tok: Column | None = None) -> dict[str, Column]:
+    """The projection-only repetition signals (see module docstring)."""
+    if tok is None:
+        tok = tokens(text_col)
+    return {
+        "n_tokens": F.size(tok).cast("long"),
+        "dup_bigram_frac": dup_ngram_frac(tok, 2),
+        "dup_5gram_frac": dup_ngram_frac(tok, 5),
+    }
+
+
+def repetition_sql(text_col: str) -> dict[str, str]:
+    tok = tokens_sql(text_col)
+    return {
+        "n_tokens": f"CAST(len({tok}) AS BIGINT)",
+        "dup_bigram_frac": dup_ngram_frac_sql(tok, 2),
+        "dup_5gram_frac": dup_ngram_frac_sql(tok, 5),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Modal n-gram (explode + groupBy + window pick)
+# ---------------------------------------------------------------------------
+
+
+def top_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document modal n-gram: ``(id, top_ngram, top_ngram_count,
+    top_ngram_frac)``. Ties broken by lexicographic n-gram; documents with
+    no n-grams keep a NULL gram and frac 0.0 (left join from the doc
+    spine, so no document silently disappears).
+
+    Scale shape: explode → partial-agg'd groupBy(id, gram) → window over
+    id. Both exchanges hash on id (the window reuses the groupBy's
+    partitioning via AQE), and the explode never leaves the map side
+    un-combined.
+    """
+    from pyspark.sql import Window
+
+    spine = df.select(F.col(id_col), F.size(shingles(tokens(F.col(text_col)), n)).alias("_total"))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("_gram"),
+    )
+    counts = grams.groupBy(id_col, "_gram").agg(F.count("*").alias("_cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cnt").desc(), F.col("_gram"))
+    top = counts.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return (
+        spine.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_gram").alias("top_ngram"),
+            F.coalesce(F.col("_cnt"), F.lit(0)).cast("long").alias("top_ngram_count"),
+            F.when(
+                F.col("_total") > 0,
+                F.coalesce(F.col("_cnt"), F.lit(0)).cast("double") / F.col("_total"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_ngram_frac"),
+        )
+    )
+
+
+def top_ngram_stats_sql(table: str, id_col: str, text_col: str, n: int = 2) -> str:
+    """DuckDB twin of `top_ngram_stats` (same tie-break, same guards)."""
+    sh = shingles_sql(tokens_sql(text_col), n)
+    return f"""
+    spine AS (SELECT {id_col}, len({sh}) AS _total FROM {table}),
+    grams AS (SELECT {id_col}, unnest({sh}) AS _gram FROM {table}),
+    counts AS (SELECT {id_col}, _gram, COUNT(*) AS _cnt FROM grams GROUP BY 1, 2),
+    top AS (SELECT {id_col}, _gram, _cnt,
+                   row_number() OVER (PARTITION BY {id_col}
+                                      ORDER BY _cnt DESC, _gram) AS _rk
+            FROM counts QUALIFY _rk = 1),
+    top_ngrams AS (
+      SELECT spine.{id_col},
+             top._gram AS top_ngram,
+             CAST(COALESCE(top._cnt, 0) AS BIGINT) AS top_ngram_count,
+             CASE WHEN spine._total > 0
+                  THEN CAST(COALESCE(top._cnt, 0) AS DOUBLE) / spine._total
+                  ELSE 0.0 END AS top_ngram_frac
+      FROM spine LEFT JOIN top USING ({id_col}))"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_overlap_frac: float = 0.2,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag corpus documents whose k-gram sets overlap an evaluation
+    benchmark: ``(id, n_shingles, n_overlap, overlap_frac, contaminated)``.
+
+    ``broadcast_eval=True`` is correct whenever the benchmark is
+    benchmark-sized; pass False to let AQE pick the join strategy for an
+    unusually large eval side (the plan degrades to one shuffle of the
+    exploded corpus k-grams — still O(corpus), never O(corpus x eval)).
+    """
+    ev = eval_df.select(
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("_s")
+    ).select(token_hash32(F.col("_s")).alias("_h")).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    corp = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("_s"),
+    ).select(F.col(id_col), token_hash32(F.col("_s")).alias("_h"))
+    joined = corp.join(ev.withColumn("_hit", F.lit(1)), "_h", "left")
+    spine = corpus.select(F.col(id_col))
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+    )
+    out = spine.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.when(
+            F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_shingles"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
+    )
+    return out.withColumn(
+        "contaminated", F.col("overlap_frac") >= F.lit(min_overlap_frac)
+    )
+
+
+def decontaminate_sql(
+    corpus_cte: str,
+    eval_cte: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_overlap_frac: float = 0.2,
+) -> str:
+    """DuckDB twin: same distinct-per-doc k-gram hashes, same guards.
+    ``corpus_cte`` / ``eval_cte`` name previously-defined CTEs/tables."""
+    sh = shingles_sql(tokens_sql(text_col), k)
+    h = token_hash32_sql("_s")
+    return f"""
+    ev AS (SELECT DISTINCT {h} AS _h
+           FROM (SELECT unnest(list_distinct({sh})) AS _s FROM {eval_cte})),
+    corp AS (SELECT {id_col}, {h} AS _h
+             FROM (SELECT {id_col}, unnest(list_distinct({sh})) AS _s
+                   FROM {corpus_cte})),
+    agg AS (SELECT corp.{id_col},
+                   COUNT(*) AS n_shingles,
+                   COALESCE(SUM(CASE WHEN ev._h IS NOT NULL THEN 1 END), 0) AS n_overlap
+            FROM corp LEFT JOIN ev USING (_h) GROUP BY 1),
+    decontam AS (
+      SELECT c.{id_col},
+             CAST(COALESCE(agg.n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(agg.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CASE WHEN COALESCE(agg.n_shingles, 0) > 0
+                  THEN CAST(COALESCE(agg.n_overlap, 0) AS DOUBLE) / agg.n_shingles
+                  ELSE 0.0 END AS overlap_frac,
+             (CASE WHEN COALESCE(agg.n_shingles, 0) > 0
+                   THEN CAST(COALESCE(agg.n_overlap, 0) AS DOUBLE) / agg.n_shingles
+                   ELSE 0.0 END) >= {min_overlap_frac} AS contaminated
+      FROM {corpus_cte} c LEFT JOIN agg USING ({id_col}))"""

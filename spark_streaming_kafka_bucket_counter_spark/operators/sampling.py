@@ -76,6 +76,51 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(id_col), buckets, salt) < rate)
 
 
+def topn_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "topn",
+) -> DataFrame:
+    """Deterministic cap of N rows per group (e.g. "at most 10k documents
+    per source domain"): rank rows inside each group by their content
+    hash (ties broken by id) and keep ranks <= N. Appends ``rk``.
+
+    Unlike a rate, a cap bounds the *absolute* contribution of any one
+    group — the anti-domination rule for scraped corpora where one domain
+    is 100x the median. One shuffle on the group column; rank is a single
+    window pass over each group's partition. The hash order makes the
+    kept subset stable under table rewrites and engine changes (same
+    md5 recipe as the split/sample operators).
+    """
+    from pyspark.sql import Window
+
+    order = hash_bucket(F.col(id_col), 2**31, salt)
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return df.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= n
+    )
+
+
+def topn_per_group_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "topn",
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle twin (same hash order, same tie-break)."""
+    order = hash_bucket_sql(id_col, 2**31, salt)
+    return f"""
+    SELECT {cols}, CAST(row_number() OVER (
+             PARTITION BY {group_col} ORDER BY {order}, {id_col}) AS BIGINT) AS rk
+    FROM {table}
+    QUALIFY rk <= {n}
+    """
+
+
 def token_mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -377,3 +377,92 @@ def q_text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality (Gopher rules) + benchmark decontamination +
+# per-group cap sampling
+# ---------------------------------------------------------------------------
+
+from ..operators.quality import (  # noqa: E402
+    decontaminate,
+    decontaminate_sql,
+    repetition_columns,
+    repetition_sql,
+    top_ngram_stats,
+    top_ngram_stats_sql,
+)
+from ..operators.sampling import topn_per_group, topn_per_group_sql  # noqa: E402
+
+_REP_COLS = ",\n           ".join(
+    f"{sql} AS {name}" for name, sql in repetition_sql("text").items()
+)
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH {top_ngram_stats_sql('documents', 'doc_id', 'text', 2)}
+    SELECT d.doc_id,
+           {_REP_COLS},
+           t.top_ngram, t.top_ngram_count, t.top_ngram_frac,
+           (t.top_ngram_frac >= 0.1) AS repetitive
+    FROM documents d JOIN top_ngrams t USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-n-gram
+    fractions (pure HOF projection, no shuffle) + the modal bigram and
+    its share of bigram slots (one explode-groupBy-window pass on
+    doc_id). `repetitive` is the filter flag a curation pipeline keys on.
+    """
+    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    rep = docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in repetition_columns(F.col("text"), tok=F.col("_tok")).items()],
+    )
+    top = top_ngram_stats(docs, "doc_id", "text", n=2)
+    return rep.join(top, "doc_id").withColumn(
+        "repetitive", F.col("top_ngram_frac") >= F.lit(0.1)
+    )
+
+
+_DECON_K = 5
+_DECON_FRAC = 0.2
+
+
+@query(
+    "dedup_decontaminate",
+    f"""
+    WITH ev_docs AS (SELECT * FROM documents WHERE doc_id < 20),
+    corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+    {decontaminate_sql('corpus', 'ev_docs', 'doc_id', 'text',
+                       _DECON_K, _DECON_FRAC)}
+    SELECT doc_id, n_shingles, n_overlap, overlap_frac, contaminated
+    FROM decontam
+    """,
+)
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C shape): flag training
+    documents sharing >= 20% of their distinct 5-gram hashes with the
+    eval set (here: doc_id < 20 stands in for the benchmark). Eval
+    k-gram set broadcasts; corpus is never shuffled wider than doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return decontaminate(
+        corpus, ev, "doc_id", "text", k=_DECON_K, min_overlap_frac=_DECON_FRAC
+    )
+
+
+@query(
+    "sample_topn_per_source",
+    topn_per_group_sql(
+        "documents", "doc_id", "source", 10, cols="doc_id, source"
+    ),
+)
+def q_sample_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: keep at most 10 documents per source, chosen
+    by stable content-hash rank — one shuffle on source, one window."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return topn_per_group(docs, "doc_id", "source", 10)

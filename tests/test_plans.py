@@ -114,3 +114,41 @@ def test_core_count_stays_in_codegen(spark):
     # the whole pipeline is Scan -> Project -> partial agg -> exchange ->
     # final agg: nothing else may appear between scan and aggregate
     assert re.search(r"HashAggregate", plan)
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    """Decontamination must join the corpus k-grams against the eval hash
+    set as a broadcast hash join — a SortMergeJoin here would shuffle the
+    exploded corpus on the k-gram hash, the exact thing the design
+    forbids at 100 TB."""
+    plan = _plan(spark, "dedup_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_hof_half_is_shuffle_free(spark):
+    """The duplicate-n-gram fractions are per-row HOF projections; only
+    the modal-bigram half may shuffle (groupBy + window + spine join,
+    all hashed on doc_id)."""
+    import pyspark.sql.functions as F
+    from spark_streaming_kafka_bucket_counter_spark.functions.text import tokens
+    from spark_streaming_kafka_bucket_counter_spark.operators.quality import (
+        repetition_columns,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cols = repetition_columns(F.col("text"), tok=tokens(F.col("text")))
+    df = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert not re.findall(r"\(\d+\) Exchange", buf.getvalue())
+
+
+def test_topn_cap_single_shuffle(spark):
+    """Per-group cap: one Exchange (hash on the group column) + one
+    window pass — a second exchange would mean the rank recomputed the
+    partitioning."""
+    plan = _plan(spark, "sample_topn_per_source")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

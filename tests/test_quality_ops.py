@@ -1,0 +1,153 @@
+"""Unit tests for repetition-quality signals, benchmark decontamination,
+and per-group cap sampling: edge cases the catalog oracle can't isolate
+(empty/short docs, tie-breaks, broadcast-vs-shuffle parity, cap bounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.functions.text import tokens
+from spark_streaming_kafka_bucket_counter_spark.operators.quality import (
+    decontaminate,
+    repetition_columns,
+    top_ngram_stats,
+)
+from spark_streaming_kafka_bucket_counter_spark.operators.sampling import topn_per_group
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# shingles (slice+zip_with construction)
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_construction_edges(spark):
+    from spark_streaming_kafka_bucket_counter_spark.functions.text import shingles
+
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c"), (3, "a b"), (4, "")])
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", shingles(tokens(F.col("text")), 3).alias("sh")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["a b c"]   # exactly k tokens -> one shingle
+    assert got[3] == []          # fewer than k -> empty, not negative slice
+    assert got[4] == []
+
+
+# ---------------------------------------------------------------------------
+# repetition_columns
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_fracs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> 2 distinct of 5
+            (2, "one two three four"),  # all bigrams distinct
+            (3, "word"),                # too short for any bigram
+            (4, ""),                    # empty
+        ],
+    )
+    cols = repetition_columns(F.col("text"), tok=tokens(F.col("text")))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_bigram_frac"], r["dup_5gram_frac"])
+        for r in df.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()
+    }
+    # bigrams: 5 total, 2 distinct -> 3/5; 5-grams: "a b a b a" and
+    # "b a b a b" are both distinct -> 0.0
+    assert got[1] == (6, pytest.approx(3 / 5), 0.0)
+    assert got[2] == (4, 0.0, 0.0)
+    assert got[3] == (1, 0.0, 0.0)
+    assert got[4] == (0, 0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# top_ngram_stats
+# ---------------------------------------------------------------------------
+
+
+def test_top_ngram_mode_and_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "x y x y x"),   # "x y" x2 beats "y x" x2 on lexicographic tie
+            (2, "solo"),         # no bigrams: NULL gram, frac 0.0
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["top_ngram"], r["top_ngram_count"], r["top_ngram_frac"])
+        for r in top_ngram_stats(df, "doc_id", "text", n=2).collect()
+    }
+    assert got[1] == ("x y", 2, pytest.approx(2 / 4))
+    assert got[2] == (None, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+_EV = [(100, "alpha beta gamma delta epsilon zeta")]
+_CORPUS = [
+    # identical 5-gram content as the eval doc -> fully contaminated
+    (1, "alpha beta gamma delta epsilon zeta"),
+    # disjoint vocabulary -> clean
+    (2, "one two three four five six seven"),
+    # too short for any 5-gram -> 0 shingles, clean by guard
+    (3, "tiny doc"),
+]
+
+
+def test_decontaminate_flags_overlap(spark):
+    ev = _docs(spark, _EV)
+    corpus = _docs(spark, _CORPUS)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["contaminated"])
+        for r in decontaminate(corpus, ev, "doc_id", "text", k=5).collect()
+    }
+    assert got[1] == (2, 2, True)
+    assert got[2][1] == 0 and got[2][2] is False
+    assert got[3] == (0, 0, False)
+
+
+def test_decontaminate_shuffle_path_matches_broadcast(spark):
+    ev = _docs(spark, _EV)
+    corpus = _docs(spark, _CORPUS)
+    a = decontaminate(corpus, ev, "doc_id", "text", k=5, broadcast_eval=True)
+    b = decontaminate(corpus, ev, "doc_id", "text", k=5, broadcast_eval=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# topn_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_topn_caps_each_group(spark):
+    rows = [(i, "big" if i < 50 else "small") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = topn_per_group(df, "doc_id", "source", 10)
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"big": 10, "small": 10}
+    assert out.filter(F.col("rk") > 10).count() == 0
+
+
+def test_topn_deterministic_across_repartition(spark):
+    rows = [(i, "s") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = {r["doc_id"] for r in topn_per_group(df, "doc_id", "source", 5).collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in topn_per_group(df.repartition(13), "doc_id", "source", 5).collect()
+    }
+    assert kept1 == kept2 and len(kept1) == 5
