@@ -412,3 +412,122 @@ def _allpairs_cosine_numpy(
     return df.select(id_col, vec_col).mapInPandas(
         _block, "id_a long, id_b long, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid training + vector quantization (the embedding-store side ops)
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label dimension-wise centroid — the training step behind IVF
+    cells / class prototypes: ``(label, dim, n, centroid)`` in long form.
+
+    Determinism: float sums are accumulation-order dependent, so each
+    element is first snapped to fixed point (``ROUND(x * scale)`` as
+    BIGINT — exact and order-free under integer SUM), then the mean is
+    two single divisions + one rounding. This is the same exact-integer
+    discipline the money aggregates use.
+
+    Scale shape: posexplode -> one partial-agg'd groupBy(label, dim).
+    Shuffle volume is (labels x dims) partial rows per task — dimensions
+    are in the key, so a 1000-executor run shuffles kilobytes, never
+    vectors. No driver materialization (contrast: ivf_assign collects
+    only pre-trained centroids; this op trains them distributed).
+    """
+    e = df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "_v"))
+    fixed = F.round(F.col("_v").cast("double") * scale).cast("long")
+    agg = e.groupBy(label_col, "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(fixed).alias("_s")
+    )
+    return agg.select(
+        F.col(label_col),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("_s").cast("double") / scale) / F.col("n"), decimals).alias(
+            "centroid"
+        ),
+    )
+
+
+def label_centroids_sql(
+    table: str,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 1_000_000,
+    decimals: int = 6,
+) -> str:
+    """DuckDB twin: same fixed-point snap, same division order. ``dim``
+    is the (known) vector length; DuckDB lists are 1-indexed, the Spark
+    posexplode dim is 0-based — aligned here."""
+    elem = f"{vec_col}[CAST(i + 1 AS INT)]"
+    fixed = f"CAST(ROUND(CAST({elem} AS DOUBLE) * {scale}) AS BIGINT)"
+    return f"""
+    SELECT {label_col},
+           CAST(i AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((CAST(SUM({fixed}) AS DOUBLE) / {scale}) / COUNT(*), {decimals})
+             AS centroid
+    FROM {table} CROSS JOIN range(0, {dim}) r(i)
+    GROUP BY 1, 2
+    """
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    decimals: int = 6,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Symmetric int8 quantization per vector (the embedding-store
+    compression op): ``q[i] = round(v[i] * 127 / max|v|)``, emitted with
+    the rounded scale so consumers can dequantize. Zero vectors get
+    scale 0.0 and an all-zero code.
+
+    Pure per-row array expressions — no shuffle, no Python; 4x storage
+    cut before the vectors ever hit an index or shard writer. By
+    construction |q[i]| <= 127, so no clip branch is needed.
+    """
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    qvec = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.round(scale, decimals).alias("qscale"),
+        qvec.alias("qvec"),
+    )
+
+
+def quantize_int8_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    decimals: int = 6,
+    extra_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin (same guard, same op order; ROUND-then-CAST so the
+    engines' double->int conversion rules never see a fraction)."""
+    absmax = f"list_max(list_transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = f"CASE WHEN {absmax} > 0 THEN 127.0 / {absmax} ELSE 0.0 END"
+    qvec = (
+        f"list_transform({vec_col}, "
+        f"x -> CAST(ROUND(CAST(x AS DOUBLE) * ({scale})) AS INTEGER))"
+    )
+    extras = "".join(f"{c}, " for c in (extra_cols or []))
+    return f"""
+    SELECT {id_col}, {extras}
+           ROUND({scale}, {decimals}) AS qscale,
+           {qvec} AS qvec
+    FROM {table}
+    """

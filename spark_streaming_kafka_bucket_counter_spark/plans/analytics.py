@@ -466,3 +466,40 @@ def q_sample_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     by stable content-hash rank — one shuffle on source, one window."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return topn_per_group(docs, "doc_id", "source", 10)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-store ops: centroid training + int8 quantization
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import (  # noqa: E402
+    label_centroids,
+    label_centroids_sql,
+    quantize_int8,
+    quantize_int8_sql,
+)
+
+_EMB_DIM = 64
+
+
+@query(
+    "embedding_centroids",
+    label_centroids_sql("embeddings", "label", "embedding", _EMB_DIM),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed centroid training (the IVF/class-prototype step):
+    per-label dimension-wise means via fixed-point integer sums — one
+    partial-agg'd shuffle keyed (label, dim), kilobytes on the wire."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
+@query(
+    "embedding_quantize",
+    quantize_int8_sql("embeddings", "vec_id", "embedding", extra_cols=["label"]),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector compression with per-vector scale — pure
+    per-row array expressions, no shuffle; 4x smaller embedding store."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding", extra_cols=["label"])

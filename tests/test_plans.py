@@ -152,3 +152,18 @@ def test_topn_cap_single_shuffle(spark):
     partitioning."""
     plan = _plan(spark, "sample_topn_per_source")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_centroid_training_single_shuffle(spark):
+    """Distributed centroid training: posexplode -> partial agg -> ONE
+    exchange keyed (label, dim) -> final agg. A second exchange would
+    mean the partial combiner was lost and vectors hit the wire."""
+    plan = _plan(spark, "embedding_centroids")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_quantization_is_shuffle_free(spark):
+    """int8 quantization is a pure per-row projection."""
+    plan = _plan(spark, "embedding_quantize")
+    assert not re.findall(r"\(\d+\) Exchange", plan)

@@ -151,3 +151,44 @@ def test_topn_deterministic_across_repartition(spark):
         for r in topn_per_group(df.repartition(13), "doc_id", "source", 5).collect()
     }
     assert kept1 == kept2 and len(kept1) == 5
+
+
+# ---------------------------------------------------------------------------
+# embedding centroids / quantization
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_exact_means(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (0, [3.0, 4.0]), (1, [5.0, 0.5])],
+        "label int, embedding array<float>",
+    )
+    got = {
+        (r["label"], r["dim"]): (r["n"], r["centroid"])
+        for r in label_centroids(df, "label", "embedding").collect()
+    }
+    assert got[(0, 0)] == (2, 2.0)
+    assert got[(0, 1)] == (2, 1.0)
+    assert got[(1, 0)] == (1, 5.0)
+    assert got[(1, 1)] == (1, 0.5)
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [2.0, -4.0, 1.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (r["qscale"], r["qvec"]) for r in
+           quantize_int8(df, "vec_id", "embedding").collect()}
+    # absmax 4.0 -> scale 31.75; codes round(2*31.75)=64, -127, 32
+    assert got[1] == (31.75, [64, -127, 32])
+    assert got[2] == (0.0, [0, 0, 0])
+    assert all(-127 <= q <= 127 for q in got[1][1])
