@@ -55,6 +55,71 @@ def select_max(df: DataFrame, column: str, alias: str | None = None) -> DataFram
     return df.agg(F.max(F.col(column)).alias(alias or f"max_{column}"))
 
 
+def sliding_bucket_count(
+    df: DataFrame,
+    keys: list[str],
+    bucket_field: str,
+    window: int,
+    slide: int,
+    count_name: str = "count",
+) -> DataFrame:
+    """Count per (keys..., hopping window): the sliding-window extension
+    of the reference's tumbling-only bucket surface (SURVEY §2.11 notes
+    the reference has no sliding windows — Structured Streaming gets
+    them for free from the SAME ``F.window`` construct, so this operator
+    is streaming-ready as written).
+
+    ``window`` must be a multiple of ``slide``; every event lands in
+    exactly ``window // slide`` overlapping windows. Spark expands the
+    row to its windows *before* the aggregation, so the shuffle carries
+    (keys x window) partial counts — map-side combine absorbs the
+    ``window/slide`` fan-out and the exchange stays one hash shuffle,
+    identical in shape to the tumbling plan.
+
+    The event time is floored to whole epoch seconds before windowing so
+    engines that carry microsecond precision agree with the oracle's
+    integer arithmetic exactly.
+    """
+    if window % slide != 0:
+        raise ValueError("window must be a multiple of slide")
+    win = F.window(
+        F.col(bucket_field).cast("long").cast("timestamp"),
+        f"{window} seconds",
+        f"{slide} seconds",
+    )
+    return (
+        df.withColumn("_w", win)
+        .groupBy(*keys, F.col("_w.start").cast("long").alias("bucket_start"),
+                 F.col("_w.end").cast("long").alias("bucket_end"))
+        .agg(F.count(F.lit(1)).alias(count_name))
+    )
+
+
+def sliding_bucket_count_sql(
+    table: str,
+    keys: list[str],
+    epoch_expr: str,
+    window: int,
+    slide: int,
+    count_name: str = "count",
+) -> str:
+    """DuckDB oracle twin: explode each event to its ``window // slide``
+    hop offsets (``range``), derive the aligned window start, count.
+    An event at floored epoch e belongs to starts ``(e//slide - i)*slide``
+    for ``i in [0, window/slide)`` — always within (e - start < window),
+    matching Spark's window assignment exactly."""
+    ks = ", ".join(keys)
+    return f"""
+    SELECT {ks},
+           (({epoch_expr}) // {slide} - h.i) * {slide}            AS bucket_start,
+           (({epoch_expr}) // {slide} - h.i) * {slide} + {window} AS bucket_end,
+           COUNT(*) AS "{count_name}"
+    FROM {table}
+    CROSS JOIN (SELECT unnest(range({window // slide})) AS i) h
+    GROUP BY {", ".join(str(i + 1) for i in range(len(keys) + 2))}
+    """
+
+
 def salted_count(
     df: DataFrame,
     keys: list[str],

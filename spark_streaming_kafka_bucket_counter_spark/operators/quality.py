@@ -239,3 +239,88 @@ def decontaminate_sql(
                    THEN CAST(COALESCE(agg.n_overlap, 0) AS DOUBLE) / agg.n_shingles
                    ELSE 0.0 END) >= {min_overlap_frac} AS contaminated
       FROM {corpus_cte} c LEFT JOIN agg USING ({id_col}))"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus unigram-LM scoring (the CCNet-style statistical quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean negative log2-probability under the corpus's own
+    unigram language model — the cheap statistical stand-in for the
+    KenLM-perplexity quality signal (CCNet, arXiv:1911.00359): documents
+    of improbable tokens score high, boilerplate scores low.
+
+    Returns ``(id, n_tokens, nll_bits)`` where
+    ``nll_bits = -(1/n) * sum log2(cnt(token)/T) = log2(T) - (1/n) * sum
+    log2(cnt)`` with T = corpus token total.
+
+    Cross-engine determinism: the per-token ``log2(cnt)`` terms are
+    fixed-pointed to nano-bits (``ROUND(log2(cnt) * 1e9)`` as BIGINT) on
+    the *vocabulary* table (one row per distinct token), so the per-doc
+    aggregation is an exact integer SUM — no accumulation-order noise.
+    The only double ops are one log2 per vocab entry, one log2(T), and
+    the final divide, all rounded to 6 dp.
+
+    Scale shape: explode -> vocab groupBy (shuffle on token, map-side
+    partials) -> occ x vocab join (AQE broadcasts the vocab when it
+    fits — natural-language vocabularies are tiny next to the corpus)
+    -> one groupBy(doc). The corpus is never shuffled on anything wider
+    than (token | doc id); T rides a 1-row broadcast cross join.
+    """
+    occ = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    vocab = occ.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    vocab = vocab.select(
+        "_tok",
+        "_cnt",
+        F.round(F.log2("_cnt") * F.lit(1e9)).cast("long").alias("_lp9"),
+    )
+    total = vocab.agg(F.sum("_cnt").cast("double").alias("_T"))
+    per_doc = (
+        occ.join(vocab.select("_tok", "_lp9"), "_tok")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lp9").alias("_s9"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.round(
+                    F.log2("_T") - (F.col("_s9") / F.lit(1e9)) / F.col("n_tokens"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nll_bits"),
+        )
+    )
+
+
+def unigram_logprob_sql(corpus_cte: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin: identical vocab fixed-pointing (nano-bit BIGINTs),
+    identical final rounding. Emits a ``unigram`` CTE chain; select from
+    ``unigram``."""
+    tok = tokens_sql(text_col)
+    return f"""
+    occ AS (SELECT {id_col}, unnest({tok}) AS _tok FROM {corpus_cte}),
+    vocab AS (SELECT _tok, COUNT(*) AS _cnt,
+                     CAST(ROUND(log2(COUNT(*)) * 1e9) AS BIGINT) AS _lp9
+              FROM occ GROUP BY 1),
+    tot AS (SELECT CAST(SUM(_cnt) AS DOUBLE) AS _T FROM vocab),
+    per_doc AS (SELECT occ.{id_col}, COUNT(*) AS n_tokens,
+                       CAST(SUM(_lp9) AS BIGINT) AS _s9
+                FROM occ JOIN vocab USING (_tok) GROUP BY 1),
+    unigram AS (
+      SELECT c.{id_col},
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                  THEN ROUND(log2(tot._T) - (p._s9 / 1e9) / p.n_tokens, 6)
+                  ELSE 0.0 END AS nll_bits
+      FROM {corpus_cte} c LEFT JOIN per_doc p USING ({id_col}) CROSS JOIN tot)"""

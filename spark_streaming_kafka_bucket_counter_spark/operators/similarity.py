@@ -531,3 +531,80 @@ def quantize_int8_sql(
            {qvec} AS qvec
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe sign-bucket LSH
+# ---------------------------------------------------------------------------
+
+
+def cosine_multiprobe_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    planes: int = 8,
+) -> DataFrame:
+    """Sign-bucket LSH pairs with 1-bit multi-probe: candidates are pairs
+    whose bucket ids are EQUAL or differ in exactly one plane — the
+    standard recall lever (Lv et al., VLDB'07) that widens each query to
+    its ``planes`` neighboring buckets instead of adding hash tables.
+
+    vs :func:`cosine_near_dup_pairs` ``bucketed=True`` (exact-bucket
+    only): recall rises because near-identical vectors that straddle ONE
+    hyperplane are no longer lost; candidate volume grows ~(planes+1)x —
+    still sub-quadratic, versus the 2x-planes cost of doubling recall by
+    re-hashing.
+
+    Plan shape: the probe side explodes each row to ``planes + 1`` probe
+    keys (its own bucket + the ``planes`` one-bit flips); ONE hash
+    equi-join (probe = bucket) with the non-exploded side. A pair at
+    hamming distance 0 or 1 matches on exactly one probe key, so no
+    dedup pass is needed. Norms are computed once per row behind a
+    persist barrier (same projection-collapse guard as the bucketed
+    path).
+    """
+    from ._cache import unpersist_with
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_nrm"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).persist()
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"),
+        F.col("_nrm").alias("nrm_a"), "bucket",
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"),
+        F.col("_nrm").alias("nrm_b"), F.explode(probes).alias("bucket"),
+    )
+    out = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return unpersist_with(out, base)
+
+
+def multiprobe_sql(
+    table: str, id_col: str, bucket_expr: str, planes: int = 8
+) -> str:
+    """DuckDB twin of the probe expansion: emits ``mp_a`` (plain bucket
+    side) and ``mp_b`` (exploded probe side) CTE bodies; join
+    ``mp_a.bucket = mp_b.probe``."""
+    flips = ", ".join(f"xor(bucket, {1 << i})" for i in range(planes))
+    return f"""
+    kb AS (SELECT {id_col}, v, CAST({bucket_expr} AS BIGINT) AS bucket FROM {table}),
+    mp_b AS (SELECT {id_col}, v, unnest([bucket, {flips}]) AS probe FROM kb)"""

@@ -503,3 +503,241 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array expressions, no shuffle; 4x smaller embedding store."""
     emb = _t(spark, sf_dir, "embeddings")
     return quantize_int8(emb, "vec_id", "embedding", extra_cols=["label"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental-snapshot dedup + tokenizer vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH base AS (SELECT DISTINCT {X.md5_fingerprint_sql('text')} AS fp
+                  FROM documents WHERE doc_id < 250),
+    incoming AS (SELECT doc_id, {X.md5_fingerprint_sql('text')} AS fingerprint
+                 FROM documents WHERE doc_id >= 250)
+    SELECT i.doc_id, i.fingerprint
+    FROM incoming i LEFT JOIN base ON i.fingerprint = base.fp
+    WHERE base.fp IS NULL
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: keep only incoming documents whose
+    content fingerprint is absent from the existing snapshot's
+    fingerprint store (here: doc_id < 250 stands in for the snapshot).
+    One anti-join on the 16-byte fingerprint — the incoming batch is
+    never shuffled on anything wider, and the snapshot side ships only
+    fingerprints, never text. AQE picks broadcast vs shuffle by the
+    snapshot index size."""
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(X.md5_fingerprint(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", X.md5_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return incoming.join(base, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+_VOCAB_K = 100
+
+
+@query(
+    "text_oov_rate",
+    f"""
+    WITH {_DOC_TOKENS},
+    df AS (SELECT token, COUNT(*) AS n_docs FROM dtok GROUP BY 1),
+    vocab AS (SELECT token FROM df
+              ORDER BY n_docs DESC, token LIMIT {_VOCAB_K}),
+    occ AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+    hits AS (SELECT occ.doc_id,
+                    COUNT(*) AS n_tokens,
+                    COALESCE(SUM(CASE WHEN vocab.token IS NOT NULL THEN 1 END), 0)
+                      AS in_vocab
+             FROM occ LEFT JOIN vocab USING (token) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(h.in_vocab, 0) AS BIGINT) AS in_vocab,
+           CASE WHEN COALESCE(h.n_tokens, 0) > 0
+                THEN CAST(h.n_tokens - h.in_vocab AS DOUBLE) / h.n_tokens
+                ELSE 0.0 END AS oov_rate
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    rate against the corpus top-100 document-frequency vocabulary.
+    The vocab is two small aggs (token cardinality) ending in a 100-row
+    broadcast; the corpus pays one explode + one groupBy(doc_id). The
+    rate is a single division of exact ints."""
+    docs = _t(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token")
+    )
+    vocab = (
+        dtok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("token"))
+        .limit(_VOCAB_K)
+        .select("token")
+    )
+    occ = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    hits = (
+        occ.join(F.broadcast(vocab.withColumn("_v", F.lit(1))), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(F.sum("_v"), F.lit(0)).alias("in_vocab"),
+        )
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("in_vocab"), F.lit(0)).cast("long").alias("in_vocab"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            (F.col("n_tokens") - F.col("in_vocab")).cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows, interval range join, unigram-LM scoring
+# ---------------------------------------------------------------------------
+
+from ..operators.count import (  # noqa: E402
+    sliding_bucket_count,
+    sliding_bucket_count_sql,
+)
+from ..operators.quality import unigram_logprob, unigram_logprob_sql  # noqa: E402
+from ..operators.ranges import (  # noqa: E402
+    interval_count_join_sql,
+    interval_count_prefix,
+)
+
+_SLIDE_WIN, _SLIDE_STEP = 60, 20
+
+
+@query(
+    "bucket_count_sliding",
+    sliding_bucket_count_sql(
+        "events", ["event_type"], _DUCK_EPOCH.format(col="ts"), _SLIDE_WIN, _SLIDE_STEP
+    ),
+)
+def q_bucket_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window event counts (60s window, 20s slide) — the sliding
+    extension of the reference's tumbling-only bucket surface, built on
+    the same `F.window` construct Structured Streaming uses, so the plan
+    is streaming-ready verbatim."""
+    return sliding_bucket_count(
+        _t(spark, sf_dir, "events"),
+        keys=["event_type"],
+        bucket_field="ts",
+        window=_SLIDE_WIN,
+        slide=_SLIDE_STEP,
+    )
+
+
+_SHIP_WINDOW = 36 * 3600  # [o_orderdate, +36h)
+
+
+def _ntz_epoch(col: F.Column) -> F.Column:
+    """Epoch seconds of a TIMESTAMP_NTZ column, timezone-free: built from
+    date + time-of-day fields, so it matches DuckDB's ``epoch()`` of the
+    same naive value under ANY driver session timezone (a plain
+    ``cast(timestamp_ntz as long)`` is rejected by Spark, and routing
+    through TIMESTAMP_LTZ would shift by the session zone)."""
+    return (
+        F.unix_date(col.cast("date")) * F.lit(86400)
+        + F.hour(col) * F.lit(3600)
+        + F.minute(col) * F.lit(60)
+        + F.second(col)
+    ).cast("long")
+
+
+@query(
+    "range_join_ship_activity",
+    f"""
+    WITH iv AS (SELECT o_orderkey,
+                       {_DUCK_EPOCH.format(col='o_orderdate')} AS w_start,
+                       {_DUCK_EPOCH.format(col='o_orderdate')} + {_SHIP_WINDOW} AS w_end
+                FROM orders),
+    pts AS (SELECT {_DUCK_EPOCH.format(col='l_shipdate')} AS ship_e FROM lineitem)
+    {interval_count_join_sql('iv', 'pts', 'w_start', 'w_end', 'ship_e',
+                             ['o_orderkey'], 'n_shipments')}
+    """,
+)
+def q_range_join_ship_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-point range count: per order, fleet-wide shipment count
+    in the 36h window after the order date. Prefix-sum path — C(e)-C(s)
+    over one bucket-partitioned window, no candidate-pair
+    materialization (10x+ the bucketed pair join on dense windows)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _ntz_epoch(F.col("o_orderdate")).alias("w_start"),
+        (_ntz_epoch(F.col("o_orderdate")) + _SHIP_WINDOW).alias("w_end"),
+    )
+    ships = _t(spark, sf_dir, "lineitem").select(
+        _ntz_epoch(F.col("l_shipdate")).alias("ship_e")
+    )
+    return interval_count_prefix(
+        orders,
+        ships,
+        "w_start",
+        "w_end",
+        "ship_e",
+        id_cols=["o_orderkey"],
+        bucket_width=2 * 86400,
+        count_alias="n_shipments",
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    f"""
+    WITH {unigram_logprob_sql('documents', 'doc_id', 'text')}
+    SELECT * FROM unigram
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM doc scoring (CCNet-style perplexity stand-in):
+    mean per-token -log2 p(token) under the corpus's own unigram model,
+    fixed-pointed per vocab entry so the doc aggregation is an exact
+    integer sum."""
+    return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (the recall lever on the sign-bucket scale path)
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import cosine_multiprobe_pairs, multiprobe_sql  # noqa: E402
+from .extensions import _BUCKET_SQL, _COSINE_AB, _EMB_DOUBLE  # noqa: E402
+
+
+@query(
+    "sim_lsh_multiprobe",
+    f"""
+    WITH {_EMB_DOUBLE},
+    {multiprobe_sql('e', 'vec_id', _BUCKET_SQL, 8)}
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_AB} AS cosine
+      FROM kb a JOIN mp_b b ON a.bucket = b.probe AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit multi-probe sign-bucket LSH pairs (cosine >= 0.3): recall
+    beyond exact-bucket LSH — pairs straddling one hyperplane are kept —
+    at ~(planes+1)x candidate cost, still one hash equi-join."""
+    return cosine_multiprobe_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.3, planes=8,
+    )

@@ -548,6 +548,36 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_exists_anti",
+    """
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND EXISTS     (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_sql_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated [NOT] EXISTS through the SQL surface: customers with
+    orders but none in status 'F'. Catalyst decorrelates both subqueries
+    into left-semi + left-anti hash joins on o_custkey — no per-row
+    subquery execution, the shape that survives 100 TB."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          AND EXISTS     (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        """
+    )
+
+
 # A1 under synthetic skew: the salted two-stage variant must produce the
 # exact same totals as the plain groupBy (the oracle never sees the salt).
 @query(

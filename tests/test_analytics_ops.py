@@ -165,3 +165,131 @@ def test_kmv_exact_below_k(spark):
     n_kept, est = got["b"]
     assert n_kept == 64
     assert 100 <= est <= 400  # unbiased-ish estimate of 200 within 2x
+
+
+# ---------------------------------------------------------------------------
+# Interval-point range join (operators/ranges.py)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+from spark_streaming_kafka_bucket_counter_spark.operators.ranges import (  # noqa: E402
+    interval_count_join,
+    interval_count_prefix,
+)
+
+_RANGE_IMPLS = [interval_count_join, interval_count_prefix]
+
+
+def _icj(impl, spark, intervals, points, width):
+    iv = spark.createDataFrame(intervals, "iid long, s long, e long")
+    pt = spark.createDataFrame([(p,) for p in points], "ts long")
+    rows = impl(
+        iv, pt, "s", "e", "ts", id_cols=["iid"], bucket_width=width, count_alias="n"
+    ).collect()
+    return {r["iid"]: r["n"] for r in rows}
+
+
+@pytest.mark.parametrize("impl", _RANGE_IMPLS)
+def test_interval_count_boundaries_and_zeroes(spark, impl):
+    # [10, 20): 10 in, 19 in, 20 out; [0, 5): empty but KEPT with 0;
+    # [30, 30): degenerate, kept with 0; bucket width forces straddling
+    got = _icj(
+        impl,
+        spark,
+        [(1, 10, 20), (2, 0, 5), (3, 30, 30)],
+        [9, 10, 15, 19, 20, 25],
+        width=7,  # [10,20) straddles buckets 1..2
+    )
+    assert got == {1: 3, 2: 0, 3: 0}
+
+
+@pytest.mark.parametrize("impl", _RANGE_IMPLS)
+def test_interval_count_each_point_once_across_buckets(spark, impl):
+    # interval spanning many buckets: every in-range point counted exactly once
+    got = _icj(impl, spark, [(1, 0, 100)], list(range(0, 120, 10)), width=8)
+    assert got == {1: 10}
+
+
+@pytest.mark.parametrize("impl", _RANGE_IMPLS)
+def test_interval_count_overlapping_intervals_independent(spark, impl):
+    got = _icj(impl, spark, [(1, 0, 50), (2, 25, 75)], [10, 30, 40, 60], width=50)
+    assert got == {1: 3, 2: 3}
+
+
+@pytest.mark.parametrize("impl", _RANGE_IMPLS)
+def test_interval_count_out_of_range_and_empty_points(spark, impl):
+    # intervals entirely before / after all points, and straddling the edge
+    got = _icj(
+        impl,
+        spark,
+        [(1, 0, 10), (2, 900, 950), (3, 95, 205)],
+        [100, 150, 200],
+        width=30,
+    )
+    assert got == {1: 0, 2: 0, 3: 3}
+    # no points at all
+    got = _icj(impl, spark, [(1, 0, 10)], [], width=30)
+    assert got == {1: 0}
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window counts (operators/count.py)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+from spark_streaming_kafka_bucket_counter_spark.operators.count import (  # noqa: E402
+    sliding_bucket_count,
+)
+
+
+def test_sliding_bucket_count_membership(spark):
+    # one event at t=65 with window 60 slide 20 -> exactly 3 windows:
+    # starts 20, 40, 60 (start <= 65 < start + 60, start % 20 == 0)
+    df = spark.createDataFrame([(65, "a")], "ts long, k string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sliding_bucket_count(df, ["k"], "ts", window=60, slide=20).collect()
+    got = {(r["bucket_start"], r["bucket_end"], r["count"]) for r in rows}
+    assert got == {(20, 80, 1), (40, 100, 1), (60, 120, 1)}
+
+
+def test_sliding_bucket_count_aggregates_within_window(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (5, "a"), (25, "a"), (5, "b")], "ts long, k string"
+    )
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sliding_bucket_count(df, ["k"], "ts", window=40, slide=20).collect()
+    got = {(r["k"], r["bucket_start"], r["count"]) for r in rows}
+    # window starting at 0 holds a@0, a@5, a@25 and b@5
+    assert ("a", 0, 3) in got and ("b", 0, 1) in got
+    # window starting at 20 holds only a@25
+    assert ("a", 20, 1) in got and ("b", 20, 1) not in got
+
+
+def test_sliding_bucket_count_rejects_misaligned_slide(spark):
+    df = spark.createDataFrame([(0, "a")], "ts long, k string")
+    with pytest.raises(ValueError):
+        sliding_bucket_count(df, ["k"], "ts", window=50, slide=20)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+from spark_streaming_kafka_bucket_counter_spark.operators.quality import (  # noqa: E402
+    unigram_logprob,
+)
+
+
+def test_unigram_logprob_hand_check(spark):
+    # corpus: "x x x y" -> T=4, cnt(x)=3, cnt(y)=1
+    # doc 1 = "x x x": nll = log2(4) - log2(3) = 2 - 1.584962...
+    # doc 2 = "y":     nll = log2(4) - log2(1) = 2.0
+    import math
+
+    df = spark.createDataFrame([(1, "x x x"), (2, "y")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 1
+    assert rows[2]["nll_bits"] == 2.0
+    assert abs(rows[1]["nll_bits"] - (2 - math.log2(3))) < 1e-6

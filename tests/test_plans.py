@@ -167,3 +167,35 @@ def test_quantization_is_shuffle_free(spark):
     """int8 quantization is a pure per-row projection."""
     plan = _plan(spark, "embedding_quantize")
     assert not re.findall(r"\(\d+\) Exchange", plan)
+
+
+def test_sliding_count_single_shuffle(spark):
+    """Hopping windows must keep the tumbling plan's shape: window
+    expansion happens map-side BEFORE the partial aggregate, so exactly
+    one Exchange (the final hash shuffle) appears."""
+    plan = _plan(spark, "bucket_count_sliding")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_range_join_never_plans_pairwise_nested_loop(spark):
+    """The prefix-sum range count may only use nested-loop joins for
+    1-row broadcast scalars (the bucket-range metadata cross join) —
+    never a cartesian of intervals x points, and no row-at-a-time
+    Python."""
+    plan = _plan(spark, "range_join_ship_activity")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the window pass partitioned by time bucket is the core of the
+    # prefix construction — it must survive optimization
+    assert "Window" in plan
+
+
+def test_multiprobe_is_single_equijoin_no_dedup(spark):
+    """Multi-probe LSH: one equi-join on (bucket = probe); pairs match
+    exactly one probe key so no distinct/dedup aggregation may appear
+    after the join."""
+    plan = _plan(spark, "sim_lsh_multiprobe")
+    assert "CartesianProduct" not in plan
+    joins = re.findall(r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    assert len(joins) == 1, plan

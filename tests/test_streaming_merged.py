@@ -137,3 +137,40 @@ def test_iso_string_buckets(spark):
     row = with_bucket_iso_strings(df, "ts", 20).collect()[0]
     assert row["bucket_start_iso"] == "2015-08-21T17:44:40.000000Z"
     assert row["bucket_end_iso"] == "2015-08-21T17:45:00.000000Z"
+
+
+def test_sliding_count_streaming_batch_parity(spark, tmp_path):
+    """sliding_bucket_count is built on the exact F.window construct
+    Structured Streaming implements hopping windows with — drive it
+    through a real availableNow file stream (complete mode) and require
+    bit-identical results to the batch plan."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.count import (
+        sliding_bucket_count,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(300).select("event_type", "ts")
+    src = tmp_path / "slide_src"
+    events.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        sliding_bucket_count(stream, ["event_type"], "ts", window=60, slide=20)
+        .writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain in time"
+
+    got = sorted(map(tuple, spark.sql("SELECT * FROM slide_test").collect()))
+    want = sorted(
+        map(
+            tuple,
+            sliding_bucket_count(
+                events, ["event_type"], "ts", window=60, slide=20
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
