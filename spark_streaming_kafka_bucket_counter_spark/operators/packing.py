@@ -107,3 +107,77 @@ def pack_documents_sql(
            CAST((cum - n_tokens) // {budget} AS BIGINT) AS pack_id
     FROM packed
     """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed token windows with overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token-window chunks —
+    the RAG/pretraining chunker: ``(id, chunk_idx, n_tokens,
+    chunk_text)``, one row per chunk.
+
+    Chunk starts step by ``chunk_tokens - overlap``; every start < the
+    document's token count emits a chunk (the final one may be short).
+    Zero-token documents emit no chunks.
+
+    Scale shape: pure per-row array expressions (tokenize once, shifted
+    ``slice`` windows, one ``posexplode``) — NO shuffle, codegen'd,
+    embarrassingly parallel; output row count is input tokens /
+    step. The same construction as ``shingles()`` but with stride.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    from ..functions.text import tokens
+
+    tok = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), tok.alias("_tok")).withColumn(
+        "_n", F.size("_tok")
+    )
+    starts = F.when(
+        F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("_tok", s + 1, chunk_tokens))
+        ).alias("chunk_idx", "_chunk"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> str:
+    """DuckDB twin: same stride/slice recipe (1-based inclusive
+    ``list_slice`` bounds mirror Spark's ``slice(start, length)``)."""
+    from ..functions.text import tokens_sql
+
+    step = chunk_tokens - overlap
+    tok = tokens_sql(text_col)
+    return f"""
+    SELECT {id_col},
+           CAST(s // {step} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(_tok, s + 1, s + {chunk_tokens})) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(_tok, s + 1, s + {chunk_tokens}), ' ') AS chunk_text
+    FROM (SELECT {id_col}, {tok} AS _tok FROM {table}),
+         LATERAL (SELECT unnest(range(0, greatest(len(_tok), 0), {step})) AS s) st
+    """

@@ -1,0 +1,124 @@
+"""Lexical search scoring: BM25 top-k over the corpus for a fixed query
+term set — the retrieval primitive next to the embedding ANN operators
+(hybrid search = this + ``sim_*``).
+
+Scale shape: the corpus pays ONE tokenize projection; the explode is
+filtered to the query terms *before* any shuffle (predicate on the
+exploded token — Catalyst pushes it into the generate), so the shuffled
+volume is only rows containing query terms. Document length (dl) rides
+the same projection; corpus-level stats (N, sum dl) and per-term doc
+frequencies are 1-row / |terms|-row broadcasts. Final ranking is one
+window over the matched-doc set.
+
+Cross-engine determinism (the repo's standard recipe): each (doc, term)
+BM25 contribution is fixed-pointed to nano-units (``ROUND(w * 1e9)`` as
+BIGINT) so the per-doc sum is an exact integer — no accumulation-order
+noise; ranking ties break on the integer score then doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, tokens_sql
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` documents for ``query_terms`` under BM25
+    (Robertson always-positive idf: ``ln((N - df + .5)/(df + .5) + 1)``):
+    ``(id, score, rank)``; only documents matching >= 1 term rank.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).select(
+        F.col(id_col), F.col("_tok"), F.size("_tok").alias("_dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl")
+    )
+    tf = (
+        docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("_t"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy(id_col, "_dl", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    avgdl = F.col("_sumdl").cast("double") / F.col("_N")
+    w = (
+        idf
+        * (F.col("_tf") * (k1 + 1.0))
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(w * F.lit(1e9)).cast("long").alias("_w9"))
+    )
+    per_doc = scored.groupBy(id_col).agg(F.sum("_w9").alias("_s9"))
+    # top-k via global sort+limit: Spark plans TakeOrderedAndProject
+    # (per-partition heaps merged on the driver — distributed), instead
+    # of a global row_number window whose single ORDER BY partition
+    # would funnel every matched document through one task at scale.
+    # The rank column is then a window over just top_k rows.
+    topk = per_doc.orderBy(F.col("_s9").desc(), F.col(id_col)).limit(top_k)
+    rk = Window.orderBy(F.col("_s9").desc(), F.col(id_col))
+    return (
+        topk.withColumn("rank", F.row_number().over(rk))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_s9") / F.lit(1e9), 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin: identical idf/tf math, identical nano-unit fixed
+    pointing and tie-break order."""
+    terms = sorted({t.lower() for t in query_terms})
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tok = tokens_sql(text_col)
+    return f"""
+    WITH d AS (SELECT {id_col}, {tok} AS _tok FROM {table}),
+    dl AS (SELECT {id_col}, _tok, len(_tok) AS _dl FROM d),
+    stats AS (SELECT COUNT(*) AS _N, SUM(_dl) AS _sumdl FROM dl),
+    tf AS (SELECT {id_col}, _dl, _t, COUNT(*) AS _tf
+           FROM (SELECT {id_col}, _dl, unnest(_tok) AS _t FROM dl)
+           WHERE _t IN ({tlist})
+           GROUP BY 1, 2, 3),
+    dfreq AS (SELECT _t, COUNT(*) AS _df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.{id_col},
+             CAST(ROUND(
+               ln((_N - _df + 0.5) / (_df + 0.5) + 1.0)
+               * (_tf * ({k1} + 1.0))
+               / (_tf + {k1} * (1.0 - {b} + {b} * _dl / (CAST(_sumdl AS DOUBLE) / _N)))
+               * 1e9) AS BIGINT) AS _w9
+      FROM tf JOIN dfreq USING (_t) CROSS JOIN stats),
+    per_doc AS (SELECT {id_col}, CAST(SUM(_w9) AS BIGINT) AS _s9
+                FROM scored GROUP BY 1),
+    ranked AS (SELECT {id_col}, _s9,
+                      row_number() OVER (ORDER BY _s9 DESC, {id_col}) AS rank
+               FROM per_doc)
+    SELECT {id_col}, ROUND(_s9 / 1e9, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {top_k}
+    """

@@ -741,3 +741,39 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.3, planes=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking + BM25 lexical search
+# ---------------------------------------------------------------------------
+
+from ..operators.packing import chunk_documents, chunk_documents_sql  # noqa: E402
+from ..operators.search import bm25_topk, bm25_topk_sql  # noqa: E402
+
+_CHUNK, _OVERLAP = 64, 16
+_BM25_QUERY = ["spark", "stream", "window", "join"]
+
+
+@query(
+    "text_chunks",
+    chunk_documents_sql("documents", "doc_id", "text", _CHUNK, _OVERLAP),
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunker: overlapping 64-token windows (stride 48)
+    per document — pure per-row array expressions, zero shuffle."""
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", _CHUNK, _OVERLAP
+    )
+
+
+@query(
+    "search_bm25_topk",
+    bm25_topk_sql("documents", "doc_id", "text", _BM25_QUERY, top_k=20),
+)
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 4-term query: explode filtered to query
+    terms before any shuffle; corpus stats and per-term doc frequencies
+    ride broadcasts; nano-unit fixed-point per-term contributions."""
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", _BM25_QUERY, top_k=20
+    )

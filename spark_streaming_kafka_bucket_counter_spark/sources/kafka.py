@@ -86,19 +86,25 @@ def avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
     return avro_decode_df(df, avro_schema_json, value_col="value")
 
 
+def count_json_payload(df: DataFrame) -> DataFrame:
+    """P12: serialize count rows to the Kafka ``value`` JSON payload.
+
+    The reference spliced ``"count"`` into the JSON key string
+    (combine_count_json, main.py:175-187 — corrupting non-dict payloads);
+    ``to_json(struct(*))`` serializes the real columns instead. Batch and
+    streaming share this projection (it is the writer's only transform),
+    so the broker-free unit test pins the exact wire bytes."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
 def kafka_sink_writer(
     df: DataFrame,
     brokers: str,
     topic: str,
     checkpoint_dir: str,
 ):
-    """K2: count rows -> JSON -> Kafka producer sink (main.py:342-371).
-
-    The reference spliced ``"count"`` into the JSON key string
-    (combine_count_json, main.py:175-187 — corrupting non-dict payloads);
-    ``to_json(struct(*))`` serializes the real columns instead.
-    """
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    """K2: count rows -> JSON -> Kafka producer sink (main.py:342-371)."""
+    payload = count_json_payload(df)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

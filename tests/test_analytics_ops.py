@@ -293,3 +293,74 @@ def test_unigram_logprob_hand_check(spark):
     assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 1
     assert rows[2]["nll_bits"] == 2.0
     assert abs(rows[1]["nll_bits"] - (2 - math.log2(3))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+from spark_streaming_kafka_bucket_counter_spark.operators.packing import (  # noqa: E402
+    chunk_documents,
+)
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    # 10 tokens, chunk 4, overlap 2 -> stride 2: starts 0,2,4,6,8
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", 4, 2).collect()
+    )
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0] == (0, 4, "t0 t1 t2 t3")
+    assert rows[1][2] == "t2 t3 t4 t5"  # overlap of 2 with previous
+    assert rows[4] == (4, 2, "t8 t9")  # short tail kept
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, "doc_id", "text", 8, 2).collect()
+    got = {(r["doc_id"], r["chunk_idx"], r["n_tokens"]) for r in rows}
+    # doc 1: one short chunk; docs 2/3 (no tokens): no chunks
+    assert got == {(1, 0, 3)}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# BM25 (operators/search.py)
+# ---------------------------------------------------------------------------
+
+from spark_streaming_kafka_bucket_counter_spark.operators.search import bm25_topk  # noqa: E402
+
+
+def test_bm25_ranks_term_matches_first(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),      # 2x apple
+            (2, "apple cherry"),            # 1x apple
+            (3, "banana cherry date"),      # no query terms
+            (4, "apple apple apple apple"), # 4x apple, longer repeats
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, "doc_id", "text", ["apple"], top_k=10).collect()
+    by_rank = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert 3 not in {r["doc_id"] for r in rows}  # non-matching doc absent
+    assert by_rank[0] == 4 and set(by_rank) == {1, 2, 4}
+    # hand-check doc 2's score: N=4, df=3, idf=ln((4-3+.5)/(3+.5)+1)
+    # tf=1, dl=2, avgdl=12/4=3 -> w = idf*(1*2.2)/(1+1.2*(1-.75+.75*2/3))
+    idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1)
+    w = idf * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 3))
+    d2 = next(r for r in rows if r["doc_id"] == 2)
+    assert abs(d2["score"] - w) < 1e-6

@@ -80,3 +80,28 @@ def test_merge_sql_shape():
     # ANSI: SET names the target column unqualified (Derby/Postgres
     # reject the MySQL-style qualified target)
     assert "UPDATE SET count = t.count + s.count" in sql
+
+
+def test_count_json_payload_wire_format(spark):
+    """P12: the Kafka sink's only transform — count rows serialized to a
+    single string `value` column whose JSON carries the REAL columns
+    (the reference's string-splice bug is intentionally not replicated)."""
+    import json
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.kafka import (
+        count_json_payload,
+    )
+
+    df = spark.createDataFrame(
+        [("click", 100, 120, 7)],
+        "event_type string, bucket_start long, bucket_end long, count long",
+    )
+    out = count_json_payload(df)
+    assert out.columns == ["value"]
+    assert dict(out.dtypes)["value"] == "string"
+    assert json.loads(out.collect()[0]["value"]) == {
+        "event_type": "click",
+        "bucket_start": 100,
+        "bucket_end": 120,
+        "count": 7,
+    }

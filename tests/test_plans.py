@@ -199,3 +199,18 @@ def test_multiprobe_is_single_equijoin_no_dedup(spark):
     assert "CartesianProduct" not in plan
     joins = re.findall(r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
     assert len(joins) == 1, plan
+
+
+def test_chunker_is_shuffle_free(spark):
+    """Document chunking is a pure per-row projection (tokenize ->
+    strided slices -> posexplode): any Exchange is a regression."""
+    plan = _plan(spark, "text_chunks")
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+
+
+def test_bm25_topk_avoids_global_window_sort(spark):
+    """BM25 ranking must plan as TakeOrderedAndProject (distributed
+    per-partition heaps), never a single-partition global-sort window
+    over all matched documents."""
+    plan = _plan(spark, "search_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
