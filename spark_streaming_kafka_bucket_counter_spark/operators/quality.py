@@ -324,3 +324,92 @@ def unigram_logprob_sql(corpus_cte: str, id_col: str, text_col: str) -> str:
                   THEN ROUND(log2(tot._T) - (p._s9 / 1e9) / p.n_tokens, 6)
                   ELSE 0.0 END AS nll_bits
       FROM {corpus_cte} c LEFT JOIN per_doc p USING ({id_col}) CROSS JOIN tot)"""
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate (the keep/drop decision with reasons)
+# ---------------------------------------------------------------------------
+
+# (flag-name, bit) in wire order — the bitmask is part of the contract
+GATE_RULES = (
+    "too_short",      # n_tokens < min_tokens
+    "too_long",       # n_tokens > max_tokens
+    "low_diversity",  # uniq_ratio < min_uniq_ratio
+    "repetitive",     # dup_bigram_frac > max_dup_bigram_frac
+)
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    min_uniq_ratio: float = 0.35,
+    max_dup_bigram_frac: float = 0.40,
+) -> DataFrame:
+    """The curation keep/drop decision: every document, with per-rule
+    boolean flags, a stable ``reason_flags`` bitmask (bit i =
+    ``GATE_RULES[i]``), and ``keep`` = no rule fired — the auditable form
+    real pipelines need (why was this dropped?), not a bare filter.
+
+    Pure per-row projection over exact-integer signals (token counts,
+    single-division ratios): zero shuffle, codegen, scan-bound. Compose
+    with ``.filter(F.col('keep'))`` for the destructive form.
+    """
+    tok = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn("_tok", tok)
+    n_tokens = F.size("_tok")
+    uniq_ratio = F.size(F.array_distinct("_tok")).cast("double") / n_tokens
+    dup_bi = dup_ngram_frac(F.col("_tok"), 2)
+    flags = {
+        "too_short": n_tokens < min_tokens,
+        "too_long": n_tokens > max_tokens,
+        "low_diversity": (n_tokens > 0) & (uniq_ratio < min_uniq_ratio),
+        "repetitive": dup_bi > max_dup_bigram_frac,
+    }
+    mask = None
+    for i, name in enumerate(GATE_RULES):
+        bit = F.when(flags[name], F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    return base.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        *[flags[name].alias(name) for name in GATE_RULES],
+        mask.cast("long").alias("reason_flags"),
+        (mask == 0).alias("keep"),
+    )
+
+
+def quality_gate_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    min_uniq_ratio: float = 0.35,
+    max_dup_bigram_frac: float = 0.40,
+) -> str:
+    """DuckDB twin: same rules, same bit order, same constants."""
+    tok = tokens_sql(text_col)
+    flags = {
+        "too_short": f"len(_tok) < {min_tokens}",
+        "too_long": f"len(_tok) > {max_tokens}",
+        "low_diversity": (
+            f"(len(_tok) > 0 AND CAST(len(list_distinct(_tok)) AS DOUBLE) / len(_tok) < {min_uniq_ratio})"
+        ),
+        "repetitive": f"{dup_ngram_frac_sql('_tok', 2)} > {max_dup_bigram_frac}",
+    }
+    mask = " + ".join(
+        f"(CASE WHEN {flags[name]} THEN {1 << i} ELSE 0 END)"
+        for i, name in enumerate(GATE_RULES)
+    )
+    flag_cols = ", ".join(f"{expr} AS {name}" for name, expr in flags.items())
+    return f"""
+    SELECT {id_col},
+           CAST(len(_tok) AS BIGINT) AS n_tokens,
+           {flag_cols},
+           CAST({mask} AS BIGINT) AS reason_flags,
+           ({mask}) = 0 AS keep
+    FROM (SELECT {id_col}, {tok} AS _tok FROM {table})
+    """

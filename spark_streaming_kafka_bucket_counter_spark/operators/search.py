@@ -122,3 +122,49 @@ def bm25_topk_sql(
     SELECT {id_col}, ROUND(_s9 / 1e9, 6) AS score, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (RRF)
+# ---------------------------------------------------------------------------
+
+
+def hybrid_rrf(
+    lex: DataFrame,
+    sem: DataFrame,
+    id_col: str,
+    k: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists (the standard
+    hybrid-search combiner): ``score = sum over systems of
+    1 / (k + rank)``, documents present in only one list keep that
+    system's term alone.
+
+    ``lex`` / ``sem`` each expose ``(id_col, rank)``. Determinism: the
+    score is a fixed two-term sum of doubles (identical evaluation order
+    in both engines), rounded to 6 dp on output; ties break on id.
+    Ranked-list sizes are top-k-bounded upstream, so the fusion join is
+    over two small sets — at corpus scale the heavy lifting stays in the
+    per-system retrieval operators.
+    """
+    a = lex.select(F.col(id_col), F.col("rank").alias("_rl"))
+    b = sem.select(F.col(id_col), F.col("rank").alias("_rs"))
+    fused = a.join(b, id_col, "full_outer").select(
+        F.col(id_col),
+        (
+            F.coalesce(1.0 / (F.lit(k) + F.col("_rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("_rs")), F.lit(0.0))
+        ).alias("_score"),
+        F.col("_rl").alias("lex_rank"),
+        F.col("_rs").alias("sem_rank"),
+    )
+    topk = fused.orderBy(F.col("_score").desc(), F.col(id_col)).limit(top_k)
+    rk = Window.orderBy(F.col("_score").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(rk)).select(
+        F.col(id_col),
+        F.round("_score", 6).alias("rrf_score"),
+        "lex_rank",
+        "sem_rank",
+        F.col("rank").cast("long").alias("rank"),
+    )

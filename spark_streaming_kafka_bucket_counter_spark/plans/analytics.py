@@ -777,3 +777,72 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _t(spark, sf_dir, "documents"), "doc_id", "text", _BM25_QUERY, top_k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate
+# ---------------------------------------------------------------------------
+
+from ..operators.quality import quality_gate, quality_gate_sql  # noqa: E402
+
+
+@query("text_quality_gate", quality_gate_sql("documents", "doc_id", "text"))
+def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auditable curation keep/drop decision: per-rule flags + a
+    stable reason bitmask per document (Gopher-style length / diversity
+    / repetition rules), zero shuffle."""
+    return quality_gate(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: BM25 + embedding ANN fused with RRF
+# ---------------------------------------------------------------------------
+
+from ..operators.search import hybrid_rrf  # noqa: E402
+from ..operators.similarity import cosine_topk  # noqa: E402
+
+_RRF_K, _RRF_POOL, _RRF_TOPK = 60, 50, 20
+_QVEC_ID = 0  # the query embedding: vec_id 0 stands in for an encoded query
+
+
+@query(
+    "search_hybrid_rrf",
+    f"""
+    WITH lex AS ({bm25_topk_sql('documents', 'doc_id', 'text', _BM25_QUERY,
+                                top_k=_RRF_POOL)}),
+    {_EMB_DOUBLE},
+    sem AS (
+      SELECT cand_id AS doc_id, rank FROM (
+        SELECT a.vec_id AS cand_id, {_COSINE_AB} AS cosine,
+               row_number() OVER (ORDER BY {_COSINE_AB} DESC, a.vec_id) AS rank
+        FROM e a JOIN e b ON b.vec_id = {_QVEC_ID} AND a.vec_id <> b.vec_id
+      ) WHERE rank <= {_RRF_POOL}),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             COALESCE(1.0 / ({_RRF_K} + lex.rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + sem.rank), 0.0) AS _score,
+             lex.rank AS lex_rank, sem.rank AS sem_rank
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+    ranked AS (
+      SELECT doc_id, _score, lex_rank, sem_rank,
+             row_number() OVER (ORDER BY _score DESC, doc_id) AS rank
+      FROM fused)
+    SELECT doc_id, ROUND(_score, 6) AS rrf_score, lex_rank, sem_rank,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_RRF_TOPK}
+    """,
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with embedding cosine
+    top-50 (query = vec_id 0) by reciprocal-rank fusion, final top-20.
+    The two retrieval legs run independently (each with its own
+    scale-safe plan); fusion joins two 50-row lists."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "doc_id", "text", _BM25_QUERY, top_k=_RRF_POOL)
+    sem = cosine_topk(
+        emb, "vec_id", "embedding",
+        query_df=emb.filter(F.col("vec_id") == _QVEC_ID),
+        top_k=_RRF_POOL,
+    ).select(F.col("cand_id").alias("doc_id"), "rank")
+    return hybrid_rrf(lex, sem, "doc_id", k=_RRF_K, top_k=_RRF_TOPK)

@@ -364,3 +364,18 @@ def test_bm25_ranks_term_matches_first(spark):
     w = idf * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 3))
     d2 = next(r for r in rows if r["doc_id"] == 2)
     assert abs(d2["score"] - w) < 1e-6
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import hybrid_rrf
+
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    rows = {r["doc_id"]: r for r in hybrid_rrf(lex, sem, "doc_id", k=10, top_k=10).collect()}
+    # doc 2 in both lists: 1/12 + 1/11; docs 1 and 3 single-system
+    assert abs(rows[2]["rrf_score"] - (1 / 12 + 1 / 11)) < 1e-6
+    assert abs(rows[1]["rrf_score"] - 1 / 11) < 1e-6
+    assert abs(rows[3]["rrf_score"] - 1 / 12) < 1e-6
+    assert rows[2]["rank"] == 1                      # both systems -> top
+    assert rows[1]["rank"] == 2 and rows[3]["rank"] == 3  # 1/11 > 1/12
+    assert rows[1]["sem_rank"] is None and rows[3]["lex_rank"] is None

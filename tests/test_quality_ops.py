@@ -192,3 +192,36 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert got[1] == (31.75, [64, -127, 32])
     assert got[2] == (0.0, [0, 0, 0])
     assert all(-127 <= q <= 127 for q in got[1][1])
+
+
+def test_quality_gate_flags_and_bitmask(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.quality import (
+        GATE_RULES,
+        quality_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),          # clean (5 >= min 3)
+            (2, "hi"),                                       # too short
+            (3, "spam spam spam spam spam spam spam spam"),  # low diversity + repetitive
+            (4, ""),                                         # empty: too_short only
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_gate(
+            docs, "doc_id", "text",
+            min_tokens=3, max_tokens=100,
+            min_uniq_ratio=0.5, max_dup_bigram_frac=0.5,
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["reason_flags"] == 0
+    assert out[2]["too_short"] and out[2]["reason_flags"] == 1
+    # doc 3: low_diversity (bit 2) + repetitive (bit 3) -> 4 + 8
+    assert not out[3]["keep"] and out[3]["reason_flags"] == 12
+    assert out[3]["low_diversity"] and out[3]["repetitive"]
+    # empty doc: zero tokens -> too_short, but NOT low_diversity (guarded)
+    assert out[4]["reason_flags"] == 1 and not out[4]["low_diversity"]
+    assert list(GATE_RULES) == ["too_short", "too_long", "low_diversity", "repetitive"]
