@@ -356,8 +356,13 @@ def quality_gate(
     Pure per-row projection over exact-integer signals (token counts,
     single-division ratios): zero shuffle, codegen, scan-bound. Compose
     with ``.filter(F.col('keep'))`` for the destructive form.
+
+    NULL text is treated as empty (``too_short`` fires): without the
+    coalesce, every rule comparison evaluates NULL, no flag fires, and a
+    null document silently passes the gate — in BOTH engines, so the
+    oracle hash can't catch it. A gate must fail closed.
     """
-    tok = tokens(F.col(text_col))
+    tok = tokens(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(F.col(id_col), F.col(text_col)).withColumn("_tok", tok)
     n_tokens = F.size("_tok")
     uniq_ratio = F.size(F.array_distinct("_tok")).cast("double") / n_tokens
@@ -390,8 +395,9 @@ def quality_gate_sql(
     min_uniq_ratio: float = 0.35,
     max_dup_bigram_frac: float = 0.40,
 ) -> str:
-    """DuckDB twin: same rules, same bit order, same constants."""
-    tok = tokens_sql(text_col)
+    """DuckDB twin: same rules, same bit order, same constants, same
+    NULL-as-empty fail-closed coalesce."""
+    tok = tokens_sql(f"COALESCE({text_col}, '')")
     flags = {
         "too_short": f"len(_tok) < {min_tokens}",
         "too_long": f"len(_tok) > {max_tokens}",

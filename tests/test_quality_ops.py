@@ -225,3 +225,14 @@ def test_quality_gate_flags_and_bitmask(spark):
     # empty doc: zero tokens -> too_short, but NOT low_diversity (guarded)
     assert out[4]["reason_flags"] == 1 and not out[4]["low_diversity"]
     assert list(GATE_RULES) == ["too_short", "too_long", "low_diversity", "repetitive"]
+
+
+def test_quality_gate_null_text_fails_closed(spark):
+    """A NULL-text document must be DROPPED (too_short), not silently
+    kept via NULL rule comparisons."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.quality import quality_gate
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = quality_gate(df, "doc_id", "text", min_tokens=3).collect()[0]
+    assert not r["keep"]
+    assert r["too_short"] and r["reason_flags"] == 1 and r["n_tokens"] == 0
