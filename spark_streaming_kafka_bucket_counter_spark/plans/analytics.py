@@ -846,3 +846,61 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=_RRF_POOL,
     ).select(F.col("cand_id").alias("doc_id"), "rank")
     return hybrid_rrf(lex, sem, "doc_id", k=_RRF_K, top_k=_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training prep: gate -> chunk -> pack
+# ---------------------------------------------------------------------------
+
+_PREP_CHUNK, _PREP_OVERLAP, _PREP_BUDGET, _PREP_SHARDS = 64, 16, 1024, 8
+_CID_BASE = 1000  # chunk key = doc_id * base + chunk_idx (chunk_idx << base)
+
+
+@query(
+    "training_prep_pipeline",
+    f"""
+    WITH kept AS (
+      SELECT doc_id FROM ({quality_gate_sql('documents', 'doc_id', 'text')})
+      WHERE keep),
+    chunks AS (
+      {chunk_documents_sql(
+          "(SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id))",
+          "doc_id", "text", _PREP_CHUNK, _PREP_OVERLAP)}),
+    cids AS (SELECT doc_id * {_CID_BASE} + chunk_idx AS cid, n_tokens FROM chunks),
+    packres AS ({pack_documents_sql('cids', 'cid', 'n_tokens',
+                                    _PREP_BUDGET, _PREP_SHARDS)})
+    SELECT CAST(cid // {_CID_BASE} AS BIGINT) AS doc_id,
+           CAST(cid % {_CID_BASE} AS BIGINT) AS chunk_idx,
+           shard, n_tokens,
+           "offset", pack_id
+    FROM packres
+    """,
+)
+def q_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus -> training-shard path in one plan: quality gate
+    (fail-closed keep/drop) -> overlapping 64-token chunking -> greedy
+    1024-token sequence packing over 8 hash shards. Gate + chunking are
+    pure projections; the join against kept doc ids and the packing
+    window are the only exchanges."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        quality_gate(docs, "doc_id", "text")
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    chunks = chunk_documents(
+        docs.join(kept, "doc_id"), "doc_id", "text", _PREP_CHUNK, _PREP_OVERLAP
+    )
+    cids = chunks.select(
+        (F.col("doc_id") * _CID_BASE + F.col("chunk_idx")).alias("cid"),
+        "n_tokens",
+    )
+    packed = pack_documents(cids, "cid", "n_tokens", _PREP_BUDGET, _PREP_SHARDS)
+    return packed.select(
+        (F.col("cid") / _CID_BASE).cast("long").alias("doc_id"),
+        F.pmod(F.col("cid"), F.lit(_CID_BASE)).cast("long").alias("chunk_idx"),
+        "shard",
+        "n_tokens",
+        "offset",
+        "pack_id",
+    )

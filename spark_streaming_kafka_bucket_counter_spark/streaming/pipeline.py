@@ -104,6 +104,37 @@ def start_bucket_counter(
     return writer.trigger(**trigger).start()
 
 
+def start_sliding_counter(
+    records: DataFrame,
+    store: ServingStore,
+    group_cols: list[str],
+    ts_col: str,
+    window: int,
+    slide: int,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Per-batch HOPPING-window count -> serving store append: the
+    sliding-window extension of :func:`start_bucket_counter` (the
+    reference is tumbling-only, SURVEY §2.11).
+
+    ``records`` must carry the raw event-time column ``ts_col`` (e.g.
+    ``decode_json_values`` output before bucketing). Each micro-batch
+    pays the same single-shuffle plan as the batch operator — the
+    window/slide fan-out is absorbed by map-side partial aggregation.
+    """
+    from ..operators.count import sliding_bucket_count
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        counts = sliding_bucket_count(batch_df, group_cols, ts_col, window, slide)
+        store.append(counts, batch_id)
+
+    writer = records.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
 def streaming_drop_duplicates(
     records: DataFrame,
     keys: list[str],
