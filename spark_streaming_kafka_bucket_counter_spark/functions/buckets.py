@@ -35,6 +35,24 @@ ISO_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 BUCKET_TYPES = ("epoch", "iso", "timestamp")
 
 
+def ts_epoch_seconds(col: Column) -> Column:
+    """Epoch seconds (BIGINT) of a timestamp-like column, timezone-free.
+
+    Built from date + time-of-day fields rather than a cast chain:
+    Spark 4 rejects ``cast(timestamp_ntz as bigint)`` outright, and
+    routing NTZ through TIMESTAMP_LTZ would shift by the session zone.
+    Field extraction yields the same naive epoch DuckDB's ``epoch()``
+    computes, under ANY session timezone, for NTZ, LTZ-stored-as-UTC,
+    and castable string inputs alike.
+    """
+    return (
+        F.unix_date(col.cast("date")) * F.lit(86400)
+        + F.hour(col) * F.lit(3600)
+        + F.minute(col) * F.lit(60)
+        + F.second(col)
+    ).cast("long")
+
+
 def epoch_seconds(col: Column, bucket_type: str = "epoch") -> Column:
     """Normalize a source column to integer epoch seconds (BIGINT).
 
@@ -54,7 +72,7 @@ def epoch_seconds(col: Column, bucket_type: str = "epoch") -> Column:
     if bucket_type == "iso":
         return F.try_to_timestamp(col, F.lit(ISO_TS_FORMAT)).cast("long")
     if bucket_type == "timestamp":
-        return col.cast("timestamp").cast("long")
+        return ts_epoch_seconds(col)
     raise ValueError(f"unknown bucket_type {bucket_type!r}; expected one of {BUCKET_TYPES}")
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.buckets import with_bucket
+from ..functions.buckets import ts_epoch_seconds, with_bucket
 
 
 def bucket_count(
@@ -82,8 +82,14 @@ def sliding_bucket_count(
     """
     if window % slide != 0:
         raise ValueError("window must be a multiple of slide")
+    # normalize to whole epoch seconds first: timestamp(-NTZ) columns go
+    # through the timezone-free field extraction (Spark 4 rejects a
+    # direct NTZ -> BIGINT cast), numeric epoch columns truncate
+    dtype = dict(df.dtypes).get(bucket_field, "")
+    src = F.col(bucket_field)
+    epoch = ts_epoch_seconds(src) if dtype.startswith("timestamp") else src.cast("long")
     win = F.window(
-        F.col(bucket_field).cast("long").cast("timestamp"),
+        epoch.cast("timestamp"),
         f"{window} seconds",
         f"{slide} seconds",
     )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..functions.buckets import ts_epoch_seconds
 from ..operators import dedup as D
 from ..operators.asof import asof_join, asof_join_sql
 from ..operators.graph import (
@@ -48,7 +49,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30 min) per user over the event log: one
     shuffle on user_id, lag + running-sum islands, integer-only math."""
     events = _t(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("long").alias("ts_e"), "event_id"
+        "user_id", ts_epoch_seconds(F.col("ts")).alias("ts_e"), "event_id"
     )
     return session_summary(
         events, "user_id", "ts_e", _SESSION_GAP, order_cols=["event_id"]
@@ -79,10 +80,10 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id + one window pass — no range-join explosion."""
     events = _t(spark, sf_dir, "events")
     clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").cast("long").alias("ts_e"), "event_id"
+        "user_id", ts_epoch_seconds(F.col("ts")).alias("ts_e"), "event_id"
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").cast("long").alias("ts_e"), "event_id", "value"
+        "user_id", ts_epoch_seconds(F.col("ts")).alias("ts_e"), "event_id", "value"
     )
     return asof_join(
         clicks, purchases, "user_id", "ts_e",
@@ -648,18 +649,8 @@ def q_bucket_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHIP_WINDOW = 36 * 3600  # [o_orderdate, +36h)
 
 
-def _ntz_epoch(col: F.Column) -> F.Column:
-    """Epoch seconds of a TIMESTAMP_NTZ column, timezone-free: built from
-    date + time-of-day fields, so it matches DuckDB's ``epoch()`` of the
-    same naive value under ANY driver session timezone (a plain
-    ``cast(timestamp_ntz as long)`` is rejected by Spark, and routing
-    through TIMESTAMP_LTZ would shift by the session zone)."""
-    return (
-        F.unix_date(col.cast("date")) * F.lit(86400)
-        + F.hour(col) * F.lit(3600)
-        + F.minute(col) * F.lit(60)
-        + F.second(col)
-    ).cast("long")
+# timezone-free NTZ epoch extraction lives in functions.buckets
+_ntz_epoch = ts_epoch_seconds
 
 
 @query(

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import predicates as P
-from ..functions.buckets import ISO_TS_FORMAT, with_bucket
+from ..functions.buckets import ISO_TS_FORMAT, ts_epoch_seconds, with_bucket
 from ..functions.projection import decode_json_values, project_fields
 from ..operators.count import bucket_count, merged_count, select_max
 from ..sources.files import load_table
@@ -211,7 +211,7 @@ def q_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])).get("ts") == "bigint":
         ts = F.timestamp_micros(F.floor(ts / 1000).cast("long"))
     records = with_bucket(
-        stream.select("event_type", ts.cast("double").alias("epoch_ts")),
+        stream.select("event_type", ts_epoch_seconds(ts).cast("double").alias("epoch_ts")),
         "epoch_ts",
         3600,
         "epoch",
@@ -619,7 +619,7 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            (F.floor(F.col("ts").cast("long") / 86400)).cast("long").alias("batch_id"),
+            (F.floor(ts_epoch_seconds(F.col("ts")) / 86400)).cast("long").alias("batch_id"),
         )
     )
     max_batch = tagged.agg(F.max("batch_id").alias("_max_batch"))

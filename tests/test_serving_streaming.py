@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka_bucket_counter_spark.operators.count import merged_count
+from spark_streaming_kafka_bucket_counter_spark.functions.buckets import ts_epoch_seconds
 from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
 from spark_streaming_kafka_bucket_counter_spark.streaming import api
 from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
@@ -95,7 +96,7 @@ def test_streaming_batch_parity(spark, store, tmp_path):
         F.to_json(
             F.struct(
                 F.col("event_type"),
-                F.col("ts").cast("double").alias("epoch_ts"),
+                ts_epoch_seconds(F.col("ts")).cast("double").alias("epoch_ts"),
             )
         ).alias("value")
     )

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka_bucket_counter_spark.functions.buckets import with_bucket
+from spark_streaming_kafka_bucket_counter_spark.functions.buckets import ts_epoch_seconds
 from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
 from spark_streaming_kafka_bucket_counter_spark.streaming.stateful import (
     start_stateful_counter,
@@ -16,7 +17,7 @@ from tests.conftest import SF_DIR
 def _bucketed(spark, n):
     events = load_table(spark, SF_DIR, "events").limit(n)
     return with_bucket(
-        events.select("event_type", F.col("ts").cast("double").alias("epoch_ts")),
+        events.select("event_type", ts_epoch_seconds(F.col("ts")).cast("double").alias("epoch_ts")),
         "epoch_ts",
         3600,
         "epoch",

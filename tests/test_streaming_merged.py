@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from spark_streaming_kafka_bucket_counter_spark.functions.buckets import (
+    ts_epoch_seconds,
     with_bucket_iso_strings,
     with_time_window,
 )
@@ -22,7 +23,7 @@ def _payload(spark, n):
     events = load_table(spark, SF_DIR, "events").limit(n)
     return events.select(
         F.to_json(
-            F.struct(F.col("event_type"), F.col("ts").cast("double").alias("epoch_ts"))
+            F.struct(F.col("event_type"), ts_epoch_seconds(F.col("ts")).cast("double").alias("epoch_ts"))
         ).alias("value")
     )
 
@@ -75,11 +76,11 @@ def test_time_window_equivalent_to_floor_buckets(spark):
     events = load_table(spark, SF_DIR, "events").limit(500)
     win = with_time_window(events, "ts", 300).select(
         "event_id",
-        F.col("window.start").cast("long").alias("ws"),
-        F.col("window.end").cast("long").alias("we"),
+        ts_epoch_seconds(F.col("window.start")).alias("ws"),
+        ts_epoch_seconds(F.col("window.end")).alias("we"),
     )
     floor = (
-        events.withColumn("epoch", F.col("ts").cast("long"))
+        events.withColumn("epoch", ts_epoch_seconds(F.col("ts")))
         .select(
             "event_id",
             (F.floor(F.col("epoch") / 300) * 300).cast("long").alias("bs"),

@@ -11,6 +11,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from spark_streaming_kafka_bucket_counter_spark.functions.buckets import ts_epoch_seconds
 from spark_streaming_kafka_bucket_counter_spark.operators.sessions import (
     session_summary,
     streaming_session_counts,
@@ -52,7 +53,7 @@ def test_session_window_matches_batch_islands(spark, tmp_path):
         streaming_session_counts(stream, "user_id", "ts", GAP)
         .select(
             "user_id",
-            F.col("session.start").cast("long").alias("session_start"),
+            ts_epoch_seconds(F.col("session.start")).alias("session_start"),
             "n_events",
         )
         .writeStream.format("memory")
