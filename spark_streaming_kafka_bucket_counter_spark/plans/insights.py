@@ -1,0 +1,151 @@
+"""Insight-layer queries: event-journey rollups (funnel, cohort
+retention), span-level exact substring dedup, dataset profiling /
+skew diagnostics, and snapshot diffing — the observability +
+journey-analytics surface a production engine serves on top of the
+core operators, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.buckets import ts_epoch_seconds
+from ..operators.events import (
+    cohort_retention,
+    cohort_retention_sql,
+    funnel_counts,
+    funnel_sql,
+)
+from ..operators.profile import (
+    key_share_topk,
+    key_share_topk_sql,
+    profile_columns,
+    profile_columns_sql,
+    snapshot_diff,
+    snapshot_diff_sql,
+)
+from ..operators.spans import duplicated_span_stats, duplicated_span_stats_sql
+from .queries import _DUCK_EPOCH, _t, query
+
+_EPOCH_TS = _DUCK_EPOCH.format(col="ts")
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (strict-order signup -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+@query(
+    "funnel_conversion",
+    funnel_sql("events", "user_id", _EPOCH_TS, "event_type", _FUNNEL_STEPS),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over the event log: users whose earliest
+    signup precedes a later click precedes a later purchase. Every join
+    and aggregation keys on user_id — one cluster partitioning end to
+    end (see operators/events.py)."""
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_epoch_seconds(F.col("ts")).alias("ts_e")
+    )
+    return funnel_counts(events, "user_id", "ts_e", "event_type", _FUNNEL_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (weekly periods)
+# ---------------------------------------------------------------------------
+
+_COHORT_PERIOD = 7 * 86400
+
+
+@query(
+    "cohort_retention_weekly",
+    cohort_retention_sql("events", "user_id", _EPOCH_TS, _COHORT_PERIOD),
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: distinct users active k weeks after
+    their first-seen week. First-event agg + join back on user_id, then
+    one (cohort, offset) count-distinct."""
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", ts_epoch_seconds(F.col("ts")).alias("ts_e")
+    )
+    return cohort_retention(events, "user_id", "ts_e", _COHORT_PERIOD)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (span) dedup over the documents corpus
+# ---------------------------------------------------------------------------
+
+_SPAN_W, _SPAN_S = 8, 4
+
+
+@query(
+    "dedup_substring_spans",
+    duplicated_span_stats_sql("documents", "doc_id", "text", _SPAN_W, _SPAN_S),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: per document, how many of its 8-token
+    windows (stride 4) also occur in other documents — catches shared
+    boilerplate document-level dedup misses. One span-hash shuffle +
+    id-keyed rollups (operators/spans.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, "doc_id", "text", _SPAN_W, _SPAN_S)
+
+
+# ---------------------------------------------------------------------------
+# Dataset profiling + key-skew diagnostic
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@query("profile_orders", profile_columns_sql("orders", _PROFILE_COLS))
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table (row/null/distinct counts,
+    min/max) in one aggregation pass. Exact distincts here (oracle-
+    replayable); ``exact=False`` is the HLL cluster-scale mode."""
+    return profile_columns(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@query("profile_key_skew", key_share_topk_sql("lineitem", "l_suppkey", 20))
+def q_profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier keys by lineitem row share (exact ppm): the skew
+    report that decides which keys need salting/AQE skew-split in
+    downstream joins. Partial-agg count + 1-row broadcast total +
+    per-partition top-k heaps — no global sort."""
+    return key_share_topk(_t(spark, sf_dir, "lineitem"), "l_suppkey", 20)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (per-user activity: first half vs full month)
+# ---------------------------------------------------------------------------
+
+_DIFF_CUT = 1704067200 + 14 * 86400  # 2024-01-15T00:00:00Z
+
+
+@query(
+    "snapshot_diff_activity",
+    snapshot_diff_sql(
+        f"""SELECT user_id, COUNT(*) AS n_events FROM events
+            WHERE {_EPOCH_TS} < {_DIFF_CUT} GROUP BY 1""",
+        "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1",
+        ["user_id"],
+        ["n_events"],
+    ),
+)
+def q_snapshot_diff_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff of per-user activity aggregates: the first
+    half-month snapshot vs the full month — added keys are users first
+    active after the cut, changed keys kept accruing events. One
+    full-outer hash join on the key (operators/profile.py)."""
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", ts_epoch_seconds(F.col("ts")).alias("ts_e")
+    )
+    old = (
+        events.filter(F.col("ts_e") < _DIFF_CUT)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    new = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return snapshot_diff(old, new, ["user_id"], ["n_events"])

@@ -643,3 +643,4 @@ def oracle_sql() -> dict[str, str]:
 # same catalog on import.
 from . import extensions  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import insights  # noqa: E402,F401

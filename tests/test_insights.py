@@ -1,0 +1,149 @@
+"""Unit tests for the insight-layer operators: funnel strict-ordering,
+cohort retention, span-level substring dedup, profiling, and snapshot
+diff edge cases the sf-scale oracle comparison can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.operators.events import (
+    cohort_retention,
+    funnel_counts,
+    funnel_times,
+)
+from spark_streaming_kafka_bucket_counter_spark.operators.profile import (
+    key_share_topk,
+    profile_columns,
+    snapshot_diff,
+)
+from spark_streaming_kafka_bucket_counter_spark.operators.spans import (
+    duplicated_span_stats,
+    span_inventory,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts_e long, event_type string")
+
+
+def test_funnel_strict_order(spark):
+    # u1 completes A->B->C in order; u2 does C before B (C must not count);
+    # u3 only does A.
+    rows = [
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+        (2, 10, "A"), (2, 15, "C"), (2, 20, "B"),
+        (3, 10, "A"),
+    ]
+    out = funnel_counts(_events(spark, rows), "user_id", "ts_e", "event_type", ["A", "B", "C"])
+    got = {r["step"]: r["n_users"] for r in out.collect()}
+    assert got == {"A": 3, "B": 2, "C": 1}
+
+
+def test_funnel_equal_timestamp_not_counted(spark):
+    # step 2 at the SAME time as step 1 is not strictly after
+    rows = [(1, 10, "A"), (1, 10, "B")]
+    t = funnel_times(_events(spark, rows), "user_id", "ts_e", "event_type", ["A", "B"])
+    row = t.collect()[0]
+    assert row["t_1"] == 10 and row["t_2"] is None
+
+
+def test_funnel_within_horizon(spark):
+    rows = [(1, 10, "A"), (1, 1000, "B"), (2, 10, "A"), (2, 20, "B")]
+    out = funnel_counts(
+        _events(spark, rows), "user_id", "ts_e", "event_type", ["A", "B"],
+        within_seconds=60,
+    )
+    got = {r["step"]: r["n_users"] for r in out.collect()}
+    assert got == {"A": 2, "B": 1}
+
+
+def test_funnel_earliest_step1_anchors(spark):
+    # the funnel anchors on the EARLIEST step-1 event: a later A would
+    # allow the B at ts=5 if anchoring were per-pair, but strict
+    # semantics use min(A)=1 so B at 5 counts
+    rows = [(1, 1, "A"), (1, 8, "A"), (1, 5, "B")]
+    t = funnel_times(_events(spark, rows), "user_id", "ts_e", "event_type", ["A", "B"])
+    row = t.collect()[0]
+    assert row["t_1"] == 1 and row["t_2"] == 5
+
+
+def test_cohort_retention_offsets(spark):
+    # period=100: u1 first in period 0, active in 0 and 2; u2 first in
+    # period 1, active in 1 only
+    rows = [(1, 10, "x"), (1, 250, "x"), (2, 150, "x")]
+    out = cohort_retention(_events(spark, rows), "user_id", "ts_e", 100)
+    got = {(r["cohort_start"], r["period_offset"]): r["n_users"] for r in out.collect()}
+    assert got == {(0, 0): 1, (0, 2): 1, (100, 0): 1}
+
+
+def test_span_inventory_short_doc_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    inv = span_inventory(docs, "doc_id", "text", width=5, stride=2)
+    got = inv.groupBy("doc_id").count().collect()
+    # doc 1 has 3 tokens < width -> no spans; doc 2 has starts 0 (6-5=1 -> starts 0)
+    assert {r["doc_id"]: r["count"] for r in got} == {2: 1}
+
+
+def test_duplicated_span_stats_cross_doc(spark):
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma"),
+            (2, shared + " delta epsilon zeta"),
+            (3, "totally different words here now honestly"),
+            (4, "ab"),  # too short: zero spans
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_span_stats(docs, "doc_id", "text", width=5, stride=1, min_docs=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[4]["n_spans"] == 0 and rows[4]["dup_ppm"] == 0
+    assert rows[3]["n_dup_spans"] == 0
+    # the shared 5-token prefix is the only cross-doc span
+    assert rows[1]["n_dup_spans"] == 1 and rows[2]["n_dup_spans"] == 1
+    assert rows[1]["n_spans"] == 4  # 8 tokens -> starts 0..3
+    assert rows[1]["dup_ppm"] == 250000
+
+
+def test_profile_columns_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, v string"
+    )
+    out = {r["col_name"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nonnull"] == 3
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+    assert out["v"]["n_nonnull"] == 2 and out["v"]["n_distinct"] == 2
+
+
+def test_key_share_topk_ties_and_share(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",)], "k string"
+    )
+    rows = key_share_topk(df, "k", 2).collect()
+    # a and b tie at 2 rows; tie-break orders a first
+    assert [(r["k"], r["n_rows"]) for r in rows] == [("a", 2), ("b", 2)]
+    assert rows[0]["share_ppm"] == 400000
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "k long, v long"
+    )
+    new = spark.createDataFrame(
+        [(2, 25), (3, None), (4, 40)], "k long, v long"
+    )
+    out = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_funnel_plan_no_cartesian(spark):
+    from spark_streaming_kafka_bucket_counter_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    plan = QUERIES["funnel_conversion"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
