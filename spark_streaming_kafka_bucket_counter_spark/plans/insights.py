@@ -149,3 +149,91 @@ def q_snapshot_diff_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     return snapshot_diff(old, new, ["user_id"], ["n_events"])
+
+
+# ---------------------------------------------------------------------------
+# Rolling event-time window per user (moving aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_user_window",
+    f"""
+    SELECT user_id, {_EPOCH_TS} AS ts_e, event_id,
+           CAST(SUM(CAST(ROUND("value" * 10000) AS BIGINT)) OVER w AS BIGINT)
+             AS roll_sum_e4,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {_EPOCH_TS}, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_user_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-event moving sum/count of the value column (exact
+    1e-4-unit integers): ONE shuffle on user_id feeding a single Window
+    pass — the standard time-series rolling aggregate. Ties broken by
+    event_id so the frame is a total order (cross-engine determinism)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_e", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            ts_epoch_seconds(F.col("ts")).alias("ts_e"),
+            "event_id",
+            F.round(F.col("value") * 10000).cast("long").alias("_v_e4"),
+        )
+        .select(
+            "user_id",
+            "ts_e",
+            "event_id",
+            F.sum("_v_e4").over(w).cast("long").alias("roll_sum_e4"),
+            F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / crosstab: daily counts per event type as columns
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_daily",
+    f"""
+    SELECT ({_EPOCH_TS}) // 86400 AS day,
+           {', '.join(f'''CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}''' for t in _PIVOT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab: one row per day, one column per event type, as DECLARED
+    conditional aggregates (``sum(when(type=t,1))``) rather than
+    ``.pivot()`` — Spark's pivot plans a two-phase aggregation (two
+    exchanges); the conditional form is ONE hash aggregation with
+    map-side partials, same shape as the flagship bucket count, just
+    wider. (``.pivot(col, values)`` remains the right call when the
+    column set isn't known ahead of time.)"""
+    day = F.floor(ts_epoch_seconds(F.col("ts")) / 86400).cast("long")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == t, 1)), F.lit(0)
+                )
+                .cast("long")
+                .alias(t)
+                for t in _PIVOT_TYPES
+            ]
+        )
+    )

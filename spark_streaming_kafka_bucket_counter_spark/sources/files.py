@@ -110,3 +110,65 @@ def read_json_stream(spark: SparkSession, path: str, schema) -> DataFrame:
         spark.readStream.schema("value string")
         .text(path)
     )
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> "F.Column":
+    """Z-order (Morton) clustering key over numeric columns: each column
+    is min/max-normalized to ``bits`` bits, then the bits are
+    interleaved — rows close in EVERY dimension get close keys, so
+    sorting by the key co-locates them in the same files/row groups and
+    parquet min/max statistics prune multi-column range predicates that
+    a single-column sort can only serve for its leading column.
+
+    Pure integer Column expressions (shift/or chains, whole-stage
+    codegen); the per-column min/max is a 1-row broadcast. 2 cols x 16
+    bits = a 32-bit key — plenty of distinct values for range
+    partitioning while keeping the expression chain short.
+
+    Expects the per-column bounds to be present as ``_mn_<col>`` /
+    ``_mx_<col>`` companion columns (a 1-row broadcast join —
+    :func:`write_zordered` wires this).
+    """
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError("bits * len(cols) must fit in a signed 64-bit key")
+    scale = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        rng = F.col(f"_mx_{c}") - F.col(f"_mn_{c}")
+        v = F.when(rng > 0,
+                   F.floor((F.col(c) - F.col(f"_mn_{c}")) * scale / rng)
+                   ).otherwise(0).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    partitions: int = 32,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order key of ``cols``:
+    range-partition on the key (balanced output files via sampled range
+    bounds), sort within partitions, drop the helper columns. The
+    result is the multi-dimensional data-skipping layout — downstream
+    range predicates on ANY of ``cols`` prune files/row groups by
+    footer min/max stats instead of scanning.
+    """
+    stats = df.agg(
+        *[a for c in cols for a in (F.min(F.col(c)).alias(f"_mn_{c}"),
+                                    F.max(F.col(c)).alias(f"_mx_{c}"))]
+    )
+    keyed = df.join(F.broadcast(stats)).withColumn(
+        "_zkey", zorder_key(cols, bits)
+    )
+    (
+        keyed.repartitionByRange(partitions, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -184,3 +184,46 @@ def start_merged_counter(
     if trigger is None:
         trigger = {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    within_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right events on the same key whose
+    timestamp falls in ``[left_ts, left_ts + within_seconds]`` — e.g.
+    "purchases within an hour of the click". Both inputs must be
+    streaming DataFrames with DISTINCT timestamp column names.
+
+    Scale semantics: Structured Streaming keeps both sides' unmatched
+    rows in state; the watermark + the closed time-range condition bound
+    that state (rows age out once the other side's watermark passes
+    their join window) — without the range condition the state would
+    grow forever. The join itself shuffles both streams on the key,
+    exactly like the batch equi-join.
+
+    The same call works on batch DataFrames (the condition degrades to a
+    plain range predicate), which is what the parity test exploits.
+    """
+    from pyspark.sql import functions as F
+
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[key_col] == right[key_col])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {within_seconds} SECONDS")
+        )
+    )
+    return left.join(right, cond).drop(right[key_col])
