@@ -129,3 +129,109 @@ def transitive_closure_sql(pairs_cte: str, src: str = "doc_a", dst: str = "doc_b
     ),
     cc AS (SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u)
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, integer-exact)
+# ---------------------------------------------------------------------------
+
+PR_UNIT = 1_000_000_000  # nano-unit fixed point: total mass = 1e9
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the UNDIRECTED graph of ``edges``,
+    in exact nano-unit integer arithmetic: ``(node, rank_e9)`` with
+    ranks summing to ~``PR_UNIT`` (floor divisions shed at most 1 unit
+    per term).
+
+    Undirected (each edge mirrored) means every node in the edge set
+    has out-degree >= 1 — NO dangling mass, so one join per iteration
+    suffices and the same recursion is expressible as a single-reference
+    recursive CTE for the oracle (:func:`pagerank_sql`).
+
+    Per iteration: contribution = rank // degree to each neighbor
+    (integer floor — deterministic under any accumulation order), then
+    ``rank' = (100 - d)% * UNIT // (100 * N) + d% * sum(contribs) // 100``.
+
+    Scale design: one hash join (ranks x edges, both shuffled on node)
+    plus one groupBy-sum per round; degrees are computed once and join
+    on the same key. Lineage cut per round with lazy ``localCheckpoint``
+    (same pattern as :func:`connected_components` — plan growth is the
+    iterative-DataFrame trap). BIGINT sums of nano-units are exact; no
+    float enters the plan.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()  # tiny scalar action (also materializes `und`)
+    base = (100 - damping_pct) * PR_UNIT // (100 * n_nodes)
+    ranks = deg.select("u", F.lit(PR_UNIT // n_nodes).cast("long").alias("r"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(deg, "u")
+            # SQL `div` = true BIGINT division (no float round-trip)
+            .select("u", F.expr("r div deg").alias("c"))
+            .join(und, "u")
+            .select(F.col("v").alias("u"), "c")
+        )
+        ranks = (
+            contribs.groupBy("u")
+            .agg(F.sum("c").alias("_s"))
+            .select(
+                "u",
+                (F.lit(base) + F.expr(f"({damping_pct} * _s) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_e9"))
+    from ._cache import unpersist_with
+
+    return unpersist_with(out, und)
+
+
+def pagerank_sql(
+    edges_query: str,
+    src: str,
+    dst: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB recursive-CTE twin of :func:`pagerank` — identical integer
+    recursion (single reference to the recursive table per term, which
+    the no-dangling undirected construction makes possible)."""
+    return f"""
+    und AS (
+      SELECT {src} AS u, {dst} AS v FROM ({edges_query})
+      UNION
+      SELECT {dst} AS u, {src} AS v FROM ({edges_query})
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    pr AS (
+      SELECT 0 AS it, u, CAST({PR_UNIT} // n_nodes AS BIGINT) AS r
+      FROM deg, n
+      UNION ALL
+      SELECT p.it + 1, e.v AS u,
+             CAST(CAST(100 - {damping_pct} AS BIGINT) * {PR_UNIT}
+                    // (100 * (SELECT n_nodes FROM n))
+                  + (CAST({damping_pct} AS BIGINT) * SUM(p.r // d.deg)) // 100
+                  AS BIGINT) AS r
+      FROM pr p
+      JOIN deg d ON p.u = d.u
+      JOIN und e ON p.u = e.u
+      WHERE p.it < {iterations}
+      GROUP BY p.it, e.v
+    )
+    """

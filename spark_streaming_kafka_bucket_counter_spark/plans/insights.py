@@ -237,3 +237,46 @@ def q_pivot_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part--supplier co-sourcing graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_SUPP_OFFSET = 100_000_000  # disjoint id spaces: parts vs suppliers
+
+
+from ..operators.graph import pagerank_sql as _pagerank_sql  # noqa: E402
+
+_PR_EDGES = (
+    f"SELECT DISTINCT l_partkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst "
+    "FROM lineitem"
+)
+
+
+@query(
+    "graph_pagerank",
+    f"""
+    WITH RECURSIVE {_pagerank_sql(_PR_EDGES, 'src', 'dst', _PR_ITERS)}
+    SELECT u AS node, r AS rank_e9 FROM pr WHERE it = {_PR_ITERS}
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, nano-unit integer arithmetic) over
+    the undirected part--supplier graph from lineitem: which
+    parts/suppliers sit at the center of the sourcing network. The
+    iterative join+sum loop (operators/graph.py) vs the recursive-CTE
+    oracle must agree bit-for-bit — integer fixed point makes both
+    accumulation-order-free."""
+    from ..operators.graph import pagerank
+
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, "src", "dst", iterations=_PR_ITERS)

@@ -147,3 +147,35 @@ def test_funnel_plan_no_cartesian(spark):
     plan = QUERIES["funnel_conversion"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_pagerank_star_graph(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.graph import (
+        PR_UNIT,
+        pagerank,
+    )
+
+    # star: hub 1 connected to 2,3,4 — hub must outrank the leaves,
+    # leaves must tie exactly (symmetry + integer arithmetic)
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "a long, b long")
+    ranks = {r["node"]: r["rank_e9"] for r in pagerank(edges, "a", "b", 5).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    assert ranks[2] == ranks[3] == ranks[4]
+    assert ranks[1] > ranks[2]
+    # mass approximately conserved (floor divisions shed < 1 unit/term)
+    assert abs(sum(ranks.values()) - PR_UNIT) < 100
+
+
+def test_pagerank_ring_uniform(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.graph import (
+        PR_UNIT,
+        pagerank,
+    )
+
+    # ring: perfectly symmetric -> every node keeps exactly UNIT/N
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "a long, b long"
+    )
+    ranks = [r["rank_e9"] for r in pagerank(edges, "a", "b", 3).collect()]
+    assert len(set(ranks)) == 1
+    assert abs(ranks[0] - PR_UNIT // 4) <= 1
