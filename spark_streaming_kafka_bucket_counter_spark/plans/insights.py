@@ -280,3 +280,59 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, "src", "dst", iterations=_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 versioning + time-series densification
+# ---------------------------------------------------------------------------
+
+from ..operators.temporal import (  # noqa: E402
+    densify_buckets,
+    densify_buckets_sql,
+    scd2_from_changelog,
+    scd2_sql,
+)
+
+
+@query(
+    "scd2_user_value",
+    scd2_sql(
+        f"(SELECT user_id, event_type, CAST(ROUND(\"value\" * 10000) AS BIGINT)"
+        f" AS value_e4, event_id, {_EPOCH_TS} AS ts_e FROM events)",
+        "user_id",
+        "ts_e",
+        ["event_type", "value_e4"],
+        tie_cols=["event_id"],
+    ),
+)
+def q_scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension built from the event log as a change log:
+    each user's (event_type, value) change becomes a validity-bounded
+    version row; one shuffle on user_id + one lead() window pass
+    (operators/temporal.py). The MERGE-style incremental update is the
+    same operator over (current dim UNION incoming batch)."""
+    log = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("value_e4"),
+        "event_id",
+        ts_epoch_seconds(F.col("ts")).alias("ts_e"),
+    )
+    return scd2_from_changelog(
+        log, "user_id", "ts_e", ["event_type", "value_e4"], tie_cols=["event_id"]
+    )
+
+
+@query(
+    "timeseries_densify",
+    densify_buckets_sql("events", "event_type", _EPOCH_TS, 86400, "n_events"),
+)
+def q_timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily counts per event type: every (type, day) in the
+    global range gets a row, zero where nothing happened. Output size =
+    keys x buckets (intrinsic); spine from a 1-row broadcast bounds +
+    per-key sequence explode, counts join back on (key, bucket)."""
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", ts_epoch_seconds(F.col("ts")).alias("ts_e")
+    )
+    return densify_buckets(events, "event_type", "ts_e", 86400, "n_events")

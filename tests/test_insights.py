@@ -179,3 +179,43 @@ def test_pagerank_ring_uniform(spark):
     ranks = [r["rank_e9"] for r in pagerank(edges, "a", "b", 3).collect()]
     assert len(set(ranks)) == 1
     assert abs(ranks[0] - PR_UNIT // 4) <= 1
+
+
+def test_scd2_validity_chain(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.temporal import (
+        scd2_from_changelog,
+    )
+
+    log = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 15, "x")],
+        "k long, ts long, attr string",
+    )
+    rows = sorted(
+        scd2_from_changelog(log, "k", "ts", ["attr"]).collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    k1 = [r for r in rows if r["k"] == 1]
+    # adjacent validity: each version closes exactly where the next opens
+    assert [(r["valid_from"], r["valid_to"]) for r in k1] == [
+        (10, 20), (20, 30), (30, None)
+    ]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    k2 = [r for r in rows if r["k"] == 2]
+    assert k2[0]["valid_to"] is None and k2[0]["is_current"]
+
+
+def test_densify_zero_fills(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.temporal import (
+        densify_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 25), ("b", 15)], "k string, ts_e long"
+    )
+    out = densify_buckets(df, "k", "ts_e", 10, "n")
+    got = {(r["k"], r["bucket_start"]): r["n"] for r in out.collect()}
+    # global range [0, 20]; every (key, bucket) present, zeros filled
+    assert got == {
+        ("a", 0): 1, ("a", 10): 0, ("a", 20): 1,
+        ("b", 0): 0, ("b", 10): 1, ("b", 20): 0,
+    }
