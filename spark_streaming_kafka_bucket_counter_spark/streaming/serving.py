@@ -163,6 +163,40 @@ class ServingStore:
                 dropped += 1
         return dropped
 
+    def compact(self, keep_recent: int = 10, target_files: int = 1) -> int:
+        """Small-files maintenance: rewrite frozen batch partitions
+        (everything older than the most recent ``keep_recent``) down to
+        ``target_files`` parquet files each. Returns the number of
+        partitions rewritten.
+
+        Streaming appends leave one file per micro-batch writer task;
+        at 100 TB that accretes into the classic small-files problem
+        (file-open overhead dominates scans, metadata listings balloon).
+        Recent partitions are left alone — they are still inside the
+        retention/serving hot window and may be replayed (overwritten)
+        by the stream; frozen ones are immutable, so the rewrite is
+        safe. The swap goes through ``_``-prefixed temp dirs, which
+        Spark's file listing treats as hidden — readers never see a
+        half-written partition.
+        """
+        ids = self._batch_ids()
+        frozen = ids[: -keep_recent] if keep_recent > 0 else ids
+        rewritten = 0
+        for b in frozen:
+            part = self.path / f"{RST_COL}={b}"
+            files = list(part.glob("*.parquet"))
+            if len(files) <= target_files:
+                continue
+            df = self.spark.read.parquet(str(part))
+            tmp = self.path / f"_compact_{b}"
+            df.coalesce(target_files).write.mode("overwrite").parquet(str(tmp))
+            bak = self.path / f"_old_{b}"
+            part.rename(bak)
+            tmp.rename(part)
+            shutil.rmtree(bak, ignore_errors=True)
+            rewritten += 1
+        return rewritten
+
     def delete(self, conditions: dict[str, object]) -> int:
         """Q3: DELETE with ANDed equality predicates (models.py:447-481).
 

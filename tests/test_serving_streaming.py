@@ -199,3 +199,26 @@ def test_sliding_counter_store_parity(spark, store, tmp_path):
         map(tuple, sliding_bucket_count(events, ["event_type"], "ts", 60, 20).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_store_compact_frozen_partitions(spark, tmp_path):
+    store = ServingStore(spark, str(tmp_path / "cstore"), clean_freq=0)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    for b in range(4):
+        store.append(df.repartition(4), b)  # 4 files per partition
+
+    before = store.view().groupBy().sum("v").collect()[0][0]
+    # freeze everything but the most recent 2
+    assert store.compact(keep_recent=2) == 2
+
+    import glob
+
+    for b in range(2):  # frozen -> single file
+        assert len(glob.glob(str(tmp_path / "cstore" / f"RST_ID={b}" / "*.parquet"))) == 1
+    for b in range(2, 4):  # hot window untouched
+        assert len(glob.glob(str(tmp_path / "cstore" / f"RST_ID={b}" / "*.parquet"))) == 4
+    # data unchanged, no temp dirs leak into the view
+    assert store.view().groupBy().sum("v").collect()[0][0] == before
+    assert store._batch_ids() == [0, 1, 2, 3]
+    # idempotent: second run finds nothing to do
+    assert store.compact(keep_recent=2) == 0
