@@ -69,6 +69,26 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def drop_duplicates_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup keeping the BEST row of each content group — the
+    curation keep-rule (keep the highest-quality / longest version of a
+    duplicated document) instead of the arbitrary min-id keeper.
+
+    Ties on the score fall back to min id (total order — deterministic
+    across engines). Same single-shuffle window shape as
+    :func:`drop_exact_duplicates`; only the ORDER BY changes."""
+    w = Window.partitionBy(md5_fingerprint(F.col(text_col))).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -336,3 +336,137 @@ def q_timeseries_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", ts_epoch_seconds(F.col("ts")).alias("ts_e")
     )
     return densify_buckets(events, "event_type", "ts_e", 86400, "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Nested-JSON property extraction (the semi-structured column path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract a typed field from the JSON props
+    column with a SCHEMA'd from_json (JVM-side, codegen — not a Python
+    UDF, not schema inference) and aggregate per event type. One hash
+    aggregation; the JSON parse happens once per row in the scan stage."""
+    props_k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", props_k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("_k").cast("long").alias("n_with_k"),
+            F.min("_k").cast("long").alias("min_k"),
+            F.max("_k").cast("long").alias("max_k"),
+            F.sum("_k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup keeper (keep the best version, not the min id)
+# ---------------------------------------------------------------------------
+
+from ..functions.text import (  # noqa: E402
+    md5_fingerprint_sql,
+    token_count_ws,
+    token_count_ws_sql,
+)
+from ..operators.dedup import drop_duplicates_keep_best  # noqa: E402
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+    SELECT doc_id, n_tokens FROM (
+      SELECT doc_id,
+             {token_count_ws_sql('text')} AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY {md5_fingerprint_sql('text')}
+               ORDER BY {token_count_ws_sql('text')} DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the curation keep-rule: of each duplicate
+    group, keep the version with the most tokens (tie: min doc_id)
+    rather than an arbitrary representative. One fingerprint-keyed
+    shuffle + one window — same plan as min-id dedup, different ORDER
+    BY (operators/dedup.py drop_duplicates_keep_best)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_ws(F.col("text"))
+    )
+    return drop_duplicates_keep_best(docs, "doc_id", "text", "n_tokens").select(
+        "doc_id", "n_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (top co-purchased part pairs)
+# ---------------------------------------------------------------------------
+
+_COP_K = 50
+
+
+@query(
+    "copurchase_topk",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {_COP_K}
+    """,
+)
+def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-purchased part pairs (market basket). The oracle
+    states it as the textbook self-join; the Spark plan instead groups
+    each order's item set once and expands C(n,2) pairs with array HOFs
+    — TWO shuffles total (order grouping, pair count) vs three for the
+    self-join, and the per-order fan-out is bounded by basket size
+    (TPC-H: <= 7), so no pair blow-up. Ranking is per-partition top-k
+    heaps (TakeOrderedAndProject), never a global sort."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_parts"))
+    )
+    pairs = items.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_parts",
+                    lambda x, i: F.transform(
+                        F.slice("_parts", i + 2, F.size("_parts")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select("_p.part_a", "_p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(_COP_K)
+    )

@@ -219,3 +219,21 @@ def test_densify_zero_fills(spark):
         ("a", 0): 1, ("a", 10): 0, ("a", 20): 1,
         ("b", 0): 0, ("b", 10): 1, ("b", 20): 0,
     }
+
+
+def test_dedup_keep_best_prefers_score(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        drop_duplicates_keep_best,
+    )
+
+    # docs 1 and 2 share content after normalization? no — identical
+    # text dups: 1,2 same text; 3 unique. score favors doc 2.
+    docs = spark.createDataFrame(
+        [(1, "same text", 5), (2, "same text", 9), (3, "other", 1)],
+        "doc_id long, text string, score long",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_duplicates_keep_best(docs, "doc_id", "text", "score").collect()
+    )
+    assert kept == [2, 3]
