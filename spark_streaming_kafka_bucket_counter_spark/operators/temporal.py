@@ -62,12 +62,12 @@ def scd2_sql(
     attrs = ", ".join(attr_cols)
     ties = "".join(f", {c}" for c in (tie_cols or []) if c not in attr_cols)
     return f"""
-    WITH log AS (SELECT {key_col}, {attrs}{ties}, {ts_expr} AS _ts FROM {table})
+    WITH _scd_log AS (SELECT {key_col}, {attrs}{ties}, {ts_expr} AS _ts FROM {table})
     SELECT {key_col}, {attrs},
            CAST(_ts AS BIGINT) AS valid_from,
            CAST(lead(_ts) OVER w AS BIGINT) AS valid_to,
            lead(_ts) OVER w IS NULL AS is_current
-    FROM log WINDOW w AS (PARTITION BY {key_col} ORDER BY {order})
+    FROM _scd_log WINDOW w AS (PARTITION BY {key_col} ORDER BY {order})
     """
 
 
@@ -124,18 +124,19 @@ def densify_buckets_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`densify_buckets`."""
     return f"""
-    WITH ev AS (SELECT {key_col}, ({epoch_expr}) // {interval} * {interval} AS b
-                FROM {table}),
-    counts AS (SELECT {key_col}, b, COUNT(*) AS c FROM ev GROUP BY 1, 2),
-    bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ev),
-    spine AS (
+    WITH _dz_ev AS (SELECT {key_col}, ({epoch_expr}) // {interval} * {interval} AS b
+                    FROM {table}),
+    _dz_counts AS (SELECT {key_col}, b, COUNT(*) AS c FROM _dz_ev GROUP BY 1, 2),
+    _dz_bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM _dz_ev),
+    _dz_spine AS (
       SELECT k.{key_col}, gs.b
-      FROM (SELECT DISTINCT {key_col} FROM ev) k,
-           bounds,
+      FROM (SELECT DISTINCT {key_col} FROM _dz_ev) k,
+           _dz_bounds,
            LATERAL (SELECT unnest(range(lo, hi + 1, {interval})) AS b) gs
     )
     SELECT s.{key_col},
            CAST(s.b AS BIGINT) AS bucket_start,
            CAST(COALESCE(c.c, 0) AS BIGINT) AS "{count_name}"
-    FROM spine s LEFT JOIN counts c ON s.{key_col} = c.{key_col} AND s.b = c.b
+    FROM _dz_spine s
+    LEFT JOIN _dz_counts c ON s.{key_col} = c.{key_col} AND s.b = c.b
     """

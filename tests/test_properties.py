@@ -111,3 +111,150 @@ def test_avro_schema_json_shape_accepted():
         )
     )
     assert fields == [("x", "long"), ("y", ["string", "null"])]
+
+
+# ---------------------------------------------------------------------------
+# Insight-layer SQL twins vs brute-force Python references (DuckDB is
+# fast enough to run per-example; Spark <-> oracle equality is already
+# pinned by the catalog gate at two scale factors)
+# ---------------------------------------------------------------------------
+
+import duckdb
+import pandas as pd
+
+from spark_streaming_kafka_bucket_counter_spark.operators.events import (
+    cohort_retention_sql,
+    funnel_sql,
+)
+from spark_streaming_kafka_bucket_counter_spark.operators.temporal import (
+    densify_buckets_sql,
+    scd2_sql,
+)
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),     # user
+        st.integers(min_value=0, max_value=50),    # ts
+        st.sampled_from(["A", "B", "C"]),          # type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _duck(rows, cols, types):
+    con = duckdb.connect()
+    df = pd.DataFrame(rows, columns=cols).astype(types)
+    con.register("_df", df)
+    con.execute("CREATE TABLE ev AS SELECT * FROM _df")
+    return con
+
+
+@given(_EVENTS)
+@settings(max_examples=60)
+def test_funnel_sql_matches_bruteforce(rows):
+    # unique (user, ts) pairs keep the reference simple (real funnels
+    # tie-break equal timestamps arbitrarily; the operator treats equal
+    # ts as NOT strictly after, mirrored here)
+    seen, ev = set(), []
+    for u, t, ty in rows:
+        if (u, t) not in seen:
+            seen.add((u, t))
+            ev.append((u, t, ty))
+    con = _duck(ev, ["user_id", "ts", "event_type"], {"user_id": "int64", "ts": "int64"})
+    got = {
+        r[1]: r[2]
+        for r in con.execute(
+            funnel_sql("ev", "user_id", "ts", "event_type", ["A", "B", "C"])
+        ).fetchall()
+    }
+    # brute force: per user, earliest A, then earliest B strictly after,
+    # then earliest C strictly after that
+    reached = {"A": 0, "B": 0, "C": 0}
+    users = {u for u, _, _ in ev}
+    for u in users:
+        mine = sorted((t, ty) for uu, t, ty in ev if uu == u)
+        t_a = min((t for t, ty in mine if ty == "A"), default=None)
+        if t_a is None:
+            continue
+        reached["A"] += 1
+        t_b = min((t for t, ty in mine if ty == "B" and t > t_a), default=None)
+        if t_b is None:
+            continue
+        reached["B"] += 1
+        t_c = min((t for t, ty in mine if ty == "C" and t > t_b), default=None)
+        if t_c is not None:
+            reached["C"] += 1
+    assert got == reached
+
+
+@given(_EVENTS)
+@settings(max_examples=60)
+def test_cohort_sql_matches_bruteforce(rows):
+    period = 10
+    con = _duck(rows, ["user_id", "ts", "event_type"], {"user_id": "int64", "ts": "int64"})
+    got = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            cohort_retention_sql("ev", "user_id", "ts", period)
+        ).fetchall()
+    }
+    first = {}
+    for u, t, _ in rows:
+        first[u] = min(first.get(u, t), t)
+    expected: dict[tuple[int, int], set] = {}
+    for u, t, _ in rows:
+        cohort = first[u] // period
+        key = (cohort * period, t // period - cohort)
+        expected.setdefault(key, set()).add(u)
+    assert got == {k: len(v) for k, v in expected.items()}
+
+
+@given(_EVENTS)
+@settings(max_examples=60)
+def test_scd2_sql_adjacent_chain(rows):
+    # unique (user, ts) so the version chain order is unambiguous
+    seen, ev = set(), []
+    for i, (u, t, ty) in enumerate(rows):
+        if (u, t) not in seen:
+            seen.add((u, t))
+            ev.append((u, t, ty, i))
+    con = _duck(
+        ev,
+        ["user_id", "ts", "attr", "rid"],
+        {"user_id": "int64", "ts": "int64", "rid": "int64"},
+    )
+    out = con.execute(
+        scd2_sql("ev", "user_id", "ts", ["attr"], tie_cols=["rid"])
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for u, attr, vf, vt, cur in out:
+        by_user.setdefault(u, []).append((vf, vt, cur))
+    for u, versions in by_user.items():
+        versions.sort(key=lambda v: v[0])
+        # chain adjacency + exactly one current version
+        for (vf, vt, _), (vf2, _, _) in zip(versions, versions[1:]):
+            assert vt == vf2
+        assert [v[2] for v in versions].count(True) == 1
+        assert versions[-1][1] is None
+        # starts = the user's change timestamps
+        assert [v[0] for v in versions] == sorted(t for uu, t, _, _ in ev if uu == u)
+
+
+@given(_EVENTS)
+@settings(max_examples=60)
+def test_densify_sql_dense_and_consistent(rows):
+    interval = 10
+    con = _duck(rows, ["k", "ts", "event_type"], {"k": "int64", "ts": "int64"})
+    out = con.execute(
+        densify_buckets_sql("ev", "k", "ts", interval, "n")
+    ).fetchall()
+    lo = min(t for _, t, _ in rows) // interval * interval
+    hi = max(t for _, t, _ in rows) // interval * interval
+    keys = {k for k, _, _ in rows}
+    buckets = list(range(lo, hi + 1, interval))
+    # complete spine
+    assert {(r[0], r[1]) for r in out} == {(k, b) for k in keys for b in buckets}
+    # counts match the raw data everywhere (zeros included)
+    for k, b, n in out:
+        assert n == sum(1 for kk, t, _ in rows if kk == k and t // interval * interval == b)
