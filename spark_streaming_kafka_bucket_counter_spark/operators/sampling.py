@@ -200,3 +200,61 @@ def token_mixture_sample_sql(
     FROM src JOIN thr USING ({group_col})
     WHERE {bucket} < _thr
     """
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows: bottom-k by
+    ``hash // weight`` priority — rows with larger integer weights get
+    proportionally smaller priorities and are selected more often, and
+    the same (id, weight, salt) always selects the same set on any
+    engine (md5-derived hash, pure integer division).
+
+    This is the bottom-k/priority-sampling family with a determinism
+    twist: replacing the uniform random draw with the content hash makes
+    the sample reproducible AND mergeable (the bottom-k of a union is
+    the bottom-k of each side's bottom-k — so distributed top-k heaps
+    compute it with no global sort). ``weight_col`` must be a positive
+    integer column; zero/negative/NULL weights are excluded.
+
+    Output: ``id, weight, priority`` for the k selected rows.
+    """
+    pri = hash_bucket(F.col(id_col), 2**31, salt).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            pri.alias("_h"),
+        )
+        .filter(F.col("weight") > 0)
+        # SQL `div` = true BIGINT division, identical to DuckDB's `//`
+        .withColumn("priority", F.expr("_h div weight"))
+        .drop("_h")
+        .orderBy("priority", F.col(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_topk_sql(
+    table: str,
+    id_col: str,
+    weight_expr: str,
+    k: int,
+    salt: str = "wsample",
+) -> str:
+    """DuckDB oracle twin of :func:`weighted_sample_topk`."""
+    pri = hash_bucket_sql(id_col, 2**31, salt)
+    return f"""
+    SELECT {id_col},
+           CAST({weight_expr} AS BIGINT) AS weight,
+           CAST({pri} // ({weight_expr}) AS BIGINT) AS priority
+    FROM {table}
+    WHERE ({weight_expr}) > 0
+    ORDER BY priority, {id_col}
+    LIMIT {k}
+    """

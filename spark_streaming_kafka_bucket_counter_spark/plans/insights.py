@@ -470,3 +470,34 @@ def q_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(_COP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (bottom-k hash priority)
+# ---------------------------------------------------------------------------
+
+from ..operators.sampling import (  # noqa: E402
+    weighted_sample_topk,
+    weighted_sample_topk_sql,
+)
+
+
+@query(
+    "sample_weighted_topk",
+    weighted_sample_topk_sql(
+        f"(SELECT doc_id, {token_count_ws_sql('text')} AS n_tok FROM documents)",
+        "doc_id",
+        "n_tok",
+        100,
+    ),
+)
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document sample: 100 docs drawn with probability
+    proportional-ish to token count via bottom-k of hash//weight — the
+    reproducible, mergeable alternative to rand()-based weighted
+    sampling (bottom-k of a union = bottom-k of bottom-k's, so the plan
+    is per-partition heaps, no global sort)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    return weighted_sample_topk(docs, "doc_id", "n_tok", 100)

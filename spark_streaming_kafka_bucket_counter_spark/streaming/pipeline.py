@@ -227,3 +227,26 @@ def streaming_interval_join(
         )
     )
     return left.join(right, cond).drop(right[key_col])
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a streaming DataFrame to
+    a batch dimension table. Structured Streaming re-evaluates the
+    static side per micro-batch, so a dimension re-read through a
+    catalog/file source picks up slow changes without restarting the
+    stream.
+
+    ``broadcast_dim=True`` (the default) hints the dimension broadcast —
+    the right call for the classic small-dim case, keeping the stream
+    side shuffle-free. Set it False for large dims and let AQE decide.
+    """
+    from pyspark.sql import functions as F
+
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -237,3 +237,22 @@ def test_dedup_keep_best_prefers_score(spark):
         for r in drop_duplicates_keep_best(docs, "doc_id", "text", "score").collect()
     )
     assert kept == [2, 3]
+
+
+def test_weighted_sample_biased_and_deterministic(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 100 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = weighted_sample_topk(df, "doc_id", "w", 100).collect()
+    s2 = weighted_sample_topk(df, "doc_id", "w", 100).collect()
+    # deterministic: identical runs
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    heavy = sum(1 for r in s1 if r["doc_id"] < 500)
+    # 100x weight -> overwhelmingly heavy picks (uniform would be ~50)
+    assert heavy >= 90
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], "doc_id long, w long")
+    assert [r["doc_id"] for r in weighted_sample_topk(df2, "doc_id", "w", 10).collect()] == [3]
