@@ -501,3 +501,114 @@ def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count_ws(F.col("text")).alias("n_tok")
     )
     return weighted_sample_topk(docs, "doc_id", "n_tok", 100)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality checks (referential integrity / uniqueness / null rate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_checks",
+    """
+    SELECT 'lineitem_orphan_orders' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders_orphan_customers' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders_duplicate_keys' AS check_name,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'events_null_user' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM events WHERE user_id IS NULL
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: named checks -> violation counts in one
+    result (referential orphans via LEFT ANTI joins — shuffle joins AQE
+    can broadcast-flip when the dimension side is small; uniqueness via
+    one groupBy; null scan pushed to the parquet reader). On a cluster
+    this runs as a scheduled audit next to profile_orders; non-zero rows
+    fail the pipeline."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+
+    c1 = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("lineitem_orphan_orders").alias("check_name"), "n_violations")
+    )
+    c2 = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orders_orphan_customers").alias("check_name"), "n_violations")
+    )
+    c3 = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations")
+        )
+        .select(F.lit("orders_duplicate_keys").alias("check_name"), "n_violations")
+    )
+    c4 = (
+        events.filter(F.col("user_id").isNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("events_null_user").alias("check_name"), "n_violations")
+    )
+    return c1.unionByName(c2).unionByName(c3).unionByName(c4)
+
+
+# ---------------------------------------------------------------------------
+# Sufficient statistics (exact integer moments for corr/cov)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_sufficient",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_p,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qq,
+           CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_pp,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_qp
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_stats_sufficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group SUFFICIENT statistics for correlation/covariance of
+    quantity vs price: exact BIGINT moments (n, Σx, Σy, Σx², Σy², Σxy)
+    instead of engine-computed float corr() — the moments are what a
+    distributed engine actually aggregates (one shuffle, map-side
+    partials, trivially mergeable across partitions/days), they
+    cross-check exactly against any oracle, and corr/cov/slope all
+    derive from them driver-side in O(groups)."""
+    q = F.col("l_quantity").cast("long")
+    p = F.round(F.col("l_extendedprice")).cast("long")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", q.alias("_q"), p.alias("_p"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_q").cast("long").alias("sum_q"),
+            F.sum("_p").cast("long").alias("sum_p"),
+            F.sum(F.col("_q") * F.col("_q")).cast("long").alias("sum_qq"),
+            F.sum(F.col("_p") * F.col("_p")).cast("long").alias("sum_pp"),
+            F.sum(F.col("_q") * F.col("_p")).cast("long").alias("sum_qp"),
+        )
+    )

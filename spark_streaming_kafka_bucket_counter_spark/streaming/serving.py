@@ -98,9 +98,13 @@ class ServingStore:
         ids = self._batch_ids()
         if not ids:
             raise ValueError(f"serving store at {self.path} is empty")
-        # basePath keeps the RST_ID partition column in the schema.
-        return self.spark.read.option("basePath", str(self.path)).parquet(
-            *[str(self.path / f"{RST_COL}={i}") for i in ids]
+        # basePath keeps the RST_ID partition column in the schema;
+        # mergeSchema lets later batches widen the table (schema
+        # evolution) with NULL backfill for older partitions.
+        return (
+            self.spark.read.option("basePath", str(self.path))
+            .option("mergeSchema", "true")
+            .parquet(*[str(self.path / f"{RST_COL}={i}") for i in ids])
         )
 
     def register(self) -> None:
