@@ -118,13 +118,27 @@ def ivf_assign(
     Output: one row per (vector, centroid) with ``_rn`` = 1-based rank by
     (cosine DESC, centroid id ASC) — same contract as the window version.
     """
-    import numpy as np
-
     cents = (
         df.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .collect()
     )
+    return assign_to_centroids(df, id_col, vec_col, cents, max_rank)
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list,
+    max_rank: int = 1,
+) -> DataFrame:
+    """Assignment core shared by :func:`ivf_assign` and the persisted
+    index path: rank every vector against an explicit centroid set
+    (rows with ``cid``/``cvec``) — broadcast centroids, one map-side
+    Arrow pass, no shuffle of the vector set."""
+    import numpy as np
+
     cids = np.array([int(r["cid"]) for r in cents], dtype=np.int64)
     C = np.array([list(r["cvec"]) for r in cents], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -608,3 +622,90 @@ def multiprobe_sql(
     return f"""
     kb AS (SELECT {id_col}, v, CAST({bucket_expr} AS BIGINT) AS bucket FROM {table}),
     mp_b AS (SELECT {id_col}, v, unnest([bucket, {flips}]) AS probe FROM kb)"""
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (build once, probe many)
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 16,
+) -> None:
+    """Persist an IVF index: vectors parquet PARTITIONED BY their
+    nearest-centroid cell id, plus the centroid table — the
+    build-once/probe-many serving layout.
+
+    The cell partitioning is the whole point: a query probing ``nprobe``
+    cells reads ONLY those partition directories (Spark partition
+    pruning), i.e. ~``nprobe / n_centroids`` of the corpus instead of a
+    full scan. Centroids here are the same deterministic seed set as
+    :func:`ivf_assign` (production swaps in trained means, e.g.
+    ``label_centroids``) — what matters for scale is the layout.
+    """
+    from pathlib import Path
+
+    cents = (
+        df.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(str(Path(path) / "centroids"))
+    assigned = assign_to_centroids(df, id_col, vec_col, cents.collect(), max_rank=1)
+    (
+        assigned.select(
+            F.col("_id").alias(id_col), F.col("_vec").alias(vec_col), "cid"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(str(Path(path) / "cells"))
+    )
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 2,
+    top_k: int = 5,
+) -> DataFrame:
+    """Probe a persisted IVF index: assign each query to its ``nprobe``
+    nearest cells (broadcast centroid metadata, map-side), then join
+    ONLY those cells' partitions (partition pruning on ``cid``) and
+    rank candidates by cosine. Output: (query_id, neighbor id, cosine,
+    rank) — same contract as :func:`ivf_topk`.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(str(Path(path) / "centroids")).collect()
+    probes = assign_to_centroids(
+        query_df, id_col, vec_col, cents, max_rank=nprobe
+    ).select(
+        F.col("_id").alias("query_id"), F.col("_vec").alias("qvec"), "cid"
+    )
+    cells = spark.read.parquet(str(Path(path) / "cells"))
+    cand = cells.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        cosine(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -61,3 +61,34 @@ def test_ivf_results_subset_of_brute_force_candidates(spark):
     overlap = set(ex) & set(ap)
     assert all(ex[p] == ap[p] for p in overlap)
     assert len(overlap) / len(ex) >= 0.3  # recall floor for nprobe=2/16 cells
+
+
+def test_ivf_persisted_index_matches_direct(spark, tmp_path):
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    ivf_build_index(emb, "vec_id", "embedding", idx, n_centroids=16)
+
+    queries = emb.filter("vec_id < 5")
+    via_index = ivf_query_index(
+        spark, idx, queries, "vec_id", "embedding", nprobe=2, top_k=5
+    )
+    direct = ivf_topk(
+        emb, "vec_id", "embedding", query_ids_below=5,
+        n_centroids=16, nprobe=2, top_k=5,
+    )
+    a = {(r["query_id"], r["rank"]): (r["cand_id"], r["cosine"]) for r in via_index.collect()}
+    b = {(r["query_id"], r["rank"]): (r["cand_id"], r["cosine"]) for r in direct.collect()}
+    assert a == b and len(a) == 25
+
+    # the probe join must prune cell partitions: the cells scan carries
+    # a partition filter on cid (the point of the layout)
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cid" in plan or "dynamicpruning" in plan
