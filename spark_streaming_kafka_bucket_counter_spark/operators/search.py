@@ -168,3 +168,116 @@ def hybrid_rrf(
         "sem_rank",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 postings index (build once, query many)
+# ---------------------------------------------------------------------------
+
+
+def _term_bucket(col, buckets: int):
+    from .sampling import hash_bucket
+
+    return hash_bucket(col, buckets, salt="bm25tb")
+
+
+def bm25_build_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    buckets: int = 64,
+) -> None:
+    """Persist a BM25 index: postings parquet PARTITIONED BY a term hash
+    bucket (``tb``), plus per-term document frequencies (same layout)
+    and the 1-row corpus stats — the lexical build-once/query-many
+    counterpart of :func:`~.similarity.ivf_build_index`.
+
+    A query touching T terms reads at most T of the ``buckets``
+    partition dirs (partition pruning on ``tb``) and pushes the exact
+    term predicate into the parquet row-group scan — corpus size drops
+    out of query cost entirely; only posting-list length matters,
+    exactly like a dedicated search engine's inverted index.
+    """
+    from pathlib import Path
+
+    docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).select(
+        F.col(id_col), F.col("_tok"), F.size("_tok").alias("_dl")
+    )
+    stats = docs.agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
+    stats.coalesce(1).write.mode("overwrite").parquet(str(Path(path) / "stats"))
+    tf = (
+        docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("term"))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", _term_bucket(F.col("term"), buckets))
+    )
+    tf.write.mode("overwrite").partitionBy("tb").parquet(str(Path(path) / "postings"))
+    (
+        tf.groupBy("tb", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(str(Path(path) / "dfreq"))
+    )
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query a persisted BM25 index: same scoring contract as
+    :func:`bm25_topk` (nano-unit fixed-point contributions, Robertson
+    idf, (score desc, id) ties) but reading ONLY the query terms'
+    hash-bucket partitions + term-filtered row groups."""
+    from pathlib import Path
+
+    terms = sorted({t.lower() for t in query_terms})
+    # compute the exact partition set driver-side so the scan carries a
+    # literal tb IN (...) partition filter
+    tbs = sorted(
+        {
+            r["_tb"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(_term_bucket(F.col("term"), buckets).alias("_tb"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(str(Path(path) / "postings"))
+        .filter(F.col("tb").isin([int(x) for x in tbs]))
+        .filter(F.col("term").isin(terms))
+    )
+    dfreq = (
+        spark.read.parquet(str(Path(path) / "dfreq"))
+        .filter(F.col("tb").isin([int(x) for x in tbs]))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(str(Path(path) / "stats"))
+    idf = F.log((F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    avgdl = F.col("_sumdl").cast("double") / F.col("_N")
+    w = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(w * F.lit(1e9)).cast("long").alias("_w9"))
+    )
+    per_doc = scored.groupBy(id_col).agg(F.sum("_w9").alias("_s9"))
+    topk = per_doc.orderBy(F.col("_s9").desc(), F.col(id_col)).limit(top_k)
+    rk = Window.orderBy(F.col("_s9").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(rk)).select(
+        F.col(id_col),
+        F.round(F.col("_s9") / F.lit(1e9), 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -147,6 +147,15 @@ class ServingStore:
         """H7: a single batch by id (http_endpoint.py:178-184)."""
         return self.view().filter(F.col(RST_COL) == F.lit(batch_id))
 
+    def view_asof(self, batch_id: int) -> DataFrame:
+        """Time travel: the table as it stood when ``batch_id`` was the
+        newest batch — every partition with ``RST_ID <= batch_id``.
+        Partition pruning makes this a metadata operation (reads only
+        the qualifying directories); combined with the idempotent
+        per-partition appends, any historical state inside the retention
+        window is reproducible exactly."""
+        return self.view().filter(F.col(RST_COL) <= F.lit(int(batch_id)))
+
     # -- retention (R1-R4) ----------------------------------------------
     def clean(self, clean_interval: int | None = None) -> int:
         """R2: drop batches with ``RST_ID < max - clean_interval``

@@ -92,3 +92,30 @@ def test_ivf_persisted_index_matches_direct(spark, tmp_path):
     # a partition filter on cid (the point of the layout)
     plan = via_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(cid" in plan or "dynamicpruning" in plan
+
+
+def test_bm25_persisted_index_matches_direct(spark, tmp_path):
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_build_index,
+        bm25_query_index,
+        bm25_topk,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "bm25_idx")
+    bm25_build_index(docs, "doc_id", "text", idx, buckets=64)
+
+    terms = ["data", "model", "training"]
+    via_index = bm25_query_index(spark, idx, terms, top_k=10)
+    direct = bm25_topk(docs, "doc_id", "text", terms, top_k=10)
+    a = [(r["doc_id"], r["score"], r["rank"]) for r in via_index.collect()]
+    b = [(r["doc_id"], r["score"], r["rank"]) for r in direct.collect()]
+    assert a == b and len(a) == 10
+
+    # the postings scan must prune term-bucket partitions AND push the
+    # term predicate into the parquet scan
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tb#" in plan.replace("PartitionFilters: [tb IN", "PartitionFilters: [tb#") or "tb IN" in plan
+    assert "PushedFilters" in plan and "term" in plan

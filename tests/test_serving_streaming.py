@@ -222,3 +222,16 @@ def test_store_compact_frozen_partitions(spark, tmp_path):
     assert store._batch_ids() == [0, 1, 2, 3]
     # idempotent: second run finds nothing to do
     assert store.compact(keep_recent=2) == 0
+
+
+def test_store_time_travel(spark, tmp_path):
+    store = ServingStore(spark, str(tmp_path / "ttstore"), clean_freq=0)
+    for b in range(3):
+        store.append(spark.createDataFrame([(b, b * 10)], "k long, v long"), b)
+    asof1 = store.view_asof(1)
+    assert sorted(r["k"] for r in asof1.collect()) == [0, 1]
+    # pruning: only the qualifying partition dirs are scanned
+    plan = asof1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "RST_ID" in plan
+    # full view unaffected
+    assert store.view().count() == 3
