@@ -192,3 +192,84 @@ def sample_audio_frames(df: DataFrame, frame_bytes: int = 160, decoder: str = "s
             )
 
     return df.select("doc_id", "payload").mapInPandas(_decode, AUDIO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash over downsampled brightness)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def image_phash(df: DataFrame, chunks: int = 33, decoder: str = "stub") -> DataFrame:
+    """Binary payload -> 32-bit dHash-style perceptual hash: downsample
+    the payload to ``chunks`` equal byte slices ("brightness" = slice
+    byte sum — with a real codec this is the 8x9 grayscale row scan),
+    emit bit i = 1 when slice i+1 is brighter than slice i. Near-identical
+    payloads differ in few bits — hamming distance is the visual-near-dup
+    signal, robust to small localized edits in a way exact hashing isn't.
+
+    Arrow ``mapInPandas``, same plumbing contract as the other decode
+    ops; the stub slice-sum is exactly what the DuckDB oracle replays
+    over the text codepoints (payloads are utf-8 text stand-ins).
+    """
+    if decoder == "real":
+        _require_real_decoder("image")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                b = pdf["payload"].iat[i]
+                n = len(b)
+                sums = [
+                    sum(b[j * n // chunks : (j + 1) * n // chunks])
+                    for j in range(chunks)
+                ]
+                ph = 0
+                for j in range(chunks - 1):
+                    if sums[j + 1] > sums[j]:
+                        ph |= 1 << j
+                out.append((pdf["doc_id"].iat[i], ph))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.select("doc_id", "payload").mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    ph: DataFrame, max_hamming: int = 3, bands: int = 4, band_bits: int = 8
+) -> DataFrame:
+    """Near-duplicate pairs by perceptual hash: pigeonhole banding
+    (``bands`` x ``band_bits`` bits) generates candidates — full recall
+    for hamming <= bands-1 — then exact ``bit_count(xor)`` verifies.
+    Output: (doc_a, doc_b, hamming). Same banded join shape (and scale
+    argument) as the 64-bit SimHash pair operator."""
+    bvals = F.array(
+        *[
+            F.shiftright(F.col("phash"), band_bits * k)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .cast("long")
+            for k in range(bands)
+        ]
+    )
+    banded = ph.select(
+        F.col("doc_id"), F.col("phash"), F.posexplode(bvals).alias("k", "bv")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("_pa"), "k", "bv"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("_pb"), "k", "bv"
+    )
+    cand = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_pa", "_pb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(_pa ^ _pb)").cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

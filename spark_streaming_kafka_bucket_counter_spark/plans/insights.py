@@ -612,3 +612,65 @@ def q_stats_sufficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("_q") * F.col("_p")).cast("long").alias("sum_qp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup pairs
+# ---------------------------------------------------------------------------
+
+from ..operators.multimodal import (  # noqa: E402
+    image_phash,
+    phash_near_pairs,
+    with_binary_payload,
+)
+
+_PHASH_CHUNKS = 33  # 32-bit hash
+_PHASH_HAM = 3
+
+
+@query(
+    "multimodal_phash_pairs",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, string_split(text,'') AS c, len(string_split(text,'')) AS n
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             list_transform(range(0,{_PHASH_CHUNKS}), i ->
+               COALESCE(list_sum(list_transform(
+                 list_slice(c, i*n//{_PHASH_CHUNKS} + 1, (i+1)*n//{_PHASH_CHUNKS}),
+                 x -> unicode(x))), 0)) AS s
+      FROM ch
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0,{_PHASH_CHUNKS - 1}), i ->
+               CASE WHEN s[i+2] > s[i+1]
+                    THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS phash
+      FROM sums
+    ),
+    banded AS (
+      SELECT doc_id, phash, k, (phash >> (8*CAST(k AS INT))) & 255 AS bv
+      FROM ph, LATERAL (SELECT unnest(range(0,4)) AS k) ks
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.phash AS pa, b.phash AS pb
+      FROM banded a JOIN banded b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= {_PHASH_HAM}
+    """,
+)
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup pairs via perceptual hash: stub-decode payloads
+    to downsampled brightness (Arrow mapInPandas — the real-codec
+    plumbing shape), dHash to 32 bits, pigeonhole-band candidates
+    (full recall at hamming <= 3), exact bit_count(xor) verify. The
+    image counterpart of SimHash text dedup."""
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    ph = image_phash(docs, chunks=_PHASH_CHUNKS)
+    return phash_near_pairs(ph, max_hamming=_PHASH_HAM)

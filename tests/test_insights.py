@@ -256,3 +256,31 @@ def test_weighted_sample_biased_and_deterministic(spark):
     # zero/negative weights never selected
     df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], "doc_id long, w long")
     assert [r["doc_id"] for r in weighted_sample_topk(df2, "doc_id", "w", 10).collect()] == [3]
+
+
+def test_phash_near_pairs_semantics(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        image_phash,
+        phash_near_pairs,
+        with_binary_payload,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # identical -> hamming 0
+            (3, base[:-6] + "zzzzzz"),      # localized edit -> small hamming
+            (4, "完全 " * 0 + "abcdefgh " * 40),  # different text
+        ],
+        "doc_id long, text string",
+    )
+    ph = image_phash(with_binary_payload(docs))
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in phash_near_pairs(ph).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    # the perturbed doc should still be near its source (few slice sums change)
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 3
+    # unrelated text never pairs at hamming <= 3 with the base
+    assert (1, 4) not in pairs and (2, 4) not in pairs
