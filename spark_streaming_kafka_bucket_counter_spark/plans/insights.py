@@ -674,3 +674,84 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(_t(spark, sf_dir, "documents"))
     ph = image_phash(docs, chunks=_PHASH_CHUNKS)
     return phash_near_pairs(ph, max_hamming=_PHASH_HAM)
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_ZWIN = 10  # trailing window (events), excluding the current row
+
+
+@query(
+    "anomaly_user_value",
+    f"""
+    WITH v AS (
+      SELECT user_id, {_EPOCH_TS} AS ts_e, event_id,
+             CAST(ROUND("value" * 10000) AS BIGINT) AS v4
+      FROM events
+    ),
+    roll AS (
+      SELECT user_id, ts_e, event_id, v4,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(v4) OVER w AS BIGINT) AS s1,
+             CAST(SUM(v4 * v4) OVER w AS BIGINT) AS s2
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_e, event_id
+                   ROWS BETWEEN {_ZWIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts_e, event_id,
+           ROUND((v4 - CAST(s1 AS DOUBLE) / n)
+                 / sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
+                 6) AS zscore
+    FROM roll
+    WHERE n >= 5
+      AND s2 * n > s1 * s1
+      AND abs((v4 - CAST(s1 AS DOUBLE) / n)
+              / sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) > 2.0
+    """,
+)
+def q_anomaly_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outliers: each event's value against the user's
+    trailing 10-event window (window excludes the current row so the
+    outlier can't mask itself). The moments are exact BIGINT window
+    sums — the float enters ONLY in the final z expression, computed
+    from identical integers in both engines and rounded to 6 dp (the
+    repo's standard float guard). One user-keyed shuffle + one window
+    pass; constant-window users (zero variance) are excluded exactly
+    via the integer inequality s2*n > s1^2."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_e", "event_id")
+        .rowsBetween(-_ZWIN, -1)
+    )
+    v = _t(spark, sf_dir, "events").select(
+        "user_id",
+        ts_epoch_seconds(F.col("ts")).alias("ts_e"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    roll = v.select(
+        "user_id",
+        "ts_e",
+        "event_id",
+        "v4",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("v4").over(w).cast("long").alias("s1"),
+        F.sum(F.col("v4") * F.col("v4")).over(w).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("v4") - mean) / F.sqrt(var)
+    return (
+        roll.filter(
+            (F.col("n") >= 5)
+            & (F.col("s2") * F.col("n") > F.col("s1") * F.col("s1"))
+        )
+        .filter(F.abs(z) > 2.0)
+        .select("user_id", "ts_e", "event_id", F.round(z, 6).alias("zscore"))
+    )
