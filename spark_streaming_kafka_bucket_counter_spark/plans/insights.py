@@ -755,3 +755,80 @@ def q_anomaly_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.0)
         .select("user_id", "ts_e", "event_id", F.round(z, 6).alias("zscore"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join, driven through Structured Streaming
+# ---------------------------------------------------------------------------
+
+_SSJ_WIN = 3600  # purchases within 1h after the click
+
+
+@query(
+    "streaming_click_purchase_join",
+    f"""
+    WITH e AS (SELECT user_id, event_id, event_type, {_EPOCH_TS} AS ts_e FROM events),
+    c AS (SELECT user_id, event_id AS click_id, ts_e AS c_ts_e FROM e
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts_e AS p_ts_e FROM e
+          WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, purchase_id, c_ts_e, p_ts_e
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.p_ts_e >= c.c_ts_e
+                 AND p.p_ts_e <= c.c_ts_e + {_SSJ_WIN}
+    """,
+)
+def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join EXECUTED as a Structured
+    Streaming query (two file streams, watermarks, availableNow drain
+    into a memory sink) and oracle-checked against the batch range
+    join — the §2.11 evidence that the streaming operator computes the
+    same relation as its batch statement. State on both sides is
+    bounded by the watermark + the closed time window (see
+    streaming/pipeline.streaming_interval_join)."""
+    import uuid
+
+    from ..streaming.pipeline import streaming_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # timezone-free LTZ event time (works for NTZ and nanos-bigint files)
+    ts = F.col("ts")
+    if dict(zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.floor(ts / 1000).cast("long"))
+    evt = F.timestamp_seconds(ts_epoch_seconds(ts))
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), evt.alias("c_ts")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), evt.alias("p_ts")
+    )
+    joined = streaming_interval_join(
+        clicks, purchases, "user_id", "c_ts", "p_ts", _SSJ_WIN
+    )
+    name = f"ssjq_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming_click_purchase_join: availableNow drain did not "
+            "finish within 300s — refusing to query a partial sink"
+        )
+    return spark.table(name).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        ts_epoch_seconds(F.col("c_ts")).alias("c_ts_e"),
+        ts_epoch_seconds(F.col("p_ts")).alias("p_ts_e"),
+    )
