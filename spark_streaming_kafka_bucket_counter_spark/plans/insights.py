@@ -832,3 +832,35 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
         ts_epoch_seconds(F.col("c_ts")).alias("c_ts_e"),
         ts_epoch_seconds(F.col("p_ts")).alias("p_ts_e"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width value histogram (the dashboard distribution primitive)
+# ---------------------------------------------------------------------------
+
+_HIST_W4 = 500_000  # bin width 50.0 in 1e-4 units
+
+
+@query(
+    "histogram_value",
+    f"""
+    SELECT event_type,
+           CAST((CAST(ROUND("value" * 10000) AS BIGINT) // {_HIST_W4}) * {_HIST_W4}
+                AS BIGINT) AS bin_start_e4,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the value distribution per event type —
+    the dashboard distribution primitive (complement of the
+    quantile sketch): one hash aggregation on (type, bin), exact
+    integer bin edges in 1e-4 units."""
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    bin_start = (F.floor(v4 / _HIST_W4) * _HIST_W4).cast("long")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", bin_start.alias("bin_start_e4"))
+        .groupBy("event_type", "bin_start_e4")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
