@@ -258,3 +258,66 @@ def weighted_sample_topk_sql(
     ORDER BY priority, {id_col}
     LIMIT {k}
     """
+
+
+def sample_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    buckets: int = 32,
+    salt: str = "negs",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row gets ``k`` pseudo-random partners drawn from the NEXT
+    hash bucket — reproducible across engines/reruns (md5-derived), and
+    never self-pairing (partners come from a different bucket).
+
+    Shape: one window ranking the first ``k`` rows per bucket (tiny
+    state), then a hash join of anchors to their neighbor bucket's
+    top-k — join key cardinality = ``buckets``, so size ``buckets``
+    ~ corpus/10^3 at scale to keep per-key fan-in bounded. Compose with
+    an anti-join of near-dup pairs when negatives must also be
+    semantically distant.
+
+    Output: (anchor id, negative_id, neg_rank 1..k).
+    """
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(id_col), 2**31, salt)
+    tagged = df.select(F.col(id_col), (h % buckets).alias("_b"), h.alias("_h"))
+    w = Window.partitionBy("_b").orderBy("_h", id_col)
+    pool = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_b").alias("_pb"),
+            F.col(id_col).alias("negative_id"),
+            F.col("_rn").cast("long").alias("neg_rank"),
+        )
+    )
+    anchors = tagged.select(
+        F.col(id_col), ((F.col("_b") + 1) % buckets).alias("_pb")
+    )
+    return anchors.join(pool, "_pb").select(id_col, "negative_id", "neg_rank")
+
+
+def sample_negatives_sql(
+    table: str,
+    id_col: str,
+    k: int = 4,
+    buckets: int = 32,
+    salt: str = "negs",
+) -> str:
+    """DuckDB oracle twin of :func:`sample_negatives`."""
+    h = hash_bucket_sql(id_col, 2**31, salt)
+    return f"""
+    WITH _ng_t AS (SELECT {id_col}, {h} % {buckets} AS b, {h} AS h FROM {table}),
+    _ng_pool AS (
+      SELECT b AS pb, {id_col} AS negative_id,
+             CAST(row_number() OVER (PARTITION BY b ORDER BY h, {id_col}) AS BIGINT) AS neg_rank
+      FROM _ng_t QUALIFY neg_rank <= {k}
+    )
+    SELECT a.{id_col}, p.negative_id, p.neg_rank
+    FROM (SELECT {id_col}, (b + 1) % {buckets} AS pb FROM _ng_t) a
+    JOIN _ng_pool p USING (pb)
+    """

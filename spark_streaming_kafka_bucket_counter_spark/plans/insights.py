@@ -864,3 +864,25 @@ def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin_start_e4")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+from ..operators.sampling import (  # noqa: E402
+    sample_negatives,
+    sample_negatives_sql,
+)
+
+
+@query(
+    "sample_negatives",
+    sample_negatives_sql("documents", "doc_id", k=4, buckets=32),
+)
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 4 pseudo-random partners
+    per document from the neighboring hash bucket — reproducible,
+    never self-pairing, one window + one bucket-keyed join
+    (operators/sampling.py sample_negatives)."""
+    return sample_negatives(_t(spark, sf_dir, "documents"), "doc_id", k=4, buckets=32)

@@ -284,3 +284,22 @@ def test_phash_near_pairs_semantics(spark):
         assert pairs[(1, 3)] <= 3
     # unrelated text never pairs at hamming <= 3 with the base
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_sample_negatives_contract(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.sampling import (
+        sample_negatives,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = sample_negatives(df, "doc_id", k=3, buckets=8).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["doc_id"], []).append((r["neg_rank"], r["negative_id"]))
+        assert r["negative_id"] != r["doc_id"]  # never self-pair
+    # every anchor gets exactly k negatives (every bucket non-empty here)
+    assert set(len(v) for v in by_anchor.values()) == {3}
+    assert len(by_anchor) == 200
+    # deterministic across runs
+    out2 = sample_negatives(df, "doc_id", k=3, buckets=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
