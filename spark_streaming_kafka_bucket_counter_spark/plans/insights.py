@@ -886,3 +886,82 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     never self-pairing, one window + one bucket-keyed join
     (operators/sampling.py sample_negatives)."""
     return sample_negatives(_t(spark, sf_dir, "documents"), "doc_id", k=4, buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per source (c-TF-IDF style class terms)
+# ---------------------------------------------------------------------------
+
+_CTF_TOPN = 5
+
+
+@query(
+    "source_top_terms",
+    """
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY 1),
+    sizes AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tok,
+                     CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src
+              FROM tok),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf,
+             CAST(ROUND(tf.tf * ln(1.0 + (CAST(total_tok AS DOUBLE) / n_src) / f) * 1e9)
+                  AS BIGINT) AS score_e9
+      FROM tf JOIN corpus USING (term) CROSS JOIN sizes
+    )
+    SELECT source, term, tf, score_e9,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY score_e9 DESC, term) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source (c-TF-IDF class scoring): per-source
+    term frequency weighted by inverse corpus frequency, top-5 per
+    source. One explode shuffle on (source, term), the corpus term table
+    joins back on the term key (vocabulary-sized — AQE broadcasts it),
+    totals are a 1-row broadcast, and the contribution is nano-unit
+    fixed-pointed BEFORE ranking so ties and order are integer-exact
+    across engines. The corpus-exploration / cluster-labeling op."""
+    from ..functions import text as X
+
+    tok = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    sizes = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("total_tok"),
+        F.count_distinct(F.col("source")).cast("long").alias("n_src"),
+    )
+    scored = (
+        tf.join(corpus, "term")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    1.0
+                    + (F.col("total_tok").cast("double") / F.col("n_src"))
+                    / F.col("f")
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("score_e9"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("score_e9").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _CTF_TOPN)
+    )
