@@ -965,3 +965,58 @@ def q_source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _CTF_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention curve (cohort-normalized, exact ppm)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retention_curve",
+    f"""
+    WITH first_seen AS (
+      SELECT user_id AS u, MIN({_EPOCH_TS}) // {_COHORT_PERIOD} AS cohort
+      FROM events GROUP BY 1
+    ),
+    joined AS (
+      SELECT e.user_id AS u, f.cohort,
+             ({_EPOCH_TS}) // {_COHORT_PERIOD} - f.cohort AS period_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.u
+    ),
+    counts AS (
+      SELECT CAST(cohort * {_COHORT_PERIOD} AS BIGINT) AS cohort_start,
+             CAST(period_offset AS BIGINT) AS period_offset,
+             COUNT(DISTINCT u) AS n_users
+      FROM joined GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort_start, n_users AS cohort_size FROM counts
+              WHERE period_offset = 0)
+    SELECT c.cohort_start, c.period_offset, c.n_users,
+           CAST(c.n_users * 1000000 // s.cohort_size AS BIGINT) AS retained_ppm
+    FROM counts c JOIN sizes s USING (cohort_start)
+    """,
+)
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort table normalized into a retention CURVE: distinct
+    active users per (cohort, offset) as exact ppm of the cohort's size
+    (offset 0 = 1,000,000 by construction). One extra self-join of the
+    tiny (cohorts x offsets) rollup against its offset-0 slice — the
+    event-log work is identical to cohort_retention_weekly."""
+    counts = cohort_retention(
+        _t(spark, sf_dir, "events").select(
+            "user_id", ts_epoch_seconds(F.col("ts")).alias("ts_e")
+        ),
+        "user_id",
+        "ts_e",
+        _COHORT_PERIOD,
+    )
+    sizes = counts.filter(F.col("period_offset") == 0).select(
+        "cohort_start", F.col("n_users").alias("_cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_start").select(
+        "cohort_start",
+        "period_offset",
+        "n_users",
+        F.expr("(n_users * 1000000) div _cohort_size").alias("retained_ppm"),
+    )
