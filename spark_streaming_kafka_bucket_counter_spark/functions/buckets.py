@@ -36,14 +36,21 @@ BUCKET_TYPES = ("epoch", "iso", "timestamp")
 
 
 def ts_epoch_seconds(col: Column) -> Column:
-    """Epoch seconds (BIGINT) of a timestamp-like column, timezone-free.
+    """Epoch seconds (BIGINT) of a timestamp-like column, timezone-free
+    for TIMESTAMP_NTZ inputs.
 
     Built from date + time-of-day fields rather than a cast chain:
     Spark 4 rejects ``cast(timestamp_ntz as bigint)`` outright, and
     routing NTZ through TIMESTAMP_LTZ would shift by the session zone.
-    Field extraction yields the same naive epoch DuckDB's ``epoch()``
-    computes, under ANY session timezone, for NTZ, LTZ-stored-as-UTC,
-    and castable string inputs alike.
+    For NTZ (and castable string) inputs, field extraction yields the
+    same naive epoch DuckDB's ``epoch()`` computes under ANY session
+    timezone. For TIMESTAMP_LTZ inputs the extracted fields are
+    session-timezone-LOCAL wall-clock values, so the result is the true
+    epoch only when ``spark.sql.session.timeZone`` is UTC —
+    ``session.get_spark`` pins that, the streaming interval-join catalog
+    query pins it for its drain (scoped via ``restored_conf``), and
+    :func:`require_utc_session` is the loud guard for any new LTZ
+    round-trip call site.
     """
     return (
         F.unix_date(col.cast("date")) * F.lit(86400)
@@ -51,6 +58,20 @@ def ts_epoch_seconds(col: Column) -> Column:
         + F.minute(col) * F.lit(60)
         + F.second(col)
     ).cast("long")
+
+
+def require_utc_session(spark) -> None:
+    """Fail loudly when an LTZ ``timestamp_seconds`` ->
+    :func:`ts_epoch_seconds` round-trip would be wrong: field extraction
+    on TIMESTAMP_LTZ values reads session-local wall clock, so the
+    round-trip is identity only under a UTC session timezone."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"this operator round-trips event time through TIMESTAMP_LTZ and "
+            f"requires spark.sql.session.timeZone=UTC (got {tz!r}); set the "
+            "conf (session.get_spark pins it) before building the stream"
+        )
 
 
 def epoch_seconds(col: Column, bucket_type: str = "epoch") -> Column:

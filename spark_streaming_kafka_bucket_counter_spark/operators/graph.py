@@ -29,14 +29,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cut_lineage(
+    df: DataFrame,
+    rnd: int,
+    checkpoint_every: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """Per-round lineage cut for iterative loops.
+
+    Default: lazy ``localCheckpoint`` — executor-local shuffle files, one
+    job per round (the convergence/next-round action materializes it).
+    Every ``checkpoint_every``-th round (when enabled), a RELIABLE
+    ``checkpoint`` to ``checkpoint_dir`` instead: executor-local blocks
+    die with their executor, so on a cluster a 100-iteration run would
+    restart from round 0 on any executor loss — the reliable cadence
+    bounds recomputation to ``checkpoint_every`` rounds (see DEPLOY.md).
+    Reliable checkpoints are eager by API contract (the write IS the
+    materialization), costing one extra job on those rounds only.
+    """
+    if checkpoint_every > 0 and (rnd + 1) % checkpoint_every == 0:
+        spark = df.sparkSession
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        elif spark.sparkContext._jsc.sc().checkpointDir().isEmpty():
+            raise ValueError(
+                "checkpoint_every > 0 needs a reliable checkpoint dir: pass "
+                "checkpoint_dir= or call sparkContext.setCheckpointDir first"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_every: int = 0,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    node id reachable via undirected edges."""
+    node id reachable via undirected edges.
+
+    ``checkpoint_every=N`` (with ``checkpoint_dir``) swaps every N-th
+    round's lineage cut for a reliable checkpoint — the knob for long
+    cluster runs where executor loss must not restart the loop; see
+    :func:`_cut_lineage` and DEPLOY.md.
+    """
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -55,16 +94,18 @@ def connected_components(
     _sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(_sum).collect()[0][0]
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor = (
             und.join(labels.withColumnRenamed("u", "v"), "v")
             .select("u", "label")
         )
-        labels = (
+        labels = _cut_lineage(
             labels.unionByName(neighbor)
             .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("label").alias("label")),
+            rnd,
+            checkpoint_every,
+            checkpoint_dir,
         )
         cur_sum = labels.agg(_sum).collect()[0][0]
         if cur_sum == prev_sum:  # monotone -> equal sum == fixpoint
@@ -144,6 +185,8 @@ def pagerank(
     dst: str,
     iterations: int = 5,
     damping_pct: int = 85,
+    checkpoint_every: int = 0,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the UNDIRECTED graph of ``edges``,
     in exact nano-unit integer arithmetic: ``(node, rank_e9)`` with
@@ -174,9 +217,17 @@ def pagerank(
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.count()  # tiny scalar action (also materializes `und`)
+    if n_nodes == 0:
+        # empty edge set -> empty result with the node column's true type
+        # (a // by n_nodes below would otherwise raise ZeroDivisionError)
+        out = und.select(
+            F.col("u").alias("node"), F.lit(0).cast("long").alias("rank_e9")
+        )
+        und.unpersist()
+        return out
     base = (100 - damping_pct) * PR_UNIT // (100 * n_nodes)
     ranks = deg.select("u", F.lit(PR_UNIT // n_nodes).cast("long").alias("r"))
-    for _ in range(iterations):
+    for rnd in range(iterations):
         contribs = (
             ranks.join(deg, "u")
             # SQL `div` = true BIGINT division (no float round-trip)
@@ -184,7 +235,7 @@ def pagerank(
             .join(und, "u")
             .select(F.col("v").alias("u"), "c")
         )
-        ranks = (
+        ranks = _cut_lineage(
             contribs.groupBy("u")
             .agg(F.sum("c").alias("_s"))
             .select(
@@ -192,8 +243,10 @@ def pagerank(
                 (F.lit(base) + F.expr(f"({damping_pct} * _s) div 100"))
                 .cast("long")
                 .alias("r"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            rnd,
+            checkpoint_every,
+            checkpoint_dir,
         )
     out = ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_e9"))
     from ._cache import unpersist_with

@@ -203,15 +203,20 @@ PHASH_SCHEMA = "doc_id long, phash long"
 
 def image_phash(df: DataFrame, chunks: int = 33, decoder: str = "stub") -> DataFrame:
     """Binary payload -> 32-bit dHash-style perceptual hash: downsample
-    the payload to ``chunks`` equal byte slices ("brightness" = slice
-    byte sum — with a real codec this is the 8x9 grayscale row scan),
-    emit bit i = 1 when slice i+1 is brighter than slice i. Near-identical
+    the payload to ``chunks`` equal slices ("brightness" = slice value
+    sum — with a real codec this is the 8x9 grayscale row scan), emit
+    bit i = 1 when slice i+1 is brighter than slice i. Near-identical
     payloads differ in few bits — hamming distance is the visual-near-dup
     signal, robust to small localized edits in a way exact hashing isn't.
 
     Arrow ``mapInPandas``, same plumbing contract as the other decode
-    ops; the stub slice-sum is exactly what the DuckDB oracle replays
-    over the text codepoints (payloads are utf-8 text stand-ins).
+    ops. Stub "brightness" units are unicode CODEPOINTS when the payload
+    is valid utf-8 (the synthetic payloads are utf-8 text stand-ins) —
+    exactly what the DuckDB oracle replays with ``unicode(x)`` over
+    character slices, so Spark/oracle parity holds for multi-byte text
+    too, not just ASCII. Non-utf-8 payloads fall back to raw byte sums
+    (oracle-uncheckable, but the real-codec path replaces this stub for
+    actual images anyway).
     """
     if decoder == "real":
         _require_real_decoder("image")
@@ -220,10 +225,14 @@ def image_phash(df: DataFrame, chunks: int = 33, decoder: str = "stub") -> DataF
         for pdf in batches:
             out = []
             for i in range(len(pdf)):
-                b = pdf["payload"].iat[i]
-                n = len(b)
+                b = bytes(pdf["payload"].iat[i])
+                try:
+                    vals = [ord(c) for c in b.decode("utf-8")]
+                except UnicodeDecodeError:
+                    vals = list(b)
+                n = len(vals)
                 sums = [
-                    sum(b[j * n // chunks : (j + 1) * n // chunks])
+                    sum(vals[j * n // chunks : (j + 1) * n // chunks])
                     for j in range(chunks)
                 ]
                 ph = 0

@@ -165,20 +165,33 @@ def decontaminate(
     text_col: str,
     k: int = 5,
     min_overlap_frac: float = 0.2,
-    broadcast_eval: bool = True,
+    broadcast_max_grams: int = 2_000_000,
 ) -> DataFrame:
     """Flag corpus documents whose k-gram sets overlap an evaluation
     benchmark: ``(id, n_shingles, n_overlap, overlap_frac, contaminated)``.
 
-    ``broadcast_eval=True`` is correct whenever the benchmark is
-    benchmark-sized; pass False to let AQE pick the join strategy for an
-    unusually large eval side (the plan degrades to one shuffle of the
-    exploded corpus k-grams — still O(corpus), never O(corpus x eval)).
+    The eval k-gram hash set is broadcast only when VERIFIABLY small —
+    it is persisted, counted, and broadcast iff the distinct-gram count
+    is <= ``broadcast_max_grams`` (~16 MB of BIGINT hashes at the
+    default). Past the bound the plan degrades to one shuffle of the
+    exploded corpus k-grams (AQE-decided join) — still O(corpus), never
+    O(corpus x eval). Same count-gate pattern as ``minhash_lsh_pairs``'s
+    verify stage; an unconditional broadcast here would ship an
+    arbitrarily large set to every executor when a caller passes a
+    corpus-sized "eval" side. Set ``broadcast_max_grams=0`` to force the
+    shuffle path.
     """
-    ev = eval_df.select(
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("_s")
-    ).select(token_hash32(F.col("_s")).alias("_h")).distinct()
-    if broadcast_eval:
+    from pyspark import StorageLevel
+
+    ev = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("_s")
+        )
+        .select(token_hash32(F.col("_s")).alias("_h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if ev.count() <= broadcast_max_grams:
         ev = F.broadcast(ev)
     corp = corpus.select(
         F.col(id_col),

@@ -279,10 +279,23 @@ def sample_negatives(
     an anti-join of near-dup pairs when negatives must also be
     semantically distant.
 
+    Requires ``buckets >= 2`` (with one bucket the "next" bucket is the
+    anchor's own — self-pairing). Caveat: an anchor whose successor
+    bucket holds no rows gets zero negatives (inner join); with
+    ``buckets`` sized well below the corpus row count every bucket is
+    non-empty with overwhelming probability, but don't set ``buckets``
+    near/above the row count if every anchor must be covered.
+
     Output: (anchor id, negative_id, neg_rank 1..k).
     """
     from pyspark.sql import Window
 
+    if buckets < 2:
+        raise ValueError(
+            "sample_negatives needs buckets >= 2: with a single bucket the "
+            "neighbor bucket is the anchor's own, so anchors would pair "
+            "with themselves"
+        )
     h = hash_bucket(F.col(id_col), 2**31, salt)
     tagged = df.select(F.col(id_col), (h % buckets).alias("_b"), h.alias("_h"))
     w = Window.partitionBy("_b").orderBy("_h", id_col)

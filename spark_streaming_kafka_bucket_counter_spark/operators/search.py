@@ -181,6 +181,19 @@ def _term_bucket(col, buckets: int):
     return hash_bucket(col, buckets, salt="bm25tb")
 
 
+def _term_bucket_py(term: str, buckets: int) -> int:
+    """Driver-side twin of :func:`_term_bucket` — the same
+    ``md5('bm25tb:' || term)`` first-8-hex-chars recipe computed in pure
+    Python, so serving-time partition pruning costs zero Spark jobs.
+    Parity with the Column version is pinned by
+    ``tests/test_search_ops.py::test_term_bucket_python_matches_spark``.
+    """
+    import hashlib
+
+    h = hashlib.md5(f"bm25tb:{term}".encode("utf-8")).hexdigest()[:8]
+    return int(h, 16) % buckets
+
+
 def bm25_build_index(
     df: DataFrame,
     id_col: str,
@@ -240,15 +253,10 @@ def bm25_query_index(
 
     terms = sorted({t.lower() for t in query_terms})
     # compute the exact partition set driver-side so the scan carries a
-    # literal tb IN (...) partition filter
-    tbs = sorted(
-        {
-            r["_tb"]
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(_term_bucket(F.col("term"), buckets).alias("_tb"))
-            .collect()
-        }
-    )
+    # literal tb IN (...) partition filter; pure-Python replication of
+    # _term_bucket's md5 recipe (pinned by a parity test) — hashing a
+    # handful of query terms must not launch a Spark job per serving call
+    tbs = sorted({_term_bucket_py(t, buckets) for t in terms})
     postings = (
         spark.read.parquet(str(Path(path) / "postings"))
         .filter(F.col("tb").isin([int(x) for x in tbs]))

@@ -256,7 +256,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_legacy16",
     f"""
     WITH tok AS (SELECT doc, token
                  FROM (SELECT doc_id AS doc, unnest({_TOK}) AS token FROM documents)),
@@ -275,9 +275,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
     """,
 )
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: half-signature pigeonhole candidates,
-    exact hamming <= 3 verify via bit_count."""
+def q_dedup_simhash_pairs_legacy16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGACY 16-bit SimHash near-dup pairs (half-signature pigeonhole
+    candidates, exact hamming verify). Kept as an oracle pin only: the
+    256-value band buckets grow candidates ~N^2/256 and the pigeonhole
+    guarantee covers hamming <= 1. The primary `dedup_simhash_pairs` is
+    the 64-bit banded version (full recall hamming <= 3, 2^16-cardinality
+    band keys)."""
     return D.simhash_near_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, max_hamming=3
     )
@@ -303,9 +307,7 @@ _HAMMING64 = " + ".join(
 _BAND_MATCH64 = " OR ".join(f"a.p{k} = b.p{k}" for k in range(D.SIMHASH64_PARTS))
 
 
-@query(
-    "dedup_simhash64_pairs",
-    f"""
+_SIMHASH64_ORACLE = f"""
     WITH tok AS (SELECT doc, token
                  FROM (SELECT doc_id AS doc, unnest({_TOK}) AS token FROM documents)),
     h AS (SELECT doc, {', '.join(f'{sql} AS h{k}' for k, sql in _H64.items())} FROM tok),
@@ -315,14 +317,26 @@ _BAND_MATCH64 = " OR ".join(f"a.p{k} = b.p{k}" for k in range(D.SIMHASH64_PARTS)
            CAST({_HAMMING64} AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON ({_BAND_MATCH64}) AND a.doc < b.doc
     WHERE {_HAMMING64} <= 3
-    """,
-)
-def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs: 4x16-bit pigeonhole bands (FULL
-    recall for hamming <= 3), exact hamming verify over the parts."""
+    """
+
+
+@query("dedup_simhash_pairs", _SIMHASH64_ORACLE)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — the PRIMARY name, 64-bit banded: 4x16-bit
+    pigeonhole bands (FULL recall for hamming <= 3, band-key cardinality
+    2^16 so candidate growth stays linear at corpus scale), exact hamming
+    verify over the parts. The superseded 16-bit recipe survives as
+    `dedup_simhash_pairs_legacy16`."""
     return D.simhash64_near_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
+
+
+@query("dedup_simhash64_pairs", _SIMHASH64_ORACLE)
+def q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias of `dedup_simhash_pairs` (kept so the round-2 CORRECTNESS /
+    bench name continues to resolve)."""
+    return q_dedup_simhash_pairs(spark, sf_dir)
 
 
 @query(

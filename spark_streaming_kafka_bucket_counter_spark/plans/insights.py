@@ -788,43 +788,52 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
     streaming/pipeline.streaming_interval_join)."""
     import uuid
 
+    from ..session import restored_conf
     from ..streaming.pipeline import streaming_interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # timezone-free LTZ event time (works for NTZ and nanos-bigint files)
-    ts = F.col("ts")
-    if dict(zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.floor(ts / 1000).cast("long"))
-    evt = F.timestamp_seconds(ts_epoch_seconds(ts))
-    clicks = stream.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), evt.alias("c_ts")
-    )
-    purchases = stream.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), evt.alias("p_ts")
-    )
-    joined = streaming_interval_join(
-        clicks, purchases, "user_id", "c_ts", "p_ts", _SSJ_WIN
-    )
-    name = f"ssjq_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "streaming_click_purchase_join: availableNow drain did not "
-            "finish within 300s — refusing to query a partial sink"
+    # the drain EXECUTES inside the block -> safe to restore the confs
+    # after. Session tz is pinned to UTC for the duration because the
+    # event-time columns round-trip through TIMESTAMP_LTZ (the driver may
+    # hand us a bare session with a local timezone).
+    with restored_conf(
+        spark, "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
+        # timezone-free LTZ event time (works for NTZ and nanos-bigint files)
+        ts = F.col("ts")
+        if dict(zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])).get("ts") == "bigint":
+            ts = F.timestamp_micros(F.floor(ts / 1000).cast("long"))
+        evt = F.timestamp_seconds(ts_epoch_seconds(ts))
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), evt.alias("c_ts")
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), evt.alias("p_ts")
+        )
+        joined = streaming_interval_join(
+            clicks, purchases, "user_id", "c_ts", "p_ts", _SSJ_WIN
+        )
+        name = f"ssjq_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_click_purchase_join: availableNow drain did not "
+                "finish within 300s — refusing to query a partial sink"
+            )
     return spark.table(name).select(
         "user_id",
         "click_id",
@@ -897,7 +906,7 @@ _CTF_TOPN = 5
 
 @query(
     "source_top_terms",
-    """
+    r"""
     WITH tok AS (
       SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term FROM documents
     ),

@@ -17,6 +17,7 @@ test on local[32]):
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -54,3 +55,28 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextlib.contextmanager
+def restored_conf(spark: SparkSession, *keys: str):
+    """Save the named session confs and restore them (set back or unset)
+    on exit — session hygiene for operators that must pin a conf while a
+    query EXECUTES inside the block. Only safe when execution completes
+    within the block (e.g. a streaming drain); a lazily-returned
+    DataFrame still reads SQLConf at its own execution time, so restoring
+    around a lazy plan would un-pin it.
+    """
+    saved: dict[str, str | None] = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

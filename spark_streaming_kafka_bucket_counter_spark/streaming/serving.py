@@ -82,7 +82,39 @@ class ServingStore:
             self._batches_since_clean = 0
 
     # -- catalog (D1-D3) -------------------------------------------------
+    def _recover_compactions(self) -> None:
+        """Finish or roll back compaction swaps interrupted by a crash.
+
+        :meth:`compact` swaps a partition via two renames
+        (``part -> _old_<b>`` then ``_compact_<b> -> part``); a crash
+        between them leaves the batch only under ``_old_<b>``, which
+        Spark's file listing hides — the batch would silently vanish
+        from ``view()``/``view_asof()``. Called from every metadata read
+        (``_batch_ids``) so any store open self-heals: an orphaned
+        ``_compact_<b>`` with its live partition missing is promoted
+        (the compacted data is complete — the swap just didn't finish);
+        a leftover ``_old_<b>`` is restored when the live partition is
+        gone and discarded when it exists.
+        """
+        for tmp in self.path.glob("_compact_*"):
+            b = tmp.name[len("_compact_") :]
+            part = self.path / f"{RST_COL}={b}"
+            if not part.exists():
+                tmp.rename(part)  # crash between the two renames: finish
+            else:
+                # crash before the first rename: live partition is intact,
+                # the staged rewrite is redundant — compact() will redo it
+                shutil.rmtree(tmp, ignore_errors=True)
+        for bak in self.path.glob("_old_*"):
+            b = bak.name[len("_old_") :]
+            part = self.path / f"{RST_COL}={b}"
+            if part.exists():
+                shutil.rmtree(bak, ignore_errors=True)  # swap finished
+            else:
+                bak.rename(part)  # compacted copy lost: restore original
+
     def _batch_ids(self) -> list[int]:
+        self._recover_compactions()
         return sorted(
             int(p.name.split("=", 1)[1])
             for p in self.path.iterdir()

@@ -42,6 +42,36 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {(i, 0) for i in range(13)}
 
 
+def test_connected_components_reliable_checkpoint_cadence(spark, tmp_path):
+    """checkpoint_every=N must produce identical results while actually
+    writing reliable checkpoints to the given dir (the executor-loss
+    recovery knob for long cluster runs, DEPLOY.md)."""
+    import os
+
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "cc_ck")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            df, checkpoint_every=2, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(13)}
+    # reliable checkpoint data actually landed in the dir
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "no reliable checkpoint files were written"
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "a long, b long")
+    out = pagerank(empty, "a", "b", 3)
+    assert out.columns == ["node", "rank_e9"]
+    assert out.count() == 0
+
+
 def test_component_summary_shape(spark):
     df = spark.createDataFrame([(5, 9), (9, 7), (1, 2)], "doc_a long, doc_b long")
     rows = {

@@ -151,3 +151,33 @@ def test_multimodal_real_decoder_gated(spark):
     docs = M.with_binary_payload(_docs(spark).limit(1))
     with pytest.raises(NotImplementedError, match="codec"):
         M.decode_image_meta(docs, decoder="real")
+
+
+def test_image_phash_codepoint_parity_for_multibyte_text(spark):
+    """The phash stub must agree with the oracle's character/codepoint
+    semantics for NON-ASCII text too: slices are over codepoints, sums
+    are codepoint values (utf-8 byte slicing would split multi-byte
+    chars and diverge)."""
+    rows = [
+        (1, "héllo wörld — ünïcode pâyload with enough length to hash"),
+        (2, "héllo wörld — ünïcode pâyload with enough length to hash!"),
+        (3, "日本語のテキストです。これは絵文字つき 🎉🎊 のペイロード。"),
+    ]
+    chunks = 33
+    docs = M.with_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {r["doc_id"]: r["phash"] for r in M.image_phash(docs, chunks=chunks).collect()}
+
+    def oracle_phash(text):
+        vals = [ord(c) for c in text]
+        n = len(vals)
+        sums = [
+            sum(vals[j * n // chunks : (j + 1) * n // chunks]) for j in range(chunks)
+        ]
+        return sum(
+            1 << j for j in range(chunks - 1) if sums[j + 1] > sums[j]
+        )
+
+    for doc_id, text in rows:
+        assert got[doc_id] == oracle_phash(text), doc_id

@@ -303,3 +303,8 @@ def test_sample_negatives_contract(spark):
     # deterministic across runs
     out2 = sample_negatives(df, "doc_id", k=3, buckets=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # buckets < 2 would make anchors pair with their own bucket
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets >= 2"):
+        sample_negatives(df, "doc_id", k=3, buckets=1)

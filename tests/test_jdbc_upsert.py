@@ -23,7 +23,17 @@ def _derby(spark, url):
             f"({DERBY_DRIVER}) is not on the Spark classpath in this "
             "environment, and no external DB exists in the container"
         )
-    return spark._jvm.java.sql.DriverManager.getConnection(url)
+    # jar present -> a connection failure is a real FAILURE, never a skip
+    # (an earlier Derby shutdown in the same JVM deregisters the driver
+    # from DriverManager; re-registering makes the test order-robust)
+    jvm = spark._jvm
+    try:
+        return jvm.java.sql.DriverManager.getConnection(url)
+    except Exception:
+        jvm.java.sql.DriverManager.registerDriver(
+            jvm.java.lang.Class.forName(DERBY_DRIVER).newInstance()
+        )
+        return jvm.java.sql.DriverManager.getConnection(url)
 
 
 def test_jdbc_upsert_accumulates_counts(spark, tmp_path):

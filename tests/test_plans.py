@@ -73,15 +73,40 @@ def test_lsh_verify_joins_are_broadcast(spark):
 
 
 def test_simhash64_band_join_shape(spark):
-    """The 64-bit SimHash candidate stage must be ONE equi-join on the
-    exploded (band, bk) keys — band keys carry the full 16-bit part value
-    (2^16 distinct per band), never a cartesian or a reduced-key join."""
-    plan = _plan(spark, "dedup_simhash64_pairs")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # join keys are the exploded band id + full band value
-    assert re.search(r"\[band#\d+L?, bk#\d+L?\]", plan), plan
-    assert "bit_count" in plan  # exact hamming verify present
+    """The PRIMARY simhash pair query must be the 64-bit banded shape: ONE
+    equi-join on the exploded (band, bk) keys — band keys carry the full
+    16-bit part value (2^16 distinct per band), never a cartesian or a
+    reduced-key join. (`dedup_simhash64_pairs` is an alias of the same.)"""
+    for name in ("dedup_simhash_pairs", "dedup_simhash64_pairs"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # join keys are the exploded band id + full band value
+        assert re.search(r"\[band#\d+L?, bk#\d+L?\]", plan), plan
+        assert "bit_count" in plan  # exact hamming verify present
+
+
+def test_simhash64_band_key_cardinality_is_full_16_bits(spark):
+    """The band key must be the FULL 16-bit part value — if a future edit
+    folded it down (e.g. % 256 like the legacy recipe), candidate growth
+    would go quadratic. Pin: every exploded band key equals its signature
+    part exactly and parts span the 16-bit range."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_bucket_counter_spark.operators import dedup as D
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    sig = D.simhash64_signatures(docs, "doc_id", "text")
+    parts = [f"p{k}" for k in range(D.SIMHASH64_PARTS)]
+    stats = sig.select(
+        F.least(*[F.min(F.col(p)) for p in parts]).alias("lo"),
+        F.greatest(*[F.max(F.col(p)) for p in parts]).alias("hi"),
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] < (1 << 16)
+    # signatures use the full upper half of the 16-bit space (would be
+    # impossible if a mod/shift narrowed the band key)
+    assert stats["hi"] >= (1 << 15), stats
 
 
 def test_sessionize_single_shuffle(spark):
@@ -117,13 +142,18 @@ def test_core_count_stays_in_codegen(spark):
 
 
 def test_decontaminate_eval_side_broadcasts(spark):
-    """Decontamination must join the corpus k-grams against the eval hash
-    set as a broadcast hash join — a SortMergeJoin here would shuffle the
-    exploded corpus on the k-gram hash, the exact thing the design
-    forbids at 100 TB."""
+    """Decontamination must join the exploded corpus k-grams against the
+    eval hash set as a broadcast hash join — a shuffle join keyed on the
+    k-gram hash would shuffle the exploded corpus, the exact thing the
+    design forbids at 100 TB. The per-doc spine join (keyed on doc_id)
+    MAY be a shuffle join: its sides are corpus-sized, and broadcasting
+    a corpus-sized aggregate would be the real scale bug."""
     plan = _plan(spark, "dedup_decontaminate")
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # no shuffle join may key on the k-gram hash column (_h)
+    for m in re.finditer(r"\(\d+\) SortMergeJoin[^\n]*\n(?:[^\n]*\n){1,3}", plan):
+        block = m.group(0)
+        assert "_h#" not in block, f"gram-hash shuffle join:\n{block}"
 
 
 def test_repetition_hof_half_is_shuffle_free(spark):

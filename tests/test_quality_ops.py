@@ -118,11 +118,27 @@ def test_decontaminate_flags_overlap(spark):
 
 
 def test_decontaminate_shuffle_path_matches_broadcast(spark):
+    """The size gate picks broadcast under the bound and shuffle above it
+    (broadcast_max_grams=0 forces the shuffle path); results identical."""
     ev = _docs(spark, _EV)
     corpus = _docs(spark, _CORPUS)
-    a = decontaminate(corpus, ev, "doc_id", "text", k=5, broadcast_eval=True)
-    b = decontaminate(corpus, ev, "doc_id", "text", k=5, broadcast_eval=False)
+    a = decontaminate(corpus, ev, "doc_id", "text", k=5)  # gated -> broadcast
+    b = decontaminate(corpus, ev, "doc_id", "text", k=5, broadcast_max_grams=0)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_decontaminate_gate_switches_join_strategy(spark):
+    """Plan-level pin of the count-gate: under the bound the eval join is
+    a BroadcastHashJoin; with the bound at 0 no broadcast hint survives on
+    the eval side (shuffle/AQE-decided join)."""
+    ev = _docs(spark, _EV)
+    corpus = _docs(spark, _CORPUS)
+    small = decontaminate(corpus, ev, "doc_id", "text", k=5)
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+    forced = decontaminate(corpus, ev, "doc_id", "text", k=5, broadcast_max_grams=0)
+    # collect() so AQE finalizes; the gate must not have added the hint
+    forced.collect()
+    assert "ResolvedHint" not in forced._jdf.queryExecution().analyzed().toString()
 
 
 # ---------------------------------------------------------------------------

@@ -119,3 +119,27 @@ def test_bm25_persisted_index_matches_direct(spark, tmp_path):
     plan = via_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [tb#" in plan.replace("PartitionFilters: [tb IN", "PartitionFilters: [tb#") or "tb IN" in plan
     assert "PushedFilters" in plan and "term" in plan
+
+
+def test_term_bucket_python_matches_spark(spark):
+    """bm25_query_index prunes partitions with a PURE-PYTHON md5 bucket
+    (no Spark job per serving query) — it must equal the Column recipe
+    used at build time for every term, or pruning would read the wrong
+    partitions and silently drop postings."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        _term_bucket,
+        _term_bucket_py,
+    )
+
+    terms = ["data", "model", "training", "zebra", "ünïcode", "日本語", "x"]
+    for buckets in (64, 17):
+        spark_side = {
+            r["t"]: r["tb"]
+            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            .select("t", _term_bucket(F.col("t"), buckets).alias("tb"))
+            .collect()
+        }
+        for t in terms:
+            assert _term_bucket_py(t, buckets) == spark_side[t], (t, buckets)
