@@ -159,6 +159,99 @@ def ngram_jaccard_pairs(
     return unpersist_with(out, sh)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.75,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by shingle containment
+    ``|A ∩ B| / |A| >= threshold`` — ``doc_a`` is the (near-)contained
+    document. Catches sub-document duplication that symmetric Jaccard
+    dilutes: a paragraph pasted into a much longer page has tiny Jaccard
+    (union is page-sized) but containment ~1 from the paragraph's side.
+    The standard curation rule drops/flags the contained doc when the
+    container survives.
+
+    Shape: the same inverted-index join as :func:`ngram_jaccard_pairs`
+    (one undirected intersection per co-shingled pair — pairs only
+    materialize for docs sharing >= 1 surviving shingle, with
+    ``max_shingle_freq`` as the stop-shingle cap), then both directions
+    are projected from that single intersection — no second join. The
+    division is one IEEE op over exact integers, bit-identical across
+    engines.
+
+    Output: (doc_a, doc_b, n_common, size_a, size_b, containment),
+    emitted once per direction that clears the threshold.
+    """
+    sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq).persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    both = (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "size_b"}), "doc_b")
+    )
+    directed = both.select(
+        "doc_a", "doc_b", "n_common", "size_a", "size_b",
+        (F.col("n_common").cast("double") / F.col("size_a")).alias("containment"),
+    ).unionByName(
+        both.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "n_common",
+            F.col("size_b").alias("size_a"),
+            F.col("size_a").alias("size_b"),
+            (F.col("n_common").cast("double") / F.col("size_b")).alias("containment"),
+        )
+    )
+    out = directed.filter(F.col("containment") >= threshold)
+    return unpersist_with(out, sh)
+
+
+def drop_contained_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.75,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """The end-to-end containment DEDUP transform: drop every document
+    that is (near-)contained in a STRICTLY LARGER document — equal-size
+    mutual containments (clones) keep the MIN id, matching the
+    exact-dedup keep rule.
+
+    Greedy single pass: a doc is dropped when ANY qualifying container
+    exists, independent of whether that container itself survives —
+    deterministic without iterating. For EXACT containment chains
+    (A ⊂ B ⊂ C) this agrees with the iterative answer: A's shingles are
+    a subset of C's, so the A–C pair exists and A stays dropped even
+    though B is too. For NEAR-containment (threshold < 1) the greedy
+    rule can drop a middle doc whose own container is also dropped —
+    the standard curation trade (one pass, no fixpoint loop). One
+    anti-join of the corpus against the candidates-scale dropped set.
+    """
+    pairs = containment_pairs(df, id_col, text_col, k, threshold, max_shingle_freq)
+    dropped = (
+        pairs.filter(
+            (F.col("size_b") > F.col("size_a"))
+            | ((F.col("size_b") == F.col("size_a")) & (F.col("doc_b") < F.col("doc_a")))
+        )
+        .select(F.col("doc_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -55,6 +55,88 @@ def pack_documents(
     )
 
 
+def tokens_to_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1024,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Map each document's token sequence to integer ids against a
+    corpus-derived vocabulary — the tokenize-to-ids step between vocab
+    construction and sequence packing.
+
+    Vocabulary: the top ``vocab_size`` tokens by total corpus count
+    (ties broken by token text for cross-engine determinism), assigned
+    ids 1..vocab_size in that order; everything else maps to ``oov_id``
+    (0 by default, reserved). Documents with zero tokens produce no row.
+
+    Scale shape: the vocab is top-k'd with orderBy+limit (Spark plans
+    TakeOrderedAndProject — distributed partial top-k, never a global
+    sort of the distinct-token table) and is ``vocab_size``-bounded, so
+    the token->id join is a broadcast; sequence order is restored with
+    one doc-key shuffle (array_sort over collected (pos, id) structs).
+    No Python in the plan.
+
+    Output: (id, token_ids array<long>, n_tokens, n_oov).
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
+    w = Window.orderBy(F.col("cnt").desc(), "token")  # bounded: vocab_size rows
+    vocab = top.withColumn("tid", F.row_number().over(w).cast("long")).select(
+        "token", "tid"
+    )
+    mapped = tok.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("tid"), F.lit(int(oov_id))).cast("long").alias("tid"),
+    )
+    return mapped.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+        ).alias("token_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == int(oov_id), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+
+
+def tokens_to_ids_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1024,
+    oov_id: int = 0,
+) -> str:
+    """DuckDB oracle twin of :func:`tokens_to_ids` (same top-k vocab,
+    same tie-break, same OOV mapping, order-preserving list agg)."""
+    from ..functions.text import tokens_sql
+
+    t = tokens_sql(text_col)
+    return f"""
+    WITH _ti_tok AS (SELECT {id_col}, {t} AS t FROM {table}),
+    _ti_pos AS (SELECT {id_col}, i AS pos, t[CAST(i AS INT)] AS token
+                FROM _ti_tok, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) _i),
+    _ti_cnt AS (SELECT token, COUNT(*) AS cnt FROM _ti_pos GROUP BY 1),
+    _ti_vocab AS (SELECT token,
+                         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS tid
+                  FROM (SELECT * FROM _ti_cnt ORDER BY cnt DESC, token LIMIT {vocab_size})),
+    _ti_map AS (SELECT p.{id_col}, p.pos, COALESCE(v.tid, {oov_id}) AS tid
+                FROM _ti_pos p LEFT JOIN _ti_vocab v USING (token))
+    SELECT {id_col},
+           list(tid ORDER BY pos) AS token_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = {oov_id} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM _ti_map GROUP BY {id_col}
+    """
+
+
 def write_training_shards(
     packed: DataFrame,
     docs: DataFrame,

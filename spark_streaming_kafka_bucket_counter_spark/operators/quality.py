@@ -316,6 +316,96 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean negative log2 CONDITIONAL probability under the
+    corpus's own bigram model — the next step up from
+    :func:`unigram_logprob` toward the KenLM-perplexity signal:
+    ``nll2_bits = -(1/m) * sum log2(cnt(w1 w2) / cnt(w1 ·))`` over the
+    doc's m adjacent token pairs. Repetitive/boilerplate text (whose
+    transitions are corpus-common) scores low; incoherent token salad
+    scores high even when its unigrams are common.
+
+    Determinism: per-bigram ``log2(c2) - log2(c1)`` terms are
+    fixed-pointed to nano-bits on the bigram VOCAB table, so the
+    per-doc aggregation is an exact integer SUM (same discipline as
+    the unigram op). The denominator count ``cnt(w1 ·)`` is derived
+    from the bigram table itself (sum over w2), not the raw token
+    count — exactly the conditional-model normalizer.
+
+    Scale shape: explode to (doc, w1, w2) -> bigram groupBy (token-pair
+    shuffle, map-side partials) -> w1 rollup -> occ x vocab join (AQE
+    broadcasts natural-language vocabs) -> one groupBy(doc). Docs with
+    < 2 tokens emit m = 0, score 0.
+    """
+    t = tokens(F.col(text_col))
+    occ2 = (
+        df.select(F.col(id_col), t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("w1"),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("w2"),
+                )
+            ).alias("_p"),
+        )
+        .select(F.col(id_col), F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
+    )
+    v2 = occ2.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
+    v1 = v2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
+    vlp = v2.join(v1, "_w1").select(
+        "_w1",
+        "_w2",
+        F.round((F.log2("_c2") - F.log2("_c1")) * F.lit(1e9)).cast("long").alias("_lp9"),
+    )
+    per_doc = (
+        occ2.join(vlp, ["_w1", "_w2"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_lp9").alias("_s9"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.round(-(F.col("_s9") / F.lit(1e9)) / F.col("n_bigrams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nll2_bits"),
+        )
+    )
+
+
+def bigram_logprob_sql(corpus_cte: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`bigram_logprob` — identical fixed-pointing
+    and rounding. Emits a ``bigram`` CTE chain; select from ``bigram``."""
+    tok = tokens_sql(text_col)
+    return f"""
+    _bg_tok AS (SELECT {id_col}, {tok} AS t FROM {corpus_cte}),
+    _bg_occ AS (SELECT {id_col}, t[CAST(i AS INT)] AS _w1, t[CAST(i + 1 AS INT)] AS _w2
+                FROM _bg_tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) _i
+                WHERE len(t) >= 2),
+    _bg_v2 AS (SELECT _w1, _w2, COUNT(*) AS _c2 FROM _bg_occ GROUP BY 1, 2),
+    _bg_v1 AS (SELECT _w1, CAST(SUM(_c2) AS BIGINT) AS _c1 FROM _bg_v2 GROUP BY 1),
+    _bg_vlp AS (SELECT _w1, _w2,
+                       CAST(ROUND((log2(_c2) - log2(_c1)) * 1e9) AS BIGINT) AS _lp9
+                FROM _bg_v2 JOIN _bg_v1 USING (_w1)),
+    _bg_per AS (SELECT o.{id_col}, COUNT(*) AS n_bigrams,
+                       CAST(SUM(_lp9) AS BIGINT) AS _s9
+                FROM _bg_occ o JOIN _bg_vlp USING (_w1, _w2) GROUP BY 1),
+    bigram AS (
+      SELECT c.{id_col},
+             CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                  THEN ROUND(-(p._s9 / 1e9) / p.n_bigrams, 6)
+                  ELSE 0.0 END AS nll2_bits
+      FROM {corpus_cte} c LEFT JOIN _bg_per p USING ({id_col}))"""
+
+
 def unigram_logprob_sql(corpus_cte: str, id_col: str, text_col: str) -> str:
     """DuckDB twin: identical vocab fixed-pointing (nano-bit BIGINTs),
     identical final rounding. Emits a ``unigram`` CTE chain; select from

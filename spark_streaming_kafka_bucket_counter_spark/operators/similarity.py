@@ -547,6 +547,275 @@ def quantize_int8_sql(
     """
 
 
+def balanced_sample_by_centroid(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    cap: int = 50,
+    scale: int = 1_000_000,
+    salt: str = "cbal",
+) -> DataFrame:
+    """Cluster-balanced curation sample: assign every vector to its
+    NEAREST trained centroid, then keep a deterministic cap of rows per
+    cell — the "balance the semantic clusters" step (over-represented
+    clusters get truncated, rare ones survive whole), the sampling
+    counterpart of semantic dedup.
+
+    Exactness: centroids come from :func:`label_centroids` (fixed-point
+    means rounded to 6 decimals — cross-engine exact), and distances are
+    computed in SNAPPED integer space: both the vector and the centroid
+    are scaled by ``scale`` and rounded to BIGINT, so the squared-L2
+    distance is an exact integer SUM — order-free, no float comparisons
+    anywhere in the argmin. Ties (equal distance) break by cell id.
+
+    Scale shape: the centroid table is K-bounded -> broadcast fanout of
+    K rows per vector, argmin via ``min(struct(dist, cell))`` in ONE
+    partial-agg'd groupBy (no window over the fanout); the per-cell cap
+    is one window over the assigned (vector-count) rows ordered by a
+    salted hash — deterministic, layout-independent.
+
+    Output: (id, cell, dist_sq_e12, rank), rank 1..cap within cell.
+    """
+    from .sampling import hash_bucket
+
+    cent = label_centroids(df, label_col, vec_col, scale=scale)
+    carr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: F.round(s["centroid"] * scale).cast("long"),
+        ).alias("_c6")
+    ).select(F.col(label_col).alias("cell"), "_c6")
+    e6 = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    pairs = df.select(F.col(id_col), e6.alias("_e6")).crossJoin(F.broadcast(carr))
+    dist = F.aggregate(
+        F.zip_with(F.col("_e6"), F.col("_c6"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        pairs.select(F.col(id_col), F.struct(dist.alias("d"), F.col("cell")).alias("_dc"))
+        .groupBy(id_col)
+        .agg(F.min("_dc").alias("_m"))
+        .select(
+            F.col(id_col),
+            F.col("_m.cell").alias("cell"),
+            F.col("_m.d").alias("dist_sq_e12"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        hash_bucket(F.col(id_col), 2**31, salt), F.col(id_col)
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= cap)
+        .select(id_col, "cell", "dist_sq_e12", "rank")
+    )
+
+
+def _assign_nearest_cell(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    scale: int,
+) -> DataFrame:
+    """(id, cell, _e6) — every vector assigned to its nearest trained
+    centroid in exact ``scale``-fixed-point integer squared-L2 (shared
+    by :func:`balanced_sample_by_centroid` and
+    :func:`semantic_dedup_pairs`; see the former for the determinism
+    and broadcast-shape argument)."""
+    cent = label_centroids(df, label_col, vec_col, scale=scale)
+    carr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: F.round(s["centroid"] * scale).cast("long"),
+        ).alias("_c6")
+    ).select(F.col(label_col).alias("cell"), "_c6")
+    e6 = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    evec = df.select(F.col(id_col), e6.alias("_e6"))
+    pairs = evec.crossJoin(F.broadcast(carr))
+    dist = F.aggregate(
+        F.zip_with(F.col("_e6"), F.col("_c6"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # argmin carries only (dist, cell) through the shuffle — the K-fanout
+    # never ships K copies of the vector; _e6 joins back by id afterwards
+    best = (
+        pairs.select(F.col(id_col), F.struct(dist.alias("d"), F.col("cell")).alias("_dc"))
+        .groupBy(id_col)
+        .agg(F.min("_dc").alias("_m"))
+        .select(F.col(id_col), F.col("_m.cell").alias("cell"))
+    )
+    return best.join(evec, id_col).select(id_col, "cell", "_e6")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    threshold: float = 0.9,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: vectors are assigned to
+    their nearest trained centroid, and cosine is computed ONLY within
+    each cell — the centroid partition is the candidate blocker, so
+    pair cost is sum(cell²), never corpus², and tightens with more
+    centroids (at 100 TB you train thousands of cells; the plan is
+    unchanged).
+
+    Exactness: dot products run over the ``scale``-snapped integer
+    vectors — exact BIGINT sums — and the cosine is two float ops
+    (sqrt + divide) on those exact integers, rounded to 6 decimals;
+    cross-engine identical.
+
+    Output: (id_a, id_b, cell, cosine) with id_a < id_b,
+    cosine >= threshold.
+    """
+    assigned = _assign_nearest_cell(df, id_col, vec_col, label_col, scale)
+    norm = F.aggregate(
+        F.zip_with(F.col("_e6"), F.col("_e6"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sided = assigned.select(F.col(id_col), "cell", "_e6", norm.alias("_n"))
+    a = sided.select(
+        F.col(id_col).alias("id_a"), "cell",
+        F.col("_e6").alias("_ea"), F.col("_n").alias("_na"),
+    )
+    b = sided.select(
+        F.col(id_col).alias("id_b"), "cell",
+        F.col("_e6").alias("_eb"), F.col("_n").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_ea"), F.col("_eb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot.cast("double")
+        / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+        6,
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cell", "cosine")
+    )
+
+
+def _nearest_cell_sql(
+    table: str, id_col: str, vec_col: str, label_col: str, dim: int, scale: int
+) -> str:
+    """CTE chain ``_nc_best(id, cell)`` + ``_nc_e(id, _e6)`` — the
+    DuckDB twin of :func:`_assign_nearest_cell`."""
+    cent = label_centroids_sql(table, label_col, vec_col, dim, scale=scale)
+    i = "CAST(i AS INT)"
+    diff = f"(e._e6[{i}] - c._c6[{i}])"
+    return f"""
+    _nc_cent AS ({cent}),
+    _nc_carr AS (SELECT {label_col} AS cell,
+                        list(CAST(ROUND(centroid * {scale}) AS BIGINT) ORDER BY dim) AS _c6
+                 FROM _nc_cent GROUP BY 1),
+    _nc_e AS (SELECT {id_col},
+                     list_transform({vec_col},
+                                    x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS _e6
+              FROM {table}),
+    _nc_d AS (SELECT e.{id_col}, c.cell,
+                     CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                                  i -> {diff} * {diff})) AS BIGINT) AS d
+              FROM _nc_e e CROSS JOIN _nc_carr c),
+    _nc_best AS (SELECT {id_col}, cell
+                 FROM (SELECT *, row_number() OVER (PARTITION BY {id_col}
+                                                    ORDER BY d, cell) AS _rn
+                       FROM _nc_d)
+                 WHERE _rn = 1)
+    """
+
+
+def semantic_dedup_pairs_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_pairs`."""
+    assign = _nearest_cell_sql(table, id_col, vec_col, label_col, dim, scale)
+    i = "CAST(i AS INT)"
+    return f"""
+    WITH {assign},
+    _sd_side AS (SELECT b.{id_col}, b.cell, e._e6,
+                        CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                                     i -> e._e6[{i}] * e._e6[{i}])) AS BIGINT) AS _n
+                 FROM _nc_best b JOIN _nc_e e USING ({id_col})),
+    _sd_pairs AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, a.cell,
+             ROUND(CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                  i -> a._e6[{i}] * b._e6[{i}])) AS DOUBLE)
+                   / sqrt(CAST(a._n AS DOUBLE) * CAST(b._n AS DOUBLE)), 6) AS cosine
+      FROM _sd_side a JOIN _sd_side b
+        ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+    )
+    SELECT id_a, id_b, cell, cosine FROM _sd_pairs WHERE cosine >= {threshold}
+    """
+
+
+def balanced_sample_by_centroid_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    cap: int = 50,
+    scale: int = 1_000_000,
+    salt: str = "cbal",
+) -> str:
+    """DuckDB twin of :func:`balanced_sample_by_centroid` — identical
+    fixed-point snap, exact integer distances, same tie-breaks."""
+    from .sampling import hash_bucket_sql
+
+    cent = label_centroids_sql(table, label_col, vec_col, dim, scale=scale)
+    i = "CAST(i AS INT)"
+    diff = f"(e._e6[{i}] - c._c6[{i}])"
+    return f"""
+    WITH _cb_cent AS ({cent}),
+    _cb_carr AS (SELECT {label_col} AS cell,
+                        list(CAST(ROUND(centroid * {scale}) AS BIGINT) ORDER BY dim) AS _c6
+                 FROM _cb_cent GROUP BY 1),
+    _cb_e AS (SELECT {id_col},
+                     list_transform({vec_col},
+                                    x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS _e6
+              FROM {table}),
+    _cb_d AS (SELECT e.{id_col}, c.cell,
+                     CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                                  i -> {diff} * {diff})) AS BIGINT) AS d
+              FROM _cb_e e CROSS JOIN _cb_carr c),
+    _cb_best AS (SELECT {id_col}, cell, d
+                 FROM (SELECT *, row_number() OVER (PARTITION BY {id_col}
+                                                    ORDER BY d, cell) AS _rn
+                       FROM _cb_d)
+                 WHERE _rn = 1),
+    _cb_rk AS (SELECT {id_col}, cell, d AS dist_sq_e12,
+                      CAST(row_number() OVER (
+                        PARTITION BY cell
+                        ORDER BY {hash_bucket_sql(id_col, 2**31, salt)}, {id_col}
+                      ) AS BIGINT) AS rank
+               FROM _cb_best)
+    SELECT {id_col}, cell, dist_sq_e12, rank FROM _cb_rk WHERE rank <= {cap}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Multi-probe sign-bucket LSH
 # ---------------------------------------------------------------------------

@@ -300,6 +300,26 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(sized, "doc_id", "n_ws", _PACK_BUDGET)
 
 
+from ..operators.packing import tokens_to_ids, tokens_to_ids_sql  # noqa: E402
+
+_VOCAB_SIZE = 512
+
+
+@query(
+    "text_tokens_to_ids",
+    tokens_to_ids_sql("documents", "doc_id", "text", _VOCAB_SIZE),
+)
+def q_text_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids against a corpus-derived top-512 vocabulary
+    (ids 1..512 by count desc / token tie-break; OOV -> 0): the bridge
+    between vocabulary construction and sequence packing. Vocab is
+    top-k'd without a global sort and broadcast into the token join;
+    one doc-key shuffle restores sequence order."""
+    return tokens_to_ids(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=_VOCAB_SIZE
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary / IDF over the document corpus
 # ---------------------------------------------------------------------------
@@ -506,6 +526,52 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, "vec_id", "embedding", extra_cols=["label"])
 
 
+from ..operators.similarity import (  # noqa: E402
+    balanced_sample_by_centroid,
+    balanced_sample_by_centroid_sql,
+    semantic_dedup_pairs,
+    semantic_dedup_pairs_sql,
+)
+
+_CBAL_CAP = 40
+_SEMDEDUP_T = 0.4
+
+
+@query(
+    "sample_balanced_by_centroid",
+    balanced_sample_by_centroid_sql(
+        "embeddings", "vec_id", "embedding", "label", _EMB_DIM, cap=_CBAL_CAP
+    ),
+)
+def q_sample_balanced_by_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation: nearest-trained-centroid assignment
+    (exact integer squared-L2 in 1e-6 fixed point — order-free argmin)
+    then a deterministic per-cell cap of 40 — over-represented semantic
+    clusters truncate, rare ones survive whole. K-bounded centroid
+    broadcast + one partial-agg argmin groupBy + one capped window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return balanced_sample_by_centroid(
+        emb, "vec_id", "embedding", "label", cap=_CBAL_CAP
+    )
+
+
+@query(
+    "dedup_semantic_pairs",
+    semantic_dedup_pairs_sql(
+        "embeddings", "vec_id", "embedding", "label", _EMB_DIM, threshold=_SEMDEDUP_T
+    ),
+)
+def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: nearest-centroid cells
+    block the candidates (pair cost = sum(cell²), tightens with more
+    cells — plan unchanged at 100 TB), cosine over exact fixed-point
+    integer dot products inside each cell only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=_SEMDEDUP_T
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental-snapshot dedup + tokenizer vocabulary coverage
 # ---------------------------------------------------------------------------
@@ -703,6 +769,24 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-pointed per vocab entry so the doc aggregation is an exact
     integer sum."""
     return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+from ..operators.quality import bigram_logprob, bigram_logprob_sql  # noqa: E402
+
+
+@query(
+    "text_bigram_logprob",
+    f"""
+    WITH {bigram_logprob_sql('documents', 'doc_id', 'text')}
+    SELECT * FROM bigram
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM doc scoring: mean -log2 p(w2|w1) over the
+    doc's adjacent token pairs under the corpus's own bigram model —
+    one step closer to the KenLM perplexity signal than the unigram op;
+    same nano-bit vocab fixed-pointing, exact integer doc sums."""
+    return bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

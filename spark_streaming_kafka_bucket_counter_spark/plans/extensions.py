@@ -167,6 +167,82 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_DOC_SHINGLES},
+    _cp_sizes AS (SELECT doc, COUNT(*) AS n FROM ds GROUP BY doc),
+    _cp_inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+                  FROM ds a JOIN ds b USING (shingle)
+                  WHERE a.doc < b.doc
+                  GROUP BY 1, 2),
+    _cp_both AS (SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b
+                 FROM _cp_inter
+                 JOIN _cp_sizes sa ON _cp_inter.doc_a = sa.doc
+                 JOIN _cp_sizes sb ON _cp_inter.doc_b = sb.doc),
+    _cp_dir AS (
+      SELECT doc_a, doc_b, n_common, size_a, size_b,
+             CAST(n_common AS DOUBLE) / size_a AS containment
+      FROM _cp_both
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b, n_common,
+             size_b AS size_a, size_a AS size_b,
+             CAST(n_common AS DOUBLE) / size_b AS containment
+      FROM _cp_both
+    )
+    SELECT doc_a, doc_b, n_common, size_a, size_b, containment
+    FROM _cp_dir WHERE containment >= 0.75
+    """,
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED sub-document duplication: shingle containment
+    |A∩B|/|A| >= 0.75 with doc_a the contained side — the asymmetric
+    complement of Jaccard (a paragraph pasted into a long page scores
+    ~1 here but near 0 on Jaccard). Same single inverted-index join;
+    both directions projected without a second join."""
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.75
+    )
+
+
+@query(
+    "dedup_drop_contained",
+    f"""
+    WITH {_DOC_SHINGLES},
+    _dc_sizes AS (SELECT doc, COUNT(*) AS n FROM ds GROUP BY doc),
+    _dc_inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+                  FROM ds a JOIN ds b USING (shingle)
+                  WHERE a.doc < b.doc
+                  GROUP BY 1, 2),
+    _dc_both AS (SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b
+                 FROM _dc_inter
+                 JOIN _dc_sizes sa ON _dc_inter.doc_a = sa.doc
+                 JOIN _dc_sizes sb ON _dc_inter.doc_b = sb.doc),
+    _dc_dropped AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM _dc_both
+        WHERE CAST(n_common AS DOUBLE) / size_a >= 0.75
+          AND (size_b > size_a OR (size_b = size_a AND doc_b < doc_a))
+        UNION ALL
+        SELECT doc_b AS doc_id FROM _dc_both
+        WHERE CAST(n_common AS DOUBLE) / size_b >= 0.75
+          AND (size_a > size_b OR (size_a = size_b AND doc_a < doc_b))
+      )
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM _dc_dropped x WHERE x.doc_id = d.doc_id)
+    """,
+)
+def q_dedup_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end containment dedup: the corpus minus every doc
+    (near-)contained in a strictly larger doc (equal sizes keep the min
+    id — the exact-dedup rule). One inverted-index pass + one anti-join."""
+    return D.drop_contained_docs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.75
+    ).select("doc_id", "source", "lang")
+
+
 # Affine MinHash family (one md5-derived 32-bit base hash per shingle,
 # then sig_j = MIN((A_j*h + B_j) % P)) — mirrors operators/dedup.py
 _MINHASH_HS = (

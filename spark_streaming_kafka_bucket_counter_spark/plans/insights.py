@@ -1029,3 +1029,116 @@ def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.expr("(n_users * 1000000) div _cohort_size").alias("retained_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group percentile rank (feature engineering primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_percentile_rank",
+    f"""
+    SELECT event_id, event_type,
+           CAST(ROUND("value" * 10000) AS BIGINT) AS value_e4,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ROUND("value" * 10000) AS BIGINT))
+             AS value_pctile
+    FROM events
+    """,
+)
+def q_feature_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile rank of the event value — the rank-based
+    normalization step for model features (robust to outliers where
+    z-scores aren't). Ranking runs over the EXACT 1e-4 fixed-point
+    value, so sort order and tie groups are cross-engine identical;
+    percent_rank's (rank-1)/(n-1) is one IEEE division of exact ints.
+    One hash shuffle on the type key; ties share a rank, making the
+    output independent of partition layout."""
+    from pyspark.sql import Window
+
+    ve4 = F.round(F.col("value") * 10000).cast("long")
+    w = Window.partitionBy("event_type").orderBy("value_e4")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", ve4.alias("value_e4"))
+        .withColumn("value_pctile", F.percent_rank().over(w))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (half-life weights, exact integers)
+# ---------------------------------------------------------------------------
+
+_EWMA_DEPTH = 10  # trailing rows (incl. current); weight 2^-(k) per step back
+
+
+def _ewma_terms():
+    """(k, weight) pairs: weight = 2^(depth-1-k), so the k-th lag's
+    half-life weight 2^-k becomes an exact INTEGER after scaling by
+    2^(depth-1) — the whole EWMA stays in BIGINT arithmetic."""
+    return [(k, 1 << (_EWMA_DEPTH - 1 - k)) for k in range(_EWMA_DEPTH)]
+
+
+@query(
+    "feature_ewma",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id, {_EPOCH_TS} AS ts_e,
+             CAST(ROUND("value" * 10000) AS BIGINT) AS v_e4
+      FROM events
+    )
+    SELECT user_id, event_id, ts_e,
+           CAST({" + ".join(
+               f"COALESCE(lag(v_e4, {k}) OVER w * {wt}, 0)" for k, wt in _ewma_terms()
+           )} AS BIGINT) AS ewma_num_x512,
+           CAST({" + ".join(
+               f"CASE WHEN lag(v_e4, {k}) OVER w IS NOT NULL THEN {wt} ELSE 0 END"
+               for k, wt in _ewma_terms()
+           )} AS BIGINT) AS ewma_den_x512,
+           CAST(({" + ".join(
+               f"COALESCE(lag(v_e4, {k}) OVER w * {wt}, 0)" for k, wt in _ewma_terms()
+           )}) // ({" + ".join(
+               f"CASE WHEN lag(v_e4, {k}) OVER w IS NOT NULL THEN {wt} ELSE 0 END"
+               for k, wt in _ewma_terms()
+           )}) AS BIGINT) AS ewma_e4
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_e, event_id)
+    """,
+)
+def q_feature_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life EWMA of each user's value stream (weights 2^-k over the
+    trailing 10 events), computed ENTIRELY in BIGINT: weights are scaled
+    by 2^9 into integers, so numerator/denominator are exact and the
+    reported ewma_e4 is one integer division — no float anywhere,
+    layout- and engine-independent. One hash shuffle on user_id; the 10
+    lags share a single Window spec (one pass)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_e", "event_id")
+    v = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_epoch_seconds(F.col("ts")).alias("ts_e"),
+        F.round(F.col("value") * 10000).cast("long").alias("_v_e4"),
+    )
+    num = None
+    den = None
+    for k, wt in _ewma_terms():
+        lagged = F.lag("_v_e4", k).over(w)
+        n_term = F.coalesce(lagged * wt, F.lit(0))
+        d_term = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = n_term if num is None else num + n_term
+        den = d_term if den is None else den + d_term
+    return (
+        v.select(
+            "user_id",
+            "event_id",
+            "ts_e",
+            num.cast("long").alias("ewma_num_x512"),
+            den.cast("long").alias("ewma_den_x512"),
+        )
+        .withColumn(
+            "ewma_e4", F.expr("ewma_num_x512 div ewma_den_x512").cast("long")
+        )
+    )

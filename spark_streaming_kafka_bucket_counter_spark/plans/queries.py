@@ -587,6 +587,51 @@ def q_sql_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_REVENUE_CENTS}) AS BIGINT) AS revenue_x10k,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate  > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_x10k DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 flavor (shipping priority) through the SQL surface: the
+    classic selective 3-way join + date-range filters + grouped top-k.
+    Both date predicates push to the parquet scans; the segment filter
+    prunes customer before the join; the LIMIT rides as
+    TakeOrderedAndProject (distributed partial top-k, no global sort).
+    Revenue in exact integer 1/10000ths; full ORDER BY tie-break for a
+    deterministic LIMIT."""
+    for name in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT l_orderkey,
+               SUM({_REVENUE_CENTS}) AS revenue_x10k,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1995-03-15'
+          AND l_shipdate  > DATE '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_x10k DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
 # A1 under synthetic skew: the salted two-stage variant must produce the
 # exact same totals as the plain groupBy (the oracle never sees the salt).
 @query(
@@ -670,6 +715,11 @@ _DRIVER_PRIORITY = [
     # round 3 renames: the primary simhash name now carries the 64-bit
     # semantics, and the 16-bit pin is a new name — both need driver rows.
     "dedup_simhash_pairs", "dedup_simhash_pairs_legacy16",
+    # round 3 additions (never driver-checked yet)
+    "dedup_containment_pairs", "text_tokens_to_ids",
+    "sample_balanced_by_centroid", "sql_shipping_priority",
+    "feature_percentile_rank", "dedup_semantic_pairs",
+    "dedup_drop_contained", "feature_ewma", "text_bigram_logprob",
 ]
 
 

@@ -160,6 +160,58 @@ def test_write_training_shards_layout(spark, tmp_path):
         assert (pdf[["pack_id", "offset"]].values == ordered[["pack_id", "offset"]].values).all()
 
 
+def test_tokens_to_ids_vocab_and_order(spark):
+    """Vocab ids rank by count desc / token tie-break; OOV -> 0; the id
+    sequence preserves token order regardless of partition layout."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.packing import (
+        tokens_to_ids,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "rare token here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    # counts: the=3, sat=2, rest=1 -> vocab_size=2 keeps {the:1, sat:2}
+    got = {r["doc_id"]: r for r in tokens_to_ids(df, "doc_id", "text", vocab_size=2).collect()}
+    assert got[1]["token_ids"] == [1, 0, 2, 0, 1, 0]
+    assert got[1]["n_tokens"] == 6 and got[1]["n_oov"] == 3
+    assert got[2]["token_ids"] == [1, 0, 2]
+    assert got[3]["token_ids"] == [0, 0, 0] and got[3]["n_oov"] == 3
+    # larger vocab: ties (count=1) rank alphabetically after the/sat
+    full = {r["doc_id"]: r["token_ids"] for r in tokens_to_ids(df, "doc_id", "text", vocab_size=100).collect()}
+    assert all(i > 0 for ids in full.values() for i in ids)  # no OOV now
+
+
+def test_balanced_sample_by_centroid_caps_cells(spark):
+    """Every cell respects the cap; assignment goes to the NEAREST
+    centroid (vectors planted at a centroid's exact location join it)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        balanced_sample_by_centroid,
+    )
+
+    # two tight clusters around (0,0) and (10,10); cluster A oversized
+    rows = [(i, [0.0 + (i % 3) * 0.001, 0.0], 0) for i in range(30)]
+    rows += [(100 + i, [10.0, 10.0 + (i % 2) * 0.001], 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = balanced_sample_by_centroid(df, "vec_id", "embedding", "label", cap=8).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert len(by_cell[0]) == 8  # oversized cluster truncated to cap
+    assert len(by_cell[1]) == 5  # small cluster survives whole
+    # assignment is by distance: all vec_id < 100 land in cell 0
+    for r in out:
+        assert (r["cell"] == 0) == (r["vec_id"] < 100)
+        assert 1 <= r["rank"] <= 8
+    # deterministic across runs/layouts
+    again = balanced_sample_by_centroid(
+        df.repartition(7), "vec_id", "embedding", "label", cap=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_open_or_none_and_now_bucket(spark, tmp_path):
     """S9 file-or-none loader + P9 current-time bucket (the two
     remaining untested reference helpers)."""

@@ -43,6 +43,82 @@ def test_ngram_jaccard_finds_planted_near_dups(spark):
     assert len(exact) == 1 and exact[0]["jaccard"] == 1.0
 
 
+def test_containment_catches_subdocument_duplication(spark):
+    """A paragraph pasted into a much longer page: tiny Jaccard (union is
+    page-sized) but containment ~1 from the paragraph's side — and the
+    direction must identify the contained doc as doc_a."""
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i}" for i in range(200))
+    rows = [(1, para), (2, para + " " + filler), (3, "unrelated words only here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in D.containment_pairs(df, "doc_id", "text", k=3, threshold=0.75).collect()
+    }
+    # doc 1's shingles are all inside doc 2 -> containment 1.0, directed
+    assert got[(1, 2)] == 1.0
+    # the page is NOT contained in the paragraph
+    assert (2, 1) not in got
+    # Jaccard would have rejected this pair at any near-dup threshold
+    jac = D.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+    # symmetric exact clones appear in BOTH directions
+    clone = spark.createDataFrame([(9, para)], "doc_id long, text string")
+    both = df.unionByName(clone)
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.containment_pairs(both, "doc_id", "text", k=3, threshold=0.99).collect()
+    }
+    assert (1, 9) in got2 and (9, 1) in got2
+
+
+def test_drop_contained_keeps_containers_and_clones_min_id(spark):
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i}" for i in range(200))
+    rows = [
+        (1, para),                    # contained in 2 -> dropped
+        (2, para + " " + filler),     # container -> kept
+        (3, "unrelated words only in this document right here"),  # kept
+        (9, para),                    # clone of 1: equal size, higher id -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in D.drop_contained_docs(df, "doc_id", "text", k=3, threshold=0.75).collect()
+    )
+    # 1 is contained in 2; of the clone pair {1, 9} min id wins, but 1 is
+    # itself contained in 2 -> only the container and the unrelated doc stay
+    assert kept == [2, 3]
+
+
+def test_semantic_dedup_pairs_blocks_by_cell(spark):
+    """Pairs only materialize within a centroid cell; near-identical
+    vectors in the same cell score cosine ~1, cross-cell pairs never
+    appear even if similar."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.001, 0.0], 0),   # near-dup of 1, same cluster
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.999, 0.001], 1),   # near-dup of 3
+        (5, [-1.0, 0.0, 0.0], 0),      # same cell as 1/2 but opposite -> low cos
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        (r["id_a"], r["id_b"]): (r["cell"], r["cosine"])
+        for r in semantic_dedup_pairs(df, "vec_id", "embedding", "label", threshold=0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)][1] > 0.99
+    assert (3, 4) in got and got[(3, 4)][1] > 0.99
+    assert all(a != 5 and b != 5 for a, b in got)  # anti-parallel filtered
+    # no cross-cell pair can exist
+    for (a, b), (cell, _) in got.items():
+        assert {a, b} <= ({1, 2, 5} if cell == 0 else {3, 4})
+
+
 def test_minhash_lsh_subset_of_exact_with_recall(spark):
     docs = _docs(spark)
     exact = {

@@ -286,6 +286,42 @@ def test_phash_near_pairs_semantics(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_feature_ewma_exact_integers(spark):
+    """EWMA weights are exact scaled powers of two; verify the integer
+    numerator/denominator and the ramp-up denominators on a tiny stream."""
+    from spark_streaming_kafka_bucket_counter_spark.plans.insights import _EWMA_DEPTH
+
+    assert _EWMA_DEPTH == 10
+    import duckdb
+
+    from spark_streaming_kafka_bucket_counter_spark.plans import queries as catalog
+
+    out = {
+        (r["user_id"], r["event_id"]): r
+        for r in catalog.QUERIES["feature_ewma"](spark, "/root/testdata/sf0.001")
+        .filter(F.col("user_id") == 1)
+        .collect()
+    }
+    # replicate driver-side from the raw table for user 1
+    con = duckdb.connect()
+    rows = con.execute(
+        """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_e,
+                  CAST(ROUND("value" * 10000) AS BIGINT) AS v
+           FROM '/root/testdata/sf0.001/events.parquet'
+           WHERE user_id = 1 ORDER BY ts_e, event_id"""
+    ).fetchall()
+    assert rows and len(out) == len(rows)
+    hist = []
+    for eid, _, v in rows:
+        hist.append(v)
+        win = hist[-10:][::-1]  # most recent first
+        num = sum(x * (1 << (9 - k)) for k, x in enumerate(win))
+        den = sum(1 << (9 - k) for k in range(len(win)))
+        r = out[(1, eid)]
+        assert (r["ewma_num_x512"], r["ewma_den_x512"]) == (num, den), eid
+        assert r["ewma_e4"] == num // den or (num < 0 and r["ewma_e4"] == int(num / den))
+
+
 def test_sample_negatives_contract(spark):
     from spark_streaming_kafka_bucket_counter_spark.operators.sampling import (
         sample_negatives,

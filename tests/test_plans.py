@@ -156,6 +156,59 @@ def test_decontaminate_eval_side_broadcasts(spark):
         assert "_h#" not in block, f"gram-hash shuffle join:\n{block}"
 
 
+def test_tokens_to_ids_vocab_is_broadcast_topk(spark):
+    """The token->id join must broadcast the (vocab_size-bounded) vocab,
+    and the vocab top-k must plan as TakeOrderedAndProject — never a
+    global sort of the distinct-token table, never a shuffle join of
+    the exploded tokens against the vocab."""
+    plan = _plan(spark, "text_tokens_to_ids")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_balanced_centroid_fanout_is_broadcast(spark):
+    """The K-bounded centroid table must broadcast into the per-vector
+    fanout (never a shuffle of the vectors against it), and the argmin
+    must be an aggregate, not a window over the fanout."""
+    plan = _plan(spark, "sample_balanced_by_centroid")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # one true window remains (the per-cell cap); the argmin itself is an
+    # agg. WindowGroupLimit operators are the rank-filter pushdown, not
+    # extra window passes — excluded from the count.
+    assert len(re.findall(r"\(\d+\) Window(?!GroupLimit)", plan)) == 1
+
+
+def test_shipping_priority_pushes_dates_and_topk(spark):
+    """TPC-H Q3 shape: date predicates reach the parquet scans and the
+    LIMIT rides as a distributed TakeOrderedAndProject."""
+    plan = _plan(spark, "sql_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderdate", plan)
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*EqualTo\(c_mktsegment,BUILDING\)", plan)
+
+
+def test_semantic_dedup_pair_join_keys_on_cell(spark):
+    """The in-cell pair stage must be an equi-join on the cell key (the
+    SemDeDup blocker) — never an uncapped cartesian of the vectors. The
+    only nested-loop join allowed is the K-bounded broadcast centroid
+    fanout (its build side is a BroadcastExchange of the centroid agg)."""
+    plan = _plan(spark, "dedup_semantic_pairs")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"SortMergeJoin.*\[cell#\d+\]|BroadcastHashJoin.*\[cell#\d+\]", plan) or \
+        re.search(r"Left keys \[1\]: \[cell#\d+\]", plan), plan
+
+
+def test_ewma_single_window_pass(spark):
+    """All 10 EWMA lags must share ONE window pass over ONE user-key
+    exchange — per-lag windows would sort the stream 10 times."""
+    plan = _plan(spark, "feature_ewma")
+    assert len(re.findall(r"\(\d+\) Window(?!GroupLimit)", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_repetition_hof_half_is_shuffle_free(spark):
     """The duplicate-n-gram fractions are per-row HOF projections; only
     the modal-bigram half may shuffle (groupBy + window + spine join,

@@ -142,6 +142,35 @@ def test_decontaminate_gate_switches_join_strategy(spark):
 
 
 # ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_separates_repetition_from_salad(spark):
+    """Under the corpus's own bigram model, a document whose transitions
+    repeat scores LOW mean -log2 p(w2|w1); a document of unique one-off
+    transitions scores high. Short docs (< 2 tokens) emit 0."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.quality import (
+        bigram_logprob,
+    )
+
+    rows = [
+        (1, "a b a b a b"),   # a->b dominates a's successors corpus-wide
+        (2, "a x a y a z"),   # a-> spread over one-off successors
+        (3, "solo"),          # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert got[1]["n_bigrams"] == 5 and got[2]["n_bigrams"] == 5
+    # corpus-wide cnt(a.) = 6; doc 1: 3x -log2(3/6)=1 + 2x 0 -> 0.6
+    assert abs(got[1]["nll2_bits"] - 0.6) < 1e-6
+    # doc 2: 3x -log2(1/6) + 2x 0 -> 1.550978
+    assert abs(got[2]["nll2_bits"] - 1.550978) < 1e-5
+    assert got[1]["nll2_bits"] < got[2]["nll2_bits"]
+    assert got[3]["n_bigrams"] == 0 and got[3]["nll2_bits"] == 0.0
+
+
+# ---------------------------------------------------------------------------
 # topn_per_group
 # ---------------------------------------------------------------------------
 
