@@ -172,3 +172,47 @@ def snapshot_diff_sql(
     FROM (SELECT *, 1 AS _in_old FROM ({old_query})) o
     FULL OUTER JOIN (SELECT *, 1 AS _in_new FROM ({new_query})) n ON {on}
     """
+
+
+def table_checksum(
+    df: DataFrame, exprs: dict[str, "F.Column"], mod: int = 1 << 31
+) -> DataFrame:
+    """Order-independent content checksum of a table: one row
+    ``(n_rows, checksum)`` where checksum = SUM over rows of a 32-bit
+    md5-derived row hash, reduced mod ``mod`` — the cheap drift/parity
+    primitive (same table, two engines or two days: equal checksums
+    ⇒ near-certainly identical content, order and layout ignored).
+
+    ``exprs`` maps column names to CANONICAL columns (exact types only:
+    ints, strings, dates — floats must be fixed-pointed by the caller;
+    their string forms differ between engines). NULLs are folded to a
+    sentinel inside the row rendering, so a NULL and the literal string
+    differ.
+
+    Exactness at any scale: per-row hashes are summed as DECIMAL(38,0)
+    (a BIGINT sum would overflow past ~2^31 rows) and reduced mod once
+    at the end — commutative, partition-order-free, one aggregation
+    pass with map-side partials.
+    """
+    rendered = F.concat_ws(
+        "|", *[F.coalesce(c.cast("string"), F.lit("\x00null")) for c in exprs.values()]
+    )
+    h = F.conv(F.substring(F.md5(rendered), 1, 8), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(mod)).cast("long").alias("checksum"),
+    )
+
+
+def table_checksum_sql(table: str, exprs: dict[str, str], mod: int = 1 << 31) -> str:
+    """DuckDB twin of :func:`table_checksum` (same rendering, same hash
+    recipe, same HUGEINT-then-mod reduction)."""
+    rendered = " || '|' || ".join(
+        f"COALESCE(CAST({e} AS VARCHAR), chr(0) || 'null')" for e in exprs.values()
+    )
+    h = f"CAST('0x' || substr(md5({rendered}), 1, 8) AS BIGINT)"
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST({h} AS HUGEINT)) % {mod} AS BIGINT) AS checksum
+    FROM {table}
+    """

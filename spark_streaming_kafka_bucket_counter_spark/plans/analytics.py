@@ -467,7 +467,10 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C shape): flag training
     documents sharing >= 20% of their distinct 5-gram hashes with the
     eval set (here: doc_id < 20 stands in for the benchmark). Eval
-    k-gram set broadcasts; corpus is never shuffled wider than doc_id."""
+    k-gram set broadcasts; corpus is never shuffled wider than doc_id.
+
+    (See also ``curation_report`` for the staged pipeline rollup that
+    composes this with the gate and exact dedup.)"""
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") < 20)
     corpus = docs.filter(F.col("doc_id") >= 20)
@@ -869,6 +872,56 @@ def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+from ..operators.quality import GATE_RULES  # noqa: E402
+
+
+@query(
+    "quality_by_source",
+    f"""
+    WITH _qs_gate AS ({quality_gate_sql('documents', 'doc_id', 'text')})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS keep_ppm,
+           {', '.join(
+               f'CAST(SUM(CASE WHEN g.{r} THEN 1 ELSE 0 END) AS BIGINT) AS n_{r}'
+               for r in GATE_RULES
+           )},
+           CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN g.keep THEN g.n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM documents d JOIN _qs_gate g USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation monitoring dashboard: per-source keep rates (exact
+    ppm), per-rule violation counts, and token retention — what a
+    production pipeline alerts on when one crawl source degrades. The
+    gate itself is zero-shuffle; this adds ONE groupBy on source (after
+    a doc-key join of the id->source map, co-partitioned at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    gate = quality_gate(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "source").join(gate, "doc_id")
+    keep_i = F.when(F.col("keep"), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(keep_i).cast("long").alias("n_keep"),
+        F.expr("(sum(case when keep then 1 else 0 end) * 1000000) div count(*)")
+        .cast("long")
+        .alias("keep_ppm"),
+        *[
+            F.sum(F.when(F.col(r), 1).otherwise(0)).cast("long").alias(f"n_{r}")
+            for r in GATE_RULES
+        ],
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hybrid search: BM25 + embedding ANN fused with RRF
 # ---------------------------------------------------------------------------
@@ -978,4 +1031,80 @@ def q_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "offset",
         "pack_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel report (per-stage row counts through the pipeline)
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import drop_exact_duplicates  # noqa: E402
+
+
+@query(
+    "curation_report",
+    f"""
+    WITH _cr_gate AS ({quality_gate_sql('documents', 'doc_id', 'text')}),
+    _cr_s1 AS (SELECT d.* FROM documents d
+               JOIN _cr_gate g USING (doc_id) WHERE g.keep),
+    _cr_s2 AS (SELECT * EXCLUDE (_rn) FROM (
+                 SELECT d.*, row_number() OVER (
+                   PARTITION BY {X.md5_fingerprint_sql('text')}
+                   ORDER BY doc_id) AS _rn
+                 FROM _cr_s1 d) WHERE _rn = 1),
+    _cr_ev AS (SELECT * FROM documents WHERE doc_id < 20),
+    {decontaminate_sql('_cr_s2', '_cr_ev', 'doc_id', 'text',
+                       _DECON_K, _DECON_FRAC)},
+    _cr_counts AS (
+      SELECT '00_raw' AS stage, COUNT(*) AS n FROM documents
+      UNION ALL
+      SELECT '01_quality_gate', COUNT(*) FROM _cr_s1
+      UNION ALL
+      SELECT '02_exact_dedup', COUNT(*) FROM _cr_s2
+      UNION ALL
+      SELECT '03_decontaminated', COUNT(*) FROM decontam WHERE NOT contaminated
+    )
+    SELECT stage, CAST(n AS BIGINT) AS n_docs,
+           CAST(COALESCE(lag(n) OVER (ORDER BY stage) - n, 0) AS BIGINT)
+             AS n_dropped
+    FROM _cr_counts
+    """,
+)
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: document counts through the staged
+    curation funnel (raw -> quality gate -> exact dedup ->
+    decontamination), each stage feeding the next — the rollup a data
+    team reads before training. The four counts are independent 1-row
+    aggregates over progressively-filtered plans (gate is shuffle-free;
+    exact dedup is one fingerprint window; decontamination reuses the
+    gated+deduped corpus), combined with a 4-row window for the
+    per-stage drop counts."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    gate = quality_gate(docs, "doc_id", "text")
+    s1 = docs.join(gate.filter(F.col("keep")).select("doc_id"), "doc_id")
+    s2 = drop_exact_duplicates(s1, "doc_id", "text")
+    ev = docs.filter(F.col("doc_id") < 20)
+    dec = decontaminate(s2, ev, "doc_id", "text", k=_DECON_K, min_overlap_frac=_DECON_FRAC)
+    s3 = s2.join(dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("stage"), F.col("n")
+        )
+
+    counts = (
+        _stage("00_raw", docs)
+        .unionByName(_stage("01_quality_gate", s1))
+        .unionByName(_stage("02_exact_dedup", s2))
+        .unionByName(_stage("03_decontaminated", s3))
+    )
+    w = Window.orderBy("stage")
+    return counts.select(
+        "stage",
+        F.col("n").cast("long").alias("n_docs"),
+        F.coalesce(F.lag("n").over(w) - F.col("n"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
     )

@@ -1142,3 +1142,36 @@ def q_feature_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_e4", F.expr("ewma_num_x512 div ewma_den_x512").cast("long")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table content checksum (drift detection)
+# ---------------------------------------------------------------------------
+
+from ..operators.profile import table_checksum, table_checksum_sql  # noqa: E402
+
+_CHK_EXPRS_SQL = {
+    "o_orderkey": "o_orderkey",
+    "o_custkey": "o_custkey",
+    "o_orderstatus": "o_orderstatus",
+    "totalprice_cents": "CAST(ROUND(o_totalprice * 100) AS BIGINT)",
+    "o_orderdate": "o_orderdate",
+    "o_orderpriority": "o_orderpriority",
+}
+
+
+@query("dq_checksum", table_checksum_sql("orders", _CHK_EXPRS_SQL))
+def q_dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of the orders table (exact
+    canonical columns; money fixed-pointed to cents): the cross-engine /
+    cross-day drift-detection primitive — one aggregation pass, DECIMAL
+    sum then one mod, immune to row order and partition layout."""
+    exprs = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "totalprice_cents": F.round(F.col("o_totalprice") * 100).cast("long"),
+        "o_orderdate": F.col("o_orderdate"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    return table_checksum(_t(spark, sf_dir, "orders"), exprs)

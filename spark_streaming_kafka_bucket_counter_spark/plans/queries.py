@@ -720,6 +720,7 @@ _DRIVER_PRIORITY = [
     "sample_balanced_by_centroid", "sql_shipping_priority",
     "feature_percentile_rank", "dedup_semantic_pairs",
     "dedup_drop_contained", "feature_ewma", "text_bigram_logprob",
+    "dq_checksum", "quality_by_source", "curation_report",
 ]
 
 

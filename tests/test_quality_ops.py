@@ -171,6 +171,31 @@ def test_bigram_logprob_separates_repetition_from_salad(spark):
 
 
 # ---------------------------------------------------------------------------
+# table_checksum
+# ---------------------------------------------------------------------------
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.profile import (
+        table_checksum,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    exprs = lambda: {"k": F.col("k"), "v": F.col("v")}  # noqa: E731
+    a = spark.createDataFrame(rows, "k long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, v string").repartition(5)
+    ca = table_checksum(a, exprs()).collect()[0]
+    cb = table_checksum(b, exprs()).collect()[0]
+    assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+    # any content change moves the checksum
+    c = spark.createDataFrame([(1, "a"), (2, "b"), (3, "null")], "k long, v string")
+    cc = table_checksum(c, exprs()).collect()[0]
+    assert cc["checksum"] != ca["checksum"]  # NULL != the string 'null'
+
+
+# ---------------------------------------------------------------------------
 # topn_per_group
 # ---------------------------------------------------------------------------
 
