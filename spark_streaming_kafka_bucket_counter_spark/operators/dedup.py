@@ -590,3 +590,96 @@ def simhash64_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (the constant-space snapshot index)
+# ---------------------------------------------------------------------------
+
+# 62 usable bits per BIGINT block: shifts stay < 62 so (1 << bit) never
+# touches the sign bit on either engine.
+BLOOM_BITS_PER_BLOCK = 62
+
+
+def _bloom_pos(fp: F.Column, i: int, m_bits: int) -> F.Column:
+    """i-th probe position via double hashing over ONE md5: h1 = hex[0:8),
+    h2 = hex[8:16) forced odd (Kirsch-Mitzenmacher; odd step so probes
+    cycle the whole table). h1 + i*h2 < 2^32 * (i+2) — no int64 overflow
+    for any sane k."""
+    h1 = F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(fp, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    return (h1 + F.lit(i) * h2) % F.lit(m_bits)
+
+
+def bloom_blocks(
+    df: DataFrame, fp_col: str, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Build a blocked Bloom filter over a fingerprint column: the
+    CONSTANT-SPACE form of the incremental-dedup snapshot index
+    (``dedup_incremental``'s exact-fingerprint store grows with the
+    corpus; the bloom is m/8 bytes forever, at a declared false-positive
+    rate ~= (1 - e^(-k*n/m))^k — size m at ~10 bits/key for <1%).
+
+    Output: (block BIGINT, bits BIGINT) — bit ``p`` of the filter lives
+    at block ``p // 62``, bit ``p % 62``. Build is one explode(k) + one
+    ``bit_or`` groupBy with map-side combine; the result is mergeable
+    across snapshots (union + re-bit_or), so daily crawls fold into one
+    index without replaying history. At 10B keys * 10 bits = ~12.5 GB of
+    blocks, partitioned by block id — probe joins shuffle on block, or
+    broadcast when the filter is small (AQE decides).
+
+    Engine-portable: md5-derived double hashing (Kirsch-Mitzenmacher),
+    so DuckDB builds the bit-identical filter — false positives and all.
+    """
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(fp_col), i, m_bits) for i in range(k)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / BLOOM_BITS_PER_BLOCK).cast("long").alias("block"),
+            (F.col("pos") % BLOOM_BITS_PER_BLOCK).cast("int").alias("bit"),
+        )
+        .groupBy("block")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    blocks: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Membership probe: ``maybe_seen`` is true iff ALL k bits are set —
+    false positives possible (rate set by m/n), false negatives never.
+
+    One explode(k) + one left join on block + one groupBy(id, fp):
+    probe cost is k rows per key regardless of snapshot size — the
+    whole point vs the exact-fingerprint anti-join, which shuffles the
+    full fingerprint store every batch. Only (id, fingerprint) shuffle;
+    wide payload columns never ride the probe join — re-join the result
+    on ``id_col`` to recover them.
+    """
+    probes = df.select(
+        id_col,
+        fp_col,
+        F.explode(
+            F.array(*[_bloom_pos(F.col(fp_col), i, m_bits) for i in range(k)])
+        ).alias("_pos"),
+    ).select(
+        id_col,
+        fp_col,
+        (F.col("_pos") / BLOOM_BITS_PER_BLOCK).cast("long").alias("block"),
+        (F.col("_pos") % BLOOM_BITS_PER_BLOCK).cast("int").alias("bit"),
+    )
+    hit = F.expr("shiftright(bits, bit) & 1").cast("long")
+    return (
+        probes.join(blocks, "block", "left")
+        .withColumn("_hit", F.coalesce(hit, F.lit(0)))
+        .groupBy(id_col, fp_col)
+        .agg((F.sum("_hit") == F.lit(k)).alias("maybe_seen"))
+    )

@@ -614,6 +614,90 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Blocked Bloom filter: the constant-space form of the incremental-dedup
+# snapshot index. Small m on purpose at test scale (~70% fill) so the
+# deterministic false positives are VISIBLE and oracle-checked; size
+# m at ~10 bits/key in production for <1% fp (see bloom_blocks docstring).
+_BLOOM_M = 1024
+_BLOOM_K = 5
+_BLOOM_B = 62  # usable bits per BIGINT block
+
+
+def _bloom_pos_sql(src: str, fpexpr: str) -> str:
+    """DuckDB twin of operators/dedup._bloom_pos: k probe positions per
+    fingerprint via md5 double hashing (h2 forced odd)."""
+    return f"""
+      SELECT doc_id, fp,
+             (CAST('0x' || substr(fp, 1, 8) AS BIGINT)
+              + i * (CAST('0x' || substr(fp, 9, 8) AS BIGINT) | 1)) % {_BLOOM_M}
+               AS pos
+      FROM (SELECT doc_id, {fpexpr} AS fp,
+                   unnest(generate_series(0, {_BLOOM_K - 1})) AS i
+            FROM {src})
+    """
+
+
+@query(
+    "dedup_bloom_incremental",
+    f"""
+    WITH basepos AS (
+      {_bloom_pos_sql("(SELECT 0 AS doc_id, text FROM documents WHERE doc_id < 250)",
+                      X.md5_fingerprint_sql('text'))}),
+    blocks AS (SELECT pos // {_BLOOM_B} AS block,
+                      bit_or(CAST(1 AS BIGINT) << (pos % {_BLOOM_B})) AS bits
+               FROM (SELECT DISTINCT pos FROM basepos) GROUP BY 1),
+    ipos AS (
+      {_bloom_pos_sql("(SELECT doc_id, text FROM documents WHERE doc_id >= 250)",
+                      X.md5_fingerprint_sql('text'))}),
+    hits AS (SELECT p.doc_id, p.fp AS fingerprint,
+                    SUM(CASE WHEN (b.bits >> (p.pos % {_BLOOM_B})) & 1 = 1
+                             THEN 1 ELSE 0 END) AS nh
+             FROM ipos p
+             LEFT JOIN blocks b ON p.pos // {_BLOOM_B} = b.block
+             GROUP BY 1, 2),
+    basefp AS (SELECT DISTINCT {X.md5_fingerprint_sql('text')} AS fp
+               FROM documents WHERE doc_id < 250)
+    SELECT h.doc_id, h.fingerprint,
+           h.nh = {_BLOOM_K} AS maybe_seen,
+           basefp.fp IS NOT NULL AS exact_seen
+    FROM hits h LEFT JOIN basefp ON h.fingerprint = basefp.fp
+    """,
+)
+def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup: probe each incoming document's
+    fingerprint against a blocked Bloom filter built from the snapshot
+    (doc_id < 250) — the constant-space alternative to
+    ``dedup_incremental``'s exact fingerprint store. ``maybe_seen`` is
+    the bloom verdict (one-sided: false positives only), ``exact_seen``
+    the ground truth — the filter is deliberately undersized here
+    (m=1024 bits) so the oracle pins the false positives bit-for-bit on
+    both engines, proving the md5 double-hashing is engine-portable.
+    Build: explode(k) + bit_or groupBy; probe: explode(k) + one block
+    join — probe cost independent of snapshot size."""
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(X.md5_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    blocks = D.bloom_blocks(base, "fp", m_bits=_BLOOM_M, k=_BLOOM_K)
+    incoming = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", X.md5_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    probed = D.bloom_probe(
+        incoming, "doc_id", "fingerprint", blocks, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    exact = base.withColumnRenamed("fp", "fingerprint").withColumn(
+        "_x", F.lit(True)
+    )
+    return probed.join(exact, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        "maybe_seen",
+        F.coalesce(F.col("_x"), F.lit(False)).alias("exact_seen"),
+    )
+
+
 _VOCAB_K = 100
 
 

@@ -306,3 +306,51 @@ def test_quality_gate_null_text_fails_closed(spark):
     r = quality_gate(df, "doc_id", "text", min_tokens=3).collect()[0]
     assert not r["keep"]
     assert r["too_short"] and r["reason_flags"] == 1 and r["n_tokens"] == 0
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Every fingerprint that went into the filter must probe back as
+    maybe_seen (one-sided error), and with an adversarially tiny filter
+    the false-positive path must be reachable and deterministic."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        bloom_blocks,
+        bloom_probe,
+    )
+
+    base = spark.createDataFrame(
+        [(f"{i:032x}",) for i in range(200)], "fp string"
+    )
+    blocks = bloom_blocks(base, "fp", m_bits=256, k=4)
+    probes = spark.createDataFrame(
+        [(i, f"{i:032x}") for i in range(300)], "id long, fp string"
+    )
+    out = {
+        r["id"]: r["maybe_seen"]
+        for r in bloom_probe(probes, "id", "fp", blocks, m_bits=256, k=4).collect()
+    }
+    assert len(out) == 300
+    # members: never a false negative
+    assert all(out[i] for i in range(200))
+    # 256 bits / 200 keys * 4 hashes -> saturated filter: the non-member
+    # verdicts are false positives by construction, proving the membership
+    # test exercises the bit arithmetic (not trivially False)
+    assert any(out[i] for i in range(200, 300))
+
+
+def test_bloom_blocks_bits_stay_in_62(spark):
+    """No block may set bit 62/63 — the sign-safe invariant both engines
+    rely on for identical BIGINT semantics."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        BLOOM_BITS_PER_BLOCK,
+        bloom_blocks,
+    )
+
+    base = spark.createDataFrame([(f"{i:032x}",) for i in range(500)], "fp string")
+    blocks = bloom_blocks(base, "fp", m_bits=1024, k=5).collect()
+    assert BLOOM_BITS_PER_BLOCK == 62
+    assert all(0 < r["bits"] < (1 << 62) for r in blocks)
+    assert all(0 <= r["block"] < (1024 + 61) // 62 for r in blocks)
