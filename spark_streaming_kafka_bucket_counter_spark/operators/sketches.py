@@ -165,3 +165,104 @@ def kmv_distinct_sql(
     FROM kept WHERE rn <= {k}
     GROUP BY {groups}
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation / heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def _cm_col(key: "F.Column", row: int, width: int) -> "F.Column":
+    """Row-r column index: the r-th 8-hex-char slice of ONE md5 gives
+    depth (<= 4) independent 32-bit hashes per key — one md5 total."""
+    return (
+        F.conv(F.substring(F.md5(key), 8 * row + 1, 8), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def cm_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a count-min sketch over a key stream: the FIXED-SPACE
+    frequency summary (depth x width counters, here rows of
+    (row, col, cnt)) whose estimate MIN_r(cnt[r][h_r(key)]) never
+    under-counts — overestimates bounded by 2N/width with prob
+    1 - 2^-depth.
+
+    Shape: one explode(depth) + one (row, col) groupBy with map-side
+    combine — the shuffle carries at most depth*width rows no matter the
+    corpus size, and sketches MERGE by summing counters, so per-shard
+    sketches fold into a corpus sketch without touching raw keys again.
+    ``depth <= 4`` (md5 has 32 hex chars = 4 independent 8-char slices).
+    """
+    if not 1 <= depth <= 4:
+        raise ValueError(f"depth must be in [1, 4] (one md5 slice per row): {depth}")
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_col(F.col(key_col), r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for each probe key: join the probe's depth
+    (row, col) positions against the counter table, take the MIN.
+
+    The probe side is the small one (a candidate/watch list) — it is
+    exploded to depth rows and broadcast against the bounded
+    depth*width-row sketch; cost is independent of the stream length the
+    sketch summarized. Keys the sketch never saw still hit real counters
+    (collisions), which is exactly CM semantics: estimates are upper
+    bounds, never proofs of absence.
+    """
+    ppos = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_col(F.col(key_col), r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    return (
+        ppos.join(sketch, ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_count"))
+    )
+
+
+def cm_sketch_sql(src: str, key_expr: str, depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin of :func:`cm_sketch` as a CTE body (yields ``cm`` with
+    (row, col, cnt)) — same md5 slices, same modulus, identical counters
+    (collisions and all)."""
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS rw, CAST('0x' || substr(md5(k), {8 * r + 1}, 8) AS BIGINT)"
+        f" % {width} AS col FROM keyed"
+        for r in range(depth)
+    )
+    return f"""
+    keyed AS (SELECT {key_expr} AS k FROM {src}),
+    cmpos AS ({rows}),
+    cm AS (SELECT rw, col, COUNT(*) AS cnt FROM cmpos GROUP BY 1, 2)
+    """

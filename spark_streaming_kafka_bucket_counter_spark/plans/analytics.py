@@ -194,6 +194,67 @@ def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch (fixed-space token-frequency estimation)
+# ---------------------------------------------------------------------------
+
+from ..operators.sketches import cm_estimate, cm_sketch, cm_sketch_sql  # noqa: E402
+
+_CM_D = 4
+_CM_W = 1024
+_CM_TOPK = 20
+
+
+@query(
+    "sketch_cm_heavy_hitters",
+    f"""
+    WITH occ AS (SELECT unnest({X.tokens_sql('text')}) AS token FROM documents),
+    {cm_sketch_sql('occ', 'token', _CM_D, _CM_W)},
+    exact AS (SELECT token, COUNT(*) AS n_exact FROM occ GROUP BY 1),
+    top AS (SELECT token, n_exact FROM exact
+            ORDER BY n_exact DESC, token LIMIT {_CM_TOPK}),
+    ppos AS (SELECT token,
+                    CAST('0x' || substr(md5(token), 8 * i + 1, 8) AS BIGINT)
+                      % {_CM_W} AS col,
+                    i AS rw
+             FROM (SELECT token, unnest(generate_series(0, {_CM_D - 1})) AS i
+                   FROM top)),
+    est AS (SELECT p.token, MIN(COALESCE(cm.cnt, 0)) AS cm_count
+            FROM ppos p LEFT JOIN cm ON p.rw = cm.rw AND p.col = cm.col
+            GROUP BY 1)
+    SELECT t.token,
+           CAST(t.n_exact AS BIGINT) AS n_exact,
+           CAST(e.cm_count AS BIGINT) AS cm_count,
+           CAST(e.cm_count - t.n_exact AS BIGINT) AS overestimate
+    FROM top t JOIN est e USING (token)
+    """,
+)
+def q_sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed at the
+    exact top-20 tokens: ``cm_count >= n_exact`` always (one-sided
+    error), ``overestimate`` shows the collision cost of the fixed
+    4x1024-counter budget. The sketch shuffle is bounded by depth*width
+    rows regardless of corpus size and sketches merge by summing — the
+    streaming/sharded path to heavy hitters at 100 TB, oracle-pinned
+    counter-for-counter against DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    sk = cm_sketch(occ, "token", depth=_CM_D, width=_CM_W)
+    exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = (
+        exact.orderBy(F.col("n_exact").desc(), "token")
+        .limit(_CM_TOPK)
+        .select("token", F.col("n_exact").cast("long").alias("n_exact"))
+    )
+    est = cm_estimate(sk, top.select("token"), "token", depth=_CM_D, width=_CM_W)
+    return top.join(est, "token").select(
+        "token",
+        "n_exact",
+        F.col("cm_count").cast("long").alias("cm_count"),
+        (F.col("cm_count") - F.col("n_exact")).cast("long").alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character entropy (compression-proxy quality signal)
 # ---------------------------------------------------------------------------
 

@@ -721,7 +721,7 @@ _DRIVER_PRIORITY = [
     "feature_percentile_rank", "dedup_semantic_pairs",
     "dedup_drop_contained", "feature_ewma", "text_bigram_logprob",
     "dq_checksum", "quality_by_source", "curation_report",
-    "dedup_bloom_incremental",
+    "dedup_bloom_incremental", "sketch_cm_heavy_hitters",
 ]
 
 

@@ -461,3 +461,34 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert rows[2]["rank"] == 1                      # both systems -> top
     assert rows[1]["rank"] == 2 and rows[3]["rank"] == 3  # 1/11 > 1/12
     assert rows[1]["sem_rank"] is None and rows[3]["lex_rank"] is None
+
+
+def test_cm_sketch_never_undercounts(spark):
+    """CM estimates are exact-or-over for EVERY key (one-sided error),
+    the sketch is exactly depth*width counters at most, and depth > 4
+    (more rows than md5 slices) must be rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(100)] + [("rare",)]
+    df = spark.createDataFrame(rows, "k string")
+    sk = cm_sketch(df, "k", depth=4, width=16)  # tiny width -> collisions
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    probes = spark.createDataFrame([(k,) for k in exact], "k string")
+    est = {
+        r["k"]: r["cm_count"]
+        for r in cm_estimate(sk, probes, "k", depth=4, width=16).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sk.count() <= 4 * 16
+    # total per row equals stream length (counters partition the stream)
+    per_row = {r["row"]: r["s"] for r in sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert all(v == 101 for v in per_row.values())
+    with pytest.raises(ValueError):
+        cm_sketch(df, "k", depth=5)

@@ -22,10 +22,15 @@ def test_query_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {detail}"
 
 
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_query_runs_rows_only(spark, name):
-    n, cols, _ = spark_signature(catalog.QUERIES[name](spark, SF_DIR))
-    assert n >= 0 and cols
+# Guarded: when every catalog query has an oracle (the steady state),
+# an unconditional empty parametrize would show up as a perpetual
+# "1 skipped" in the suite summary.
+if NO_ORACLE:
+
+    @pytest.mark.parametrize("name", NO_ORACLE)
+    def test_query_runs_rows_only(spark, name):
+        n, cols, _ = spark_signature(catalog.QUERIES[name](spark, SF_DIR))
+        assert n >= 0 and cols
 
 
 def test_entry_smoke(spark):
