@@ -844,6 +844,72 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact dedup, driven through Structured Streaming
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup_events",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup EXECUTED as a Structured Streaming
+    query: the event stream drained through
+    ``dropDuplicatesWithinWatermark`` (availableNow -> memory sink) must
+    emit exactly the batch DISTINCT of the key — the §2.11 evidence that
+    the stateful dedup operator computes its batch relation. The
+    watermark delay here exceeds the dataset's event-time span, so no
+    state is evicted mid-drain and the streaming answer is exact; in
+    production the delay bounds BOTH the replay horizon the pipeline
+    tolerates and the state size (see
+    streaming/pipeline.streaming_drop_duplicates). Only the dedup keys
+    are projected out, so which replica won is unobservable — the result
+    is deterministic under any batch split."""
+    import uuid
+
+    from ..session import restored_conf
+    from ..streaming.pipeline import streaming_drop_duplicates
+
+    with restored_conf(
+        spark, "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts = F.col("ts")
+        if dict(
+            zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])
+        ).get("ts") == "bigint":
+            ts = F.timestamp_micros(F.floor(ts / 1000).cast("long"))
+        records = stream.select(
+            "user_id", "event_type", F.timestamp_seconds(ts_epoch_seconds(ts)).alias("evt")
+        )
+        deduped = streaming_drop_duplicates(
+            records, ["user_id", "event_type"], "evt", delay="3650 days"
+        ).select("user_id", "event_type")
+        name = f"sdq_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_dedup_events: availableNow drain did not finish "
+                "within 300s — refusing to query a partial sink"
+            )
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Equi-width value histogram (the dashboard distribution primitive)
 # ---------------------------------------------------------------------------
 
