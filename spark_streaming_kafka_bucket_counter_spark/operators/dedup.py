@@ -683,3 +683,111 @@ def bloom_probe(
         .groupBy(id_col, fp_col)
         .agg((F.sum("_hit") == F.lit(k)).alias("maybe_seen"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus MinHash LSH (incremental near-dup: incoming shard vs snapshot)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_banded(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, band, bk) band-bucket rows from a (doc, shingle) inverted
+    index — the shared signature->band stage of the self-join and
+    cross-corpus LSH paths."""
+    from ..functions.text import token_hash32
+
+    rows_per_band = num_hashes // bands
+    hs = sh.select("doc", token_hash32(F.col("shingle")).alias("_h32"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    sig = hs.groupBy("doc").agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bk"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
+    )
+
+
+def minhash_lsh_cross_pairs(
+    incoming: DataFrame,
+    snapshot: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora: each incoming document
+    against the existing snapshot — the incremental form of
+    :func:`minhash_lsh_pairs` (a crawl batch is deduped against the
+    already-curated corpus without ever self-joining the snapshot).
+
+    Same band recipe as the self-join path, but the join is
+    incoming-bands x snapshot-bands, so candidate cost scales with the
+    BATCH, not the corpus: in production the snapshot side of the join
+    is a persisted (doc, band, bk) table maintained incrementally (the
+    BM25/IVF persisted-index pattern — kilobytes per doc, no text), and
+    only verified-new documents' bands are appended back. Verification
+    is exact k-gram Jaccard restricted to candidate docs, so the
+    snapshot's text is touched only for docs that banded with the batch.
+
+    Output: (inc_doc, snap_doc, n_common, size_inc, size_snap, jaccard)
+    for pairs with jaccard >= threshold.
+    """
+    sh_inc = doc_shingles(incoming, id_col, text_col, k, max_shingle_freq).persist()
+    sh_snap = doc_shingles(snapshot, id_col, text_col, k, max_shingle_freq).persist()
+    b_inc = _minhash_banded(sh_inc, num_hashes, bands)
+    b_snap = _minhash_banded(sh_snap, num_hashes, bands)
+    candidates = (
+        b_inc.select(F.col("doc").alias("inc_doc"), "band", "bk")
+        .join(b_snap.select(F.col("doc").alias("snap_doc"), "band", "bk"), ["band", "bk"])
+        .select("inc_doc", "snap_doc")
+        .distinct()
+        .persist()
+    )
+    sets_inc = (
+        sh_inc.join(candidates.select(F.col("inc_doc").alias("doc")).distinct(), "doc")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("set_inc"))
+        .withColumnRenamed("doc", "inc_doc")
+    )
+    sets_snap = (
+        sh_snap.join(candidates.select(F.col("snap_doc").alias("doc")).distinct(), "doc")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("set_snap"))
+        .withColumnRenamed("doc", "snap_doc")
+    )
+    out = (
+        candidates.join(sets_inc, "inc_doc")
+        .join(sets_snap, "snap_doc")
+        .select(
+            "inc_doc",
+            "snap_doc",
+            F.size(F.array_intersect("set_inc", "set_snap")).cast("long").alias("n_common"),
+            F.size("set_inc").cast("long").alias("size_inc"),
+            F.size("set_snap").cast("long").alias("size_snap"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_inc") + F.col("size_snap") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("inc_doc", "snap_doc", "n_common", "size_inc", "size_snap", "jaccard")
+    )
+    return unpersist_with(out, sh_inc, sh_snap, candidates)

@@ -675,6 +675,57 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cross_corpus",
+    f"""
+    WITH {_DOC_SHINGLES}, {_MINHASH_HS},
+    sig AS (SELECT doc, {_SIG_COLS} FROM hs GROUP BY doc),
+    banded AS (SELECT doc, {_BAND0} AS band_0, {_BAND1} AS band_1 FROM sig),
+    cand AS (
+      SELECT a.doc AS inc_doc, b.doc AS snap_doc
+      FROM banded a JOIN banded b ON a.band_0 = b.band_0
+      WHERE a.doc >= 250 AND b.doc < 250
+      UNION
+      SELECT a.doc AS inc_doc, b.doc AS snap_doc
+      FROM banded a JOIN banded b ON a.band_1 = b.band_1
+      WHERE a.doc >= 250 AND b.doc < 250
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM ds GROUP BY doc),
+    inter AS (SELECT c.inc_doc, c.snap_doc, COUNT(*) AS n_common
+              FROM cand c
+              JOIN ds da ON da.doc = c.inc_doc
+              JOIN ds db ON db.doc = c.snap_doc AND db.shingle = da.shingle
+              GROUP BY 1, 2)
+    SELECT i.inc_doc, i.snap_doc, i.n_common,
+           si.n AS size_inc, ss.n AS size_snap,
+           CAST(i.n_common AS DOUBLE) / (si.n + ss.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes si ON i.inc_doc = si.doc
+    JOIN sizes ss ON i.snap_doc = ss.doc
+    WHERE CAST(i.n_common AS DOUBLE) / (si.n + ss.n - i.n_common) >= 0.5
+    """,
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: the incoming batch (doc_id >= 250) LSH-
+    banded against the snapshot corpus (doc_id < 250) — candidate cost
+    scales with the batch, not the corpus, and the snapshot side is a
+    persistable (doc, band, bk) index in production (see
+    minhash_lsh_cross_pairs). Completes the incremental-dedup family:
+    exact fingerprints (`dedup_incremental`), constant-space bloom
+    (`dedup_bloom_incremental`), and near-dup (this)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_cross_pairs(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        "doc_id",
+        "text",
+        num_hashes=8,
+        bands=2,
+        k=3,
+        threshold=0.5,
+    )
+
+
 # Blocked Bloom filter: the constant-space form of the incremental-dedup
 # snapshot index. Small m on purpose at test scale (~70% fill) so the
 # deterministic false positives are VISIBLE and oracle-checked; size

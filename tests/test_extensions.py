@@ -257,3 +257,38 @@ def test_image_phash_codepoint_parity_for_multibyte_text(spark):
 
     for doc_id, text in rows:
         assert got[doc_id] == oracle_phash(text), doc_id
+
+
+def test_minhash_lsh_cross_pairs_batch_vs_snapshot(spark):
+    """A planted near-dup across the corpus boundary must surface as an
+    (incoming, snapshot) pair; identical text is jaccard 1.0; unrelated
+    docs never pair. No snapshot-snapshot or batch-batch pairs may ever
+    appear (the incremental contract)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        minhash_lsh_cross_pairs,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again today"
+    snapshot = spark.createDataFrame(
+        [
+            (1, base_text),
+            (2, "completely different content about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, base_text),  # exact replay of snapshot doc 1
+            (101, "unrelated incoming document about bloom filters and sketches"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_lsh_cross_pairs(
+        incoming, snapshot, "doc_id", "text", num_hashes=8, bands=2, k=3,
+        threshold=0.5,
+    ).collect()
+    pairs = {(r["inc_doc"], r["snap_doc"]): r for r in rows}
+    assert (100, 1) in pairs
+    assert pairs[(100, 1)]["jaccard"] == 1.0
+    assert all(inc >= 100 and snap < 100 for inc, snap in pairs)
+    assert (101, 2) not in pairs
