@@ -1,0 +1,185 @@
+"""Distributed k-means (Lloyd iterations) over embedding vectors.
+
+The iterative-ML companion to graph.py's PageRank/CC loops: every round
+is (assign: argmin over k centroids) + (update: per-(cluster, dim) mean),
+expressed so BOTH engines produce bit-identical results:
+
+- all arithmetic is FIXED-POINT INTEGER (elements snapped to 1e-6 units);
+  squared-L2 distances are exact BIGINT sums, so the argmin is order-free;
+- centroid updates floor-divide exact integer sums (FLOOR over an exact
+  double division — identical IEEE result on both engines);
+- seeding is deterministic: the k vectors ranked by md5(vec_id) — a
+  "random" but engine-portable shuffle of the ids.
+
+Scale shape (MLlib's own recipe): centroids live on the driver between
+rounds (k x dim integers — kilobytes, the same bounded-collect contract
+as PageRank's convergence scalar), and each round ships them back as
+plan literals, so assignment is PURE CODEGEN over the vector column (no
+join, no shuffle); the update is one (cluster, dim)-keyed partial-agg
+shuffle of k*dim rows. Vectors are never shuffled, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_lloyd", "kmeans_lloyd_sql"]
+
+
+def _sq_dist(vec_col: F.Column, centroid: list[int]) -> F.Column:
+    """Exact integer squared-L2 between the fixed-point vector column and
+    a literal centroid: BIGINT-safe for |x_e6| <= ~3e9 / sqrt(dim)."""
+    lit = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign(vecs: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """(id, v, cid): nearest centroid per vector, ties to the lower cid.
+    argmin = array_min over struct(dist, cid) — lexicographic struct
+    ordering gives the (dist, cid) total order, all in codegen."""
+    choice = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("v"), cvec).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, cvec in sorted(cents.items())
+            ]
+        )
+    )
+    return vecs.withColumn("cid", choice["cid"])
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; return the final model in long form:
+    (cluster, dim, n, centroid_e6) — n is the final assignment's cluster
+    size, centroid_e6 the fixed-point coordinate. Clusters that end a
+    round empty keep their previous centroid (and report n = 0), so the
+    round count alone fixes the output.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1: k={k}, iters={iters}")
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("v"),
+    ).persist()
+    try:
+        seed_rows = (
+            vecs.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} but only {len(seed_rows)} vectors")
+        cents = {cid: list(r["v"]) for cid, r in enumerate(seed_rows)}
+        sizes: dict[int, int] = {}
+        for _ in range(iters):
+            assigned = _assign(vecs, cents)
+            upd = (
+                assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cid", "dim")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+                .select(
+                    "cid",
+                    "dim",
+                    "n",
+                    F.floor(F.col("s").cast("double") / F.col("n"))
+                    .cast("long")
+                    .alias("c"),
+                )
+                .collect()  # k*dim rows — bounded, never data-sized
+            )
+            new_cents = {cid: list(cvec) for cid, cvec in cents.items()}
+            sizes = {cid: 0 for cid in cents}
+            for r in upd:
+                new_cents[r["cid"]][r["dim"]] = r["c"]
+                sizes[r["cid"]] = r["n"]
+            cents = new_cents
+        spark = df.sparkSession
+        out = [
+            (cid, dim, sizes.get(cid, 0), c)
+            for cid, cvec in sorted(cents.items())
+            for dim, c in enumerate(cvec)
+        ]
+        return spark.createDataFrame(
+            out, "cluster long, dim long, n long, centroid_e6 long"
+        )
+    finally:
+        vecs.unpersist()
+
+
+def kmeans_lloyd_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin: the Lloyd loop UNROLLED into one CTE chain per round
+    (assignment via a (vec, cid, dim) sum + (dist, cid) row_number;
+    update via the same floor-divided integer means; empty clusters
+    COALESCE to the previous round's coordinates)."""
+    rank = f"md5(CAST({id_col} AS VARCHAR)), {id_col}"
+    ctes = [
+        f"""v AS (SELECT {id_col} AS id,
+             list_transform(CAST({vec_col} AS DOUBLE[]),
+                            x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
+           FROM {table})""",
+        f"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank.replace(id_col, 'id')}) - 1
+                    AS BIGINT) AS cid, v
+           FROM v ORDER BY {rank.replace(id_col, 'id')} LIMIT {k})""",
+        f"""c0 AS (SELECT cid, i AS dim, v[CAST(i + 1 AS INT)] AS c
+           FROM seeds CROSS JOIN range(0, {dim}) r(i))""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        d, a, u, c = f"d{it}", f"a{it}", f"u{it}", f"c{it}"
+        ctes.append(
+            f"""{d} AS (SELECT vv.id, cc.cid,
+               SUM((vv.v[CAST(cc.dim + 1 AS INT)] - cc.c)
+                   * (vv.v[CAST(cc.dim + 1 AS INT)] - cc.c)) AS dist
+             FROM v vv, {prev} cc GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""{a} AS (SELECT id, cid FROM (
+               SELECT id, cid,
+                      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+               FROM {d}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{u} AS (SELECT {a}.cid, i AS dim, COUNT(*) AS n,
+                      CAST(FLOOR(CAST(SUM(v.v[CAST(i + 1 AS INT)]) AS DOUBLE)
+                                 / COUNT(*)) AS BIGINT) AS c
+             FROM {a} JOIN v USING (id) CROSS JOIN range(0, {dim}) r(i)
+             GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""{c} AS (SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c,
+                      COALESCE(u.n, 0) AS n
+             FROM {prev} p LEFT JOIN {u} u ON p.cid = u.cid AND p.dim = u.dim)"""
+        )
+        prev = c
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT cid AS cluster, CAST(dim AS BIGINT) AS dim,
+           CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS centroid_e6
+    FROM {prev}
+    """

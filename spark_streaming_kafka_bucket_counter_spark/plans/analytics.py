@@ -590,6 +590,31 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, "vec_id", "embedding", extra_cols=["label"])
 
 
+from ..operators.clustering import kmeans_lloyd, kmeans_lloyd_sql  # noqa: E402
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+@query(
+    "cluster_kmeans",
+    kmeans_lloyd_sql("embeddings", "vec_id", "embedding", _EMB_DIM, _KM_K, _KM_ITERS),
+)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, 2 Lloyd rounds over the embedding table —
+    the iterative-ML loop (MLlib's own shape): assignment is pure
+    codegen (centroids ride in as plan literals, no join/shuffle of
+    vectors), the update is one (cluster, dim)-keyed partial-agg shuffle
+    of k*dim rows, and only k*dim integers ever reach the driver between
+    rounds. Exact fixed-point arithmetic end to end; the oracle replays
+    both rounds as unrolled CTEs — seeds, argmins, floor-divided means
+    and empty-cluster carry-over must all match bit-for-bit."""
+    return kmeans_lloyd(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=_KM_K, iters=_KM_ITERS,
+    )
+
+
 from ..operators.similarity import (  # noqa: E402
     balanced_sample_by_centroid,
     balanced_sample_by_centroid_sql,

@@ -722,7 +722,7 @@ _DRIVER_PRIORITY = [
     "dedup_drop_contained", "feature_ewma", "text_bigram_logprob",
     "dq_checksum", "quality_by_source", "curation_report",
     "dedup_bloom_incremental", "sketch_cm_heavy_hitters",
-    "streaming_dedup_events", "dedup_cross_corpus",
+    "streaming_dedup_events", "dedup_cross_corpus", "cluster_kmeans",
 ]
 
 

@@ -143,3 +143,33 @@ def test_term_bucket_python_matches_spark(spark):
         }
         for t in terms:
             assert _term_bucket_py(t, buckets) == spark_side[t], (t, buckets)
+
+
+def test_kmeans_lloyd_separates_obvious_clusters(spark):
+    """Two well-separated blobs with k=2 must land in distinct clusters
+    with the right sizes; centroids are the exact fixed-point means;
+    k > n and iters < 1 are rejected."""
+    import pytest
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    rows = [(i, [10.0, 10.0]) for i in range(3)] + [
+        (i, [-10.0, -10.0]) for i in range(3, 8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, "vec_id", "embedding", k=2, iters=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (r["n"], r["centroid_e6"])
+    assert len(by_cluster) == 2
+    sizes = sorted(c[0][0] for c in by_cluster.values())
+    assert sizes == [3, 5]
+    cents = sorted(c[0][1] for c in by_cluster.values())
+    assert cents == [-10_000_000, 10_000_000]
+
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, "vec_id", "embedding", k=100, iters=1)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, "vec_id", "embedding", k=2, iters=0)
