@@ -644,6 +644,42 @@ def q_salted_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(_t(spark, sf_dir, "events"), ["event_type"], salt_buckets=8)
 
 
+# The shuffle-join leg of the skew toolkit: salting must be invisible in
+# the result — the oracle is the PLAIN join.
+@query(
+    "salted_join_revenue",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to customer through the SALTED shuffle join
+    (operators/joins.py): the fact side takes a partition-local salt,
+    the dim side replicates 8x, the join key widens to (custkey, salt) —
+    a hot customer's orders spread over 8 reducers. Result-identical to
+    the plain join (the oracle), here rolled up to revenue per market
+    segment with exact integer cents."""
+    from ..operators.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, ["custkey"], salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # R2/R4/H6: retention + recent-N-batches semantics. The serving store's
 # RST_ID batch counter is modeled by a daily pseudo-batch id over events;
@@ -723,6 +759,7 @@ _DRIVER_PRIORITY = [
     "dq_checksum", "quality_by_source", "curation_report",
     "dedup_bloom_incremental", "sketch_cm_heavy_hitters",
     "streaming_dedup_events", "dedup_cross_corpus", "cluster_kmeans",
+    "salted_join_revenue",
 ]
 
 

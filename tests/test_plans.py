@@ -297,3 +297,39 @@ def test_bm25_topk_avoids_global_window_sort(spark):
     over all matched documents."""
     plan = _plan(spark, "search_bm25_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_matches_plain_join_and_widens_key(spark):
+    """salted_join must (a) return exactly the plain join's rows under
+    duplicate keys on BOTH sides, (b) keep left-join null semantics,
+    (c) join on the widened (key, salt) pair, and (d) never leak the
+    salt column."""
+    import pytest
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (1, "a3"), (2, "b1"), (9, "orphan")],
+        "k long, fv string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k long, dv string"
+    )
+    plain = {tuple(r) for r in fact.join(dim, ["k"]).collect()}
+    salted = salted_join(fact, dim, ["k"], salt_buckets=4)
+    assert "_salt" not in salted.columns
+    assert {tuple(r) for r in salted.collect()} == plain
+    # duplicate keys both sides: 3 fact x 2 dim = 6 pairs for k=1
+    assert len([r for r in salted.collect() if r["k"] == 1]) == 6
+
+    left = salted_join(fact, dim, ["k"], salt_buckets=4, how="left")
+    orphans = [r for r in left.collect() if r["k"] == 9]
+    assert len(orphans) == 1 and orphans[0]["dv"] is None
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the physical join key actually widened
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="full")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], salt_buckets=1)
