@@ -266,3 +266,85 @@ def cm_sketch_sql(src: str, key_expr: str, depth: int = 4, width: int = 1024) ->
     cmpos AS ({rows}),
     cm AS (SELECT rw, col, COUNT(*) AS cnt FROM cmpos GROUP BY 1, 2)
     """
+
+
+# ---------------------------------------------------------------------------
+# Histogram-quantile winsorization (outlier clipping for feature pipelines)
+# ---------------------------------------------------------------------------
+
+
+def _qname(q: float) -> str:
+    return f"p{str(q).replace('0.', '')}"
+
+
+def winsorize_by_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Clip a value column to its per-group [q_lo, q_hi] band — the
+    outlier-robust normalization step before a value becomes a model
+    feature — with the cutoffs read from the FIXED-BIN histogram sketch
+    (:func:`histogram_quantiles`), not an exact percentile: one
+    (group, bin) aggregation with map-side combine instead of buffering
+    whole groups, and the cutoff table is groups-sized (broadcast back
+    onto the rows — the fact side never shuffles).
+
+    Values and cutoffs are compared in exact 1e-4 fixed point, so the
+    clamp is bit-identical across engines. Output carries ``value_e4``
+    and ``winsorized_e4`` (both BIGINT).
+    """
+    cuts = histogram_quantiles(
+        df, group_cols, value_col, lo, hi, bins, qs=(q_lo, q_hi)
+    ).select(
+        *group_cols,
+        F.round(F.col(_qname(q_lo)) * 10000).cast("long").alias("_lo_e4"),
+        F.round(F.col(_qname(q_hi)) * 10000).cast("long").alias("_hi_e4"),
+    )
+    v_e4 = F.round(F.col(value_col) * 10000).cast("long")
+    rows = df.select(
+        *(extra_cols or []), *group_cols, v_e4.alias("value_e4")
+    )
+    return rows.join(F.broadcast(cuts), group_cols).select(
+        *(extra_cols or []),
+        *group_cols,
+        "value_e4",
+        F.least(F.greatest(F.col("value_e4"), F.col("_lo_e4")), F.col("_hi_e4")).alias(
+            "winsorized_e4"
+        ),
+    )
+
+
+def winsorize_by_histogram_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    extra_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin: same sketch cutoffs, same fixed-point clamp."""
+    groups = ", ".join(group_cols)
+    extras = "".join(f"e.{c}, " for c in (extra_cols or []))
+    ve4 = f"CAST(ROUND(e.{value_col} * 10000) AS BIGINT)"
+    lo_e4 = f"CAST(ROUND(c.{_qname(q_lo)} * 10000) AS BIGINT)"
+    hi_e4 = f"CAST(ROUND(c.{_qname(q_hi)} * 10000) AS BIGINT)"
+    inner = histogram_quantiles_sql(
+        table, group_cols, value_col, lo, hi, bins, qs=(q_lo, q_hi)
+    )
+    return f"""
+    WITH cuts AS ({inner})
+    SELECT {extras}{groups},
+           {ve4} AS value_e4,
+           LEAST(GREATEST({ve4}, {lo_e4}), {hi_e4}) AS winsorized_e4
+    FROM {table} e JOIN cuts c USING ({groups})
+    """

@@ -1132,6 +1132,73 @@ def q_feature_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.sketches import (  # noqa: E402
+    winsorize_by_histogram,
+    winsorize_by_histogram_sql,
+)
+
+_WINS_ARGS = dict(lo=0.0, hi=128.0, bins=256, q_lo=0.05, q_hi=0.95)
+
+
+@query(
+    "feature_winsorize",
+    winsorize_by_histogram_sql(
+        "events", ["event_type"], "value", extra_cols=["event_id"], **_WINS_ARGS
+    ),
+)
+def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping for feature pipelines: per-type p05/p95 cutoffs
+    from the fixed-bin histogram SKETCH (one (group, bin) map-side-
+    combined aggregation — no whole-group value buffering), broadcast
+    back onto the rows for an exact fixed-point clamp. The fact side
+    never shuffles; the complement of `feature_percentile_rank`'s
+    rank normalization."""
+    return winsorize_by_histogram(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        extra_cols=["event_id"],
+        **_WINS_ARGS,
+    )
+
+
+from ..functions.text import token_hash32_sql as _h32_sql  # noqa: E402
+
+
+@query(
+    "sample_group_split",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN ({_h32_sql("'split:' || CAST(user_id AS VARCHAR)")}
+                        % 100) < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM events
+    )
+    SELECT split, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: the split is hashed from the
+    GROUP key (user_id), not the row, so every event of a user lands on
+    the same side — the GroupShuffleSplit discipline that stops
+    same-user leakage across training and held-out data. Pure
+    projection + one rollup; `tests/test_sampling_ivf.py` pins the
+    disjointness invariant."""
+    from ..operators.sampling import with_split
+
+    tagged = with_split(
+        _t(spark, sf_dir, "events").select("user_id", "event_id"),
+        "user_id",
+        train_pct=90,
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exponentially-weighted moving average (half-life weights, exact integers)
 # ---------------------------------------------------------------------------

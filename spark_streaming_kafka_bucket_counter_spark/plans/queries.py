@@ -759,7 +759,7 @@ _DRIVER_PRIORITY = [
     "dq_checksum", "quality_by_source", "curation_report",
     "dedup_bloom_incremental", "sketch_cm_heavy_hitters",
     "streaming_dedup_events", "dedup_cross_corpus", "cluster_kmeans",
-    "salted_join_revenue",
+    "salted_join_revenue", "feature_winsorize", "sample_group_split",
 ]
 
 

@@ -173,3 +173,49 @@ def test_kmeans_lloyd_separates_obvious_clusters(spark):
         kmeans_lloyd(df, "vec_id", "embedding", k=100, iters=1)
     with pytest.raises(ValueError):
         kmeans_lloyd(df, "vec_id", "embedding", k=2, iters=0)
+
+
+def test_group_split_users_are_disjoint(spark):
+    """Grouped split: a user's events must NEVER straddle train/eval —
+    the leakage invariant behind sample_group_split."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.sampling import with_split
+
+    rows = [(u, e) for u in range(40) for e in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long")
+    tagged = with_split(df, "user_id", train_pct=50)
+    per_user = tagged.groupBy("user_id").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    assert all(r["n_splits"] == 1 for r in per_user.collect())
+    splits = {r["split"] for r in tagged.select("split").distinct().collect()}
+    assert splits == {"train", "eval"}
+
+
+def test_winsorize_clamps_to_sketch_cutoffs(spark):
+    """Winsorized values must lie inside the per-group cutoff band,
+    interior values pass through untouched, and extremes are clipped."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.sketches import (
+        winsorize_by_histogram,
+    )
+
+    rows = [(i, "a", float(i)) for i in range(100)]  # uniform 0..99
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    out = {
+        r["id"]: r
+        for r in winsorize_by_histogram(
+            df, ["g"], "value", 0.0, 128.0, bins=256, extra_cols=["id"]
+        ).collect()
+    }
+    assert len(out) == 100
+    # interior value untouched (well inside the p05..p95 band)
+    assert out[50]["winsorized_e4"] == out[50]["value_e4"] == 500_000
+    # extremes clipped INTO the band: strictly tighter than raw
+    assert out[0]["winsorized_e4"] > out[0]["value_e4"]
+    assert out[99]["winsorized_e4"] < out[99]["value_e4"]
+    # clip never widens: winsorized stays within [min, max] of raw
+    assert all(
+        out[0]["winsorized_e4"] <= r["winsorized_e4"] <= out[99]["winsorized_e4"]
+        for r in out.values()
+    )
