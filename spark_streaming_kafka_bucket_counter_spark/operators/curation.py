@@ -1,0 +1,297 @@
+"""Corpus-curation operators: hashed linear quality classification,
+corpus-frequency boilerplate detection, temperature-scaled source
+mixtures, and BPE-style adjacent-pair counting.
+
+These extend the engine beyond the reference's streaming-count surface
+(reference scope: spark-streaming-kafka-bucket-counter.py:125-126 is a
+plain keyed count) with the curation passes a large-scale training-data
+pipeline runs over a document corpus. Every operator is a pure Catalyst
+expression pipeline (no Python row path) and ships a DuckDB ``*_sql``
+twin built from the SAME constants so the oracle gate replays it
+exactly.
+
+All arithmetic is integer fixed-point (ppm / micro-logits) so results
+hash-match across engines regardless of float accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style, hashing trick)
+# ---------------------------------------------------------------------------
+
+#: weight(token) = md5-hash32(token) % _W_MOD - _W_OFF  ->  [-1000, 1000]
+#: A deterministic stand-in for trained per-token weights ("micro-logits"):
+#: the SHAPE — hash token -> weight, sum, threshold — is exactly a hashed
+#: bag-of-words linear classifier (the fastText / CCNet quality-filter
+#: architecture); swapping in trained weights means replacing the hash
+#: expression with a broadcast map lookup, nothing else changes.
+_W_MOD = 2001
+_W_OFF = 1000
+
+
+def hashed_linear_score(tok: Column) -> Column:
+    """Sum of per-token hashed weights (BIGINT micro-logits, empty -> 0).
+
+    One codegen'd fold per row: hash each token (md5 -> 32-bit int),
+    map to a signed weight, sum. No shuffle, no Python — at 100 TB this
+    is a map-only projection pass.
+    """
+    weights = F.transform(
+        tok, lambda t: X.token_hash32(t) % F.lit(_W_MOD) - F.lit(_W_OFF)
+    )
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def hashed_linear_score_sql(tok: str) -> str:
+    w = f"{X.token_hash32_sql('t')} % {_W_MOD} - {_W_OFF}"
+    return (
+        f"CAST(COALESCE(list_sum(list_transform({tok}, t -> {w})), 0) AS BIGINT)"
+    )
+
+
+def classify_quality(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document linear quality score + keep/drop decision.
+
+    Output: (id, n_tokens, score_sum, keep). ``keep`` is the pipeline
+    filter flag (score_sum > 0); score_sum stays an exact BIGINT so
+    downstream thresholds can be re-tuned without re-scoring.
+    """
+    tok = X.tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        X.token_count_ws(F.col(text_col), tok=tok).alias("n_tokens"),
+        hashed_linear_score(tok).alias("score_sum"),
+    ).withColumn("keep", F.col("score_sum") > F.lit(0))
+
+
+def classify_quality_sql(table: str, id_col: str, text_col: str) -> str:
+    """CTE `classified` mirroring :func:`classify_quality`."""
+    tok = X.tokens_sql(text_col)
+    return f"""classified AS (
+      SELECT {id_col},
+             {X.token_count_ws_sql(text_col)} AS n_tokens,
+             {hashed_linear_score_sql(tok)} AS score_sum
+      FROM {table}
+    ), classified2 AS (
+      SELECT *, score_sum > 0 AS keep FROM classified
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate detection (C4/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_docs: int = 5,
+    flag_pct: int = 10,
+) -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of k-gram slots
+    whose k-gram occurs in >= ``min_docs`` DISTINCT documents corpus-wide
+    (C4 removes lines repeated across the corpus; with newline-free
+    documents the k-token shingle is the "line" unit).
+
+    Scale shape: explode k-grams once, pre-aggregate to (doc, gram,
+    cnt) — the map-side-combinable unit — then ONE groupBy(gram) for
+    document frequency and ONE hash join back. No corpus-sized
+    broadcast: the gram-frequency side is corpus-derived and unbounded,
+    so it stays a shuffle join (AQE may still flip it when tiny).
+
+    Output: (id, n_shingles, n_boiler, boiler_ppm, flagged); documents
+    with fewer than k tokens keep a row with zero counts.
+    """
+    tok = X.tokens(F.col(text_col))
+    slots = (
+        df.select(F.col(id_col), F.explode(X.shingles(tok, k)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    docfreq = slots.groupBy("gram").agg(F.count("*").alias("df"))
+    per_doc = (
+        slots.join(docfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= F.lit(min_docs), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+        )
+    )
+    ppm = F.when(
+        F.col("n_shingles") > 0,
+        F.floor(F.col("n_boiler") * F.lit(1_000_000) / F.col("n_shingles")),
+    ).otherwise(F.lit(0))
+    return out.withColumn("boiler_ppm", ppm.cast("long")).withColumn(
+        "flagged",
+        (F.col("n_shingles") > 0)
+        & (F.col("n_boiler") * F.lit(100) >= F.col("n_shingles") * F.lit(flag_pct)),
+    )
+
+
+def boilerplate_stats_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_docs: int = 5,
+    flag_pct: int = 10,
+) -> str:
+    """CTE chain ending in `boiler` mirroring :func:`boilerplate_stats`."""
+    tok = X.tokens_sql(text_col)
+    sh = X.shingles_sql(tok, k)
+    return f"""slots AS (
+      SELECT {id_col}, gram, COUNT(*) AS cnt
+      FROM (SELECT {id_col}, unnest({sh}) AS gram FROM {table})
+      GROUP BY 1, 2
+    ),
+    docfreq AS (SELECT gram, COUNT(*) AS df FROM slots GROUP BY 1),
+    per_doc AS (
+      SELECT s.{id_col},
+             SUM(s.cnt) AS n_shingles,
+             SUM(CASE WHEN f.df >= {min_docs} THEN s.cnt ELSE 0 END) AS n_boiler
+      FROM slots s JOIN docfreq f USING (gram)
+      GROUP BY 1
+    ),
+    boiler AS (
+      SELECT d.{id_col},
+             CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+             CAST(CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                  THEN floor(COALESCE(p.n_boiler, 0) * 1000000.0 / p.n_shingles)
+                  ELSE 0 END AS BIGINT) AS boiler_ppm,
+             COALESCE(p.n_shingles, 0) > 0
+               AND COALESCE(p.n_boiler, 0) * 100 >= COALESCE(p.n_shingles, 0) * {flag_pct} AS flagged
+      FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (multilingual-style alpha sampling)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture(
+    df: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """Per-source sampling weights at temperature alpha = 0.5.
+
+    ``nat_ppm`` is the natural token share; ``temp_ppm`` renormalizes
+    sqrt(token) mass — the standard temperature trick that upsamples
+    small sources / downsamples dominant ones. floor(sqrt(n)) of a
+    BIGINT is exact in IEEE doubles (correctly-rounded sqrt), so both
+    engines produce identical integers.
+
+    Scale shape: one groupBy(source) partial-agg shuffle over the
+    corpus; the totals join is a broadcast of #sources rows.
+    """
+    tok_n = X.token_count_ws(F.col(text_col))
+    g = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok_n).alias("tok_sum"),
+    )
+    g = g.withColumn("w_sqrt", F.floor(F.sqrt(F.col("tok_sum"))).cast("long"))
+    tot = g.agg(
+        F.sum("tok_sum").alias("_tot_tok"), F.sum("w_sqrt").alias("_tot_w")
+    )
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.col("tok_sum").cast("long").alias("tok_sum"),
+            F.floor(F.col("tok_sum") * F.lit(1_000_000) / F.col("_tot_tok"))
+            .cast("long")
+            .alias("nat_ppm"),
+            F.floor(F.col("w_sqrt") * F.lit(1_000_000) / F.col("_tot_w"))
+            .cast("long")
+            .alias("temp_ppm"),
+        )
+    )
+
+
+def temperature_mixture_sql(table: str, source_col: str, text_col: str) -> str:
+    """CTE chain ending in `mixture` mirroring :func:`temperature_mixture`."""
+    return f"""per_src AS (
+      SELECT {source_col},
+             COUNT(*) AS n_docs,
+             SUM({X.token_count_ws_sql(text_col)}) AS tok_sum
+      FROM {table} GROUP BY 1
+    ),
+    per_src2 AS (
+      SELECT *, CAST(floor(sqrt(tok_sum)) AS BIGINT) AS w_sqrt FROM per_src
+    ),
+    tot AS (SELECT SUM(tok_sum) AS tot_tok, SUM(w_sqrt) AS tot_w FROM per_src2),
+    mixture AS (
+      SELECT {source_col}, n_docs,
+             CAST(tok_sum AS BIGINT) AS tok_sum,
+             CAST(floor(tok_sum * 1000000.0 / tot_tok) AS BIGINT) AS nat_ppm,
+             CAST(floor(w_sqrt * 1000000.0 / tot_w) AS BIGINT) AS temp_ppm
+      FROM per_src2, tot
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# BPE training, round one: corpus-wide adjacent-pair counts
+# ---------------------------------------------------------------------------
+
+
+def adjacent_pair_counts(
+    df: DataFrame, text_col: str, top_n: int = 50
+) -> DataFrame:
+    """Top-N most frequent adjacent token pairs corpus-wide — the
+    counting step of one BPE merge round, distributed.
+
+    Scale shape: the pair explode pre-aggregates map-side (partial
+    count), ONE shuffle on the pair key, then a distributed
+    TakeOrderedAndProject for the top-N (no global-window single
+    partition; the rank window runs on the <= N survivors only).
+    """
+    tok = X.tokens(F.col(text_col))
+    counted = (
+        df.select(F.explode(X.shingles(tok, 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return counted.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def adjacent_pair_counts_sql(table: str, text_col: str, top_n: int = 50) -> str:
+    tok = X.tokens_sql(text_col)
+    sh = X.shingles_sql(tok, 2)
+    return f"""pairs AS (
+      SELECT pair, COUNT(*) AS cnt
+      FROM (SELECT unnest({sh}) AS pair FROM {table})
+      GROUP BY 1
+    ),
+    pair_counts AS (
+      SELECT pair, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+      FROM pairs
+      QUALIFY rank <= {top_n}
+    )"""

@@ -522,3 +522,115 @@ def quality_gate_sql(
            ({mask}) = 0 AS keep
     FROM (SELECT {id_col}, {tok} AS _tok FROM {table})
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (target-vs-corpus likelihood ratio)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., 2023),
+    unigram form: score every document by the log-likelihood ratio of
+    its tokens under a TARGET distribution (rows where ``target_pred``
+    is true — e.g. a trusted domain) versus the full corpus. High
+    scores = "looks like the target"; resample the corpus by this
+    weight to shift its distribution toward the target without a
+    trained classifier.
+
+    ``lr9_sum = sum over tokens of round((log2 p_target(t) -
+    log2 p_corpus(t)) * 1e9)`` with add-1 smoothing on the target side
+    (tokens unseen in the target stay finite). The per-token terms are
+    fixed-pointed to nano-bits on the VOCABULARY (one row per distinct
+    token), so the per-doc aggregation is an exact integer SUM —
+    deterministic in any engine and accumulation order.
+
+    Scale shape: ONE conditional-aggregate groupBy(token) builds both
+    distributions in a single pass (no second corpus scan), the scalar
+    totals ride a 1-row broadcast, and the occ x vocab join is
+    AQE-broadcastable (vocab << corpus). The corpus is never shuffled
+    wider than (token | doc id).
+
+    Output: (id, n_tokens, lr9_sum, selected) — ``selected`` is the
+    zero-threshold decision; real pipelines feed ``lr9_sum`` into
+    weighted sampling (:func:`..sampling.weighted_topk`) instead.
+    """
+    occ = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    )
+    vocab = occ.groupBy("_tok").agg(
+        F.count(F.lit(1)).alias("_cnt_all"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_cnt_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("_cnt_all").cast("double").alias("_T_all"),
+        F.sum("_cnt_tgt").cast("double").alias("_T_tgt"),
+        F.count(F.lit(1)).cast("double").alias("_V"),
+    )
+    # lr9(t) = round((log2((cnt_tgt+1)/(T_tgt+V)) - log2(cnt_all/T_all)) * 1e9)
+    vocab9 = vocab.crossJoin(F.broadcast(tot)).select(
+        "_tok",
+        F.round(
+            (
+                F.log2(F.col("_cnt_tgt") + F.lit(1))
+                - F.log2(F.col("_T_tgt") + F.col("_V"))
+                - F.log2("_cnt_all")
+                + F.log2("_T_all")
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("_lr9"),
+    )
+    per_doc = (
+        occ.join(vocab9, "_tok")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lr9").alias("lr9_sum"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("lr9_sum", F.lit(0)).cast("long").alias("lr9_sum"),
+        )
+        .withColumn("selected", F.col("lr9_sum") > F.lit(0))
+    )
+
+
+def dsir_importance_sql(
+    corpus_cte: str, id_col: str, text_col: str, target_pred_sql: str
+) -> str:
+    """CTE chain ending in `dsir` mirroring :func:`dsir_importance` —
+    identical smoothing, identical nano-bit fixed-pointing."""
+    tok = tokens_sql(text_col)
+    return f"""
+    occ AS (SELECT {id_col}, {target_pred_sql} AS _is_tgt, unnest({tok}) AS _tok
+            FROM {corpus_cte}),
+    vocab AS (SELECT _tok, COUNT(*) AS _cnt_all,
+                     SUM(CASE WHEN _is_tgt THEN 1 ELSE 0 END) AS _cnt_tgt
+              FROM occ GROUP BY 1),
+    tot AS (SELECT CAST(SUM(_cnt_all) AS DOUBLE) AS _T_all,
+                   CAST(SUM(_cnt_tgt) AS DOUBLE) AS _T_tgt,
+                   CAST(COUNT(*) AS DOUBLE) AS _V FROM vocab),
+    vocab9 AS (SELECT _tok,
+                      CAST(ROUND((log2(_cnt_tgt + 1) - log2(_T_tgt + _V)
+                                  - log2(_cnt_all) + log2(_T_all)) * 1e9) AS BIGINT) AS _lr9
+               FROM vocab CROSS JOIN tot),
+    per_doc AS (SELECT occ.{id_col}, COUNT(*) AS n_tokens,
+                       CAST(SUM(_lr9) AS BIGINT) AS lr9_sum
+                FROM occ JOIN vocab9 USING (_tok) GROUP BY 1),
+    dsir AS (
+      SELECT c.{id_col},
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(p.lr9_sum, 0) AS BIGINT) AS lr9_sum,
+             COALESCE(p.lr9_sum, 0) > 0 AS selected
+      FROM {corpus_cte} c LEFT JOIN per_doc p USING ({id_col}))"""

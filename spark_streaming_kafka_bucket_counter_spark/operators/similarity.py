@@ -978,3 +978,164 @@ def ivf_query_index(
             "query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sign random projection (RP sketch + RP-LSH bucket)
+# ---------------------------------------------------------------------------
+
+
+def _rp_signs(out_dims: int, in_dims: int, seed: str = "rp") -> list[list[int]]:
+    """+/-1 projection matrix derived from md5 — deterministic, engine-
+    independent (computed ONCE at plan build; both the Spark plan and
+    the SQL oracle receive the same literals, so no cross-engine hash
+    parity is needed)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dims: int,
+    out_dims: int = 4,
+    scale: int = 1000,
+    seed: str = "rp",
+) -> DataFrame:
+    """Shuffle-free sign random projection: each vector is reduced to
+    ``out_dims`` integer components p_j = sum_i sign_ij * round(v_i *
+    scale), plus ``rp_bucket`` — the sign pattern of the projections,
+    i.e. a true random-hyperplane LSH key (unlike :func:`sign_bucket`,
+    which thresholds raw leading dimensions, this mixes ALL input dims
+    into every bit, so correlated/low-variance leading dims can't skew
+    the bucket distribution).
+
+    Vectors are quantized to integers FIRST (round(v*scale)), so the
+    fold is exact BIGINT arithmetic — identical in any engine and any
+    accumulation order. Map-only projection: at 100 TB this runs at
+    scan speed with zero exchanges.
+    """
+    signs = _rp_signs(out_dims, in_dims, seed)
+    q = F.transform(
+        _dvec(F.col(vec_col)), lambda x: F.round(x * F.lit(scale)).cast("long")
+    )
+    proj_cols = []
+    for j in range(out_dims):
+        lit_signs = F.array(*[F.lit(s) for s in signs[j]])
+        p = F.aggregate(
+            F.zip_with(q, lit_signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(p.alias(f"p{j}"))
+    out = df.select(F.col(id_col), *proj_cols)
+    bucket = F.lit(0)
+    for j in range(out_dims):
+        bucket = bucket + F.when(F.col(f"p{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.withColumn("rp_bucket", bucket.cast("long"))
+
+
+def random_projection_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    in_dims: int,
+    out_dims: int = 4,
+    scale: int = 1000,
+    seed: str = "rp",
+) -> str:
+    """CTE chain ending in `rp` mirroring :func:`random_projection` —
+    the +/-1 literals are generated from the SAME seed."""
+    signs = _rp_signs(out_dims, in_dims, seed)
+    projs = []
+    for j in range(out_dims):
+        terms = " ".join(
+            f"{'+' if s > 0 else '-'} qv[{i + 1}]" for i, s in enumerate(signs[j])
+        )
+        projs.append(f"CAST(0 {terms} AS BIGINT) AS p{j}")
+    bucket = " + ".join(
+        f"(CASE WHEN p{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(out_dims)
+    )
+    return f"""qv AS (
+      SELECT {id_col},
+             list_transform(CAST({vec_col} AS DOUBLE[]),
+                            x -> CAST(round(x * {scale}) AS BIGINT)) AS qv
+      FROM {table}
+    ),
+    rp_p AS (SELECT {id_col}, {', '.join(projs)} FROM qv),
+    rp AS (SELECT {id_col}, {', '.join(f'p{j}' for j in range(out_dims))},
+                  CAST({bucket} AS BIGINT) AS rp_bucket
+           FROM rp_p)"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate kNN graph (LSH-bucketed, per-node top-k)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int = 3,
+    planes: int = 8,
+) -> DataFrame:
+    """Directed approximate kNN graph: for every vector, its ``top_k``
+    most-cosine-similar neighbors among SAME-LSH-BUCKET candidates
+    (sign-bucket, ``planes`` bits). The per-node edge list is the input
+    to graph-based curation (SemDeDup-style cluster pruning, community
+    detection, label propagation via :mod:`.graph`).
+
+    Scale shape: one hash equi-join on the bucket key (candidate volume
+    ~ N^2 / 2^planes, tuned by ``planes``), then one window partitioned
+    by source node. No all-pairs stage; nodes whose bucket has no other
+    member simply emit no edges (standard LSH-graph behavior — raise
+    ``planes`` recall via multiprobe if needed).
+    """
+    kb = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = kb.select(F.col("_id").alias("src"), F.col("_vec").alias("vec_a"), "bucket")
+    b = kb.select(F.col("_id").alias("dst"), F.col("_vec").alias("vec_b"), "bucket")
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def knn_graph_sql(
+    table: str, id_col: str, bucket_expr: str, top_k: int = 3
+) -> str:
+    """CTE chain ending in `knn` mirroring :func:`knn_graph`; expects a
+    CTE `e(vec_id, v)` with DOUBLE[] vectors in scope."""
+    cos = (
+        "ROUND(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""kb AS (SELECT {id_col}, v, CAST({bucket_expr} AS BIGINT) AS bucket FROM {table}),
+    knn_scored AS (
+      SELECT a.{id_col} AS src, b.{id_col} AS dst, {cos} AS cosine
+      FROM kb a JOIN kb b ON a.bucket = b.bucket AND a.{id_col} <> b.{id_col}
+    ),
+    knn AS (
+      SELECT src, dst, cosine,
+             CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS BIGINT) AS rank
+      FROM knn_scored
+      QUALIFY rank <= {top_k}
+    )"""

@@ -1,0 +1,353 @@
+"""Corpus-curation catalog queries: hashed linear quality
+classification, corpus-frequency boilerplate, temperature source
+mixtures, BPE pair counting, sign random projection, and the
+LSH-bucketed kNN graph — the curation passes a training-data pipeline
+runs between ingestion (the reference's streaming-count surface) and
+tokenization. Each query carries a DuckDB oracle built from the same
+constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.buckets import ts_epoch_seconds
+from ..operators import curation as C
+from ..operators import entity as E
+from ..operators import quality as Q
+from ..operators import similarity as S
+from .queries import _DUCK_EPOCH, _t, query
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "classify_quality_linear",
+    f"""
+    WITH {C.classify_quality_sql('documents', 'doc_id', 'text')}
+    SELECT doc_id, n_tokens, score_sum, keep FROM classified2
+    """,
+)
+def q_classify_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier over every document: the
+    fastText/CCNet quality-filter shape (hash token -> weight, sum,
+    threshold) as a single codegen projection — map-only at any scale."""
+    return C.classify_quality(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate (C4-style repeated-content removal)
+# ---------------------------------------------------------------------------
+
+_BP_K = 3
+_BP_MIN_DOCS = 5
+
+
+@query(
+    "boilerplate_flags",
+    f"""
+    WITH {C.boilerplate_stats_sql('documents', 'doc_id', 'text', _BP_K, _BP_MIN_DOCS)}
+    SELECT doc_id, n_shingles, n_boiler, boiler_ppm, flagged FROM boiler
+    """,
+)
+def q_boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate exposure: share of 3-gram slots whose
+    gram occurs in >= 5 distinct documents corpus-wide (the C4
+    repeated-line filter with shingles as the line unit). One gram
+    shuffle + one hash join — no corpus-sized broadcast."""
+    return C.boilerplate_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=_BP_K, min_docs=_BP_MIN_DOCS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_temperature",
+    f"""
+    WITH {C.temperature_mixture_sql('documents', 'source', 'text')}
+    SELECT source, n_docs, tok_sum, nat_ppm, temp_ppm FROM mixture
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature sampling weights per source (integer ppm):
+    the multilingual-mixture rebalancing pass. One partial-agg shuffle
+    over the corpus; totals join broadcasts #sources rows."""
+    return C.temperature_mixture(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# BPE round-one pair counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    f"""
+    WITH {C.adjacent_pair_counts_sql('documents', 'text', 50)}
+    SELECT pair, cnt, rank FROM pair_counts
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 adjacent token pairs — the distributed
+    counting step of one BPE merge round (map-side partial counts, one
+    pair-key shuffle, distributed top-N; the rank window touches only
+    the 50 survivors)."""
+    return C.adjacent_pair_counts(_t(spark, sf_dir, "documents"), "text", top_n=50)
+
+
+# ---------------------------------------------------------------------------
+# Sign random projection (RP sketch + RP-LSH bucket)
+# ---------------------------------------------------------------------------
+
+_RP_DIMS = 4
+_EMB_IN_DIMS = 64
+
+
+@query(
+    "embedding_random_projection",
+    f"""
+    WITH {S.random_projection_sql('embeddings', 'vec_id', 'embedding', _EMB_IN_DIMS, _RP_DIMS)}
+    SELECT vec_id, p0, p1, p2, p3, rp_bucket FROM rp
+    """,
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sign random projection 64 -> 4 dims plus the
+    random-hyperplane LSH bucket (every bit mixes ALL input dims).
+    Exact BIGINT arithmetic after round(v*1000) quantization; map-only,
+    zero exchanges."""
+    return S.random_projection(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        in_dims=_EMB_IN_DIMS, out_dims=_RP_DIMS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate kNN graph
+# ---------------------------------------------------------------------------
+
+_KNN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@query(
+    "knn_graph_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {S.knn_graph_sql('e', 'vec_id', _KNN_BUCKET_SQL, 3)}
+    SELECT src, dst, cosine, rank FROM knn
+    """,
+)
+def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed approximate kNN graph (top-3 per node among same-
+    sign-bucket candidates): the edge list for graph-based curation.
+    One bucket-key equi-join + one per-source window — candidate volume
+    ~ N^2/2^8, no all-pairs stage."""
+    return S.knn_graph(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", top_k=3, planes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (target-domain resampling scores)
+# ---------------------------------------------------------------------------
+
+_DSIR_TGT = "source IN ('src0', 'src1')"
+
+
+@query(
+    "dsir_importance",
+    f"""
+    WITH {Q.dsir_importance_sql('documents', 'doc_id', 'text', _DSIR_TGT)}
+    SELECT doc_id, n_tokens, lr9_sum, selected FROM dsir
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores: log-likelihood ratio of each document's
+    tokens under the target domain (src0/src1) vs the whole corpus,
+    nano-bit integer fixed point. One conditional-agg token shuffle
+    builds both distributions in a single pass."""
+    return Q.dsir_importance(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        F.col("source").isin("src0", "src1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity matching
+# ---------------------------------------------------------------------------
+
+_ER_MAXDIST = 3
+
+
+@query(
+    "entity_match_parts",
+    f"""
+    WITH entities AS (
+      SELECT p_name, MIN(p_partkey) AS ent_id FROM part GROUP BY 1
+    ),
+    {E.blocked_fuzzy_pairs_sql('entities', 'ent_id', 'p_name',
+                               "string_split(p_name, ' ')[-1]", _ER_MAXDIST)}
+    SELECT id_a, id_b, name_a, name_b, distance FROM fuzzy_pairs
+    """,
+)
+def q_entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: canonicalize to distinct
+    names first (the dedup-then-match shape — candidate volume depends
+    on the ENTITY count, not the row count), block on the head noun,
+    verify with levenshtein <= 3 inside each block. One groupBy + one
+    block-key equi-join; never all-pairs."""
+    entities = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("ent_id"))
+    )
+    return E.blocked_fuzzy_pairs(
+        entities,
+        "ent_id",
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_distance=_ER_MAXDIST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trending: top event types per time bucket
+# ---------------------------------------------------------------------------
+
+_TREND_BUCKET = 3600
+_TREND_K = 3
+
+
+@query(
+    "trending_by_bucket",
+    f"""
+    WITH b AS (
+      SELECT ({_DUCK_EPOCH.format(col='ts')} // {_TREND_BUCKET}) * {_TREND_BUCKET} AS bucket_start,
+             event_type
+      FROM events
+    ),
+    counted AS (
+      SELECT bucket_start, event_type, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    )
+    SELECT bucket_start, event_type, cnt, rank FROM (
+      SELECT bucket_start, event_type, cnt,
+             CAST(row_number() OVER (PARTITION BY bucket_start
+                                     ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
+      FROM counted
+    ) WHERE rank <= {_TREND_K}
+    """,
+)
+def q_trending_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-3 event types per tumbling hour. One
+    partial-agg shuffle on (bucket, type) + one window partitioned by
+    bucket — the serving-side 'what's hot right now' query over the
+    reference's bucket-count output shape."""
+    ev = _t(spark, sf_dir, "events").select(
+        (
+            F.floor(ts_epoch_seconds(F.col("ts")) / _TREND_BUCKET) * _TREND_BUCKET
+        ).cast("long").alias("bucket_start"),
+        "event_type",
+    )
+    counted = ev.groupBy("bucket_start", "event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("bucket_start").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TREND_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization, EXECUTED through Structured Streaming
+# ---------------------------------------------------------------------------
+
+_SS_GAP = 1800
+
+
+@query(
+    "streaming_sessionize",
+    f"""
+    WITH e AS (SELECT user_id, {_DUCK_EPOCH.format(col='ts')} AS ts_e FROM events),
+    flagged AS (
+      SELECT user_id, ts_e,
+             CASE WHEN ts_e - lag(ts_e) OVER w >= {_SS_GAP} THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_e)
+    ),
+    sessioned AS (
+      SELECT user_id, ts_e,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_e
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_e) AS session_start_e,
+           MAX(ts_e) + {_SS_GAP} AS session_end_e,
+           COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, s_idx
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization EXECUTED as a Structured Streaming query:
+    the event stream grouped by ``session_window`` (state-backed session
+    merge), drained with availableNow into a memory sink, and
+    oracle-checked against the batch islands construction — §2.11
+    evidence that the streaming session operator computes the same
+    relation. NOTE the boundary semantics: ``session_window`` is
+    half-open ([start, last+gap)), so an event exactly ``gap`` seconds
+    after the previous one STARTS A NEW session — the oracle islands use
+    ``>= gap`` accordingly (the batch ``sessionize_events`` uses ``>``).
+    """
+    import uuid
+
+    from ..operators.sessions import streaming_session_counts
+    from ..session import restored_conf
+
+    with restored_conf(
+        spark, "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts = F.col("ts")
+        if dict(
+            zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])
+        ).get("ts") == "bigint":
+            ts = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        ev = stream.select(
+            "user_id", F.timestamp_seconds(ts_epoch_seconds(ts)).alias("evt")
+        )
+        sessions = streaming_session_counts(ev, "user_id", "evt", _SS_GAP)
+        name = f"sessq_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_sessionize: availableNow drain did not finish "
+                "within 300s — refusing to query a partial sink"
+            )
+    return spark.table(name).select(
+        "user_id",
+        ts_epoch_seconds(F.col("session.start")).alias("session_start_e"),
+        ts_epoch_seconds(F.col("session.end")).alias("session_end_e"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

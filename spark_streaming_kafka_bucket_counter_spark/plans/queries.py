@@ -760,6 +760,11 @@ _DRIVER_PRIORITY = [
     "dedup_bloom_incremental", "sketch_cm_heavy_hitters",
     "streaming_dedup_events", "dedup_cross_corpus", "cluster_kmeans",
     "salted_join_revenue", "feature_winsorize", "sample_group_split",
+    # round 3 session-2 additions (never driver-checked yet)
+    "classify_quality_linear", "boilerplate_flags", "mixture_temperature",
+    "bpe_pair_counts", "embedding_random_projection", "knn_graph_lsh",
+    "dsir_importance", "entity_match_parts", "trending_by_bucket",
+    "streaming_sessionize",
 ]
 
 
@@ -783,3 +788,4 @@ def oracle_sql() -> dict[str, str]:
 from . import extensions  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import insights  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401

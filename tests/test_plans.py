@@ -333,3 +333,77 @@ def test_salted_join_matches_plain_join_and_widens_key(spark):
         salted_join(fact, dim, ["k"], how="full")
     with pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], salt_buckets=1)
+
+
+def test_classify_quality_is_shuffle_free_codegen(spark):
+    """The hashed linear classifier is a map-only projection: zero
+    exchanges, no Python eval anywhere (pure codegen fold)."""
+    plan = _plan(spark, "classify_quality_linear")
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_is_shuffle_free(spark):
+    """Sign random projection must run at scan speed: zero exchanges."""
+    plan = _plan(spark, "embedding_random_projection")
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+
+
+def test_boilerplate_no_corpus_broadcast(spark):
+    """The gram-docfreq side is corpus-derived (unbounded): the join
+    back must NOT be a planned broadcast of that side at build time —
+    a BroadcastExchange materialized from the full gram aggregate would
+    OOM the driver at 100 TB. (AQE may still flip tiny cases at
+    runtime; this pins the static plan.)"""
+    plan = _plan(spark, "boilerplate_flags")
+    # static plan: the slots<->docfreq join keys on gram and is not a
+    # build-time broadcast (accept AQE placeholders, reject an eager
+    # BroadcastExchange feeding a join on gram)
+    assert "gram" in plan
+    assert not re.search(r"BroadcastExchange(?s:(?!AdaptiveSparkPlan).){0,400}gram#",
+                         plan.split("AdaptiveSparkPlan")[0])
+
+
+def test_bpe_pair_counts_uses_distributed_topk(spark):
+    """Top-50 pairs must plan as TakeOrderedAndProject (distributed
+    top-k), never a global Sort of the full pair aggregate; the rank
+    window runs on the <=50 survivors only."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_graph_is_bucket_equijoin(spark):
+    """The kNN graph joins on the LSH bucket key (hash equi-join) —
+    never a nested-loop/cartesian candidate generation."""
+    plan = _plan(spark, "knn_graph_lsh")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_entity_match_joins_on_block_key(spark):
+    """Blocked ER must candidate-generate via the block-key equi-join —
+    no cartesian/nested-loop pairing, and the levenshtein verify stays
+    inside the join filter (no materialized pair set)."""
+    plan = _plan(spark, "entity_match_parts")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_trending_single_count_shuffle(spark):
+    """Trending = ONE partial-agg exchange on (bucket, type) + the
+    bucket-partitioned rank window (which reuses that partitioning or
+    adds at most one more exchange) — never a global sort."""
+    plan = _plan(spark, "trending_by_bucket")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "rowsBetween" not in plan  # rank only, no running frames
+
+
+def test_dsir_single_vocab_shuffle(spark):
+    """DSIR builds target+corpus distributions in ONE conditional-agg
+    pass: the token groupBy must appear once (plus the doc-side agg and
+    the tiny totals agg) — a second corpus-wide token shuffle means the
+    two distributions were computed in separate passes."""
+    plan = _plan(spark, "dsir_importance")
+    # token-keyed exchanges: hashpartitioning on _tok
+    tok_exchanges = len(re.findall(r"hashpartitioning\(_tok", plan))
+    assert tok_exchanges <= 2, plan  # vocab agg + occ-vocab join reuse
