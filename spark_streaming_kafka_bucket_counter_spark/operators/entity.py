@@ -13,7 +13,7 @@ insert/delete/substitute), so the oracle replays exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,4 +75,95 @@ def blocked_fuzzy_pairs_sql(
              CAST(levenshtein(a._name, b._name) AS BIGINT) AS distance
       FROM blocked a JOIN blocked b ON a._blk = b._blk AND a._id < b._id
       WHERE levenshtein(a._name, b._name) <= {max_distance}
+    )"""
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    window: int = 3,
+    max_distance: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood ER: order entities by name, compare each to
+    its next ``window`` neighbors only — the complementary blocking
+    strategy (catches near-misses that straddle block-key boundaries,
+    e.g. typos in the blocking token itself).
+
+    Scale shape — the global sort rank is computed DISTRIBUTED, never
+    through a single-partition window: rows get a bucket key (the
+    name's first character — any order-preserving prefix works), the
+    rank WITHIN each bucket comes from a bucket-partitioned window, and
+    the global rank adds the bucket's cumulative offset from a
+    #buckets-sized side table (broadcast; its cum-sum window runs on
+    that bounded-tiny frame only). Neighbor candidates are then an
+    integer equi-join ``rn_b = rn_a + i`` for i in 1..window —
+    exactly N * window candidates (linear, vs block-size-squared for
+    key blocking), hash-shuffled on the rank key.
+
+    Output: (id_a, id_b, name_a, name_b, distance) where a precedes b
+    in (name, id) order.
+    """
+    bkt = F.substring(F.col(name_col), 1, 1)
+    wb = Window.partitionBy("_bkt").orderBy("_name", "_id")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name"), bkt.alias("_bkt")
+    ).withColumn("_rn_in", F.row_number().over(wb))
+    sizes = base.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    # cum-sum over the bucket table: single partition, but only
+    # #distinct-prefix rows ever flow through it (bounded-tiny)
+    wcum = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_bkt", F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_off")
+    )
+    ranked = base.join(F.broadcast(offsets), "_bkt").select(
+        "_id", "_name", (F.col("_off") + F.col("_rn_in")).cast("long").alias("_rn")
+    )
+    probes = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_name").alias("name_a"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, window + 1)])).alias("_i"),
+        F.col("_rn"),
+    ).withColumn("_rn_b", F.col("_rn") + F.col("_i"))
+    nbrs = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_name").alias("name_b"),
+        F.col("_rn").alias("_rn_b"),
+    )
+    return (
+        probes.join(nbrs, "_rn_b")
+        .withColumn(
+            "distance", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )
+
+
+def sorted_neighborhood_pairs_sql(
+    table: str,
+    id_col: str,
+    name_col: str,
+    window: int = 3,
+    max_distance: int = 4,
+) -> str:
+    """CTE chain ending in `sn_pairs` mirroring
+    :func:`sorted_neighborhood_pairs`."""
+    lead_rows = " UNION ALL ".join(
+        f"""SELECT id_a, name_a,
+               lead(id_a, {i}) OVER (ORDER BY name_a, id_a) AS id_b,
+               lead(name_a, {i}) OVER (ORDER BY name_a, id_a) AS name_b
+        FROM sn_base"""
+        for i in range(1, window + 1)
+    )
+    return f"""sn_base AS (
+      SELECT {id_col} AS id_a, {name_col} AS name_a FROM {table}
+    ),
+    sn_cand AS ({lead_rows}),
+    sn_pairs AS (
+      SELECT id_a, id_b, name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+      FROM sn_cand
+      WHERE id_b IS NOT NULL
+        AND levenshtein(name_a, name_b) <= {max_distance}
     )"""

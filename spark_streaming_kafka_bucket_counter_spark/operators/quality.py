@@ -612,25 +612,27 @@ def dsir_importance_sql(
     """CTE chain ending in `dsir` mirroring :func:`dsir_importance` —
     identical smoothing, identical nano-bit fixed-pointing."""
     tok = tokens_sql(text_col)
+    # CTE names carry a dsir_ prefix so the chain composes with other
+    # builders (boilerplate/unigram use per_doc/occ/vocab too)
     return f"""
-    occ AS (SELECT {id_col}, {target_pred_sql} AS _is_tgt, unnest({tok}) AS _tok
+    dsir_occ AS (SELECT {id_col}, {target_pred_sql} AS _is_tgt, unnest({tok}) AS _tok
             FROM {corpus_cte}),
-    vocab AS (SELECT _tok, COUNT(*) AS _cnt_all,
+    dsir_vocab AS (SELECT _tok, COUNT(*) AS _cnt_all,
                      SUM(CASE WHEN _is_tgt THEN 1 ELSE 0 END) AS _cnt_tgt
-              FROM occ GROUP BY 1),
-    tot AS (SELECT CAST(SUM(_cnt_all) AS DOUBLE) AS _T_all,
+              FROM dsir_occ GROUP BY 1),
+    dsir_tot AS (SELECT CAST(SUM(_cnt_all) AS DOUBLE) AS _T_all,
                    CAST(SUM(_cnt_tgt) AS DOUBLE) AS _T_tgt,
-                   CAST(COUNT(*) AS DOUBLE) AS _V FROM vocab),
-    vocab9 AS (SELECT _tok,
+                   CAST(COUNT(*) AS DOUBLE) AS _V FROM dsir_vocab),
+    dsir_vocab9 AS (SELECT _tok,
                       CAST(ROUND((log2(_cnt_tgt + 1) - log2(_T_tgt + _V)
                                   - log2(_cnt_all) + log2(_T_all)) * 1e9) AS BIGINT) AS _lr9
-               FROM vocab CROSS JOIN tot),
-    per_doc AS (SELECT occ.{id_col}, COUNT(*) AS n_tokens,
+               FROM dsir_vocab CROSS JOIN dsir_tot),
+    dsir_per_doc AS (SELECT dsir_occ.{id_col}, COUNT(*) AS n_tokens,
                        CAST(SUM(_lr9) AS BIGINT) AS lr9_sum
-                FROM occ JOIN vocab9 USING (_tok) GROUP BY 1),
+                FROM dsir_occ JOIN dsir_vocab9 USING (_tok) GROUP BY 1),
     dsir AS (
       SELECT c.{id_col},
              CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
              CAST(COALESCE(p.lr9_sum, 0) AS BIGINT) AS lr9_sum,
              COALESCE(p.lr9_sum, 0) > 0 AS selected
-      FROM {corpus_cte} c LEFT JOIN per_doc p USING ({id_col}))"""
+      FROM {corpus_cte} c LEFT JOIN dsir_per_doc p USING ({id_col}))"""

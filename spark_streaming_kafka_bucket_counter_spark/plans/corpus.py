@@ -351,3 +351,208 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_epoch_seconds(F.col("session.end")).alias("session_end_e"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation stack: classifier + boilerplate + DSIR + dedup
+# in ONE auditable keep/drop decision per document
+# ---------------------------------------------------------------------------
+
+# reason bits, wire order (bit set = rule fired = reason to drop)
+_STACK_BITS = ("clf_reject", "boilerplate", "dsir_reject", "duplicate")
+
+from ..functions.text import md5_fingerprint_sql as _fp_sql  # noqa: E402
+
+_FPRINT_SQL = _fp_sql("text")
+
+
+@query(
+    "corpus_curation_stack",
+    f"""
+    WITH {C.classify_quality_sql('documents', 'doc_id', 'text')},
+    {C.boilerplate_stats_sql('documents', 'doc_id', 'text', _BP_K, _BP_MIN_DOCS)},
+    {Q.dsir_importance_sql('documents', 'doc_id', 'text', _DSIR_TGT)},
+    canon AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY {_FPRINT_SQL}
+             ) AS canonical
+      FROM documents
+    ),
+    stack AS (
+      SELECT c.doc_id,
+             CAST((CASE WHEN NOT cl.keep THEN 1 ELSE 0 END)
+                + (CASE WHEN b.flagged THEN 2 ELSE 0 END)
+                + (CASE WHEN NOT d.selected THEN 4 ELSE 0 END)
+                + (CASE WHEN NOT c.canonical THEN 8 ELSE 0 END) AS BIGINT) AS reason_flags
+      FROM canon c
+      JOIN classified2 cl USING (doc_id)
+      JOIN boiler b USING (doc_id)
+      JOIN dsir d USING (doc_id)
+    )
+    SELECT doc_id, reason_flags, reason_flags = 0 AS keep FROM stack
+    """,
+)
+def q_corpus_curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern curation stack as ONE query: hashed-linear
+    classifier, corpus-frequency boilerplate, DSIR target-likeness, and
+    exact near-dup canonicalization, folded into an auditable per-doc
+    ``reason_flags`` bitmask (bit order: clf_reject, boilerplate,
+    dsir_reject, duplicate) and the final ``keep`` decision.
+
+    Scale shape: each signal keeps its own bounded shuffle profile (see
+    the individual queries); the composition is three doc_id hash joins
+    over doc-sized frames — at 100 TB, AQE broadcast-flips none of them
+    (all are corpus-sized) and the doc_id co-partitioning is reused
+    across the joins.
+    """
+    from ..functions.text import md5_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    clf = C.classify_quality(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("_clf_keep")
+    )
+    boiler = C.boilerplate_stats(
+        docs, "doc_id", "text", k=_BP_K, min_docs=_BP_MIN_DOCS
+    ).select("doc_id", F.col("flagged").alias("_boiler"))
+    dsir = Q.dsir_importance(
+        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
+    ).select("doc_id", F.col("selected").alias("_dsir"))
+    w = W.partitionBy(md5_fingerprint(F.col("text")))
+    canon = docs.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("_canonical"),
+    )
+    stack = (
+        canon.join(clf, "doc_id").join(boiler, "doc_id").join(dsir, "doc_id")
+    )
+    flags = (
+        F.when(~F.col("_clf_keep"), F.lit(1)).otherwise(F.lit(0))
+        + F.when(F.col("_boiler"), F.lit(2)).otherwise(F.lit(0))
+        + F.when(~F.col("_dsir"), F.lit(4)).otherwise(F.lit(0))
+        + F.when(~F.col("_canonical"), F.lit(8)).otherwise(F.lit(0))
+    )
+    return stack.select(
+        "doc_id",
+        flags.cast("long").alias("reason_flags"),
+    ).withColumn("keep", F.col("reason_flags") == 0)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood entity matching (the other ER blocking strategy)
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 3
+_SN_MAXDIST = 4
+
+
+@query(
+    "entity_match_sorted",
+    f"""
+    WITH entities AS (
+      SELECT p_name, MIN(p_partkey) AS ent_id FROM part GROUP BY 1
+    ),
+    {E.sorted_neighborhood_pairs_sql('entities', 'ent_id', 'p_name', _SN_WINDOW, _SN_MAXDIST)}
+    SELECT id_a, id_b, name_a, name_b, distance FROM sn_pairs
+    """,
+)
+def q_entity_match_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER over the part catalog: global name order
+    computed DISTRIBUTED (bucket-local rank + broadcast cumulative
+    offsets — no single-partition window), each entity compared to its
+    next 3 neighbors via an integer rank equi-join. Exactly N*3
+    candidates; catches near-misses that straddle block boundaries
+    (complement of `entity_match_parts`)."""
+    entities = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("ent_id"))
+    )
+    return E.sorted_neighborhood_pairs(
+        entities, "ent_id", "p_name", window=_SN_WINDOW, max_distance=_SN_MAXDIST
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (data-governance DQ check)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "privacy_k_anonymity",
+    f"""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS group_n,
+           COUNT(*) < {_KANON_K} AS violates_k
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier: every equivalence class with its size and a k<5
+    violation flag — the privacy-governance DQ pass a training-data
+    pipeline runs before release. One partial-agg shuffle."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .withColumn("violates_k", F.col("group_n") < F.lit(_KANON_K))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 flavor: volume shipping between nation pairs
+# ---------------------------------------------------------------------------
+
+_Q7_REV = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+
+
+@query(
+    "sql_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation,
+           CAST(SUM(rev) AS BIGINT) AS revenue_x10k,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             {_Q7_REV} AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_nationkey <> n2.n_nationkey
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 flavor through the SQL pass-through surface: cross-
+    border revenue between (supplier nation, customer nation) pairs.
+    Both nation joins broadcast; lineitem->orders->customer rides the
+    natural key co-partitioning; revenue in exact integer 1/10000ths."""
+    for name in ("lineitem", "supplier", "orders", "customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT supp_nation, cust_nation,
+               CAST(SUM(rev) AS BIGINT) AS revenue_x10k,
+               COUNT(*) AS n_items
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 {_Q7_REV} AS rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_nationkey <> n2.n_nationkey
+        )
+        GROUP BY 1, 2
+        """
+    )

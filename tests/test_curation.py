@@ -198,3 +198,33 @@ def test_dsir_empty_doc_scores_zero(spark):
     )
     out = {r["doc_id"]: r for r in dsir_importance(df, "doc_id", "text", F.col("source") == "tgt").collect()}
     assert out[2]["n_tokens"] == 0 and out[2]["lr9_sum"] == 0 and out[2]["selected"] is False
+
+
+def test_sorted_neighborhood_matches_naive(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.entity import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = [(1, "apple"), (2, "apples"), (3, "banana"), (4, "bananas"), (5, "bananaz"), (6, "cherry")]
+    df = spark.createDataFrame(names, "id long, name string")
+    rows = sorted_neighborhood_pairs(df, "id", "name", window=2, max_distance=2).collect()
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in rows}
+    # naive reference: sort by (name, id), window 2, lev <= 2
+    order = sorted(names, key=lambda t: (t[1], t[0]))
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {}
+    for p in range(len(order)):
+        for q in range(p + 1, min(p + 3, len(order))):
+            d = lev(order[p][1], order[q][1])
+            if d <= 2:
+                want[(order[p][0], order[q][0])] = d
+    assert got == want

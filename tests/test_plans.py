@@ -407,3 +407,29 @@ def test_dsir_single_vocab_shuffle(spark):
     # token-keyed exchanges: hashpartitioning on _tok
     tok_exchanges = len(re.findall(r"hashpartitioning\(_tok", plan))
     assert tok_exchanges <= 2, plan  # vocab agg + occ-vocab join reuse
+
+
+def test_curation_stack_no_python_and_no_cartesian(spark):
+    """The composed curation stack stays fully JVM-side (no Python eval
+    stages) and joins only on doc_id / derived keys (no cartesian)."""
+    plan = _plan(spark, "corpus_curation_stack")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_rank_is_distributed(spark):
+    """The global sort rank must come from bucket-partitioned windows +
+    a broadcast offset join — the only single-partition window allowed
+    is the #buckets-sized cumulative sum (its input is an aggregate,
+    bounded by distinct name prefixes, not by rows)."""
+    plan = _plan(spark, "entity_match_sorted")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the row-level rank window is partitioned by the bucket key
+    assert re.search(r"row_number\(\).*partitionBy", plan.replace("\n", " ")) or "_bkt" in plan
+
+
+def test_volume_shipping_broadcasts_nations(spark):
+    """Q7 flavor: both nation dims broadcast; the fact chain must not
+    sort-merge against a 25-row dimension."""
+    plan = _plan(spark, "sql_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
