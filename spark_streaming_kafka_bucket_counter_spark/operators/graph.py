@@ -288,3 +288,105 @@ def pagerank_sql(
       GROUP BY p.it, e.v
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (synchronous, deterministic — community detection)
+# ---------------------------------------------------------------------------
+
+# argmax-as-MIN encoding: pick the (most frequent, then smallest) neighbor
+# label with ONE integer MIN — enc = (CNT_CAP - cnt) * LBL_CAP + label.
+# No window function needed, so the oracle stays a plain recursive CTE.
+LPA_CNT_CAP = 1 << 20  # max neighbor count per node
+LPA_LBL_CAP = 1 << 40  # max label value (labels are node ids)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation over the UNDIRECTED graph of
+    ``edges``: every node starts with its own id as label; each round it
+    adopts the most frequent label among its neighbors (ties -> smallest
+    label). Fixed ``iterations`` (sync LPA has no guaranteed fixpoint —
+    bipartite regions can oscillate — so the round count is part of the
+    result's definition), fully deterministic: the argmax is ONE integer
+    MIN over ``(CNT_CAP - cnt) * LBL_CAP + label`` encodings.
+
+    Returns ``(node, community)``.
+
+    Scale shape: per round ONE hash join (labels x edges, both on the
+    node key) + two chained aggregations on (node, label) then (node) —
+    map-side partials on both; lineage cut per round with lazy
+    ``localCheckpoint``. Same cost model as :func:`pagerank`; the
+    recursion is oracle-replayable (:func:`label_propagation_sql`).
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = und.select("u").distinct().select(
+        "u", F.col("u").cast("long").alias("label")
+    )
+    for _ in range(iterations):
+        counted = (
+            labels.join(und, "u")
+            .groupBy(F.col("v"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        enc = (F.lit(LPA_CNT_CAP) - F.col("cnt")) * F.lit(LPA_LBL_CAP) + F.col("label")
+        labels = (
+            counted.groupBy("v")
+            .agg(F.min(enc).alias("_m"))
+            .select(
+                F.col("v").alias("u"),
+                (F.col("_m") % F.lit(LPA_LBL_CAP)).cast("long").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = labels.select(F.col("u").alias("node"), F.col("label").alias("community"))
+    from ._cache import unpersist_with
+
+    return unpersist_with(out, und)
+
+
+def label_propagation_sql(
+    edges_query: str, src: str, dst: str, iterations: int = 4
+) -> str:
+    """DuckDB twin of :func:`label_propagation` with the fixed round
+    count UNROLLED as a plain CTE chain (lpa_0 .. lpa_<iterations>,
+    final alias ``lpa_final``) — identical integer argmax encoding per
+    round. Unrolled rather than recursive: a grouped double-aggregation
+    in a recursive term is outside the SQL standard, and DuckDB's
+    evaluation of that shape was observed to diverge from the working-
+    table semantics on oscillating graphs (same pattern as the k-means
+    oracle, which unrolls Lloyd rounds for the same reason)."""
+    parts = [
+        f"""und AS (
+      SELECT {src} AS u, {dst} AS v FROM ({edges_query})
+      UNION
+      SELECT {dst} AS u, {src} AS v FROM ({edges_query})
+    ),
+    lpa_0 AS (SELECT u, CAST(u AS BIGINT) AS label FROM (SELECT DISTINCT u FROM und))"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""lpa_{i} AS (
+      SELECT v AS u, CAST(m % {LPA_LBL_CAP} AS BIGINT) AS label
+      FROM (
+        SELECT v, MIN(({LPA_CNT_CAP} - cnt) * {LPA_LBL_CAP} + label) AS m
+        FROM (
+          SELECT e.v, p.label, COUNT(*) AS cnt
+          FROM lpa_{i - 1} p JOIN und e ON p.u = e.u
+          GROUP BY 1, 2
+        )
+        GROUP BY 1
+      )
+    )"""
+        )
+    parts.append(f"lpa_final AS (SELECT u, label FROM lpa_{iterations})")
+    return ",\n    ".join(parts)

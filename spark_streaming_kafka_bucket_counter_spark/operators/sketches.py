@@ -348,3 +348,122 @@ def winsorize_by_histogram_sql(
            LEAST(GREATEST({ve4}, {lo_e4}), {hi_e4}) AS winsorized_e4
     FROM {table} e JOIN cuts c USING ({groups})
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (confidence intervals without rand())
+# ---------------------------------------------------------------------------
+
+#: hash(id, replicate) % 100 -> approximate Poisson(1) weights
+#: P(0)=.37, P(1)=.37, P(2)=.18, P(3)=.08 (textbook online-bootstrap recipe,
+#: discretized so both engines derive IDENTICAL weights from md5)
+_BOOT_T0, _BOOT_T1, _BOOT_T2 = 37, 74, 92
+
+
+def _boot_weight(id_col: str, b) -> "F.Column":
+    h = token_hash32(F.concat_ws(":", F.col(id_col).cast("string"), b.cast("string")))
+    hm = h % F.lit(100)
+    return (
+        F.when(hm < _BOOT_T0, F.lit(0))
+        .when(hm < _BOOT_T1, F.lit(1))
+        .when(hm < _BOOT_T2, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_e4: "F.Column",
+    replicates: int = 16,
+) -> DataFrame:
+    """Per-group mean with a bootstrap confidence band — at scale,
+    WITHOUT ``rand()``: replicate weights are deterministic
+    hash-derived approximate-Poisson(1) draws (the classic streaming/
+    online bootstrap), so the result is reproducible, partition-layout-
+    independent, and oracle-replayable.
+
+    ``value_e4`` must already be exact integer units (e.g. value*1e4).
+    Output: (group, n, mean_e4, lo_e4, hi_e4) where lo/hi are the
+    ~12.5th/~93.75th percentile of the replicate means (order stats of
+    ``replicates`` sorted means — exact, no interpolation).
+
+    Scale shape: the replicate explode multiplies map output by B
+    BEFORE one (group, b) partial-agg shuffle (combiner collapses to
+    #groups x B rows), then a #groups-sized rollup. No second data
+    scan, no driver work; B is the explicit cost knob.
+    """
+    b = F.explode(F.array(*[F.lit(i) for i in range(replicates)])).alias("_b")
+    exploded = df.select(
+        F.col(group_col), F.col(id_col), value_e4.alias("_v"), b
+    ).withColumn("_w", _boot_weight(id_col, F.col("_b")))
+    rep = (
+        exploded.groupBy(group_col, "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("_sw"),
+            F.sum("_w").alias("_nw"),
+        )
+        .filter(F.col("_nw") > 0)
+        .select(group_col, F.expr("_sw div _nw").alias("_mean_b"))
+    )
+    reps = rep.groupBy(group_col).agg(
+        F.array_sort(F.collect_list("_mean_b")).alias("_means")
+    )
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(value_e4).alias("_sv")
+    )
+    n_r = F.size("_means")
+    lo_i = F.greatest(F.lit(1), F.expr("size(_means) div 8"))
+    hi_i = F.least(n_r, F.expr("(15 * size(_means) + 15) div 16"))
+    return (
+        base.join(reps, group_col)
+        .select(
+            group_col,
+            F.col("n").cast("long").alias("n"),
+            F.expr("_sv div n").cast("long").alias("mean_e4"),
+            F.element_at("_means", lo_i.cast("int")).cast("long").alias("lo_e4"),
+            F.element_at("_means", hi_i.cast("int")).cast("long").alias("hi_e4"),
+        )
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    value_e4_sql: str,
+    replicates: int = 16,
+) -> str:
+    """CTE chain ending in `boot_ci` mirroring :func:`bootstrap_mean_ci`."""
+    h = token_hash32_sql(f"CAST({id_col} AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    return f"""boot_x AS (
+      SELECT {group_col}, {id_col}, {value_e4_sql} AS _v, b,
+             CASE WHEN {h} % 100 < {_BOOT_T0} THEN 0
+                  WHEN {h} % 100 < {_BOOT_T1} THEN 1
+                  WHEN {h} % 100 < {_BOOT_T2} THEN 2
+                  ELSE 3 END AS _w
+      FROM {table}, (SELECT unnest(range({replicates})) AS b)
+    ),
+    boot_rep AS (
+      SELECT {group_col}, b,
+             SUM(_w * _v) AS _sw, SUM(_w) AS _nw
+      FROM boot_x GROUP BY 1, 2
+    ),
+    boot_means AS (
+      SELECT {group_col}, list_sort(list(_sw // _nw)) AS _means
+      FROM boot_rep WHERE _nw > 0 GROUP BY 1
+    ),
+    boot_base AS (
+      SELECT {group_col}, COUNT(*) AS n, SUM({value_e4_sql}) AS _sv
+      FROM {table} GROUP BY 1
+    ),
+    boot_ci AS (
+      SELECT b.{group_col},
+             CAST(b.n AS BIGINT) AS n,
+             CAST(b._sv // b.n AS BIGINT) AS mean_e4,
+             CAST(m._means[GREATEST(1, len(m._means) // 8)] AS BIGINT) AS lo_e4,
+             CAST(m._means[LEAST(len(m._means), (15 * len(m._means) + 15) // 16)] AS BIGINT) AS hi_e4
+      FROM boot_base b JOIN boot_means m USING ({group_col})
+    )"""

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from ..functions.buckets import ts_epoch_seconds
 from ..operators import curation as C
 from ..operators import entity as E
+from ..operators import graph as G
+from ..operators import sketches as K
 from ..operators import quality as Q
 from ..operators import similarity as S
 from .queries import _DUCK_EPOCH, _t, query
@@ -555,4 +557,64 @@ def q_sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY 1, 2
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: label propagation over the kNN graph
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+
+
+@query(
+    "graph_communities_lpa",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {S.knn_graph_sql('e', 'vec_id', _KNN_BUCKET_SQL, 3)},
+    {G.label_propagation_sql('SELECT src, dst FROM knn', 'src', 'dst', _LPA_ITERS)}
+    SELECT u AS node, label AS community FROM lpa_final
+    """,
+)
+def q_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space communities: synchronous label propagation (4
+    fixed rounds, deterministic integer argmax) over the approximate
+    kNN graph — the SemDeDup-style grouping that feeds cluster-level
+    curation decisions. Per round: one node-keyed hash join + two
+    chained aggregations; oracle is the identical recursion as a
+    recursive CTE."""
+    edges = S.knn_graph(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", top_k=3, planes=8
+    ).select("src", "dst")
+    return G.label_propagation(edges, "src", "dst", iterations=_LPA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+_VAL_E4 = "CAST(ROUND(value * 10000) AS BIGINT)"
+
+
+@query(
+    "bootstrap_value_ci",
+    f"""
+    WITH {K.bootstrap_mean_ci_sql('events', 'event_type', 'event_id', _VAL_E4, _BOOT_B)}
+    SELECT event_type, n, mean_e4, lo_e4, hi_e4 FROM boot_ci
+    """,
+)
+def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean value with a 16-replicate deterministic
+    Poisson-bootstrap confidence band — reproducible uncertainty
+    quantification at scale with NO rand(): replicate weights derive
+    from md5(event_id, b). One (group, replicate) partial-agg shuffle;
+    B=16 is the explicit cost multiplier on map output."""
+    ev = _t(spark, sf_dir, "events")
+    return K.bootstrap_mean_ci(
+        ev,
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * F.lit(10000)).cast("long"),
+        replicates=_BOOT_B,
     )

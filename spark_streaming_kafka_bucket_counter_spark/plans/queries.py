@@ -765,7 +765,8 @@ _DRIVER_PRIORITY = [
     "bpe_pair_counts", "embedding_random_projection", "knn_graph_lsh",
     "dsir_importance", "entity_match_parts", "trending_by_bucket",
     "streaming_sessionize", "corpus_curation_stack", "entity_match_sorted",
-    "privacy_k_anonymity", "sql_volume_shipping",
+    "privacy_k_anonymity", "sql_volume_shipping", "graph_communities_lpa",
+    "bootstrap_value_ci",
 ]
 
 

@@ -492,3 +492,53 @@ def test_cm_sketch_never_undercounts(spark):
     assert all(v == 101 for v in per_row.values())
     with pytest.raises(ValueError):
         cm_sketch(df, "k", depth=5)
+
+
+def test_label_propagation_triangle_absorbs_chain(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # triangle {1,2,3} + pendant chain 3-4: the triangle's min label
+    # dominates and propagates outward within 4 rounds
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, "src", "dst", iterations=4).collect()
+    }
+    assert got[2] == 1 and got[3] == 1
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # node 5's neighbors {1, 9} each contribute one label -> tie -> min
+    edges = spark.createDataFrame([(1, 5), (9, 5)], "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, "src", "dst", iterations=1).collect()
+    }
+    assert got[5] == 1
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.sketches import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [(i, "a", float(100 + (i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    val = F.round(F.col("value") * F.lit(10000)).cast("long")
+    r1 = bootstrap_mean_ci(df, "event_type", "event_id", val).collect()
+    r2 = bootstrap_mean_ci(df, "event_type", "event_id", val).collect()
+    assert r1 == r2  # deterministic: no rand() anywhere
+    (row,) = r1
+    assert row["lo_e4"] <= row["mean_e4"] <= row["hi_e4"]
+    assert row["n"] == 200
+    # band is tight for a low-variance sample: within 5% of the mean
+    assert row["hi_e4"] - row["lo_e4"] < row["mean_e4"] // 20

@@ -433,3 +433,12 @@ def test_volume_shipping_broadcasts_nations(spark):
     sort-merge against a 25-row dimension."""
     plan = _plan(spark, "sql_volume_shipping")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bootstrap_single_group_shuffle(spark):
+    """The bootstrap's replicate dimension must ride the SAME
+    (group, b) partial-agg shuffle — the explode multiplies map output,
+    never adds an extra corpus-wide exchange per replicate."""
+    plan = _plan(spark, "bootstrap_value_ci")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3  # rep agg + base agg + join align
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
