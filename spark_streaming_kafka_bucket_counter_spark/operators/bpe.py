@@ -164,3 +164,22 @@ def bpe_train_reference(
                     out.append(x)
             vocab[w] = out
     return merges
+
+
+def bpe_save(spark, merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist a trained merge list as a tiny parquet artifact (rank,
+    a, b, cnt) — the tokenizer analog of the IVF/BM25 persisted
+    indexes: train once on a sample, apply corpus-wide forever. The
+    artifact is rank-ordered; application order IS the contract."""
+    rows = [(i, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)]
+    df = spark.createDataFrame(rows, "rank long, a string, b string, cnt long")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a merge list saved by :func:`bpe_save`, in training order.
+
+    The merge table is vocabulary-bounded (kilobytes), so the collect
+    is a fixed-size artifact read, not a data-path collect."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"], int(r["cnt"])) for r in rows]

@@ -136,6 +136,14 @@ def ngram_jaccard_pairs(
     # The inverted index feeds both the sizes agg and the pair join —
     # materialize it once (at cluster scale: checkpoint/exchange reuse).
     sh = sh.persist()
+    out = _jaccard_pairs_from_shingles(sh, threshold)
+    return unpersist_with(out, sh)
+
+
+def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard pairs from a (doc, shingle) inverted index — the
+    shared truth computation of :func:`ngram_jaccard_pairs` and
+    :func:`minhash_lsh_eval` (caller owns persistence of ``sh``)."""
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
@@ -145,7 +153,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_shingles": "size_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_shingles": "size_b"}), "doc_b")
         .withColumn(
@@ -156,7 +164,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
     )
-    return unpersist_with(out, sh)
 
 
 def containment_pairs(
@@ -791,3 +798,68 @@ def minhash_lsh_cross_pairs(
         .select("inc_doc", "snap_doc", "n_common", "size_inc", "size_snap", "jaccard")
     )
     return unpersist_with(out, sh_inc, sh_snap, candidates)
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation (precision / recall vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measure the MinHash-LSH candidate generator against ground truth:
+    ONE row (n_truth, n_candidates, n_true_positive, precision_ppm,
+    recall_ppm) where truth = exact k-gram Jaccard >= ``threshold``
+    pairs and candidates = banded LSH pairs (pre-verification).
+
+    This is the tuning loop every production dedup needs — bands/rows
+    trade candidate volume (precision) against recall, and the answer
+    is corpus-dependent; running the eval on a sample BEFORE the full
+    100 TB pass is how the knobs get set. Ground truth costs the full
+    inverted-index join, so the eval runs at sample scale by design;
+    the exact-ppm integer metrics make it oracle-replayable.
+    """
+    sh = doc_shingles(df, id_col, text_col, k).persist()
+    banded = _minhash_banded(sh, num_hashes, bands)
+    cand = (
+        banded.select(F.col("doc").alias("doc_a"), "band", "bk")
+        .join(banded.select(F.col("doc").alias("doc_b"), "band", "bk"), ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    truth = _jaccard_pairs_from_shingles(sh, threshold).select("doc_a", "doc_b")
+    tp = cand.join(truth, ["doc_a", "doc_b"])
+    metrics = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_true_positive")))
+    )
+    out = metrics.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_true_positive").cast("long").alias("n_true_positive"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.expr("n_true_positive * 1000000 div n_candidates"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.col("n_truth") > 0, F.expr("n_true_positive * 1000000 div n_truth")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+    from ._cache import unpersist_with
+
+    return unpersist_with(out, sh)

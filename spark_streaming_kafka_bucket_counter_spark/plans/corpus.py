@@ -618,3 +618,190 @@ def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * F.lit(10000)).cast("long"),
         replicates=_BOOT_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: precision/recall vs exact Jaccard truth
+# ---------------------------------------------------------------------------
+
+
+def _lsh_eval_sql() -> str:
+    from .extensions import (
+        _BAND0,
+        _BAND1,
+        _DOC_SHINGLES,
+        _JACCARD_FROM_DS,
+        _MINHASH_HS,
+        _SIG_COLS,
+    )
+
+    return f"""
+    WITH {_DOC_SHINGLES}, {_JACCARD_FROM_DS}, {_MINHASH_HS},
+    sig AS (SELECT doc, {_SIG_COLS} FROM hs GROUP BY doc),
+    banded AS (SELECT doc, {_BAND0} AS band_0, {_BAND1} AS band_1 FROM sig),
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b ON a.band_0 = b.band_0 WHERE a.doc < b.doc
+      UNION
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b ON a.band_1 = b.band_1 WHERE a.doc < b.doc
+    ),
+    truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+    tp AS (SELECT COUNT(*) AS n FROM cand JOIN truth USING (doc_a, doc_b)),
+    m AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                 (SELECT COUNT(*) FROM cand) AS n_candidates,
+                 (SELECT n FROM tp) AS n_true_positive)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_positive AS BIGINT) AS n_true_positive,
+           CAST(CASE WHEN n_candidates > 0
+                THEN n_true_positive * 1000000 // n_candidates ELSE 0 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN n_truth > 0
+                THEN n_true_positive * 1000000 // n_truth ELSE 0 END AS BIGINT) AS recall_ppm
+    FROM m
+    """
+
+
+@query("dedup_lsh_eval", _lsh_eval_sql())
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning loop: MinHash banded candidates (2 bands x 4 rows)
+    scored against exact k-gram Jaccard >= 0.5 ground truth — one row of
+    (n_truth, n_candidates, n_true_positive, precision_ppm, recall_ppm).
+    Run at sample scale to pick bands/rows BEFORE the full corpus pass;
+    exact-ppm integers make the report oracle-replayable."""
+    from ..operators.dedup import minhash_lsh_eval
+
+    return minhash_lsh_eval(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=8, bands=2, k=3, threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Golden records: ER pairs -> connected components -> canonical entity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "entity_golden_records",
+    f"""
+    WITH RECURSIVE entities AS (
+      SELECT p_name, MIN(p_partkey) AS ent_id FROM part GROUP BY 1
+    ),
+    {E.blocked_fuzzy_pairs_sql('entities', 'ent_id', 'p_name',
+                               "string_split(p_name, ' ')[-1]", _ER_MAXDIST)},
+    pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM fuzzy_pairs),
+    {G.transitive_closure_sql('pairs')}
+    SELECT CAST(COALESCE(c.component, e.ent_id) AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ARG_MIN(e.p_name, e.ent_id) AS canonical_name
+    FROM entities e LEFT JOIN cc c ON e.ent_id = c.node
+    GROUP BY 1
+    """,
+)
+def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full record-linkage pipeline: canonicalize -> blocked fuzzy
+    match -> connected components -> one golden record per entity
+    cluster (canonical = the min-id member's name, singletons included).
+    Match/cluster costs are entity-scale; the corpus only pays the
+    initial canonicalization groupBy."""
+    from ..operators.graph import connected_components
+
+    entities = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("ent_id"))
+    )
+    pairs = E.blocked_fuzzy_pairs(
+        entities, "ent_id", "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_distance=_ER_MAXDIST,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        entities.join(cc, entities["ent_id"] == cc["node"], "left")
+        .select(
+            F.coalesce("component", "ent_id").cast("long").alias("cluster_id"),
+            "ent_id",
+            "p_name",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min_by("p_name", "ent_id").alias("canonical_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping-window counts EXECUTED through Structured Streaming
+# ---------------------------------------------------------------------------
+
+_SSW_WIN, _SSW_STEP = 60, 20
+
+
+from ..operators.count import sliding_bucket_count_sql as _sliding_sql  # noqa: E402
+
+
+@query(
+    "streaming_count_sliding",
+    _sliding_sql(
+        "events", ["event_type"], _DUCK_EPOCH.format(col="ts"), _SSW_WIN, _SSW_STEP
+    ),
+)
+def q_streaming_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping-window count EXECUTED as a Structured Streaming query
+    (60s window, 20s hop, complete-mode availableNow drain into a memory
+    sink) — §2.11 evidence that the streaming sliding aggregation equals
+    the batch `bucket_count_sliding` relation (same F.window construct,
+    same oracle)."""
+    import uuid
+
+    from ..session import restored_conf
+
+    with restored_conf(
+        spark, "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts = F.col("ts")
+        if dict(
+            zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])
+        ).get("ts") == "bigint":
+            ts = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        evt = F.timestamp_seconds(ts_epoch_seconds(ts))
+        counted = (
+            stream.select("event_type", evt.alias("evt"))
+            .withWatermark("evt", "1 second")
+            .groupBy(
+                "event_type",
+                F.window(F.col("evt"), f"{_SSW_WIN} seconds", f"{_SSW_STEP} seconds").alias("_w"),
+            )
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        name = f"sswq_{uuid.uuid4().hex[:8]}"
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_count_sliding: availableNow drain did not finish "
+                "within 300s — refusing to query a partial sink"
+            )
+    return spark.table(name).select(
+        "event_type",
+        ts_epoch_seconds(F.col("_w.start")).alias("bucket_start"),
+        ts_epoch_seconds(F.col("_w.end")).alias("bucket_end"),
+        F.col("count").cast("long").alias("count"),
+    )

@@ -766,7 +766,8 @@ _DRIVER_PRIORITY = [
     "dsir_importance", "entity_match_parts", "trending_by_bucket",
     "streaming_sessionize", "corpus_curation_stack", "entity_match_sorted",
     "privacy_k_anonymity", "sql_volume_shipping", "graph_communities_lpa",
-    "bootstrap_value_ci",
+    "bootstrap_value_ci", "dedup_lsh_eval", "entity_golden_records",
+    "streaming_count_sliding",
 ]
 
 

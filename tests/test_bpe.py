@@ -92,3 +92,23 @@ def test_bpe_train_matches_reference_on_random_corpus(spark):
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
     assert bpe_train(df, "text", n_merges=6) == bpe_train_reference(texts, n_merges=6)
+
+
+def test_bpe_save_load_roundtrip_and_apply_parity(spark, tmp_path):
+    from spark_streaming_kafka_bucket_counter_spark.operators.bpe import (
+        bpe_load,
+        bpe_save,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "banana band bandana"), (2, "ban ban banana")], "id long, text string"
+    )
+    merges = bpe_train(df, "text", n_merges=5)
+    path = str(tmp_path / "bpe_merges")
+    bpe_save(spark, merges, path)
+    loaded = bpe_load(spark, path)
+    assert loaded == merges
+    # applying the loaded artifact equals applying the in-memory merges
+    a = bpe_apply(df, "text", merges).select("id", "bpe_tokens").collect()
+    b = bpe_apply(df, "text", loaded).select("id", "bpe_tokens").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

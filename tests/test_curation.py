@@ -228,3 +228,35 @@ def test_sorted_neighborhood_matches_naive(spark):
             if d <= 2:
                 want[(order[p][0], order[q][0])] = d
     assert got == want
+
+
+def test_minhash_lsh_eval_perfect_on_exact_dups(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        minhash_lsh_eval,
+    )
+
+    # two identical docs + one unrelated: truth = 1 pair; identical docs
+    # share every band -> candidate; LSH finds it -> recall 100%
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zz yy xx ww vv uu"),
+        ],
+        "doc_id long, text string",
+    )
+    (row,) = minhash_lsh_eval(df, "doc_id", "text").collect()
+    assert row["n_truth"] == 1 and row["n_true_positive"] == 1
+    assert row["recall_ppm"] == 1_000_000
+    assert row["n_candidates"] >= 1
+    assert 0 < row["precision_ppm"] <= 1_000_000
+
+
+def test_minhash_lsh_eval_empty_corpus_zero_metrics(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        minhash_lsh_eval,
+    )
+
+    df = spark.createDataFrame([(1, "only one doc here")], "doc_id long, text string")
+    (row,) = minhash_lsh_eval(df, "doc_id", "text").collect()
+    assert (row["n_truth"], row["n_candidates"], row["precision_ppm"], row["recall_ppm"]) == (0, 0, 0, 0)
