@@ -1,10 +1,11 @@
-"""Corpus-curation catalog queries: hashed linear quality
-classification, corpus-frequency boilerplate, temperature source
-mixtures, BPE pair counting, sign random projection, and the
-LSH-bucketed kNN graph — the curation passes a training-data pipeline
-runs between ingestion (the reference's streaming-count surface) and
-tokenization. Each query carries a DuckDB oracle built from the same
-constants.
+"""Corpus-curation and advanced-analytics catalog queries: quality
+classification, boilerplate, source mixtures, BPE, random projection,
+kNN graphs + label-propagation communities, DSIR importance, entity
+resolution (blocked + sorted-neighborhood) with golden records, LSH
+precision/recall evaluation, trending, k-anonymity, bootstrap CIs,
+TPC-H Q7/Q10 flavors, the composed curation stack, and the executed
+streaming sessionization / sliding-count parity queries. Each query
+carries a DuckDB oracle built from the same constants.
 """
 
 from __future__ import annotations
@@ -804,4 +805,47 @@ def q_streaming_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_epoch_seconds(F.col("_w.start")).alias("bucket_start"),
         ts_epoch_seconds(F.col("_w.end")).alias("bucket_end"),
         F.col("count").cast("long").alias("count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 flavor: returned-item customer ranking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_returned_item_ranking",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_Q7_REV}) AS BIGINT) AS revenue_x10k
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_x10k DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_sql_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavor: top-20 customers by revenue lost to returns.
+    The returnflag filter pushes to the lineitem scan, nation
+    broadcasts, and the top-20 plans as TakeOrderedAndProject
+    (distributed top-k with a total tie-break order, no global sort)."""
+    for name in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM({_Q7_REV}) AS BIGINT) AS revenue_x10k
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_x10k DESC, c_custkey
+        LIMIT 20
+        """
     )

@@ -767,7 +767,7 @@ _DRIVER_PRIORITY = [
     "streaming_sessionize", "corpus_curation_stack", "entity_match_sorted",
     "privacy_k_anonymity", "sql_volume_shipping", "graph_communities_lpa",
     "bootstrap_value_ci", "dedup_lsh_eval", "entity_golden_records",
-    "streaming_count_sliding",
+    "streaming_count_sliding", "sql_returned_item_ranking",
 ]
 
 

@@ -542,3 +542,13 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert row["n"] == 200
     # band is tight for a low-variance sample: within 5% of the mean
     assert row["hi_e4"] - row["lo_e4"] < row["mean_e4"] // 20
+
+
+def test_label_propagation_empty_edges_empty_result(spark):
+    from spark_streaming_kafka_bucket_counter_spark.operators.graph import (
+        label_propagation,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = label_propagation(empty, "src", "dst")
+    assert out.count() == 0 and out.columns == ["node", "community"]

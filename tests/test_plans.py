@@ -442,3 +442,11 @@ def test_bootstrap_single_group_shuffle(spark):
     plan = _plan(spark, "bootstrap_value_ci")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3  # rep agg + base agg + join align
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_returned_item_ranking_pushes_filter_and_topk(spark):
+    """Q10 flavor: the returnflag filter must reach the lineitem scan
+    and the top-20 must plan as TakeOrderedAndProject."""
+    plan = _plan(spark, "sql_returned_item_ranking")
+    assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan)
+    assert "TakeOrderedAndProject" in plan
