@@ -105,9 +105,12 @@ def boilerplate_stats(
 
     Scale shape: explode k-grams once, pre-aggregate to (doc, gram,
     cnt) — the map-side-combinable unit — then ONE groupBy(gram) for
-    document frequency and ONE hash join back. No corpus-sized
-    broadcast: the gram-frequency side is corpus-derived and unbounded,
-    so it stays a shuffle join (AQE may still flip it when tiny).
+    document frequency and ONE hash join back. The gram-frequency side
+    is corpus-derived and unbounded, so it carries NO broadcast hint
+    (plan-pinned): the planner's size-based choice broadcasts it only
+    while the measured aggregate is under the auto-broadcast threshold
+    (true at toy scale, false at corpus scale), and AQE re-plans at
+    runtime — the driver is never forced to materialize it.
 
     Deliberate non-optimization: ``count(*) OVER (PARTITION BY gram)``
     would compute the document frequency on the same shuffle (one fewer

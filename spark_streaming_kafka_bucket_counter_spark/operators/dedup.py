@@ -860,6 +860,4 @@ def minhash_lsh_eval(
         .cast("long")
         .alias("recall_ppm"),
     )
-    from ._cache import unpersist_with
-
     return unpersist_with(out, sh)

@@ -329,16 +329,37 @@ def label_propagation(
         .distinct()
         .persist()
     )
-    labels = und.select("u").distinct().select(
-        "u", F.col("u").cast("long").alias("label")
-    )
+    # enforce the encoding caps LOUDLY: labels are node ids (the only
+    # values propagation can ever produce) and cnt is bounded by degree,
+    # so one guard on the initial ids + per-round cnt covers everything.
+    # Violations (e.g. 64-bit hash-derived ids) would otherwise bleed
+    # label bits into the count field and silently corrupt the argmax.
+    id_guard = F.when(
+        (F.col("u").cast("long") < 0) | (F.col("u").cast("long") >= LPA_LBL_CAP),
+        F.raise_error(
+            F.lit(
+                f"label_propagation: node ids must be in [0, {LPA_LBL_CAP}) "
+                "for the integer argmax encoding — remap ids first"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("u").cast("long"))
+    labels = und.select("u").distinct().select("u", id_guard.alias("label"))
     for _ in range(iterations):
         counted = (
             labels.join(und, "u")
             .groupBy(F.col("v"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        enc = (F.lit(LPA_CNT_CAP) - F.col("cnt")) * F.lit(LPA_LBL_CAP) + F.col("label")
+        cnt_guard = F.when(
+            F.col("cnt") >= LPA_CNT_CAP,
+            F.raise_error(
+                F.lit(
+                    f"label_propagation: node degree exceeds {LPA_CNT_CAP} "
+                    "(LPA_CNT_CAP) — the argmax encoding would overflow"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("cnt"))
+        enc = (F.lit(LPA_CNT_CAP) - cnt_guard) * F.lit(LPA_LBL_CAP) + F.col("label")
         labels = (
             counted.groupBy("v")
             .agg(F.min(enc).alias("_m"))

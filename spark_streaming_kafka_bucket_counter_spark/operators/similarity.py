@@ -28,6 +28,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: DuckDB oracle twin of :func:`cosine` over aliased sides ``a.v``/``b.v``
+#: — ONE definition shared by every *_sql builder (extensions, knn, LPA)
+COSINE_AB_SQL = (
+    "ROUND(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
 def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -1124,10 +1132,7 @@ def knn_graph_sql(
 ) -> str:
     """CTE chain ending in `knn` mirroring :func:`knn_graph`; expects a
     CTE `e(vec_id, v)` with DOUBLE[] vectors in scope."""
-    cos = (
-        "ROUND(list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
-    )
+    cos = COSINE_AB_SQL
     return f"""kb AS (SELECT {id_col}, v, CAST({bucket_expr} AS BIGINT) AS bucket FROM {table}),
     knn_scored AS (
       SELECT a.{id_col} AS src, b.{id_col} AS dst, {cos} AS cosine

@@ -361,8 +361,21 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in ONE auditable keep/drop decision per document
 # ---------------------------------------------------------------------------
 
-# reason bits, wire order (bit set = rule fired = reason to drop)
+# reason bits, wire order (bit set = rule fired = reason to drop).
+# The SQL-predicate map below is the SINGLE definition both the oracle
+# and the Spark builder derive their bit literals from — reordering or
+# extending this tuple changes both sides together.
 _STACK_BITS = ("clf_reject", "boilerplate", "dsir_reject", "duplicate")
+_STACK_PREDS_SQL = {
+    "clf_reject": "NOT cl.keep",
+    "boilerplate": "b.flagged",
+    "dsir_reject": "NOT d.selected",
+    "duplicate": "NOT c.canonical",
+}
+_STACK_FLAGS_SQL = "\n                + ".join(
+    f"(CASE WHEN {_STACK_PREDS_SQL[name]} THEN {1 << i} ELSE 0 END)"
+    for i, name in enumerate(_STACK_BITS)
+)
 
 from ..functions.text import md5_fingerprint_sql as _fp_sql  # noqa: E402
 
@@ -384,10 +397,7 @@ _FPRINT_SQL = _fp_sql("text")
     ),
     stack AS (
       SELECT c.doc_id,
-             CAST((CASE WHEN NOT cl.keep THEN 1 ELSE 0 END)
-                + (CASE WHEN b.flagged THEN 2 ELSE 0 END)
-                + (CASE WHEN NOT d.selected THEN 4 ELSE 0 END)
-                + (CASE WHEN NOT c.canonical THEN 8 ELSE 0 END) AS BIGINT) AS reason_flags
+             CAST({_STACK_FLAGS_SQL} AS BIGINT) AS reason_flags
       FROM canon c
       JOIN classified2 cl USING (doc_id)
       JOIN boiler b USING (doc_id)
@@ -429,12 +439,15 @@ def q_corpus_curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack = (
         canon.join(clf, "doc_id").join(boiler, "doc_id").join(dsir, "doc_id")
     )
-    flags = (
-        F.when(~F.col("_clf_keep"), F.lit(1)).otherwise(F.lit(0))
-        + F.when(F.col("_boiler"), F.lit(2)).otherwise(F.lit(0))
-        + F.when(~F.col("_dsir"), F.lit(4)).otherwise(F.lit(0))
-        + F.when(~F.col("_canonical"), F.lit(8)).otherwise(F.lit(0))
-    )
+    preds = {
+        "clf_reject": ~F.col("_clf_keep"),
+        "boilerplate": F.col("_boiler"),
+        "dsir_reject": ~F.col("_dsir"),
+        "duplicate": ~F.col("_canonical"),
+    }
+    flags = F.lit(0)
+    for i, name in enumerate(_STACK_BITS):
+        flags = flags + F.when(preds[name], F.lit(1 << i)).otherwise(F.lit(0))
     return stack.select(
         "doc_id",
         flags.cast("long").alias("reason_flags"),
@@ -582,8 +595,9 @@ def q_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed rounds, deterministic integer argmax) over the approximate
     kNN graph — the SemDeDup-style grouping that feeds cluster-level
     curation decisions. Per round: one node-keyed hash join + two
-    chained aggregations; oracle is the identical recursion as a
-    recursive CTE."""
+    chained aggregations; the oracle UNROLLS the rounds as plain CTEs
+    (a recursive-CTE form diverges in DuckDB on oscillating graphs —
+    see label_propagation_sql)."""
     edges = S.knn_graph(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", top_k=3, planes=8
     ).select("src", "dst")

@@ -49,10 +49,7 @@ _JACCARD_FROM_DS = """
 """
 
 _EMB_DOUBLE = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-_COSINE_AB = (
-    "ROUND(list_dot_product(a.v, b.v) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
-)
+from ..operators.similarity import COSINE_AB_SQL as _COSINE_AB  # one shared cosine oracle twin
 
 
 # ---------------------------------------------------------------------------
