@@ -136,15 +136,20 @@ def kmeans_lloyd_sql(
     (assignment via a (vec, cid, dim) sum + (dist, cid) row_number;
     update via the same floor-divided integer means; empty clusters
     COALESCE to the previous round's coordinates)."""
-    rank = f"md5(CAST({id_col} AS VARCHAR)), {id_col}"
+    # the `v` CTE aliases the id column to `id`, so the seed rank is
+    # built on that literal name — NOT by string-replacing id_col into
+    # the expression (a substring replace corrupts the SQL whenever the
+    # id name happens to occur inside surrounding text, e.g. id_col='d'
+    # would turn md5 into mid5)
+    rank_on_id = "md5(CAST(id AS VARCHAR)), id"
     ctes = [
         f"""v AS (SELECT {id_col} AS id,
              list_transform(CAST({vec_col} AS DOUBLE[]),
                             x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
            FROM {table})""",
-        f"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank.replace(id_col, 'id')}) - 1
+        f"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank_on_id}) - 1
                     AS BIGINT) AS cid, v
-           FROM v ORDER BY {rank.replace(id_col, 'id')} LIMIT {k})""",
+           FROM v ORDER BY {rank_on_id} LIMIT {k})""",
         f"""c0 AS (SELECT cid, i AS dim, v[CAST(i + 1 AS INT)] AS c
            FROM seeds CROSS JOIN range(0, {dim}) r(i))""",
     ]

@@ -330,33 +330,12 @@ def minhash_lsh_pairs(
     grows with N, so past the bound the verify joins fall back to plain
     shuffle hash joins (AQE picks the strategy).
     """
-    rows_per_band = num_hashes // bands
-    from ..functions.text import token_hash32
-
     sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq).persist()
-    hs = sh.select("doc", token_hash32(F.col("shingle")).alias("_h32"))
-    aggs = [
-        F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{j}")
-        for j, (a, b) in enumerate(minhash_params(num_hashes))
-    ]
-    sig = hs.groupBy("doc").agg(*aggs)
-    # one (doc, band_idx, band_key) row per band via explode -> a SINGLE
-    # self-join on (band_idx, band_key) regardless of band count (the
-    # per-band join+union alternative adds a stage per band)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias("bk"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bk").alias("bk")
-    )
+    # shared signature->band stage (one (doc, band_idx, band_key) row
+    # per band via explode -> a SINGLE self-join regardless of band
+    # count); the cross-corpus path uses the SAME builder, which is what
+    # keeps batch and snapshot band keys mutually joinable
+    banded = _minhash_banded(sh, num_hashes, bands)
     candidates = (
         banded.select(F.col("doc").alias("doc_a"), "band", "bk")
         .join(banded.select(F.col("doc").alias("doc_b"), "band", "bk"), ["band", "bk"])
@@ -688,7 +667,12 @@ def bloom_probe(
         probes.join(blocks, "block", "left")
         .withColumn("_hit", F.coalesce(hit, F.lit(0)))
         .groupBy(id_col, fp_col)
-        .agg((F.sum("_hit") == F.lit(k)).alias("maybe_seen"))
+        # ALL probe rows hit — compared against the actual row count,
+        # not the literal k: duplicate (id, fp) input rows (at-least-
+        # once replay, the very input incremental dedup sees) multiply
+        # the probe rows, and `== k` would then report a FALSE NEGATIVE
+        # for a true member, violating the Bloom contract
+        .agg((F.sum("_hit") == F.count(F.lit(1))).alias("maybe_seen"))
     )
 
 

@@ -42,6 +42,14 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got: {how}")
     if salt_buckets < 2:
         raise ValueError(f"salt_buckets must be >= 2: {salt_buckets}")
+    # the synthetic column would silently overwrite (then drop) a user
+    # column of the same name — refuse instead of corrupting
+    for side, df_ in (("fact", fact), ("dim", dim)):
+        if "_salt" in df_.columns:
+            raise ValueError(
+                f"salted_join: {side} side already has a '_salt' column — "
+                "rename it before salting"
+            )
     f = fact.withColumn("_salt", F.spark_partition_id() % salt_buckets)
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

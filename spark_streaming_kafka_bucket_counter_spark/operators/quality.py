@@ -183,7 +183,7 @@ def decontaminate(
     """
     from pyspark import StorageLevel
 
-    ev = (
+    ev_cached = (
         eval_df.select(
             F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("_s")
         )
@@ -191,8 +191,9 @@ def decontaminate(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if ev.count() <= broadcast_max_grams:
-        ev = F.broadcast(ev)
+    ev = ev_cached
+    if ev_cached.count() <= broadcast_max_grams:
+        ev = F.broadcast(ev_cached)
     corp = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("_s"),
@@ -214,9 +215,14 @@ def decontaminate(
         .otherwise(F.lit(0.0))
         .alias("overlap_frac"),
     )
-    return out.withColumn(
+    out = out.withColumn(
         "contaminated", F.col("overlap_frac") >= F.lit(min_overlap_frac)
     )
+    # release the cached eval-gram set once this result materializes —
+    # without it every call leaks one pinned DataFrame for the session
+    from ._cache import unpersist_with
+
+    return unpersist_with(out, ev_cached)
 
 
 def decontaminate_sql(

@@ -79,6 +79,11 @@ def streaming_session_counts(
     :func:`session_summary` (same grouping whenever no inter-event gap
     equals the threshold exactly; the batch op keeps equal-gap events
     together, ``session_window`` splits them)."""
+    from ..functions.buckets import require_utc_session
+
+    # session boundaries round-trip through TIMESTAMP_LTZ; only correct
+    # under a UTC session zone (fail loudly, don't shift silently)
+    require_utc_session(stream.sparkSession)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(

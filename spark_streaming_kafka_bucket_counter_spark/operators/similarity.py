@@ -587,32 +587,11 @@ def balanced_sample_by_centroid(
     """
     from .sampling import hash_bucket
 
-    cent = label_centroids(df, label_col, vec_col, scale=scale)
-    carr = cent.groupBy(label_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
-            lambda s: F.round(s["centroid"] * scale).cast("long"),
-        ).alias("_c6")
-    ).select(F.col(label_col).alias("cell"), "_c6")
-    e6 = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
-    )
-    pairs = df.select(F.col(id_col), e6.alias("_e6")).crossJoin(F.broadcast(carr))
-    dist = F.aggregate(
-        F.zip_with(F.col("_e6"), F.col("_c6"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    best = (
-        pairs.select(F.col(id_col), F.struct(dist.alias("d"), F.col("cell")).alias("_dc"))
-        .groupBy(id_col)
-        .agg(F.min("_dc").alias("_m"))
-        .select(
-            F.col(id_col),
-            F.col("_m.cell").alias("cell"),
-            F.col("_m.d").alias("dist_sq_e12"),
-        )
-    )
+    # one shared assignment implementation with semantic_dedup_pairs —
+    # only the retained columns differ (dist here, snapped vector there)
+    best = _assign_nearest_cell(
+        df, id_col, vec_col, label_col, scale, with_vec=False
+    ).withColumnRenamed("dist_sq", "dist_sq_e12")
     w = Window.partitionBy("cell").orderBy(
         hash_bucket(F.col(id_col), 2**31, salt), F.col(id_col)
     )
@@ -629,12 +608,16 @@ def _assign_nearest_cell(
     vec_col: str,
     label_col: str,
     scale: int,
+    with_vec: bool = True,
 ) -> DataFrame:
-    """(id, cell, _e6) — every vector assigned to its nearest trained
-    centroid in exact ``scale``-fixed-point integer squared-L2 (shared
-    by :func:`balanced_sample_by_centroid` and
-    :func:`semantic_dedup_pairs`; see the former for the determinism
-    and broadcast-shape argument)."""
+    """Every vector assigned to its nearest trained centroid in exact
+    ``scale``-fixed-point integer squared-L2 — the ONE assignment
+    implementation shared by :func:`balanced_sample_by_centroid` and
+    :func:`semantic_dedup_pairs`. ``with_vec=True`` returns
+    (id, cell, _e6) with the snapped vector joined back by id (the
+    K-fanout never ships K vector copies); ``with_vec=False`` skips
+    that join and returns (id, cell, dist_sq) for callers that only
+    need the assignment + distance."""
     cent = label_centroids(df, label_col, vec_col, scale=scale)
     carr = cent.groupBy(label_col).agg(
         F.transform(
@@ -658,8 +641,14 @@ def _assign_nearest_cell(
         pairs.select(F.col(id_col), F.struct(dist.alias("d"), F.col("cell")).alias("_dc"))
         .groupBy(id_col)
         .agg(F.min("_dc").alias("_m"))
-        .select(F.col(id_col), F.col("_m.cell").alias("cell"))
+        .select(
+            F.col(id_col),
+            F.col("_m.cell").alias("cell"),
+            F.col("_m.d").alias("dist_sq"),
+        )
     )
+    if not with_vec:
+        return best
     return best.join(evec, id_col).select(id_col, "cell", "_e6")
 
 

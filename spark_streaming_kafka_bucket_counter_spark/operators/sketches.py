@@ -311,13 +311,18 @@ def winsorize_by_histogram(
     rows = df.select(
         *(extra_cols or []), *group_cols, v_e4.alias("value_e4")
     )
-    return rows.join(F.broadcast(cuts), group_cols).select(
+    # LEFT join + passthrough: rows whose group key is NULL (or whose
+    # group has no cuts row) keep their raw value instead of silently
+    # vanishing — an inner equi-join never matches NULL keys, which
+    # would drop rows from a transform documented as clipping values
+    clamped = F.least(
+        F.greatest(F.col("value_e4"), F.col("_lo_e4")), F.col("_hi_e4")
+    )
+    return rows.join(F.broadcast(cuts), group_cols, "left").select(
         *(extra_cols or []),
         *group_cols,
         "value_e4",
-        F.least(F.greatest(F.col("value_e4"), F.col("_lo_e4")), F.col("_hi_e4")).alias(
-            "winsorized_e4"
-        ),
+        F.coalesce(clamped, F.col("value_e4")).alias("winsorized_e4"),
     )
 
 
@@ -345,8 +350,8 @@ def winsorize_by_histogram_sql(
     WITH cuts AS ({inner})
     SELECT {extras}{groups},
            {ve4} AS value_e4,
-           LEAST(GREATEST({ve4}, {lo_e4}), {hi_e4}) AS winsorized_e4
-    FROM {table} e JOIN cuts c USING ({groups})
+           COALESCE(LEAST(GREATEST({ve4}, {lo_e4}), {hi_e4}), {ve4}) AS winsorized_e4
+    FROM {table} e LEFT JOIN cuts c USING ({groups})
     """
 
 

@@ -212,8 +212,13 @@ def streaming_interval_join(
     """
     from pyspark.sql import functions as F
 
+    from ..functions.buckets import require_utc_session
+
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
+    # downstream consumers round-trip the LTZ event time back to epoch
+    # seconds via field extraction — only identity under a UTC session
+    require_utc_session(left.sparkSession)
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:

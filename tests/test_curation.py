@@ -260,3 +260,32 @@ def test_minhash_lsh_eval_empty_corpus_zero_metrics(spark):
     df = spark.createDataFrame([(1, "only one doc here")], "doc_id long, text string")
     (row,) = minhash_lsh_eval(df, "doc_id", "text").collect()
     assert (row["n_truth"], row["n_candidates"], row["precision_ppm"], row["recall_ppm"]) == (0, 0, 0, 0)
+
+
+def test_require_utc_session_guard_fires(spark):
+    from spark_streaming_kafka_bucket_counter_spark.functions.buckets import (
+        require_utc_session,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        streaming_interval_join,
+    )
+
+    require_utc_session(spark)  # session fixture pins UTC -> passes
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        import pytest
+
+        with pytest.raises(ValueError, match="UTC"):
+            require_utc_session(spark)
+        # and the guard is actually wired into the streaming join entry
+        l = spark.createDataFrame([(1, 1)], "k long, t1 long").select(
+            "k", F.timestamp_seconds("t1").alias("lt")
+        )
+        r = spark.createDataFrame([(1, 2)], "k long, t2 long").select(
+            "k", F.timestamp_seconds("t2").alias("rt")
+        )
+        with pytest.raises(ValueError, match="UTC"):
+            streaming_interval_join(l, r, "k", "lt", "rt", 60)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

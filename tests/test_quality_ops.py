@@ -354,3 +354,26 @@ def test_bloom_blocks_bits_stay_in_62(spark):
     assert BLOOM_BITS_PER_BLOCK == 62
     assert all(0 < r["bits"] < (1 << 62) for r in blocks)
     assert all(0 <= r["block"] < (1024 + 61) // 62 for r in blocks)
+
+
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """An at-least-once source replays the same (id, fp) row: the probe
+    aggregation must still report maybe_seen=True for true members (the
+    regression was sum(_hit) == k, which duplicates break)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        bloom_blocks,
+        bloom_probe,
+    )
+
+    base = spark.createDataFrame([(f"{i:032x}",) for i in range(50)], "fp string")
+    blocks = bloom_blocks(base, "fp", m_bits=4096, k=4)
+    # every probe row duplicated 3x
+    probes = spark.createDataFrame(
+        [(i, f"{i:032x}") for i in range(50)] * 3, "id long, fp string"
+    )
+    out = {
+        r["id"]: r["maybe_seen"]
+        for r in bloom_probe(probes, "id", "fp", blocks, m_bits=4096, k=4).collect()
+    }
+    assert len(out) == 50
+    assert all(out.values())  # no false negatives under replay
