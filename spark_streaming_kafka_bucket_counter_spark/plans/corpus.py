@@ -863,3 +863,75 @@ def q_sql_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long melt) — the inverse of the pivot surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_order_flags",
+    """
+    SELECT o_orderkey, metric, CAST(val AS BIGINT) AS val
+    FROM (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS total_x10k,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+      FROM orders
+    ) UNPIVOT (val FOR metric IN (total_x10k, days_since_95))
+    """,
+)
+def q_unpivot_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long melt (UNPIVOT): per-order metrics flattened to
+    (key, metric, value) rows — the inverse of `pivot_event_daily` and
+    the standard reshape before generic per-metric aggregation.
+    Shuffle-free: `stack` is a pure projection (each input row expands
+    to #metrics output rows map-side)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 10000).cast("long").alias("total_x10k"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+    return o.unpivot(
+        ["o_orderkey"], ["total_x10k", "days_since_95"], "metric", "val"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 flavor: top supplier(s) by revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_top_supplier",
+    f"""
+    WITH srev AS (
+      SELECT l_suppkey, CAST(SUM({_Q7_REV}) AS BIGINT) AS total_rev_x10k
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_rev_x10k
+    FROM srev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev_x10k = (SELECT MAX(total_rev_x10k) FROM srev)
+    """,
+)
+def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 flavor: the supplier(s) achieving maximum revenue —
+    one partial-agg shuffle on suppkey, a 1-row max subquery reused from
+    the same aggregate, and a broadcast join against the supplier dim.
+    Keeps ALL ties (the Q15 contract), so no arbitrary LIMIT."""
+    for name in ("lineitem", "supplier"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        WITH srev AS (
+          SELECT l_suppkey, CAST(SUM({_Q7_REV}) AS BIGINT) AS total_rev_x10k
+          FROM lineitem GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_rev_x10k
+        FROM srev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_x10k = (SELECT MAX(total_rev_x10k) FROM srev)
+        """
+    )

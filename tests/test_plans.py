@@ -456,3 +456,10 @@ def test_returned_item_ranking_pushes_filter_and_topk(spark):
     plan = _plan(spark, "sql_returned_item_ranking")
     assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unpivot_is_shuffle_free(spark):
+    """The melt expands rows map-side — any Exchange means the reshape
+    stopped being a pure projection."""
+    plan = _plan(spark, "unpivot_order_flags")
+    assert not re.findall(r"\(\d+\) Exchange", plan)
