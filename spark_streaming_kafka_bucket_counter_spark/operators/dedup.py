@@ -744,6 +744,21 @@ def minhash_lsh_cross_pairs(
     sh_snap = doc_shingles(snapshot, id_col, text_col, k, max_shingle_freq).persist()
     b_inc = _minhash_banded(sh_inc, num_hashes, bands)
     b_snap = _minhash_banded(sh_snap, num_hashes, bands)
+    out, candidates = _cross_pairs_from_parts(sh_inc, b_inc, sh_snap, b_snap, threshold)
+    return unpersist_with(out, sh_inc, sh_snap, candidates)
+
+
+def _cross_pairs_from_parts(
+    sh_inc: DataFrame,
+    b_inc: DataFrame,
+    sh_snap: DataFrame,
+    b_snap: DataFrame,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate join + exact-Jaccard verify between prebuilt
+    (doc, shingle) and (doc, band, bk) sides — shared by the in-memory
+    cross-corpus path and the persisted-index query path. Returns
+    (result, persisted candidates df for the caller to release)."""
     candidates = (
         b_inc.select(F.col("doc").alias("inc_doc"), "band", "bk")
         .join(b_snap.select(F.col("doc").alias("snap_doc"), "band", "bk"), ["band", "bk"])
@@ -781,7 +796,125 @@ def minhash_lsh_cross_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("inc_doc", "snap_doc", "n_common", "size_inc", "size_snap", "jaccard")
     )
-    return unpersist_with(out, sh_inc, sh_snap, candidates)
+    return out, candidates
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH index (the dedup leg of the IVF/BM25 index triad)
+# ---------------------------------------------------------------------------
+
+LSH_INDEX_BUCKETS = 64  # band-key prefix buckets for partition pruning
+
+
+def lsh_build_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> None:
+    """Persist the corpus's LSH state as a queryable on-disk index:
+    ``bands/`` = (doc, bk) partitioned by (band, bkb) where bkb is a
+    64-way band-key prefix bucket, and ``shingles/`` = the (doc,
+    shingle) inverted index for the exact verify. Kilobytes per doc, no
+    text.
+
+    Build once per snapshot; daily batches then dedup against it via
+    :func:`lsh_query_index` without ever re-reading or re-hashing the
+    snapshot corpus — and because the candidate join keys on the
+    partition columns, a BROADCAST batch side lets dynamic partition
+    pruning skip every band file the batch never touches.
+    """
+    sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq).persist()
+    banded = _minhash_banded(sh, num_hashes, bands)
+    from pathlib import Path
+
+    bkb = (F.conv(F.substring("bk", 1, 2), 16, 10) % F.lit(LSH_INDEX_BUCKETS)).cast(
+        "int"
+    )
+    (
+        banded.withColumn("bkb", bkb)
+        .write.mode("overwrite")
+        .partitionBy("band", "bkb")
+        .parquet(str(Path(path) / "bands"))
+    )
+    sh.write.mode("overwrite").parquet(str(Path(path) / "shingles"))
+    sh.unpersist()
+
+
+def lsh_query_index(
+    spark,
+    path: str,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Dedup an incoming batch against a persisted LSH index: identical
+    semantics to :func:`minhash_lsh_cross_pairs` (pytest-pinned parity)
+    with the snapshot side read from disk. Band/hash constants must
+    match the build. Query cost scales with the BATCH: the batch's
+    bands join the index on the (band, bkb) partition columns + bk, so
+    only matching partitions are read; the snapshot shingle file is
+    touched only for docs that banded with the batch.
+    """
+    from pathlib import Path
+
+    sh_inc = doc_shingles(incoming, id_col, text_col, k, max_shingle_freq).persist()
+    b_inc = _minhash_banded(sh_inc, num_hashes, bands).withColumn(
+        "bkb",
+        (F.conv(F.substring("bk", 1, 2), 16, 10) % F.lit(LSH_INDEX_BUCKETS)).cast("int"),
+    )
+    b_snap = spark.read.parquet(str(Path(path) / "bands"))
+    sh_snap = spark.read.parquet(str(Path(path) / "shingles"))
+    candidates = (
+        b_inc.select(F.col("doc").alias("inc_doc"), "band", "bkb", "bk")
+        .join(
+            b_snap.select(F.col("doc").alias("snap_doc"), "band", "bkb", "bk"),
+            ["band", "bkb", "bk"],
+        )
+        .select("inc_doc", "snap_doc")
+        .distinct()
+        .persist()
+    )
+    sets_inc = (
+        sh_inc.join(candidates.select(F.col("inc_doc").alias("doc")).distinct(), "doc")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("set_inc"))
+        .withColumnRenamed("doc", "inc_doc")
+    )
+    sets_snap = (
+        sh_snap.join(candidates.select(F.col("snap_doc").alias("doc")).distinct(), "doc")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("set_snap"))
+        .withColumnRenamed("doc", "snap_doc")
+    )
+    out = (
+        candidates.join(sets_inc, "inc_doc")
+        .join(sets_snap, "snap_doc")
+        .select(
+            "inc_doc",
+            "snap_doc",
+            F.size(F.array_intersect("set_inc", "set_snap")).cast("long").alias("n_common"),
+            F.size("set_inc").cast("long").alias("size_inc"),
+            F.size("set_snap").cast("long").alias("size_snap"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_inc") + F.col("size_snap") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("inc_doc", "snap_doc", "n_common", "size_inc", "size_snap", "jaccard")
+    )
+    return unpersist_with(out, sh_inc, candidates)
 
 
 # ---------------------------------------------------------------------------

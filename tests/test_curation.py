@@ -289,3 +289,39 @@ def test_require_utc_session_guard_fires(spark):
             streaming_interval_join(l, r, "k", "lt", "rt", 60)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_lsh_index_query_matches_cross_pairs(spark, tmp_path):
+    """The persisted-index query must reproduce minhash_lsh_cross_pairs
+    exactly (same band recipe on both paths)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        lsh_build_index,
+        lsh_query_index,
+        minhash_lsh_cross_pairs,
+    )
+
+    snap = spark.createDataFrame(
+        [(i, f"common words here plus filler {i} {'x ' * (i % 5)}") for i in range(30)]
+        + [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (200, "the quick brown fox jumps over the lazy dog today"),  # dup of 100
+            (201, "completely unrelated text with nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_index")
+    lsh_build_index(snap, "doc_id", "text", path)
+    via_index = {
+        tuple(r)
+        for r in lsh_query_index(spark, path, batch, "doc_id", "text").collect()
+    }
+    direct = {
+        tuple(r)
+        for r in minhash_lsh_cross_pairs(batch, snap, "doc_id", "text").collect()
+    }
+    assert via_index == direct
+    assert any(r[0] == 200 and r[1] == 100 for r in via_index)  # dup found
+    assert not any(r[0] == 201 for r in via_index)  # unrelated stays clean
