@@ -978,3 +978,41 @@ def minhash_lsh_eval(
         .alias("recall_ppm"),
     )
     return unpersist_with(out, sh)
+
+
+def lsh_append_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> None:
+    """Fold new (already-verified-unique) documents into a persisted LSH
+    index WITHOUT rebuilding: their bands append into the matching
+    (band, bkb) partitions and their shingles append to the inverted
+    index. This is the daily-crawl loop — query the batch
+    (:func:`lsh_query_index`), drop the near-dups, append the survivors
+    — and the index only ever grows by the deduped increment.
+
+    Caller contract: ids must not already exist in the index (append is
+    blind by design — an existence check would re-scan the snapshot,
+    which is what this path avoids; the query step already established
+    novelty)."""
+    sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq).persist()
+    banded = _minhash_banded(sh, num_hashes, bands)
+    from pathlib import Path
+
+    bkb = (F.conv(F.substring("bk", 1, 2), 16, 10) % F.lit(LSH_INDEX_BUCKETS)).cast(
+        "int"
+    )
+    (
+        banded.withColumn("bkb", bkb)
+        .write.mode("append")
+        .partitionBy("band", "bkb")
+        .parquet(str(Path(path) / "bands"))
+    )
+    sh.write.mode("append").parquet(str(Path(path) / "shingles"))
+    sh.unpersist()
