@@ -45,6 +45,11 @@ CORE = [
     "sql_join_revenue_by_nation",
     "sql_topk_orders",
     "retention_recent_batches",
+    # extension flagships — per-round driver visibility for the heavy
+    # curation paths without growing the printed line past a tail window
+    "dedup_minhash_lsh",
+    "sim_ivf_topk",
+    "corpus_curation_stack",
 ]
 HEADLINE = CORE + [n for n in sorted(catalog.QUERIES) if n not in CORE]
 
