@@ -935,3 +935,53 @@ def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE total_rev_x10k = (SELECT MAX(total_rev_x10k) FROM srev)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination monitoring: per-source eval-overlap rates
+# ---------------------------------------------------------------------------
+
+_CBS_K = 5
+_CBS_FRAC = 0.2
+
+
+@query(
+    "contamination_by_source",
+    f"""
+    WITH ev_docs AS (SELECT * FROM documents WHERE doc_id < 20),
+    corpus AS (SELECT * FROM documents WHERE doc_id >= 20),
+    {Q.decontaminate_sql('corpus', 'ev_docs', 'doc_id', 'text', _CBS_K, _CBS_FRAC)}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dc.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN dc.contaminated THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS contaminated_ppm
+    FROM decontam dc JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination monitoring rollup: per-source share of corpus
+    documents overlapping the eval set (exact ppm) — the dashboard view
+    that tells you WHICH ingestion source is leaking benchmarks, not
+    just which documents. One groupBy over the per-doc decontamination
+    frame joined to the source dimension on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    dc = Q.decontaminate(
+        corpus, ev, "doc_id", "text", k=_CBS_K, min_overlap_frac=_CBS_FRAC
+    )
+    return (
+        dc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated_ppm",
+            F.expr("n_contaminated * 1000000 div n_docs").cast("long"),
+        )
+    )

@@ -768,7 +768,7 @@ _DRIVER_PRIORITY = [
     "privacy_k_anonymity", "sql_volume_shipping", "graph_communities_lpa",
     "bootstrap_value_ci", "dedup_lsh_eval", "entity_golden_records",
     "streaming_count_sliding", "sql_returned_item_ranking",
-    "unpivot_order_flags", "sql_top_supplier",
+    "unpivot_order_flags", "sql_top_supplier", "contamination_by_source",
 ]
 
 
