@@ -368,16 +368,36 @@ _VOCAB_SIZE = 512
 
 @query(
     "text_tokens_to_ids",
-    tokens_to_ids_sql("documents", "doc_id", "text", _VOCAB_SIZE),
+    f"""
+    SELECT doc_id,
+           array_to_string(list_transform(token_ids, x -> CAST(x AS VARCHAR)), ',')
+               AS token_ids_csv,
+           n_tokens, n_oov
+    FROM ({tokens_to_ids_sql("documents", "doc_id", "text", _VOCAB_SIZE)})
+    """,
 )
 def q_text_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize-to-ids against a corpus-derived top-512 vocabulary
     (ids 1..512 by count desc / token tie-break; OOV -> 0): the bridge
     between vocabulary construction and sequence packing. Vocab is
     top-k'd without a global sort and broadcast into the token join;
-    one doc-key shuffle restores sequence order."""
-    return tokens_to_ids(
+    one doc-key shuffle restores sequence order.
+
+    Query-surface contract: the id sequence is emitted as a CSV string
+    (``token_ids_csv``) — the driver harness canonicalizes through
+    pandas sort/hash, which cannot hash list cells. The operator
+    (:func:`tokens_to_ids`) keeps returning the real ``array<long>``.
+    """
+    out = tokens_to_ids(
         _t(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=_VOCAB_SIZE
+    )
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
+        ).alias("token_ids_csv"),
+        "n_tokens",
+        "n_oov",
     )
 
 
@@ -581,13 +601,33 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_quantize",
-    quantize_int8_sql("embeddings", "vec_id", "embedding", extra_cols=["label"]),
+    f"""
+    SELECT vec_id, label, qscale,
+           array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ',')
+               AS qvec_csv
+    FROM ({quantize_int8_sql("embeddings", "vec_id", "embedding", extra_cols=["label"])})
+    """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 vector compression with per-vector scale — pure
-    per-row array expressions, no shuffle; 4x smaller embedding store."""
+    per-row array expressions, no shuffle; 4x smaller embedding store.
+
+    Query-surface contract: the int8 code array is emitted as a CSV
+    string (``qvec_csv``) because the driver harness canonicalizes
+    results through pandas sort/hash, which cannot hash list-typed
+    cells. The operator itself (:func:`quantize_int8`) keeps returning
+    the real ``array<int>`` for programmatic consumers.
+    """
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "vec_id", "embedding", extra_cols=["label"])
+    out = quantize_int8(emb, "vec_id", "embedding", extra_cols=["label"])
+    return out.select(
+        "vec_id",
+        "label",
+        "qscale",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+    )
 
 
 from ..operators.clustering import kmeans_lloyd, kmeans_lloyd_sql  # noqa: E402
