@@ -740,9 +740,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_cross_corpus",
-    f"""
+# shared by dedup_cross_corpus (direct path) and dedup_lsh_index_query
+# (persisted index) — the index query is pytest-pinned to identical
+# output, so one oracle serves both.
+_CROSS_CORPUS_SQL = f"""
     WITH {_DOC_SHINGLES}, {_MINHASH_HS},
     sig AS (SELECT doc, {_SIG_COLS} FROM hs GROUP BY doc),
     banded AS (SELECT doc, {_BAND0} AS band_0, {_BAND1} AS band_1 FROM sig),
@@ -768,8 +769,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes si ON i.inc_doc = si.doc
     JOIN sizes ss ON i.snap_doc = ss.doc
     WHERE CAST(i.n_common AS DOUBLE) / (si.n + ss.n - i.n_common) >= 0.5
-    """,
-)
+    """
+
+
+@query("dedup_cross_corpus", _CROSS_CORPUS_SQL)
 def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup: the incoming batch (doc_id >= 250) LSH-
     banded against the snapshot corpus (doc_id < 250) — candidate cost
@@ -788,6 +791,33 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=2,
         k=3,
         threshold=0.5,
+    )
+
+
+@query("dedup_lsh_index_query", _CROSS_CORPUS_SQL)
+def q_dedup_lsh_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same batch-vs-snapshot near-dup answered from the PERSISTED
+    LSH index — the daily-crawl serving flow: the snapshot corpus
+    (doc_id < 250) is banded + shingled once into a (band, key-bucket)
+    partitioned layout (cached per sf_dir), then the incoming batch
+    (doc_id >= 250) joins only the partitions its own bands touch, so
+    query cost scales with the batch and the snapshot text is never
+    re-read. Output contract identical to the direct cross-corpus path
+    (pytest-pinned), so one oracle serves both."""
+    from ..sources.files import cached_index_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    snap = docs.filter(F.col("doc_id") < 250)
+    idx = cached_index_dir(
+        "lsh", sf_dir, "h8b2k3-v1",
+        lambda p: D.lsh_build_index(
+            snap, "doc_id", "text", p, num_hashes=8, bands=2, k=3
+        ),
+    )
+    return D.lsh_query_index(
+        spark, idx, docs.filter(F.col("doc_id") >= 250),
+        "doc_id", "text",
+        num_hashes=8, bands=2, k=3, threshold=0.5,
     )
 
 
@@ -1116,6 +1146,29 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _t(spark, sf_dir, "documents"), "doc_id", "text", _BM25_QUERY, top_k=20
     )
+
+
+@query(
+    "search_bm25_index_topk",
+    bm25_topk_sql("documents", "doc_id", "text", _BM25_QUERY, top_k=20),
+)
+def q_search_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same BM25 top-20 answered from the PERSISTED inverted index —
+    build once into term-hash-bucket-partitioned postings (cached per
+    sf_dir), then read only the query terms' partitions with the exact
+    term predicate pushed into the parquet scan: query cost scales with
+    posting-list length, not corpus size. Scoring contract (nano-unit
+    fixed point, Robertson idf, tie order) is identical to the direct
+    path, so one oracle serves both."""
+    from ..operators.search import bm25_build_index, bm25_query_index
+    from ..sources.files import cached_index_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = cached_index_dir(
+        "bm25", sf_dir, "b64-v1",
+        lambda p: bm25_build_index(docs, "doc_id", "text", p, buckets=64),
+    )
+    return bm25_query_index(spark, idx, _BM25_QUERY, top_k=20)
 
 
 # ---------------------------------------------------------------------------

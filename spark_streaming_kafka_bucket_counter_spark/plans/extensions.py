@@ -494,9 +494,10 @@ _COS = (
 )
 
 
-@query(
-    "sim_ivf_topk",
-    f"""
+# shared by sim_ivf_topk (direct path) and sim_ivf_index_topk (persisted
+# index) — the two Spark plans are pytest-pinned to identical output, so
+# one oracle serves both.
+_IVF_TOPK_SQL = f"""
     WITH {_EMB_DOUBLE},
     cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
     scored AS (
@@ -518,8 +519,10 @@ _COS = (
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
     FROM pair QUALIFY rank <= 5
-    """,
-)
+    """
+
+
+@query("sim_ivf_topk", _IVF_TOPK_SQL)
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (16 deterministic seed cells, nprobe=2) for
     query vectors vec_id < 10 — the partition-pruned ANN scale path."""
@@ -531,6 +534,27 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         nprobe=2,
         top_k=5,
+    )
+
+
+@query("sim_ivf_index_topk", _IVF_TOPK_SQL)
+def q_sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IVF top-5 answered from the PERSISTED index — the serving
+    flow a real deployment hits first: build once into a centroid-
+    partitioned parquet layout (cached per sf_dir), then probe nprobe=2
+    cells per query with partition pruning on cid, so query cost is
+    ~nprobe/n_centroids of the corpus regardless of snapshot size.
+    Oracle-identical to the direct path by construction."""
+    from ..sources.files import cached_index_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = cached_index_dir(
+        "ivf", sf_dir, "c16-v1",
+        lambda p: S.ivf_build_index(emb, "vec_id", "embedding", p, n_centroids=16),
+    )
+    return S.ivf_query_index(
+        spark, idx, emb.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", nprobe=2, top_k=5,
     )
 
 

@@ -753,6 +753,7 @@ _DRIVER_PRIORITY = [
     # — red in r03 (driver pandas canonicalizer vs array column; fixed) —
     "embedding_quantize",
     # — round 4 additions (never driver-checked yet; rotate in at r05) —
+    "sim_ivf_index_topk", "search_bm25_index_topk", "dedup_lsh_index_query",
 ]
 
 

@@ -84,6 +84,35 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
+    """Build-once cache for persisted-index serving queries (IVF / BM25 /
+    LSH): the catalog's index queries must be plain ``(spark, sf_dir) ->
+    DataFrame`` callables, so the build step materializes into a temp dir
+    keyed by (kind, absolute sf_dir, params) and is skipped when a
+    completed build is already there — the build-once/query-many serving
+    story, exercised end-to-end by the correctness gate.
+
+    ``build(path)`` writes the index with overwrite semantics; the done
+    marker lands only after it returns, so an interrupted build reruns
+    cleanly. Input tables are static per sf_dir (driver-generated), which
+    is what makes the cache sound; bump ``params`` when an index's layout
+    or constants change.
+    """
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    key = hashlib.md5(
+        f"{kind}:{os.path.abspath(sf_dir)}:{params}".encode()
+    ).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / "ssbc_index_cache" / f"{kind}-{key}"
+    done = root / "_BUILT"
+    if not done.exists():
+        build(str(root))
+        done.write_text(params + "\n")
+    return str(root)
+
+
 def json_file_to_dict(path: str) -> dict:
     """Driver-side JSON side-file loader (reference S6, utils.py:265-274)."""
     with open(path) as fh:
