@@ -42,6 +42,20 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {(i, 0) for i in range(13)}
 
 
+def test_connected_components_path_graph_logn_rounds(spark):
+    """Star alternation must converge in O(log n) rounds on the worst
+    shape for label propagation: a 1000-node path (diameter 999, which
+    min-label propagation would need ~1000 rounds to cross). This is the
+    100 TB guarantee — chain-shaped near-dup clusters (boilerplate
+    sharing A-B-C-...) cannot blow up the round count."""
+    n = 1000
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    assert got == {(i, 0) for i in range(n + 1)}
+    assert connected_components.last_n_rounds <= 20
+
+
 def test_connected_components_reliable_checkpoint_cadence(spark, tmp_path):
     """checkpoint_every=N must produce identical results while actually
     writing reliable checkpoints to the given dir (the executor-loss
