@@ -198,6 +198,137 @@ def boilerplate_stats_sql(
 
 
 # ---------------------------------------------------------------------------
+# The composed curation stack (classifier + boilerplate + DSIR + dedup)
+# over ONE shared per-document feature frame
+# ---------------------------------------------------------------------------
+
+#: reason-bit wire order of :func:`curation_stack` (bit set = rule fired).
+STACK_BITS = ("clf_reject", "boilerplate", "dsir_reject", "duplicate")
+
+
+def curation_stack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    k: int = 3,
+    min_docs: int = 5,
+    flag_pct: int = 10,
+) -> DataFrame:
+    """All four curation signals — hashed-linear classifier, corpus-
+    frequency boilerplate, DSIR target-likeness, exact-fingerprint
+    canonicalization — composed into one auditable ``(id, reason_flags,
+    keep)`` decision per document, SHARING one tokenized feature frame.
+
+    Running the four component operators separately re-reads and
+    re-tokenizes the corpus four times; here ``(id, is_target, tokens,
+    fingerprint)`` is computed once from a single text scan and
+    persisted (memory-and-disk at cluster scale), and every signal
+    derives from it: the classifier score is a map-side fold over the
+    shared token array, canonicalization is one window over the shared
+    fingerprint, and the boilerplate/DSIR aggregates explode the shared
+    array instead of re-parsing text. Per-signal shuffle profiles are
+    unchanged (see the component operators' docstrings — including the
+    deliberate skew-tolerant aggregate+join form for boilerplate), but
+    the corpus text is scanned ONCE, and the component-internal
+    join-back-to-all-docs steps are folded into the final two left
+    joins (aggregate frames onto the map-side base).
+
+    Semantics are bit-identical to composing the component operators;
+    the ``corpus_curation_stack`` oracle SQL (which replays the
+    component CTEs) is the cross-engine pin of that claim.
+    """
+    from pyspark.sql import Window
+
+    feat = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_tgt"),
+        X.tokens(F.col(text_col)).alias("_tok"),
+        X.md5_fingerprint(F.col(text_col)).alias("_fp"),
+    ).persist()
+
+    # map-side classifier + fingerprint canonicalization on the same frame
+    w = Window.partitionBy("_fp")
+    base = feat.select(
+        F.col(id_col),
+        (hashed_linear_score(F.col("_tok")) > F.lit(0)).alias("_clf_keep"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("_canonical"),
+    )
+
+    # boilerplate exposure (same shape as boilerplate_stats, minus its
+    # internal join-back — zero-shingle docs are restored by the final
+    # left join's coalesce)
+    slots = (
+        feat.select(F.col(id_col), F.explode(X.shingles(F.col("_tok"), k)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    docfreq = slots.groupBy("gram").agg(F.count("*").alias("df"))
+    boiler = (
+        slots.join(docfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("_n_sh"),
+            F.sum(
+                F.when(F.col("df") >= F.lit(min_docs), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("_n_b"),
+        )
+    )
+
+    # DSIR log-likelihood ratio (identical nano-bit math to
+    # quality.dsir_importance, fed from the shared token array)
+    occ = feat.select(
+        F.col(id_col), "_is_tgt", F.explode(F.col("_tok")).alias("_t")
+    )
+    vocab = occ.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_cnt_all"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_cnt_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("_cnt_all").cast("double").alias("_T_all"),
+        F.sum("_cnt_tgt").cast("double").alias("_T_tgt"),
+        F.count(F.lit(1)).cast("double").alias("_V"),
+    )
+    vocab9 = vocab.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        F.round(
+            (
+                F.log2(F.col("_cnt_tgt") + F.lit(1))
+                - F.log2(F.col("_T_tgt") + F.col("_V"))
+                - F.log2("_cnt_all")
+                + F.log2("_T_all")
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("_lr9"),
+    )
+    dsir = occ.join(vocab9, "_t").groupBy(id_col).agg(
+        F.sum("_lr9").alias("_lr9_sum")
+    )
+
+    stack = base.join(boiler, id_col, "left").join(dsir, id_col, "left")
+    n_sh = F.coalesce(F.col("_n_sh"), F.lit(0))
+    n_b = F.coalesce(F.col("_n_b"), F.lit(0))
+    preds = {
+        "clf_reject": ~F.col("_clf_keep"),
+        "boilerplate": (n_sh > 0) & (n_b * F.lit(100) >= n_sh * F.lit(flag_pct)),
+        "dsir_reject": ~(F.coalesce(F.col("_lr9_sum"), F.lit(0)) > F.lit(0)),
+        "duplicate": ~F.col("_canonical"),
+    }
+    flags = F.lit(0)
+    for i, name in enumerate(STACK_BITS):
+        flags = flags + F.when(preds[name], F.lit(1 << i)).otherwise(F.lit(0))
+    out = stack.select(
+        F.col(id_col),
+        flags.cast("long").alias("reason_flags"),
+    ).withColumn("keep", F.col("reason_flags") == 0)
+    from ._cache import unpersist_with
+
+    return unpersist_with(out, feat)
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled source mixture (multilingual-style alpha sampling)
 # ---------------------------------------------------------------------------
 

@@ -413,45 +413,22 @@ def q_corpus_curation_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``reason_flags`` bitmask (bit order: clf_reject, boilerplate,
     dsir_reject, duplicate) and the final ``keep`` decision.
 
-    Scale shape: each signal keeps its own bounded shuffle profile (see
-    the individual queries); the composition is three doc_id hash joins
-    over doc-sized frames — at 100 TB, AQE broadcast-flips none of them
-    (all are corpus-sized) and the doc_id co-partitioning is reused
-    across the joins.
+    Scale shape: ONE text scan — the four signals share a persisted
+    ``(doc_id, is_target, tokens, fingerprint)`` feature frame instead
+    of each re-reading and re-tokenizing the corpus (see
+    :func:`~..operators.curation.curation_stack`); per-signal shuffle
+    profiles are unchanged, and the composition is two doc_id left
+    joins of the aggregate frames onto the map-side base.
     """
-    from ..functions.text import md5_fingerprint
-
-    docs = _t(spark, sf_dir, "documents")
-    clf = C.classify_quality(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("_clf_keep")
-    )
-    boiler = C.boilerplate_stats(
-        docs, "doc_id", "text", k=_BP_K, min_docs=_BP_MIN_DOCS
-    ).select("doc_id", F.col("flagged").alias("_boiler"))
-    dsir = Q.dsir_importance(
-        docs, "doc_id", "text", F.col("source").isin("src0", "src1")
-    ).select("doc_id", F.col("selected").alias("_dsir"))
-    w = W.partitionBy(md5_fingerprint(F.col("text")))
-    canon = docs.select(
+    assert C.STACK_BITS == _STACK_BITS  # Spark bit order == oracle bit order
+    return C.curation_stack(
+        _t(spark, sf_dir, "documents"),
         "doc_id",
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("_canonical"),
+        "text",
+        F.col("source").isin("src0", "src1"),
+        k=_BP_K,
+        min_docs=_BP_MIN_DOCS,
     )
-    stack = (
-        canon.join(clf, "doc_id").join(boiler, "doc_id").join(dsir, "doc_id")
-    )
-    preds = {
-        "clf_reject": ~F.col("_clf_keep"),
-        "boilerplate": F.col("_boiler"),
-        "dsir_reject": ~F.col("_dsir"),
-        "duplicate": ~F.col("_canonical"),
-    }
-    flags = F.lit(0)
-    for i, name in enumerate(_STACK_BITS):
-        flags = flags + F.when(preds[name], F.lit(1 << i)).otherwise(F.lit(0))
-    return stack.select(
-        "doc_id",
-        flags.cast("long").alias("reason_flags"),
-    ).withColumn("keep", F.col("reason_flags") == 0)
 
 
 # ---------------------------------------------------------------------------
