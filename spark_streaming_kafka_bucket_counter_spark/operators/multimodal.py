@@ -11,11 +11,19 @@ multimodal datasets:
   by nature (codec libraries), so they run as ``mapInPandas`` — Arrow
   batches in, Arrow batches out, no per-row serialization. Partition
   sizing keeps each Arrow batch in memory (`maxRecordsPerBatch`).
-- the actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container:
+- the actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+  and package installation is unavailable in this environment (verified
+  2026-08: no PIL/cv2/av/soundfile importable, installs disallowed — the
+  same in-container limitation KAFKA.md documents for the broker):
   ``decoder='stub'`` computes deterministic pseudo-metadata from the
   bytes (so the plumbing — schema, batching, partitioning — is fully
   testable and oracle-checkable); ``decoder='real'`` raises
   NotImplementedError at the import-gate with the dependency named.
+- EXCEPTION: image *dimension* metadata needs no codec at all — PNG /
+  JPEG / GIF / BMP headers carry width x height x channels in plain
+  bytes. :func:`parse_image_header` is a dependency-free parser, and
+  ``decoder='real'`` on :func:`decode_image_meta` / :func:`resize_images`
+  uses it (unparseable payloads yield NULL dims; n_bytes always set).
 """
 
 from __future__ import annotations
@@ -51,28 +59,119 @@ def _require_real_decoder(kind: str) -> None:
     )
 
 
+# JPEG start-of-frame markers (all SOFn except DHT/JPG/DAC escapes)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+# PNG color type -> sample channels
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
+    """``(format, width, height, channels)`` from raw image bytes, or
+    ``None`` if no supported header parses. Dependency-free: PNG, JPEG,
+    GIF and BMP all carry their dimensions in the container header, so
+    the metadata pass of an image-curation pipeline needs byte peeks,
+    not a codec — this is the real ``decoder='real'`` path for
+    :func:`decode_image_meta`, honest about its limits (pixel decode
+    still needs PIL/ffmpeg and stays gated).
+    """
+    if len(b) >= 33 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        channels = _PNG_CHANNELS.get(b[25])
+        if w > 0 and h > 0 and channels:
+            return ("png", w, h, channels)
+        return None
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 10 > len(b):
+                    return None
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                ncomp = b[i + 9]
+                if w > 0 and h > 0 and ncomp > 0:
+                    return ("jpeg", w, h, ncomp)
+                return None
+            i += 2 + seglen
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        if w > 0 and h > 0:
+            return ("gif", w, h, 3)
+        return None
+    if len(b) >= 30 and b[:2] == b"BM":
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bpp = int.from_bytes(b[28:30], "little")
+        if w > 0 and h > 0 and bpp > 0:
+            return ("bmp", w, h, max(1, bpp // 8))
+        return None
+    return None
+
+
 def decode_image_meta(df: DataFrame, decoder: str = "stub") -> DataFrame:
     """Binary payload -> image metadata via Arrow-batched mapInPandas.
 
     Stub decode (deterministic, oracle-checkable):
       width = n_bytes % 640 + 1; height = (n_bytes * 7) % 480 + 1;
       channels = 3.
-    """
-    if decoder == "real":  # pragma: no cover - env gated
-        _require_real_decoder("image")
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = pdf["payload"].map(len).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": n,
-                    "width": n % 640 + 1,
-                    "height": (n * 7) % 480 + 1,
-                    "channels": 3,
-                }
-            )
+    ``decoder='real'``: dependency-free container-header parse
+    (:func:`parse_image_header` — PNG/JPEG/GIF/BMP); rows whose payload
+    has no parseable header get NULL width/height/channels (n_bytes is
+    always populated), the fail-open shape a curation filter expects.
+    """
+    if decoder == "real":
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                parsed = pdf["payload"].map(
+                    lambda b: parse_image_header(bytes(b))
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                        "width": pd.array(
+                            [p[1] if p else None for p in parsed], dtype="Int64"
+                        ),
+                        "height": pd.array(
+                            [p[2] if p else None for p in parsed], dtype="Int64"
+                        ),
+                        "channels": pd.array(
+                            [p[3] if p else None for p in parsed], dtype="Int64"
+                        ),
+                    }
+                )
+
+    else:
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = pdf["payload"].map(len).astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": n,
+                        "width": n % 640 + 1,
+                        "height": (n * 7) % 480 + 1,
+                        "channels": 3,
+                    }
+                )
 
     return df.select("doc_id", "payload").mapInPandas(_decode, IMAGE_META_SCHEMA)
 
@@ -86,9 +185,42 @@ def resize_images(df: DataFrame, target: int = 256, decoder: str = "stub") -> Da
     (``out = max(1, dim * target // longest)``) is the real logic a
     PIL-backed decoder would share. ``out_bytes`` = out_w * out_h * 3
     (the budget planners care about post-resize).
+
+    ``decoder='real'``: source dims come from the dependency-free header
+    parse (:func:`parse_image_header`); unparseable rows get NULL
+    throughout. Only the *plan* is computed either way — the actual
+    pixel resample still needs a codec and is downstream's job.
     """
-    if decoder == "real":  # pragma: no cover - env gated
-        _require_real_decoder("image")
+    if decoder == "real":
+
+        def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                parsed = pdf["payload"].map(
+                    lambda b: parse_image_header(bytes(b))
+                )
+                w = pd.Series([p[1] if p else None for p in parsed], dtype="Int64")
+                h = pd.Series([p[2] if p else None for p in parsed], dtype="Int64")
+                longest = pd.Series(
+                    [
+                        max(p[1], p[2], target) if p else None
+                        for p in parsed
+                    ],
+                    dtype="Int64",
+                )
+                out_w = (w * target // longest).clip(lower=1)
+                out_h = (h * target // longest).clip(lower=1)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "width": w,
+                        "height": h,
+                        "out_width": out_w,
+                        "out_height": out_h,
+                        "out_bytes": out_w * out_h * 3,
+                    }
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(_resize, RESIZE_META_SCHEMA)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -222,11 +222,110 @@ def test_multimodal_resize_video_features(spark):
 
 
 def test_multimodal_real_decoder_gated(spark):
+    """Pixel-touching real decodes still need a codec library and stay
+    gated; image HEADER metadata does not (see the real-decoder tests)."""
     import pytest
 
     docs = M.with_binary_payload(_docs(spark).limit(1))
     with pytest.raises(NotImplementedError, match="codec"):
-        M.decode_image_meta(docs, decoder="real")
+        M.extract_features(docs, decoder="real")
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.sample_video_frames(docs, decoder="real")
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.sample_audio_frames(docs, decoder="real")
+
+
+def _png(w, h, color_type=2):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + bytes([8, color_type, 0, 0, 0])
+        + b"\x00" * 8
+    )
+
+
+def _jpeg(w, h, ncomp=3):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([ncomp])
+        + b"\x00" * (3 * ncomp)
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _bmp(w, h, bpp=24):
+    import struct
+
+    return (
+        b"BM"
+        + b"\x00" * 16
+        + struct.pack("<ii", w, h)
+        + struct.pack("<HH", 1, bpp)
+        + b"\x00" * 8
+    )
+
+
+def test_parse_image_header_formats():
+    """The dependency-free header parser must read dimensions out of all
+    four container formats (byte-crafted fixtures, no codec library)."""
+    assert M.parse_image_header(_png(640, 480)) == ("png", 640, 480, 3)
+    assert M.parse_image_header(_png(2, 9, color_type=6)) == ("png", 2, 9, 4)
+    assert M.parse_image_header(_jpeg(1024, 768)) == ("jpeg", 1024, 768, 3)
+    assert M.parse_image_header(_jpeg(33, 7, ncomp=1)) == ("jpeg", 33, 7, 1)
+    assert M.parse_image_header(_gif(320, 200)) == ("gif", 320, 200, 3)
+    assert M.parse_image_header(_bmp(800, 600)) == ("bmp", 800, 600, 3)
+    # negative BMP height = top-down rows; dimensions still real
+    assert M.parse_image_header(_bmp(800, -600)) == ("bmp", 800, 600, 3)
+    # garbage / truncated payloads parse to None, never raise
+    assert M.parse_image_header(b"not an image") is None
+    assert M.parse_image_header(_png(640, 480)[:20]) is None
+    assert M.parse_image_header(b"\xff\xd8\xff") is None
+    assert M.parse_image_header(b"") is None
+
+
+def test_decode_image_meta_real_headers(spark):
+    """decoder='real' runs WITHOUT any codec library: header dims for
+    parseable payloads, NULL dims (n_bytes still set) for the rest."""
+    rows = [
+        (1, bytearray(_png(640, 480))),
+        (2, bytearray(_jpeg(1024, 768))),
+        (3, bytearray(_gif(320, 200))),
+        (4, bytearray(_bmp(12, 34))),
+        (5, bytearray(b"corrupt payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in M.decode_image_meta(df, decoder="real").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (640, 480, 3)
+    assert (got[2]["width"], got[2]["height"]) == (1024, 768)
+    assert (got[3]["width"], got[3]["height"]) == (320, 200)
+    assert (got[4]["width"], got[4]["height"]) == (12, 34)
+    assert got[5]["width"] is None and got[5]["channels"] is None
+    assert got[5]["n_bytes"] == len(b"corrupt payload")
+
+    resized = {
+        r["doc_id"]: r
+        for r in M.resize_images(df, target=256, decoder="real").collect()
+    }
+    assert (resized[1]["out_width"], resized[1]["out_height"]) == (256, 192)
+    assert (resized[2]["out_width"], resized[2]["out_height"]) == (256, 192)
+    assert (resized[4]["out_width"], resized[4]["out_height"]) == (12, 34)  # no upscale
+    assert resized[5]["out_width"] is None
 
 
 def test_image_phash_codepoint_parity_for_multibyte_text(spark):
