@@ -261,6 +261,33 @@ def test_sliding_count_single_shuffle(spark):
     assert "HashAggregate" in plan
 
 
+def test_brute_force_topk_broadcasts_the_bounded_query_side(spark):
+    """sim_topk_cosine's nested-loop join (non-equi: cand != query) must
+    broadcast the BOUNDED side — the vec_id < 10 query set — with the
+    bound pushed into its parquet scan. Pinned so an AQE/planner flip to
+    broadcasting the data-sized candidate side (or a CartesianProduct)
+    can't slip in silently."""
+    plan = _plan(spark, "sim_topk_cosine")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "CartesianProduct" not in plan
+    # resolve the scan node nested under BroadcastExchange in the tree,
+    # then assert ITS details carry the query bound as a pushed filter
+    lines = plan.splitlines()
+    bx = next(i for i, l in enumerate(lines) if "BroadcastExchange (" in l)
+    scan_id = None
+    for l in lines[bx + 1 :]:
+        if not l.strip() or l.strip().startswith("("):  # details section
+            break
+        m = re.search(r"Scan parquet\s*\((\d+)\)", l)
+        if m:
+            scan_id = m.group(1)
+            break
+    assert scan_id, plan
+    details = plan.split(f"({scan_id}) Scan parquet", 1)[1]
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", details)
+    assert m and "LessThan(vec_id,10)" in m.group(1), plan
+
+
 def test_range_join_never_plans_pairwise_nested_loop(spark):
     """The prefix-sum range count may only use nested-loop joins for
     1-row broadcast scalars (the bucket-range metadata cross join) —
