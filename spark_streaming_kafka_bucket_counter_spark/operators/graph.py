@@ -130,22 +130,26 @@ def connected_components(
     for rnd in range(max_iter):
         if converged:
             break
-        # -- large-star: (u, all neighbors) adjacency; larger neighbors
-        # rewire to m(u) = min(neighborhood(u) + {u}).
-        adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
-            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-        )
+        # -- large-star: every edge's LARGER endpoint rewires to the min
+        # of its lower endpoint's neighborhood (incl. that endpoint).
+        # With canonical (hi, lo) edges, "(u, v) with v > u" is exactly
+        # the reversed edge list, so no fanout filter is needed; the
+        # intermediate output stays deduplication-free (|large| == |e|,
+        # duplicates are harmless to the min aggregates and the single
+        # end-of-round distinct), saving one shuffle per round.
+        rev = e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(rev)
         m_all = adj.groupBy("u").agg(F.min("v").alias("_mv"))
         m_all = m_all.select("u", F.least("_mv", "u").alias("m"))
         large = (
-            adj.filter(F.col("v") > F.col("u"))
-            .join(m_all, "u")
+            rev.join(m_all, "u")
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
-            .distinct()
         )
         # -- small-star on canonical edges: per hi, its lo-neighbors
         # (all <= hi) collapse onto their min, and hi links there too.
+        # groupBy + join (not a window over hi): a super-node partition
+        # must stay AQE-splittable — same skew argument as boilerplate.
         m_lo = large.groupBy("hi").agg(F.min("lo").alias("m"))
         small = (
             large.join(m_lo, "hi")
