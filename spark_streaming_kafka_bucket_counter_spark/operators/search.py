@@ -212,24 +212,56 @@ def bm25_build_index(
     out of query cost entirely; only posting-list length matters,
     exactly like a dedicated search engine's inverted index.
     """
+    _bm25_write(df, id_col, text_col, path, buckets, "overwrite")
+
+
+def bm25_append_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    buckets: int = 64,
+) -> None:
+    """Fold new documents into a persisted BM25 index WITHOUT rebuilding
+    — the daily-crawl loop for the lexical leg of the index triad (see
+    ``lsh_append_index`` / ``ivf_append_index``). The batch's postings
+    append into the matching term-bucket partitions, and its dfreq /
+    corpus-stats rows land as new SEGMENTS that the query path sums at
+    read time — document frequencies and (N, sum dl) totals are additive
+    over disjoint doc sets, so append-then-query is bit-identical to a
+    full rebuild (pytest-pinned).
+
+    Caller contract: ids must not already exist in the index (append is
+    blind by design; a membership check would re-scan the corpus)."""
+    _bm25_write(df, id_col, text_col, path, buckets, "append")
+
+
+def _bm25_write(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    buckets: int,
+    mode: str,
+) -> None:
     from pathlib import Path
 
     docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).select(
         F.col(id_col), F.col("_tok"), F.size("_tok").alias("_dl")
     )
     stats = docs.agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
-    stats.coalesce(1).write.mode("overwrite").parquet(str(Path(path) / "stats"))
+    stats.coalesce(1).write.mode(mode).parquet(str(Path(path) / "stats"))
     tf = (
         docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("term"))
         .groupBy(id_col, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("tb", _term_bucket(F.col("term"), buckets))
     )
-    tf.write.mode("overwrite").partitionBy("tb").parquet(str(Path(path) / "postings"))
+    tf.write.mode(mode).partitionBy("tb").parquet(str(Path(path) / "postings"))
     (
         tf.groupBy("tb", "term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("tb")
         .parquet(str(Path(path) / "dfreq"))
     )
@@ -262,13 +294,20 @@ def bm25_query_index(
         .filter(F.col("tb").isin([int(x) for x in tbs]))
         .filter(F.col("term").isin(terms))
     )
+    # segment merge at read (Lucene-style): appends write additional
+    # dfreq/stats rows for their own doc subset; document frequencies
+    # and corpus totals are additive over disjoint doc sets, so summing
+    # the segments reproduces the single-build values exactly.
     dfreq = (
         spark.read.parquet(str(Path(path) / "dfreq"))
         .filter(F.col("tb").isin([int(x) for x in tbs]))
         .filter(F.col("term").isin(terms))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
     )
-    stats = spark.read.parquet(str(Path(path) / "stats"))
+    stats = spark.read.parquet(str(Path(path) / "stats")).agg(
+        F.sum("_N").alias("_N"), F.sum("_sumdl").alias("_sumdl")
+    )
     idf = F.log((F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     avgdl = F.col("_sumdl").cast("double") / F.col("_N")
     w = (

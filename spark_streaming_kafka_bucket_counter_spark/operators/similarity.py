@@ -977,6 +977,39 @@ def ivf_query_index(
     )
 
 
+def ivf_append_index(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+) -> None:
+    """Fold new vectors into a persisted IVF index WITHOUT rebuilding —
+    the daily-crawl loop for the ANN leg of the index triad (see
+    ``lsh_append_index`` / ``bm25_append_index``). The batch is assigned
+    to the index's EXISTING centroids (read from disk — bounded k x dim
+    metadata, never recomputed, so cell geometry is stable across
+    appends) and its rows append into the matching cell partitions;
+    probe-time partition pruning is untouched and append-then-query is
+    identical to a full rebuild over the same centroid set
+    (pytest-pinned).
+
+    Caller contract: ids must not already exist in the index (append is
+    blind by design; a membership check would re-scan the corpus)."""
+    from pathlib import Path
+
+    cents = spark.read.parquet(str(Path(path) / "centroids")).collect()
+    assigned = assign_to_centroids(df, id_col, vec_col, cents, max_rank=1)
+    (
+        assigned.select(
+            F.col("_id").alias(id_col), F.col("_vec").alias(vec_col), "cid"
+        )
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(str(Path(path) / "cells"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sign random projection (RP sketch + RP-LSH bucket)
 # ---------------------------------------------------------------------------

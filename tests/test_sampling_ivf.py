@@ -121,6 +121,76 @@ def test_bm25_persisted_index_matches_direct(spark, tmp_path):
     assert "PushedFilters" in plan and "term" in plan
 
 
+def test_ivf_append_index_equals_full_rebuild(spark, tmp_path):
+    """build(half) + append(other half) must probe identically to
+    build(full) — the IVF leg of the incremental-index contract. The
+    first batch carries all seed-centroid ids so both indexes share the
+    same cell geometry."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter("vec_id % 2 = 0 OR vec_id < 16")
+    second = emb.subtract(first)
+    p_inc = str(tmp_path / "ivf_inc")
+    p_full = str(tmp_path / "ivf_full")
+    ivf_build_index(first, "vec_id", "embedding", p_inc, n_centroids=16)
+    ivf_append_index(spark, second, "vec_id", "embedding", p_inc)
+    ivf_build_index(emb, "vec_id", "embedding", p_full, n_centroids=16)
+    queries = emb.filter("vec_id < 5")
+    a = {
+        tuple(r)
+        for r in ivf_query_index(
+            spark, p_inc, queries, "vec_id", "embedding", nprobe=2, top_k=5
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ivf_query_index(
+            spark, p_full, queries, "vec_id", "embedding", nprobe=2, top_k=5
+        ).collect()
+    }
+    assert a == b and len(a) == 25
+
+
+def test_bm25_append_index_equals_full_rebuild(spark, tmp_path):
+    """build(half) + append(other half) must score identically to
+    build(full): per-segment dfreq and corpus-stats rows are summed at
+    read time, and both df and (N, sum dl) are additive over disjoint
+    doc sets — so even the idf values match bit-for-bit."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_query_index,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1")
+    p_inc = str(tmp_path / "bm25_inc")
+    p_full = str(tmp_path / "bm25_full")
+    bm25_build_index(first, "doc_id", "text", p_inc, buckets=64)
+    bm25_append_index(second, "doc_id", "text", p_inc, buckets=64)
+    bm25_build_index(docs, "doc_id", "text", p_full, buckets=64)
+    terms = ["data", "model", "training"]
+    a = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_query_index(spark, p_inc, terms, top_k=10).collect()
+    ]
+    b = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_query_index(spark, p_full, terms, top_k=10).collect()
+    ]
+    assert a == b and len(a) == 10
+
+
 def test_term_bucket_python_matches_spark(spark):
     """bm25_query_index prunes partitions with a PURE-PYTHON md5 bucket
     (no Spark job per serving query) — it must equal the Column recipe
