@@ -24,6 +24,7 @@ batch id.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.buckets import with_bucket
@@ -184,6 +185,119 @@ def start_merged_counter(
     if trigger is None:
         trigger = {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def start_near_dup_ingest(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The daily-crawl NEAR-dup ingestion loop as one streaming query:
+    per micro-batch, (1) drop within-batch near-duplicates (LSH pairs ->
+    connected components -> keep min id), (2) drop batch docs that
+    near-match the PERSISTED snapshot index (:func:`~..operators.dedup.
+    lsh_query_index` — candidate cost scales with the batch, the
+    snapshot text is never re-read), (3) fold the survivors into the
+    index (:func:`~..operators.dedup.lsh_append_index`) and append them,
+    tagged with the micro-batch id, to the curated output table.
+
+    This composes the streaming counterpart of the reference's
+    cross-batch accumulation (A5, main.py:127-133) with the near-dup
+    index the reference never had: exactly-once-ish semantics come from
+    the checkpointed micro-batch ids (a replayed batch re-appends the
+    same doc ids; downstream exact dedup by id is the standard guard).
+
+    Bootstrap: the first batch against an empty ``index_path`` skips the
+    snapshot query and BUILDS the index from its survivors.
+
+    Scale shape per batch: the within-batch stage is LSH-banded (never
+    all-pairs) over batch-sized data; the snapshot stage joins the
+    batch's bands against the (band, key-bucket)-partitioned index with
+    partition pruning; the append only writes the deduped increment.
+    """
+    import os as _os
+
+    from ..operators.dedup import (
+        lsh_append_index,
+        lsh_build_index,
+        lsh_query_index,
+        minhash_lsh_pairs,
+    )
+    from ..operators.graph import drop_near_duplicate_docs
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cached = [batch_df.persist()]
+        try:
+            pairs_in = minhash_lsh_pairs(
+                batch_df, id_col, text_col,
+                num_hashes=num_hashes, bands=bands, k=k, threshold=threshold,
+            )
+            keepers = drop_near_duplicate_docs(batch_df, pairs_in, id_col).persist()
+            cached.append(keepers)
+            bootstrap = not _os.path.isdir(_os.path.join(index_path, "bands"))
+            if bootstrap:
+                survivors = keepers
+            else:
+                dup_ids = (
+                    lsh_query_index(
+                        spark, index_path, keepers, id_col, text_col,
+                        num_hashes=num_hashes, bands=bands, k=k,
+                        threshold=threshold,
+                    )
+                    .select(F.col("inc_doc").alias(id_col))
+                    .distinct()
+                )
+                survivors = keepers.join(dup_ids, id_col, "left_anti")
+            # ORDER MATTERS: the survivors plan READS the index (through
+            # lsh_query_index), and the append below WRITES it — a lazy
+            # re-evaluation after the append would see the survivors'
+            # own bands in the index and self-match every doc. Writing
+            # the curated output FIRST materializes the decision; the
+            # index append then feeds from the durable copy. Replay
+            # safety: the output write is a dynamic overwrite of this
+            # batch's own partition (idempotent under foreachBatch's
+            # at-least-once), and a double index append only duplicates
+            # band/shingle rows, which the query path's distinct() and
+            # collect_set dedupe — correctness is unaffected.
+            (
+                survivors.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+            landed = spark.read.parquet(out_path).filter(
+                F.col("batch_id") == batch_id
+            )
+            if bootstrap:
+                lsh_build_index(
+                    landed, id_col, text_col, index_path,
+                    num_hashes=num_hashes, bands=bands, k=k,
+                )
+            else:
+                lsh_append_index(
+                    landed, id_col, text_col, index_path,
+                    num_hashes=num_hashes, bands=bands, k=k,
+                )
+        finally:
+            for df in cached:
+                df.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_interval_join(

@@ -65,3 +65,72 @@ def test_cross_batch_duplicate_records_dropped(spark, tmp_path):
     }
     # the replay of event 1 in batch 2 must NOT appear
     assert rows == {(1, "first"), (2, "first"), (3, "first")}
+
+
+def test_near_dup_ingest_stream_end_to_end(spark, tmp_path):
+    """The daily-crawl loop as one streaming query: batch 1 bootstraps
+    the LSH index; batch 2's near-copy of a batch-1 doc is dropped via
+    the persisted index, its within-batch near-dup pair collapses to
+    the min id, and the genuinely new doc survives and is appended to
+    both the output table and the index."""
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_near_dup_ingest,
+    )
+
+    def _text(topic, salt):
+        # long shared prefix => high Jaccard for same topic
+        base = f"the quick brown fox jumps over the lazy dog about topic {topic} "
+        return base * 3 + salt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [
+        {"doc_id": 1, "text": _text("alpha", "one")},
+        {"doc_id": 2, "text": _text("beta", "two")},
+        {"doc_id": 3, "text": "completely different content with its own words entirely"},
+    ]
+    b2 = [
+        {"doc_id": 10, "text": _text("alpha", "one extra")},   # near-copy of doc 1 -> drop
+        {"doc_id": 11, "text": _text("gamma", "fresh")},        # new -> keep
+        {"doc_id": 12, "text": _text("gamma", "fresh also")},   # near-copy of 11, same batch -> drop
+        {"doc_id": 13, "text": "another unrelated document about nothing shared at all"},
+    ]
+    f1, f2 = src / "a.json", src / "b.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    idx = str(tmp_path / "lsh_idx")
+    out = str(tmp_path / "curated")
+    q = start_near_dup_ingest(
+        stream, "doc_id", "text", idx, out, str(tmp_path / "ck")
+    )
+    assert q.awaitTermination(300)
+
+    curated = spark.read.parquet(out)
+    got = {r["doc_id"]: r["batch_id"] for r in curated.collect()}
+    assert set(got) == {1, 2, 3, 11, 13}
+    assert got[1] == got[2] == got[3]
+    assert got[11] == got[13] == got[1] + 1
+
+    # the index grew by exactly the survivors: a replay of doc 11's text
+    # under a new id must now near-match the index
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        lsh_query_index,
+    )
+
+    probe = spark.createDataFrame(
+        [(900, _text("gamma", "fresh probe"))], "doc_id long, text string"
+    )
+    hits = {
+        r["snap_doc"]
+        for r in lsh_query_index(spark, idx, probe, "doc_id", "text").collect()
+    }
+    assert 11 in hits and 12 not in hits
