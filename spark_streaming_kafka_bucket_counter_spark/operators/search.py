@@ -328,3 +328,92 @@ def bm25_query_index(
         F.round(F.col("_s9") / F.lit(1e9), 6).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def bm25_query_index_many(
+    spark,
+    queries_df: DataFrame,
+    path: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batched serving over a persisted BM25 index: a whole DataFrame of
+    ``(query_id, terms array<string>)`` answered in ONE plan — real
+    retrieval workloads (RAG corpus joins, eval sweeps) arrive as query
+    batches, not single calls, and a per-query loop would pay the index
+    scan per query instead of once.
+
+    Per-query semantics are IDENTICAL to :func:`bm25_query_index`
+    (lowercased deduped terms, Robertson idf over segment-merged df /
+    stats, nano-unit fixed point, (score desc, id) ties; pytest-pinned
+    against the single-query path). The union of the batch's terms is
+    collected driver-side — bounded by the query batch, the same
+    contract as the single-query tb computation — to build the literal
+    partition + term pushdown filters; the per-(query, term) fanout then
+    joins the pruned postings once, and one (query, doc) aggregation +
+    per-query window produce all rankings. Postings are read ONCE for
+    the whole batch regardless of batch size.
+    """
+    from pathlib import Path
+
+    qt = queries_df.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(
+            F.array_distinct(F.transform(F.col(terms_col), F.lower))
+        ).alias("term"),
+    )
+    # bounded driver collect: the distinct term union of ONE query batch
+    terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
+    if not terms:
+        qid_type = dict(queries_df.dtypes)[query_id_col]
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qid_type}, {id_col} long, score double, rank long"
+        )
+    tbs = sorted({_term_bucket_py(t, buckets) for t in terms})
+    postings = (
+        spark.read.parquet(str(Path(path) / "postings"))
+        .filter(F.col("tb").isin([int(x) for x in tbs]))
+        .filter(F.col("term").isin(terms))
+    )
+    dfreq = (
+        spark.read.parquet(str(Path(path) / "dfreq"))
+        .filter(F.col("tb").isin([int(x) for x in tbs]))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = spark.read.parquet(str(Path(path) / "stats")).agg(
+        F.sum("_N").alias("_N"), F.sum("_sumdl").alias("_sumdl")
+    )
+    idf = F.log((F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    avgdl = F.col("_sumdl").cast("double") / F.col("_N")
+    w = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl))
+    )
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_qid", F.col(id_col), F.round(w * F.lit(1e9)).cast("long").alias("_w9")
+        )
+    )
+    per_doc = scored.groupBy("_qid", id_col).agg(F.sum("_w9").alias("_s9"))
+    rk = Window.partitionBy("_qid").orderBy(F.col("_s9").desc(), F.col(id_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(F.col("_s9") / F.lit(1e9), 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -191,6 +191,44 @@ def test_bm25_append_index_equals_full_rebuild(spark, tmp_path):
     assert a == b and len(a) == 10
 
 
+def test_bm25_query_index_many_matches_single_query_loop(spark, tmp_path):
+    """One batched plan over the index must rank every query exactly as
+    the single-query serving path does (same scoring, same ties), while
+    reading the postings once for the whole batch."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_build_index,
+        bm25_query_index,
+        bm25_query_index_many,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "bm25_many")
+    bm25_build_index(docs, "doc_id", "text", idx, buckets=64)
+    batches = {
+        1: ["data", "model", "training"],
+        2: ["the", "Data"],  # mixed case -> lowercased like the single path
+        3: ["zzznotaterm"],  # no postings -> no rows for this query
+    }
+    qdf = spark.createDataFrame(
+        [(qid, ts) for qid, ts in batches.items()],
+        "query_id long, terms array<string>",
+    )
+    got = {}
+    for r in bm25_query_index_many(spark, qdf, idx, top_k=7).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["rank"]))
+    for qid in got:
+        got[qid].sort(key=lambda x: x[2])
+    for qid, terms in batches.items():
+        single = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_query_index(spark, idx, terms, top_k=7).collect()
+        ]
+        assert got.get(qid, []) == single, qid
+    assert 3 not in got  # unseen term -> empty result, not an error
+
+
 def test_term_bucket_python_matches_spark(spark):
     """bm25_query_index prunes partitions with a PURE-PYTHON md5 bucket
     (no Spark job per serving query) — it must equal the Column recipe
