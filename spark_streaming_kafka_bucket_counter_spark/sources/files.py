@@ -113,6 +113,69 @@ def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
     return str(root)
 
 
+def compact_parquet_tree(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> int:
+    """Small-files maintenance for append-maintained parquet trees (the
+    persisted LSH / BM25 / IVF indexes): every leaf partition directory
+    accretes one file per append batch per writer task, and at daily-
+    append cadence that becomes the classic small-files problem (open
+    overhead dominates the pruned reads the index layouts exist for).
+    Rewrites every leaf holding more than ``target_files`` parquet files
+    down to ``target_files``; returns the number of leaves rewritten.
+
+    Same crash-safe swap discipline as ``ServingStore.compact``: the
+    rewrite stages into a ``_compact_<leaf>`` sibling (``_``-prefixed =
+    hidden from Spark's listing, so readers never see a half-written
+    leaf), then swaps via two renames with ``_old_<leaf>`` as backup;
+    an interrupted swap self-heals on the next call (orphaned staged
+    copy promoted when the live leaf is gone, backup restored when the
+    swap lost the live leaf, both discarded when redundant). File
+    contents are merged verbatim — partition values live in the
+    directory names and segment ROWS (e.g. BM25 dfreq/stats) survive
+    unchanged, so query results are bit-identical (pytest-pinned).
+    """
+    import shutil
+    from pathlib import Path
+
+    rootp = Path(root)
+    # recovery sweep (mirrors ServingStore._recover_compactions)
+    for tmp in sorted(rootp.rglob("_compact_*")):
+        live = tmp.parent / tmp.name[len("_compact_") :]
+        if not live.exists():
+            tmp.rename(live)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+    for bak in sorted(rootp.rglob("_old_*")):
+        live = bak.parent / bak.name[len("_old_") :]
+        if live.exists():
+            shutil.rmtree(bak, ignore_errors=True)
+        else:
+            bak.rename(live)
+
+    leaves = sorted(
+        {
+            f.parent
+            for f in rootp.rglob("*.parquet")
+            if not any(part.startswith(("_", ".")) for part in f.relative_to(rootp).parts)
+        }
+    )
+    rewritten = 0
+    for leaf in leaves:
+        files = list(leaf.glob("*.parquet"))
+        if len(files) <= target_files:
+            continue
+        df = spark.read.parquet(str(leaf))
+        tmp = leaf.parent / f"_compact_{leaf.name}"
+        df.coalesce(target_files).write.mode("overwrite").parquet(str(tmp))
+        bak = leaf.parent / f"_old_{leaf.name}"
+        leaf.rename(bak)
+        tmp.rename(leaf)
+        shutil.rmtree(bak, ignore_errors=True)
+        rewritten += 1
+    return rewritten
+
+
 def json_file_to_dict(path: str) -> dict:
     """Driver-side JSON side-file loader (reference S6, utils.py:265-274)."""
     with open(path) as fh:

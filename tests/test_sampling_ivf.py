@@ -229,6 +229,63 @@ def test_bm25_query_index_many_matches_single_query_loop(spark, tmp_path):
     assert 3 not in got  # unseen term -> empty result, not an error
 
 
+def test_compact_parquet_tree_preserves_index_answers(spark, tmp_path):
+    """After several appends, compaction must shrink every multi-file
+    leaf to one file, leave query results bit-identical (segment rows
+    survive — only files merge), and self-heal an interrupted swap."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_query_index,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        compact_parquet_tree,
+        load_table,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "bm25_c")
+    bm25_build_index(docs.filter("doc_id % 3 = 0"), "doc_id", "text", idx)
+    bm25_append_index(docs.filter("doc_id % 3 = 1"), "doc_id", "text", idx)
+    bm25_append_index(docs.filter("doc_id % 3 = 2"), "doc_id", "text", idx)
+    terms = ["data", "model", "training"]
+    before = [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()]
+
+    from pathlib import Path
+
+    multi = [
+        p
+        for p in Path(idx).rglob("*")
+        if p.is_dir() and len(list(p.glob("*.parquet"))) > 1
+    ]
+    assert multi, "appends should have produced multi-file leaves"
+    n = compact_parquet_tree(spark, idx)
+    assert n >= len(multi)
+    assert all(len(list(p.glob("*.parquet"))) == 1 for p in multi)
+    after = [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()]
+    assert after == before
+
+    # interrupted swap: live leaf gone, backup left behind -> restored
+    import shutil
+
+    leaf = multi[0]
+    bak = leaf.parent / f"_old_{leaf.name}"
+    leaf.rename(bak)
+    assert not leaf.exists()
+    compact_parquet_tree(spark, idx)
+    assert leaf.exists() and not bak.exists()
+    healed = [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()]
+    assert healed == before
+
+    # interrupted swap the other way: staged copy orphaned -> promoted
+    tmp = leaf.parent / f"_compact_{leaf.name}"
+    leaf.rename(tmp)
+    compact_parquet_tree(spark, idx)
+    assert leaf.exists() and not tmp.exists()
+    assert [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()] == before
+
+
 def test_term_bucket_python_matches_spark(spark):
     """bm25_query_index prunes partitions with a PURE-PYTHON md5 bucket
     (no Spark job per serving query) — it must equal the Column recipe
