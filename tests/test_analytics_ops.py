@@ -56,6 +56,52 @@ def test_connected_components_path_graph_logn_rounds(spark):
     assert connected_components.last_n_rounds <= 20
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Star alternation vs a plain union-find oracle on seeded random
+    graphs plus adversarial shapes (cycle, binary tree, two bridged
+    chains) — the algorithm-swap safety net: any rewiring bug that
+    splits or merges a component differently from true connectivity
+    fails here, independent of the catalog oracle's fixed dataset."""
+    import random
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    cases = []
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.randint(20, 80)
+        m = rng.randint(n // 4, 2 * n)
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    cases.append([(i, (i + 1) % 30) for i in range(30)])  # cycle
+    cases.append([((i - 1) // 2, i) for i in range(1, 63)])  # binary tree
+    cases.append(  # two chains bridged at one end
+        [(i, i + 1) for i in range(0, 20)]
+        + [(100 + i, 101 + i) for i in range(0, 20)]
+        + [(20, 120)]
+    )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        expect = union_find_components(edges)
+        got = _cc(spark, edges)
+        assert got == set(expect.items()), edges
+
+
 def test_connected_components_reliable_checkpoint_cadence(spark, tmp_path):
     """checkpoint_every=N must produce identical results while actually
     writing reliable checkpoints to the given dir (the executor-loss
