@@ -19,11 +19,15 @@ multimodal datasets:
   bytes (so the plumbing — schema, batching, partitioning — is fully
   testable and oracle-checkable); ``decoder='real'`` raises
   NotImplementedError at the import-gate with the dependency named.
-- EXCEPTION: image *dimension* metadata needs no codec at all — PNG /
-  JPEG / GIF / BMP headers carry width x height x channels in plain
-  bytes. :func:`parse_image_header` is a dependency-free parser, and
-  ``decoder='real'`` on :func:`decode_image_meta` / :func:`resize_images`
-  uses it (unparseable payloads yield NULL dims; n_bytes always set).
+- EXCEPTION: *container-header* metadata needs no codec at all — PNG /
+  JPEG / GIF / BMP headers carry width x height x channels, and a WAV
+  (RIFF) container carries sample rate / channels / PCM frame count, in
+  plain bytes. :func:`parse_image_header` / :func:`parse_audio_header`
+  are dependency-free parsers, and ``decoder='real'`` on
+  :func:`decode_image_meta` / :func:`resize_images` /
+  :func:`sample_audio_frames` uses them (unparseable payloads yield
+  NULL metadata; n_bytes always set). Pixel/sample decode still needs
+  PIL/ffmpeg and stays gated.
 """
 
 from __future__ import annotations
@@ -303,13 +307,68 @@ def extract_features(df: DataFrame, dim: int = 8, decoder: str = "stub") -> Data
     return df.select("doc_id", "payload").mapInPandas(_extract, schema)
 
 
+def parse_audio_header(b: bytes) -> tuple[str, int, int, int] | None:
+    """``(format, sample_rate, channels, n_frames)`` from raw audio
+    bytes, or ``None``. Codec-free like :func:`parse_image_header`: a
+    WAV (RIFF) container carries sample rate / channels / block align in
+    its ``fmt `` chunk and the sample payload length in ``data``, so the
+    metadata pass needs chunk walks, not an audio library. n_frames =
+    data bytes // block align (PCM frames). Compressed codecs (MP3/OGG/
+    FLAC payload decode) still require a real library and stay gated.
+    """
+    if len(b) < 36 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    sample_rate = channels = block_align = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(b[i + 20 : i + 22], "little")
+        elif cid == b"data":
+            # size field may overrun a truncated payload; clamp to real
+            data_size = min(csize, max(0, len(b) - (i + 8)))
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not sample_rate or not channels or not block_align or data_size is None:
+        return None
+    return ("wav", sample_rate, channels, data_size // block_align)
+
+
 def sample_audio_frames(df: DataFrame, frame_bytes: int = 160, decoder: str = "stub") -> DataFrame:
     """Binary payload -> frame-sampling metadata (stub: fixed-size frames).
 
     Stub: n_frames = n_bytes // frame_bytes; sample_rate = 16000.
+
+    ``decoder='real'``: codec-free WAV (RIFF) chunk walk
+    (:func:`parse_audio_header`) — true sample rate and PCM frame count
+    from the container header; unparseable payloads get NULL frames/rate
+    with n_bytes populated. Compressed codecs stay gated
+    (:func:`_require_real_decoder`).
     """
-    if decoder == "real":  # pragma: no cover - env gated
-        _require_real_decoder("audio")
+    if decoder == "real":
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                parsed = pdf["payload"].map(
+                    lambda b: parse_audio_header(bytes(b))
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                        "n_frames": pd.Series(
+                            [p[3] if p else None for p in parsed], dtype="Int64"
+                        ),
+                        "sample_rate": pd.Series(
+                            [p[1] if p else None for p in parsed], dtype="Int64"
+                        ),
+                    }
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(_decode, AUDIO_META_SCHEMA)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

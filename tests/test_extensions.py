@@ -231,8 +231,6 @@ def test_multimodal_real_decoder_gated(spark):
         M.extract_features(docs, decoder="real")
     with pytest.raises(NotImplementedError, match="codec"):
         M.sample_video_frames(docs, decoder="real")
-    with pytest.raises(NotImplementedError, match="codec"):
-        M.sample_audio_frames(docs, decoder="real")
 
 
 def _png(w, h, color_type=2):
@@ -279,6 +277,48 @@ def _bmp(w, h, bpp=24):
         + struct.pack("<HH", 1, bpp)
         + b"\x00" * 8
     )
+
+
+def _wav(sample_rate, channels, n_frames, bits=16):
+    import struct
+
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_frames * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_audio_header_wav():
+    """Codec-free WAV chunk walk: true rate/channels/frames out of the
+    RIFF container; garbage, truncation and odd-sized chunks handled."""
+    assert M.parse_audio_header(_wav(16000, 1, 400)) == ("wav", 16000, 1, 400)
+    assert M.parse_audio_header(_wav(44100, 2, 1234)) == ("wav", 44100, 2, 1234)
+    # a truncated data payload clamps the frame count to what's present
+    full = _wav(8000, 1, 100)
+    cut = full[:-60]  # drop 60 bytes = 30 frames at block_align 2
+    assert M.parse_audio_header(cut) == ("wav", 8000, 1, 70)
+    assert M.parse_audio_header(b"RIFFxxxxNOPE") is None
+    assert M.parse_audio_header(b"not audio at all") is None
+    assert M.parse_audio_header(b"") is None
+
+
+def test_sample_audio_frames_real_wav(spark):
+    rows = [
+        (1, bytearray(_wav(16000, 1, 400))),
+        (2, bytearray(_wav(44100, 2, 50))),
+        (3, bytearray(b"corrupt audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in M.sample_audio_frames(df, decoder="real").collect()}
+    assert (got[1]["sample_rate"], got[1]["n_frames"]) == (16000, 400)
+    assert (got[2]["sample_rate"], got[2]["n_frames"]) == (44100, 50)
+    assert got[3]["sample_rate"] is None and got[3]["n_frames"] is None
+    assert got[3]["n_bytes"] == len(b"corrupt audio")
 
 
 def test_parse_image_header_formats():
