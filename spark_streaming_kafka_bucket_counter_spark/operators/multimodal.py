@@ -22,12 +22,14 @@ multimodal datasets:
 - EXCEPTION: *container-header* metadata needs no codec at all — PNG /
   JPEG / GIF / BMP headers carry width x height x channels, and a WAV
   (RIFF) container carries sample rate / channels / PCM frame count, in
-  plain bytes. :func:`parse_image_header` / :func:`parse_audio_header`
-  are dependency-free parsers, and ``decoder='real'`` on
-  :func:`decode_image_meta` / :func:`resize_images` /
-  :func:`sample_audio_frames` uses them (unparseable payloads yield
-  NULL metadata; n_bytes always set). Pixel/sample decode still needs
-  PIL/ffmpeg and stays gated.
+  plain bytes. :func:`parse_image_header` /
+  :func:`parse_audio_header` / :func:`parse_video_header` (MP4 moov:
+  stts frame count + timescale fps) are dependency-free parsers, and
+  ``decoder='real'`` on :func:`decode_image_meta` /
+  :func:`resize_images` / :func:`sample_audio_frames` /
+  :func:`sample_video_frames` uses them (unparseable payloads yield
+  NULL metadata; n_bytes always set). Pixel/sample decode
+  (:func:`extract_features`) still needs PIL/ffmpeg and stays gated.
 """
 
 from __future__ import annotations
@@ -124,6 +126,88 @@ def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
         if w > 0 and h > 0 and bpp > 0:
             return ("bmp", w, h, max(1, bpp // 8))
         return None
+    return None
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for the ISO-BMFF boxes in
+    b[start:end]; stops at any malformed size."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield typ, payload, i + size
+        i += size
+
+
+def _mp4_find(b: bytes, start: int, end: int, typ: bytes):
+    for t, p, e in _mp4_boxes(b, start, end):
+        if t == typ:
+            return p, e
+    return None
+
+
+def parse_video_header(b: bytes) -> tuple[str, int, int] | None:
+    """``(format, fps, n_frames)`` from MP4/ISO-BMFF bytes, or ``None``.
+    Codec-free like the image/audio parsers: the container's ``moov``
+    metadata carries everything — the video track's ``stts`` table sums
+    to the frame count, and with the track's ``mdhd`` timescale yields
+    fps (integer half-up). No pixel data is touched; frame decode still
+    needs ffmpeg and stays gated.
+    """
+    top = list(_mp4_boxes(b, 0, len(b)))
+    if not top or top[0][0] not in (b"ftyp", b"moov"):
+        return None
+    moov = next(((p, e) for t, p, e in top if t == b"moov"), None)
+    if moov is None:
+        return None
+    for t, p, e in _mp4_boxes(b, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(b, p, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(b, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_find(b, mdia[0], mdia[1], b"mdhd")
+        minf = _mp4_find(b, mdia[0], mdia[1], b"minf")
+        if mdhd is None or minf is None:
+            continue
+        version = b[mdhd[0]]
+        ts_off = mdhd[0] + (20 if version == 1 else 12)
+        timescale = int.from_bytes(b[ts_off : ts_off + 4], "big")
+        stbl = _mp4_find(b, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        stts = _mp4_find(b, stbl[0], stbl[1], b"stts")
+        if stts is None:
+            continue
+        n_entries = int.from_bytes(b[stts[0] + 4 : stts[0] + 8], "big")
+        n_frames = 0
+        track_dur = 0
+        for j in range(n_entries):
+            off = stts[0] + 8 + 8 * j
+            if off + 8 > stts[1]:
+                return None
+            cnt = int.from_bytes(b[off : off + 4], "big")
+            delta = int.from_bytes(b[off + 4 : off + 8], "big")
+            n_frames += cnt
+            track_dur += cnt * delta
+        if n_frames <= 0 or track_dur <= 0 or timescale <= 0:
+            return None
+        fps = (n_frames * timescale + track_dur // 2) // track_dur
+        return ("mp4", int(fps), int(n_frames))
     return None
 
 
@@ -254,9 +338,36 @@ def sample_video_frames(df: DataFrame, stride: int = 30, decoder: str = "stub") 
 
     Stub: fps = 30, n_frames_total = n_bytes % 9000 + 30 (deterministic
     pseudo-duration); n_sampled = (n_frames_total - 1) // stride + 1.
+
+    ``decoder='real'``: codec-free MP4 ``moov`` parse
+    (:func:`parse_video_header`) — true fps and frame count from the
+    video track's stts table; NULLs for unparseable payloads, with the
+    same sampling arithmetic applied to real counts. Frame-pixel decode
+    still needs ffmpeg and stays gated elsewhere.
     """
-    if decoder == "real":  # pragma: no cover - env gated
-        _require_real_decoder("video")
+    if decoder == "real":
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                parsed = pdf["payload"].map(
+                    lambda b: parse_video_header(bytes(b))
+                )
+                total = pd.Series(
+                    [p[2] if p else None for p in parsed], dtype="Int64"
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                        "fps": pd.Series(
+                            [p[1] if p else None for p in parsed], dtype="Int64"
+                        ),
+                        "n_frames_total": total,
+                        "n_sampled": (total - 1) // stride + 1,
+                    }
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(_decode, VIDEO_META_SCHEMA)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

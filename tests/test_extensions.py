@@ -229,8 +229,6 @@ def test_multimodal_real_decoder_gated(spark):
     docs = M.with_binary_payload(_docs(spark).limit(1))
     with pytest.raises(NotImplementedError, match="codec"):
         M.extract_features(docs, decoder="real")
-    with pytest.raises(NotImplementedError, match="codec"):
-        M.sample_video_frames(docs, decoder="real")
 
 
 def _png(w, h, color_type=2):
@@ -319,6 +317,58 @@ def test_sample_audio_frames_real_wav(spark):
     assert (got[2]["sample_rate"], got[2]["n_frames"]) == (44100, 50)
     assert got[3]["sample_rate"] is None and got[3]["n_frames"] is None
     assert got[3]["n_bytes"] == len(b"corrupt audio")
+
+
+def _mp4(entries, timescale=600):
+    """Minimal ISO-BMFF bytes: ftyp + moov(mvhd, video trak with an stts
+    of the given (count, delta) entries)."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    stts_payload = struct.pack(">II", 0, len(entries))
+    for cnt, delta in entries:
+        stts_payload += struct.pack(">II", cnt, delta)
+    stbl = box(b"stbl", box(b"stts", stts_payload))
+    minf = box(b"minf", stbl)
+    mdhd = box(
+        b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, 0)
+    )  # v0: vf, ctime, mtime, timescale, duration
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, 10000))
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + b"\x00\x00\x00\x00" + b"isomiso2")
+    return ftyp + moov
+
+
+def test_parse_video_header_mp4():
+    """Codec-free MP4 moov walk: frame count = stts sum, fps from the
+    track timescale (integer half-up)."""
+    # 45 frames over 6000 ticks at timescale 600 -> 4.5 fps -> 5 half-up
+    assert M.parse_video_header(_mp4([(30, 100), (15, 200)])) == ("mp4", 5, 45)
+    # 300 frames at 20 ticks each, timescale 600 -> exactly 30 fps
+    assert M.parse_video_header(_mp4([(300, 20)])) == ("mp4", 30, 300)
+    assert M.parse_video_header(b"not a video") is None
+    assert M.parse_video_header(_mp4([(300, 20)])[:40]) is None  # moov cut off
+    assert M.parse_video_header(b"") is None
+
+
+def test_sample_video_frames_real_mp4(spark):
+    rows = [
+        (1, bytearray(_mp4([(300, 20)]))),
+        (2, bytearray(b"corrupt video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in M.sample_video_frames(df, stride=30, decoder="real").collect()
+    }
+    assert (got[1]["fps"], got[1]["n_frames_total"], got[1]["n_sampled"]) == (30, 300, 10)
+    assert got[2]["fps"] is None and got[2]["n_sampled"] is None
+    assert got[2]["n_bytes"] == len(b"corrupt video")
 
 
 def test_parse_image_header_formats():
