@@ -215,8 +215,16 @@ def test_bm25_query_index_many_matches_single_query_loop(spark, tmp_path):
         [(qid, ts) for qid, ts in batches.items()],
         "query_id long, terms array<string>",
     )
+    batched = bm25_query_index_many(spark, qdf, idx, top_k=7)
+    # the batch's term union must still prune postings partitions and
+    # push the term predicate — one pruned scan for the WHOLE batch
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tb#" in plan.replace(
+        "PartitionFilters: [tb IN", "PartitionFilters: [tb#"
+    ) or "tb IN" in plan
+    assert "PushedFilters" in plan and "term" in plan
     got = {}
-    for r in bm25_query_index_many(spark, qdf, idx, top_k=7).collect():
+    for r in batched.collect():
         got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["rank"]))
     for qid in got:
         got[qid].sort(key=lambda x: x[2])
