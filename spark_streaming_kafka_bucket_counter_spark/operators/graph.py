@@ -286,14 +286,20 @@ def pagerank(
         und.unpersist()
         return out
     base = (100 - damping_pct) * PR_UNIT // (100 * n_nodes)
+    # degree pre-joined into the static edge frame ONCE, hash-partitioned
+    # on the join key and cached: each round's ranks frame comes out of
+    # its groupBy already hash(u)-partitioned (localCheckpoint preserves
+    # partitioning), so the per-round join needs NO exchange on either
+    # side — one join + one shuffle (the aggregation) per round instead
+    # of two joins. The per-edge `r div deg` equals the per-node value
+    # (deg is constant within a node's fanout).
+    und_deg = und.join(deg, "u").repartition("u").persist()
     ranks = deg.select("u", F.lit(PR_UNIT // n_nodes).cast("long").alias("r"))
     for rnd in range(iterations):
         contribs = (
-            ranks.join(deg, "u")
+            ranks.join(und_deg, "u")
             # SQL `div` = true BIGINT division (no float round-trip)
-            .select("u", F.expr("r div deg").alias("c"))
-            .join(und, "u")
-            .select(F.col("v").alias("u"), "c")
+            .select(F.col("v").alias("u"), F.expr("r div deg").alias("c"))
         )
         ranks = _cut_lineage(
             contribs.groupBy("u")
@@ -311,7 +317,7 @@ def pagerank(
     out = ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_e9"))
     from ._cache import unpersist_with
 
-    return unpersist_with(out, und)
+    return unpersist_with(out, und, und_deg)
 
 
 def pagerank_sql(
