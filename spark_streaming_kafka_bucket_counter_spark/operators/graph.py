@@ -389,10 +389,15 @@ def label_propagation(
     ``localCheckpoint``. Same cost model as :func:`pagerank`; the
     recursion is oracle-replayable (:func:`label_propagation_sql`).
     """
+    # hash-partitioned on the per-round join key and cached: each
+    # round's labels frame leaves its aggregation already partitioned
+    # the same way, so the labels x edges join runs exchange-free every
+    # round (same pattern as pagerank's degree-prejoined edge frame).
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .repartition("u")
         .persist()
     )
     # enforce the encoding caps LOUDLY: labels are node ids (the only
