@@ -1398,7 +1398,11 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     gate = quality_gate(docs, "doc_id", "text")
     s1 = docs.join(gate.filter(F.col("keep")).select("doc_id"), "doc_id")
-    s2 = drop_exact_duplicates(s1, "doc_id", "text")
+    # the gated+deduped corpus feeds THREE consumers (its own stage
+    # count, the decontamination k-gram scan, and the final stage join)
+    # — cache it so the gate + fingerprint window run once, not three
+    # times (unpersisted when the result frame is released)
+    s2 = drop_exact_duplicates(s1, "doc_id", "text").persist()
     ev = docs.filter(F.col("doc_id") < 20)
     dec = decontaminate(s2, ev, "doc_id", "text", k=_DECON_K, min_overlap_frac=_DECON_FRAC)
     s3 = s2.join(dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
@@ -1415,10 +1419,13 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage("03_decontaminated", s3))
     )
     w = Window.orderBy("stage")
-    return counts.select(
+    out = counts.select(
         "stage",
         F.col("n").cast("long").alias("n_docs"),
         F.coalesce(F.lag("n").over(w) - F.col("n"), F.lit(0))
         .cast("long")
         .alias("n_dropped"),
     )
+    from ..operators._cache import unpersist_with
+
+    return unpersist_with(out, s2)
