@@ -102,8 +102,17 @@ def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
     import tempfile
     from pathlib import Path
 
+    # the key covers the SOURCE DATA IDENTITY (every table file's name,
+    # size and mtime), not just the directory path — if the test tables
+    # are ever regenerated with different content, the cache misses and
+    # rebuilds instead of serving a stale index to the correctness gate
+    src = "|".join(
+        f"{p.name}:{st.st_size}:{st.st_mtime_ns}"
+        for p in sorted(Path(sf_dir).glob("*.parquet"))
+        for st in [p.stat()]
+    )
     key = hashlib.md5(
-        f"{kind}:{os.path.abspath(sf_dir)}:{params}".encode()
+        f"{kind}:{os.path.abspath(sf_dir)}:{params}:{src}".encode()
     ).hexdigest()[:12]
     root = Path(tempfile.gettempdir()) / "ssbc_index_cache" / f"{kind}-{key}"
     done = root / "_BUILT"
