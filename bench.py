@@ -96,6 +96,22 @@ def main() -> None:
             elapsed = min(elapsed, time.time() - t1)
         timings[name] = round(elapsed, 3)
 
+    full, summary = build_records(timings, sf)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # Small summary LAST (survives any stdout tail window): totals + the
+    # CORE timings only; the full per-query map lives in bench_full.json.
+    print(json.dumps(summary))
+
+
+def build_records(timings: dict[str, float], sf: str) -> tuple[dict, dict]:
+    """(full record, one-line summary). The summary must stay SMALL —
+    the driver captures a bounded stdout tail, and round 2's 8 KB line
+    was truncated to an unparseable fragment (contract pinned in
+    tests/test_bench_contract.py)."""
     full = {
         "metric": f"headline_query_total_sf{sf}",
         "value": round(sum(timings.values()), 3),
@@ -103,18 +119,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-
-    # Small summary LAST (survives any stdout tail window): totals + the
-    # 8 CORE timings only; the full 100+-query map lives in bench_full.json.
-    out = dict(full)
-    out["queries"] = {n: timings[n] for n in CORE if n in timings}
-    out["n_queries"] = len(timings)
-    out["full"] = "bench_full.json"
-    print(json.dumps(out))
+    summary = dict(full)
+    summary["queries"] = {n: timings[n] for n in CORE if n in timings}
+    summary["n_queries"] = len(timings)
+    summary["full"] = "bench_full.json"
+    return full, summary
 
 
 if __name__ == "__main__":

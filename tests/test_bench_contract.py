@@ -1,0 +1,50 @@
+"""The bench surface contract, pinned without running the bench.
+
+The driver parses bench.py's LAST stdout line as JSON from a BOUNDED
+tail capture — round 2's full 8 KB per-query line came back truncated
+and unparseable (BENCH_r02 "parsed": null). These tests pin everything
+that made that class of failure possible: the summary's size, its
+schema, and that every name the bench times actually exists in the
+catalog.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def _bench():
+    import importlib
+
+    return importlib.import_module("bench")
+
+
+def test_core_names_all_exist_in_catalog():
+    from spark_streaming_kafka_bucket_counter_spark.plans import queries as catalog
+
+    b = _bench()
+    missing = [n for n in b.CORE if n not in catalog.QUERIES]
+    assert not missing, missing
+    # HEADLINE covers the whole catalog exactly once
+    assert sorted(b.HEADLINE) == sorted(set(b.HEADLINE))
+    assert set(b.HEADLINE) == set(b.CORE) | set(catalog.QUERIES)
+
+
+def test_summary_line_stays_small_and_schema_complete():
+    from spark_streaming_kafka_bucket_counter_spark.plans import queries as catalog
+
+    b = _bench()
+    # worst-case realistic timings for every catalog query
+    timings = {n: 123.456 for n in b.HEADLINE if n in catalog.QUERIES}
+    full, summary = b.build_records(timings, "0.1")
+    line = json.dumps(summary)
+    assert len(line) < 1500, f"summary line too big for tail capture: {len(line)}"
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf", "n_queries", "full"):
+        assert key in parsed, key
+    assert parsed["unit"] == "sec"
+    assert parsed["n_queries"] == len(timings)
+    assert set(parsed["queries"]) == set(b.CORE)
+    # the full record carries every timing the summary elides
+    assert set(full["queries"]) == set(timings)
+    assert full["value"] == summary["value"]
