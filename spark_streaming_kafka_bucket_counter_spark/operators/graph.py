@@ -99,19 +99,24 @@ def connected_components(
     cluster runs where executor loss must not restart the loop; see
     :func:`_cut_lineage` and DEPLOY.md.
     """
+    # cache the PROJECTED pair frame once: both the canonical edge set
+    # and the node universe derive from it, and `edges` is typically an
+    # expensive pipeline (LSH candidate generation + verify) — without
+    # the cache, building `nodes` would re-run that whole pipeline a
+    # second time (measured ~3s of the dedup_clusters budget at sf0.1).
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
         .distinct()
-        .persist()
     )
     # canonical undirected form: hi > lo, no self-loops, deduped.
     # lazy localCheckpoint: the convergence aggregate below is the action
     # that materializes each round's edge set, so a round costs ONE job.
     e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
-            F.least(F.col(src), F.col(dst)).alias("lo"),
+        e0.select(
+            F.greatest(F.col("a"), F.col("b")).alias("hi"),
+            F.least(F.col("a"), F.col("b")).alias("lo"),
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
@@ -179,7 +184,7 @@ def connected_components(
     )
     from ._cache import unpersist_with
 
-    return unpersist_with(out, nodes)
+    return unpersist_with(out, e0)
 
 
 def component_summary(
