@@ -300,6 +300,94 @@ def start_near_dup_ingest(
     return writer.start()
 
 
+def start_semantic_dedup_ingest(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold_e6: int = 990_000,
+    nprobe: int = 2,
+    n_centroids: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The embedding-space counterpart of :func:`start_near_dup_ingest`:
+    per micro-batch of ``(id, vector)`` rows, drop vectors whose cosine
+    against any indexed neighbor reaches ``threshold_e6`` (micro-units;
+    0.99 default — the SemDeDup-style semantic near-duplicate cut), land
+    survivors in the curated table, and fold them into the persisted IVF
+    index (:func:`~..operators.similarity.ivf_append_index`) — probe cost
+    scales with the batch via cell partition pruning, never with the
+    snapshot.
+
+    Bootstrap: the first batch builds the index from its own rows
+    (:func:`~..operators.similarity.ivf_build_index` seeds centroids
+    from it). Within-batch semantic dups are NOT collapsed here — IVF
+    probing is against the index only; run the batch through
+    ``semantic_dedup_pairs`` upstream if intra-batch dedup is needed.
+
+    Same write discipline as the LSH loop: the curated output (dynamic
+    per-batch partition overwrite, idempotent under replay) materializes
+    BEFORE the index append, and the append feeds from the durable copy
+    — the survivors plan reads the index, so appending first would make
+    a lazy re-evaluation self-match every survivor.
+    """
+    import os as _os
+
+    from ..operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            bootstrap = not _os.path.isdir(_os.path.join(index_path, "cells"))
+            if bootstrap:
+                survivors = batch_df
+            else:
+                hits = ivf_query_index(
+                    spark, index_path, batch_df, id_col, vec_col,
+                    nprobe=nprobe, top_k=1,
+                )
+                dup_ids = (
+                    hits.filter(
+                        F.round(F.col("cosine") * 1_000_000) >= threshold_e6
+                    )
+                    .select(F.col("query_id").alias(id_col))
+                    .distinct()
+                )
+                survivors = batch_df.join(dup_ids, id_col, "left_anti")
+            (
+                survivors.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+            landed = spark.read.parquet(out_path).filter(
+                F.col("batch_id") == batch_id
+            )
+            if bootstrap:
+                ivf_build_index(
+                    landed, id_col, vec_col, index_path, n_centroids=n_centroids
+                )
+            else:
+                ivf_append_index(spark, landed, id_col, vec_col, index_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = vectors.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

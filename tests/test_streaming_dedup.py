@@ -134,3 +134,61 @@ def test_near_dup_ingest_stream_end_to_end(spark, tmp_path):
         for r in lsh_query_index(spark, idx, probe, "doc_id", "text").collect()
     }
     assert 11 in hits and 12 not in hits
+
+
+def test_semantic_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    """IVF counterpart of the near-dup ingest loop: batch 1 bootstraps
+    the IVF index (its ids seed the centroids); batch 2's near-identical
+    vector (cosine 1.0 against an indexed row) is dropped, the novel
+    vector survives and is appended to index + curated table."""
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_semantic_dedup_ingest,
+    )
+
+    def vec(i):
+        return [1.0, float(i), float((i * i) % 7), 1.0]
+
+    b1 = [{"vec_id": i, "embedding": vec(i)} for i in range(16)]
+    b2 = [
+        # 2x of vec(3): cosine exactly 1.0 against indexed id 3 -> drop
+        {"vec_id": 100, "embedding": [2.0, 6.0, 4.0, 2.0]},
+        # negative-first direction: far from every indexed vector -> keep
+        {"vec_id": 101, "embedding": [-5.0, 1.0, 0.0, 0.5]},
+    ]
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    f1, f2 = src / "a.json", src / "b.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    idx = str(tmp_path / "ivf_idx")
+    out = str(tmp_path / "vcurated")
+    q = start_semantic_dedup_ingest(
+        stream, "vec_id", "embedding", idx, out, str(tmp_path / "vck")
+    )
+    assert q.awaitTermination(300)
+
+    got = {r["vec_id"]: r["batch_id"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(range(16)) | {101}
+    assert got[101] == got[0] + 1
+
+    # the survivor landed in the index: replaying its direction under a
+    # new id must now hit at cosine 1.0
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        ivf_query_index,
+    )
+
+    probe = spark.createDataFrame(
+        [(900, [-10.0, 2.0, 0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    hits = ivf_query_index(spark, idx, probe, "vec_id", "embedding", nprobe=2, top_k=1)
+    top = hits.collect()[0]
+    assert top["cand_id"] == 101 and top["cosine"] >= 0.999999
