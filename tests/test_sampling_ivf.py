@@ -392,3 +392,37 @@ def test_winsorize_clamps_to_sketch_cutoffs(spark):
         out[0]["winsorized_e4"] <= r["winsorized_e4"] <= out[99]["winsorized_e4"]
         for r in out.values()
     )
+
+
+def test_cached_index_dir_builds_once_and_rekeys_on_data_change(tmp_path, monkeypatch):
+    """The serving-cache contract: same (kind, sf_dir, params, data) ->
+    one build; changed source data -> a different cache dir (stale
+    indexes must never serve the correctness gate)."""
+    import tempfile
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        cached_index_dir,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"v1-bytes")
+    calls = []
+
+    def build(path):
+        calls.append(path)
+        import os
+
+        os.makedirs(path, exist_ok=True)
+
+    p1 = cached_index_dir("k", str(sf), "params", build)
+    p2 = cached_index_dir("k", str(sf), "params", build)
+    assert p1 == p2 and len(calls) == 1
+    # different params -> different dir, new build
+    p3 = cached_index_dir("k", str(sf), "other", build)
+    assert p3 != p1 and len(calls) == 2
+    # changed source bytes (size differs) -> cache miss, new build
+    (sf / "documents.parquet").write_bytes(b"v2-bytes-longer")
+    p4 = cached_index_dir("k", str(sf), "params", build)
+    assert p4 != p1 and len(calls) == 3
