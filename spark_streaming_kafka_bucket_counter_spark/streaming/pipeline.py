@@ -199,6 +199,7 @@ def start_near_dup_ingest(
     k: int = 3,
     threshold: float = 0.5,
     available_now: bool = True,
+    compact_every: int = 0,
 ) -> StreamingQuery:
     """The daily-crawl NEAR-dup ingestion loop as one streaming query:
     per micro-batch, (1) drop within-batch near-duplicates (LSH pairs ->
@@ -222,6 +223,11 @@ def start_near_dup_ingest(
     all-pairs) over batch-sized data; the snapshot stage joins the
     batch's bands against the (band, key-bucket)-partitioned index with
     partition pruning; the append only writes the deduped increment.
+
+    ``compact_every=N`` pays down the per-append small-files debt every
+    N-th batch with :func:`~..sources.files.compact_parquet_tree`
+    (crash-safe swap; a query racing the swap only ever sees whole
+    leaves).
     """
     import os as _os
 
@@ -288,6 +294,10 @@ def start_near_dup_ingest(
                     landed, id_col, text_col, index_path,
                     num_hashes=num_hashes, bands=bands, k=k,
                 )
+            if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+                from ..sources.files import compact_parquet_tree
+
+                compact_parquet_tree(spark, index_path)
         finally:
             for df in cached:
                 df.unpersist()
@@ -311,6 +321,7 @@ def start_semantic_dedup_ingest(
     nprobe: int = 2,
     n_centroids: int = 16,
     available_now: bool = True,
+    compact_every: int = 0,
 ) -> StreamingQuery:
     """The embedding-space counterpart of :func:`start_near_dup_ingest`:
     per micro-batch of ``(id, vector)`` rows, drop vectors whose cosine
@@ -377,6 +388,10 @@ def start_semantic_dedup_ingest(
                 )
             else:
                 ivf_append_index(spark, landed, id_col, vec_col, index_path)
+            if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+                from ..sources.files import compact_parquet_tree
+
+                compact_parquet_tree(spark, index_path)
         finally:
             batch_df.unpersist()
 

@@ -172,7 +172,8 @@ def test_semantic_dedup_ingest_stream_end_to_end(spark, tmp_path):
     idx = str(tmp_path / "ivf_idx")
     out = str(tmp_path / "vcurated")
     q = start_semantic_dedup_ingest(
-        stream, "vec_id", "embedding", idx, out, str(tmp_path / "vck")
+        stream, "vec_id", "embedding", idx, out, str(tmp_path / "vck"),
+        compact_every=1,
     )
     assert q.awaitTermination(300)
 
@@ -192,3 +193,9 @@ def test_semantic_dedup_ingest_stream_end_to_end(spark, tmp_path):
     hits = ivf_query_index(spark, idx, probe, "vec_id", "embedding", nprobe=2, top_k=1)
     top = hits.collect()[0]
     assert top["cand_id"] == 101 and top["cosine"] >= 0.999999
+
+    # compact_every=1 ran after each batch: every index leaf is 1 file
+    from pathlib import Path
+
+    for leaf in {f.parent for f in Path(idx).rglob("*.parquet")}:
+        assert len(list(leaf.glob("*.parquet"))) == 1, leaf
