@@ -199,3 +199,70 @@ def test_semantic_dedup_ingest_stream_end_to_end(spark, tmp_path):
 
     for leaf in {f.parent for f in Path(idx).rglob("*.parquet")}:
         assert len(list(leaf.glob("*.parquet"))) == 1, leaf
+
+
+def test_near_dup_ingest_replay_is_idempotent(spark, tmp_path):
+    """The at-least-once story, exercised for real: drop the last batch's
+    checkpoint commit and restart the stream — foreachBatch re-runs that
+    batch. The curated table must hold NO duplicate rows (dynamic
+    per-batch partition overwrite) and the index must still answer
+    correctly (duplicate band/shingle rows are deduped at query time)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        lsh_query_index,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_near_dup_ingest,
+    )
+
+    def _text(topic, salt):
+        base = f"the quick brown fox jumps over the lazy dog about topic {topic} "
+        return base * 3 + salt
+
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    f1, f2 = src / "a.json", src / "b.json"
+    f1.write_text(json.dumps({"doc_id": 1, "text": _text("alpha", "one")}))
+    f2.write_text(json.dumps({"doc_id": 11, "text": _text("gamma", "fresh")}))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    idx = str(tmp_path / "ridx")
+    out = str(tmp_path / "rout")
+    ck = str(tmp_path / "rck")
+    q = start_near_dup_ingest(_stream(), "doc_id", "text", idx, out, ck)
+    assert q.awaitTermination(300)
+    first = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert first == [(1, 0), (11, 1)]
+
+    # simulate a crash after batch 1's writes but before its commit
+    os.remove(os.path.join(ck, "commits", "1"))
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.exists(crc):  # hadoop checksum sidecar blocks the rewrite
+        os.remove(crc)
+    q2 = start_near_dup_ingest(_stream(), "doc_id", "text", idx, out, ck)
+    assert q2.awaitTermination(300)
+
+    replayed = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first  # no duplicate curated rows
+
+    # index answers are unchanged despite the double append of batch 1
+    probe = spark.createDataFrame(
+        [(900, _text("gamma", "fresh probe"))], "doc_id long, text string"
+    )
+    hits = [
+        (r["inc_doc"], r["snap_doc"])
+        for r in lsh_query_index(spark, idx, probe, "doc_id", "text").collect()
+    ]
+    assert hits == [(900, 11)]
