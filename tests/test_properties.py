@@ -258,3 +258,40 @@ def test_densify_sql_dense_and_consistent(rows):
     # counts match the raw data everywhere (zeros included)
     for k, b, n in out:
         assert n == sum(1 for kk, t, _ in rows if kk == k and t // interval * interval == b)
+
+
+# ---------------------------------------------------------------------------
+# Media container header parsers: never raise on arbitrary bytes
+# ---------------------------------------------------------------------------
+
+from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (  # noqa: E402
+    parse_audio_header,
+    parse_image_header,
+    parse_video_header,
+)
+
+_MAGIC_PREFIXES = [
+    b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a", b"BM",
+    b"RIFF", b"RIFFxxxxWAVE", b"\x00\x00\x00\x18ftyp", b"\x00\x00\x00\x08moov",
+]
+
+
+@given(st.sampled_from(_MAGIC_PREFIXES), st.binary(max_size=300))
+def test_media_header_parsers_never_raise(prefix, tail):
+    """Curation pipelines feed these parsers arbitrary crawled payloads;
+    a crash in the Arrow worker kills the whole task, so malformed bytes
+    (including valid magic numbers followed by garbage) must parse to
+    None or a well-typed tuple, never raise."""
+    payload = prefix + tail
+    for parser, width in (
+        (parse_image_header, 4),
+        (parse_audio_header, 4),
+        (parse_video_header, 3),
+    ):
+        out = parser(payload)
+        assert out is None or (
+            isinstance(out, tuple)
+            and len(out) == width
+            and isinstance(out[0], str)
+            and all(isinstance(x, int) and x >= 0 for x in out[1:])
+        )
