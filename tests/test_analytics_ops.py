@@ -612,3 +612,15 @@ def test_label_propagation_empty_edges_empty_result(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     out = label_propagation(empty, "src", "dst")
     assert out.count() == 0 and out.columns == ["node", "community"]
+
+
+def test_connected_components_mega_hub(spark):
+    """A 5000-leaf hub (the shape a viral boilerplate template produces)
+    must converge in a couple of rounds and label everything with the
+    hub component — the skew case AQE has to split, not a window."""
+    edges = [(0, i) for i in range(1, 5001)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    cc = connected_components(df)
+    assert cc.filter(F.col("component") != 0).count() == 0
+    assert cc.count() == 5001
+    assert connected_components.last_n_rounds <= 3
