@@ -74,6 +74,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_every: int = 0,
     checkpoint_dir: str | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable via undirected edges.
@@ -98,7 +99,20 @@ def connected_components(
     round's lineage cut for a reliable checkpoint — the knob for long
     cluster runs where executor loss must not restart the loop; see
     :func:`_cut_lineage` and DEPLOY.md.
+
+    ``check_every`` sets the convergence-check cadence (default 2): the
+    potential is monotone, so comparing stats ``check_every`` rounds
+    apart still detects the fixpoint exactly (equal across the span ==
+    every round in the span was identity) — it just detects it up to
+    ``check_every - 1`` identity rounds later. With the lazy lineage
+    cut, the check IS the per-round job, so cadence 2 halves job count:
+    the dominant cost of the loop at small data, where per-job fixed
+    overhead dwarfs the shuffle work. Identity rounds past the fixpoint
+    are star-graph-cheap; set ``check_every=1`` on cluster runs where a
+    round is genuinely expensive.
     """
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
     # cache the PROJECTED pair frame once: both the canonical edge set
     # and the node universe derive from it, and `edges` is typically an
     # expensive pipeline (LSH candidate generation + verify) — without
@@ -164,17 +178,22 @@ def connected_components(
             .distinct()
         )
         e = _cut_lineage(small, rnd, checkpoint_every, checkpoint_dir)
-        cur = tuple(e.agg(*_stats).collect()[0])
         rounds = rnd + 1
-        if cur == prev:  # monotone pair -> equal == global fixpoint
-            converged = True
-        prev = cur
+        # convergence action only every check_every-th (or last) round:
+        # skipped rounds stay lazy and are materialized by the next
+        # check's job, so the span costs ONE job instead of one per round
+        if rounds % check_every == 0 or rnd == max_iter - 1:
+            cur = tuple(e.agg(*_stats).collect()[0])
+            if cur == prev:  # monotone pair -> equal == global fixpoint
+                converged = True
+            prev = cur
     connected_components.last_n_rounds = rounds
     if not converged:
+        e0.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             "star-alternation rounds (O(log n) expected — this graph would "
-            "need > 2^{max_iter}-ish nodes); raise max_iter rather than "
+            f"need > 2^{max_iter}-ish nodes); raise max_iter rather than "
             "accepting partial labels, which would silently split clusters"
         )
     # fixpoint stars: hi -> component root lo; roots map to themselves.

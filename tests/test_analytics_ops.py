@@ -623,4 +623,6 @@ def test_connected_components_mega_hub(spark):
     cc = connected_components(df)
     assert cc.filter(F.col("component") != 0).count() == 0
     assert cc.count() == 5001
-    assert connected_components.last_n_rounds <= 3
+    # cadence-2 convergence checks can add one identity round past the
+    # ~2-round fixpoint before detecting it (graph.py check_every)
+    assert connected_components.last_n_rounds <= 4
