@@ -965,6 +965,14 @@ def ivf_query_index(
         F.col(id_col).alias("cand_id"),
         cosine(F.col(vec_col), F.col("qvec")).alias("cosine"),
     )
+    # an at-least-once ingest replay (crash between ivf_append_index and
+    # the checkpoint commit) leaves duplicate (id, vec) rows in a cell;
+    # without this dedup each copy occupies its own rank and displaces a
+    # true neighbor from the top-k. Rows for a duplicated id are
+    # identical (cosine is a deterministic function of the pair, rounded
+    # to 6 decimals), so dropDuplicates on the pair key is exact — the
+    # IVF twin of lsh_query_index's distinct()/collect_set dedup.
+    scored = scored.dropDuplicates(["query_id", "cand_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )

@@ -226,8 +226,10 @@ def start_near_dup_ingest(
 
     ``compact_every=N`` pays down the per-append small-files debt every
     N-th batch with :func:`~..sources.files.compact_parquet_tree`
-    (crash-safe swap; a query racing the swap only ever sees whole
-    leaves).
+    (crash-safe swap; safe here because this loop is the index's only
+    reader and ``_process`` serializes compaction against queries — an
+    EXTERNAL concurrent reader could observe a leaf mid-swap, see
+    ``compact_parquet_tree``'s contract).
     """
     import os as _os
 
@@ -240,6 +242,11 @@ def start_near_dup_ingest(
     from ..operators.graph import drop_near_duplicate_docs
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # empty micro-batch (idle source poll): writing it would create
+        # out_path with no parquet footers, and the read-back below (and
+        # any later bootstrap build) would fail schema inference
+        if batch_df.isEmpty():
+            return
         spark = batch_df.sparkSession
         cached = [batch_df.persist()]
         try:
@@ -342,7 +349,13 @@ def start_semantic_dedup_ingest(
     per-batch partition overwrite, idempotent under replay) materializes
     BEFORE the index append, and the append feeds from the durable copy
     — the survivors plan reads the index, so appending first would make
-    a lazy re-evaluation self-match every survivor.
+    a lazy re-evaluation self-match every survivor. An at-least-once
+    replay (crash after the append, before the checkpoint commit)
+    double-appends the batch's vectors into their cells;
+    :func:`~..operators.similarity.ivf_query_index` dedupes duplicate
+    candidate ids at query time, so index answers are unchanged — the
+    IVF mirror of the LSH loop's replay story (both pytest-pinned
+    against a real checkpoint rollback).
     """
     import os as _os
 
@@ -353,6 +366,9 @@ def start_semantic_dedup_ingest(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # same empty-batch guard as the LSH loop (footerless write trap)
+        if batch_df.isEmpty():
+            return
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
