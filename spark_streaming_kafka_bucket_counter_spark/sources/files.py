@@ -92,13 +92,18 @@ def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
     completed build is already there — the build-once/query-many serving
     story, exercised end-to-end by the correctness gate.
 
-    ``build(path)`` writes the index with overwrite semantics; the done
-    marker lands only after it returns, so an interrupted build reruns
-    cleanly. Input tables are static per sf_dir (driver-generated), which
-    is what makes the cache sound; bump ``params`` when an index's layout
-    or constants change.
+    ``build(path)`` writes into a PRIVATE staging directory that is
+    atomically renamed into the keyed slot only after the ``_BUILT``
+    marker is inside it — an interrupted build leaves only an orphaned
+    staging dir (never a half-built published index), and two processes
+    racing the same key each build privately and exactly one rename
+    wins (the loser discards its copy and serves the winner's). Input
+    tables are static per sf_dir (driver-generated), which is what makes
+    the cache sound; bump ``params`` when an index's layout or constants
+    change.
     """
     import hashlib
+    import shutil
     import tempfile
     from pathlib import Path
 
@@ -114,11 +119,25 @@ def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
     key = hashlib.md5(
         f"{kind}:{os.path.abspath(sf_dir)}:{params}:{src}".encode()
     ).hexdigest()[:12]
-    root = Path(tempfile.gettempdir()) / "ssbc_index_cache" / f"{kind}-{key}"
-    done = root / "_BUILT"
-    if not done.exists():
-        build(str(root))
-        done.write_text(params + "\n")
+    cache = Path(tempfile.gettempdir()) / "ssbc_index_cache"
+    root = cache / f"{kind}-{key}"
+    if not (root / "_BUILT").exists():
+        cache.mkdir(parents=True, exist_ok=True)
+        stage = Path(tempfile.mkdtemp(dir=cache, prefix=f"_stage_{kind}-{key}-"))
+        try:
+            build(str(stage))
+            (stage / "_BUILT").write_text(params + "\n")
+            try:
+                stage.rename(root)  # atomic publish
+            except OSError:
+                if not (root / "_BUILT").exists():
+                    # not a concurrent winner — a stale half-built root
+                    # (interrupted build) is squatting the slot; evict
+                    # it and retry the publish once
+                    shutil.rmtree(root, ignore_errors=True)
+                    stage.rename(root)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
     return str(root)
 
 
@@ -143,6 +162,13 @@ def compact_parquet_tree(
     contents are merged verbatim — partition values live in the
     directory names and segment ROWS (e.g. BM25 dfreq/stats) survive
     unchanged, so query results are bit-identical (pytest-pinned).
+
+    Concurrency contract: CRASH-safe, not concurrent-READ-atomic — the
+    two-rename swap has a window where the leaf is absent, so a reader
+    listing files at that instant silently loses that leaf's rows.
+    Callers must quiesce readers during compaction, as the streaming
+    ingest loops do by serializing it inside ``foreachBatch``; external
+    readers racing a compaction may observe a missing leaf mid-swap.
     """
     import shutil
     from pathlib import Path

@@ -426,3 +426,51 @@ def test_cached_index_dir_builds_once_and_rekeys_on_data_change(tmp_path, monkey
     (sf / "documents.parquet").write_bytes(b"v2-bytes-longer")
     p4 = cached_index_dir("k", str(sf), "params", build)
     assert p4 != p1 and len(calls) == 3
+
+
+def test_cached_index_dir_crash_safe_publish(tmp_path, monkeypatch):
+    """Atomic-publish contract: an interrupted build leaves NO published
+    slot (only an orphaned staging dir), a retry builds cleanly, and a
+    stale half-built root squatting the slot (a legacy in-place build
+    that crashed) is evicted rather than served or wedging the rename."""
+    import tempfile
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        cached_index_dir,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"bytes")
+
+    def bad_build(path):
+        (Path(path) / "partial.bin").write_bytes(b"half")
+        raise RuntimeError("crash mid-build")
+
+    from pathlib import Path
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="crash mid-build"):
+        cached_index_dir("kc", str(sf), "p", bad_build)
+    cache = tmp_path / "ssbc_index_cache"
+    # nothing published: no kc-* slot with a _BUILT marker
+    assert not [d for d in cache.glob("kc-*") if (d / "_BUILT").exists()]
+
+    def good_build(path):
+        (Path(path) / "index.bin").write_bytes(b"real")
+
+    p = Path(cached_index_dir("kc", str(sf), "p", good_build))
+    assert (p / "_BUILT").exists() and (p / "index.bin").read_bytes() == b"real"
+    assert not (p / "partial.bin").exists()
+
+    # legacy stale root: slot dir exists WITHOUT _BUILT -> evict + rebuild
+    import shutil
+
+    shutil.rmtree(p)
+    p.mkdir()
+    (p / "stale.bin").write_bytes(b"junk")
+    p2 = Path(cached_index_dir("kc", str(sf), "p", good_build))
+    assert p2 == p and (p2 / "_BUILT").exists()
+    assert (p2 / "index.bin").exists() and not (p2 / "stale.bin").exists()
