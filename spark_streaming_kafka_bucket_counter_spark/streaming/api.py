@@ -28,22 +28,50 @@ from ..functions import predicates as P
 from .serving import ServingStore
 
 
-def _rows(df: DataFrame) -> list[dict[str, Any]]:
-    return [r.asDict(recursive=True) for r in df.collect()]
+# Driver-OOM guard for the collecting endpoints: the reference fetchall'd
+# from SQLite (models.py:181-187) where "the whole table" was retention-
+# bounded and process-local; here an unbounded /a/<table> or /c/<sql>
+# against a large store would materialize on the Spark driver. Every
+# handler caps its collect at MAX_ROWS_DEFAULT unless the caller passes
+# an explicit ``max_rows`` (``-1`` = unlimited, the reference-compat
+# escape hatch). A truncated result is returned as :class:`TruncatedRows`
+# (still a plain JSON list on the wire; the HTTP layer signals the cut
+# with an ``X-Truncated: true`` response header so the reference's
+# list-of-rows body shape is preserved).
+MAX_ROWS_DEFAULT = 10_000
 
 
-def select_all(store: ServingStore, table: str = "*") -> list[dict]:
+class TruncatedRows(list):
+    """A row list that was cut at the ``max_rows`` cap."""
+
+    truncated = True
+
+
+def _rows(df: DataFrame, max_rows: int | None = None) -> list[dict[str, Any]]:
+    cap = MAX_ROWS_DEFAULT if max_rows is None else max_rows
+    if cap is None or cap < 0:
+        return [r.asDict(recursive=True) for r in df.collect()]
+    # limit(cap + 1) keeps the scan bounded executor-side (Spark stops
+    # producing past the limit) while still detecting the overflow
+    rows = df.limit(cap + 1).collect()
+    out = [r.asDict(recursive=True) for r in rows[:cap]]
+    return TruncatedRows(out) if len(rows) > cap else out
+
+
+def select_all(
+    store: ServingStore, table: str = "*", max_rows: int | None = None
+) -> list[dict]:
     """H1: ``GET /a/<table>`` — '*' means the default serving table
     (http_endpoint.py:69-76)."""
     if table in ("*", store.table_name):
-        return _rows(store.select_all())
-    return _rows(store.spark.table(table))
+        return _rows(store.select_all(), max_rows)
+    return _rows(store.spark.table(table), max_rows)
 
 
-def custom_sql(store: ServingStore, sql: str) -> list[dict]:
+def custom_sql(store: ServingStore, sql: str, max_rows: int | None = None) -> list[dict]:
     """H2/H3: ``GET /c/<sql>`` — arbitrary SQL via Spark SQL
     (http_endpoint.py:88-92)."""
-    return _rows(store.run_cmd(sql))
+    return _rows(store.run_cmd(sql), max_rows)
 
 
 def reset(store: ServingStore) -> dict:
@@ -57,22 +85,28 @@ def rst(store: ServingStore) -> dict:
     return {"rst_id": store.rst()}
 
 
-def recent_values(store: ServingStore, n: int) -> list[dict]:
+def recent_values(
+    store: ServingStore, n: int, max_rows: int | None = None
+) -> list[dict]:
     """H6: ``GET /rv/<n>`` — n most recent batches (http_endpoint.py:170-176)."""
-    return _rows(store.recent(n))
+    return _rows(store.recent(n), max_rows)
 
 
-def direct_value(store: ServingStore, batch_id: int) -> list[dict]:
+def direct_value(
+    store: ServingStore, batch_id: int, max_rows: int | None = None
+) -> list[dict]:
     """H7: ``GET /dv/<i>`` — one batch by id (http_endpoint.py:178-184)."""
-    return _rows(store.batch(batch_id))
+    return _rows(store.batch(batch_id), max_rows)
 
 
-def select_range(store: ServingStore, param: str, start, end) -> list[dict]:
+def select_range(
+    store: ServingStore, param: str, start, end, max_rows: int | None = None
+) -> list[dict]:
     """H8: ``GET /sr/<param>/<start>:<end>`` — 'None' = unbounded side
     (http_endpoint.py:186-200)."""
     lo = None if start in (None, "None") else start
     hi = None if end in (None, "None") else end
-    return _rows(P.select_range(store.view(), {param: (lo, hi)}))
+    return _rows(P.select_range(store.view(), {param: (lo, hi)}), max_rows)
 
 
 def custom_sql_avro(store: ServingStore, sql: str, avro_schema_json: str):
@@ -107,7 +141,9 @@ def delete(store: ServingStore, conditions: dict) -> dict:
     return {"deleted": store.delete(conditions)}
 
 
-def custom_select(store: ServingStore, cdict: str | dict) -> list[dict]:
+def custom_select(
+    store: ServingStore, cdict: str | dict, max_rows: int | None = None
+) -> list[dict]:
     """H9: ``GET /c/<json_cdict>/EOE`` — per-field comparator filter from a
     JSON spec; parse failure -> empty result (http_endpoint.py:210-212)."""
     try:
@@ -115,4 +151,4 @@ def custom_select(store: ServingStore, cdict: str | dict) -> list[dict]:
         parsed = {k: (v[0], v[1]) for k, v in params.items()}
     except (ValueError, TypeError, IndexError, KeyError):
         return []
-    return _rows(P.c_general_select(store.view(), parsed))
+    return _rows(P.c_general_select(store.view(), parsed), max_rows)

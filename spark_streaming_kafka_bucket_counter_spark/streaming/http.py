@@ -39,45 +39,58 @@ from . import api
 from .serving import ServingStore
 
 
-def _route(store: ServingStore, path: str):
-    """Resolve a request path to (status, payload)."""
+def _route(store: ServingStore, path: str, max_rows: int | None = None):
+    """Resolve a request path to (status, payload).
+
+    ``max_rows`` caps every collecting route (None = ``api.
+    MAX_ROWS_DEFAULT``, ``-1`` = unlimited reference-compat mode); a
+    capped payload comes back as :class:`api.TruncatedRows` and the
+    handler signals it with an ``X-Truncated: true`` header, keeping the
+    reference's bare list-of-rows body shape.
+    """
     path = unquote(path).rstrip("/") or "/"
     if path == "/r":
         return 200, api.reset(store)
     if path == "/rst":
         return 200, api.rst(store)
     if path.startswith("/a/"):
-        return 200, api.select_all(store, path[3:] or "*")
+        return 200, api.select_all(store, path[3:] or "*", max_rows)
     if path.startswith("/rv/"):
-        return 200, api.recent_values(store, int(path[4:]))
+        return 200, api.recent_values(store, int(path[4:]), max_rows)
     if path.startswith("/dv/"):
-        return 200, api.direct_value(store, int(path[4:]))
+        return 200, api.direct_value(store, int(path[4:]), max_rows)
     if path.startswith("/sr/"):
         param, _, rng = path[4:].partition("/")
         lo, _, hi = rng.partition(":")
-        return 200, api.select_range(store, param, lo, hi)
+        return 200, api.select_range(store, param, lo, hi, max_rows)
     if path.startswith("/cs/"):
-        return 200, api.custom_sql(store, path[4:])
+        return 200, api.custom_sql(store, path[4:], max_rows)
     if path.startswith("/c/"):
         body = path[3:]
         if body.endswith("/EOE"):  # H9: JSON comparator dict
-            return 200, api.custom_select(store, body[: -len("/EOE")])
-        return 200, api.custom_sql(store, body)
+            return 200, api.custom_select(store, body[: -len("/EOE")], max_rows)
+        return 200, api.custom_sql(store, body, max_rows)
     return 404, {"error": f"no route for {path}"}
 
 
-def make_server(store: ServingStore, host: str = "127.0.0.1", port: int = 0):
+def make_server(
+    store: ServingStore,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_rows: int | None = None,
+):
     """Build (not start) a ThreadingHTTPServer bound to the store.
 
     ``port=0`` picks a free port (server.server_address[1] has it) — the
     test/embedded mode. Call ``serve_forever()`` (or :func:`serve` for a
-    background thread) to run.
+    background thread) to run. ``max_rows`` bounds every collecting
+    route's driver-side materialization (see :func:`_route`).
     """
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API)
             try:
-                status, payload = _route(store, self.path)
+                status, payload = _route(store, self.path, max_rows)
             except ValueError as exc:
                 # empty store (e.g. right after /r): reads answer [],
                 # matching the reference's freshly-reset table
@@ -91,6 +104,8 @@ def make_server(store: ServingStore, host: str = "127.0.0.1", port: int = 0):
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if getattr(payload, "truncated", False):
+                self.send_header("X-Truncated", "true")
             self.end_headers()
             self.wfile.write(body)
 
@@ -100,13 +115,18 @@ def make_server(store: ServingStore, host: str = "127.0.0.1", port: int = 0):
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(store: ServingStore, host: str = "127.0.0.1", port: int = 0):
+def serve(
+    store: ServingStore,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_rows: int | None = None,
+):
     """Start the endpoint on a daemon thread; returns (server, thread).
 
     The Spark driver thread stays free for the streaming query — the
     composition the reference needed two processes and a queue for.
     """
-    server = make_server(store, host, port)
+    server = make_server(store, host, port, max_rows)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server, thread

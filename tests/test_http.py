@@ -110,3 +110,46 @@ def test_concurrent_clients(endpoint):
     for path, bodies in by_path.items():
         assert len(set(bodies)) == 1, path
     assert {r["count"] for r in results[0][2]} == {1, 2, 4}
+
+
+def test_row_cap_truncates_large_reads(spark, tmp_path):
+    """The driver-OOM guard: a store holding far more rows than the cap
+    must answer every collecting route with exactly ``max_rows`` rows
+    plus the X-Truncated header — never the full table — while reads
+    under the cap come back whole with no header."""
+    from spark_streaming_kafka_bucket_counter_spark.streaming import api
+    from pyspark.sql import functions as F
+
+    store = ServingStore(
+        spark, str(tmp_path / "bigstore"), clean_interval=100, clean_freq=10
+    )
+    n = 100_000
+    big = spark.range(n).select(
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("event_type"),
+        F.col("id").alias("count"),
+    )
+    store.append(big, 0)
+
+    # function-level: explicit cap
+    rows = api.select_all(store, "*", max_rows=50)
+    assert len(rows) == 50 and getattr(rows, "truncated", False)
+    # -1 = unlimited reference-compat override
+    assert len(api.custom_sql(store, "SELECT count FROM default", max_rows=-1)) == n
+
+    server, _ = serve(store, max_rows=50)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        for path in ("/a/*", "/c/Select * FROM default", "/rv/1", "/dv/0",
+                     "/sr/count/0:None"):
+            with urllib.request.urlopen(base + urllib.parse.quote(path)) as resp:
+                body = json.loads(resp.read())
+                assert resp.status == 200 and len(body) == 50, path
+                assert resp.headers.get("X-Truncated") == "true", path
+        # under-cap reads are whole and unflagged
+        with urllib.request.urlopen(
+            base + urllib.parse.quote("/c/Select * FROM default WHERE count < 10")
+        ) as resp:
+            assert len(json.loads(resp.read())) == 10
+            assert resp.headers.get("X-Truncated") is None
+    finally:
+        server.shutdown()
