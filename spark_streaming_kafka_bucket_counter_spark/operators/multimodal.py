@@ -28,8 +28,15 @@ multimodal datasets:
   ``decoder='real'`` on :func:`decode_image_meta` /
   :func:`resize_images` / :func:`sample_audio_frames` /
   :func:`sample_video_frames` uses them (unparseable payloads yield
-  NULL metadata; n_bytes always set). Pixel/sample decode
-  (:func:`extract_features`) still needs PIL/ffmpeg and stays gated.
+  NULL metadata; n_bytes always set).
+- SECOND EXCEPTION: PNG *pixels* need only stdlib zlib — IDAT is
+  deflate over per-row filtered scanlines, so
+  :func:`decode_png_pixels` reconstructs exact 8-bit
+  gray/gray+alpha/RGB/RGBA pixel bytes dependency-free, and
+  ``image_phash(decoder='real')`` perceptual-hashes real pixels
+  (:func:`_dhash_from_pixels`). :func:`encode_png` is the matching
+  synthesis side. JPEG/video pixel decode (:func:`extract_features`)
+  still needs PIL/ffmpeg and stays gated.
 """
 
 from __future__ import annotations
@@ -497,10 +504,261 @@ def sample_audio_frames(df: DataFrame, frame_bytes: int = 160, decoder: str = "s
 
 
 # ---------------------------------------------------------------------------
+# Real PNG pixel decode (stdlib zlib — no codec dependency)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Full PNG pixel decode with ONLY the stdlib: ``(width, height,
+    channels, pixels)`` where ``pixels`` is ``height*width*channels``
+    raw bytes in scanline order, or ``None`` if the payload isn't a
+    decodable PNG.
+
+    PNG is the one mainstream image format that needs no codec library:
+    IDAT is zlib-deflate over per-row filtered scanlines, so stdlib
+    ``zlib`` plus the five filter inverses (none/sub/up/average/paeth,
+    PNG spec 9) reconstructs exact pixels. Coverage: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+    the shapes a curation pipeline's thumbnails/tiles actually use.
+    Palette (needs PLTE indirection), 16-bit, and Adam7 return ``None``
+    rather than guessing; JPEG stays codec-gated (DCT entropy decode is
+    a real codec's job — see :func:`_require_real_decoder`).
+
+    Per-byte Python loops are fine here: this is the dependency-free
+    correctness path for thumbnail-sized images (the phash input); bulk
+    pixel work at 100 TB plugs a vectorized codec into the same
+    ``mapInPandas`` slot.
+    """
+    import zlib
+
+    if len(b) < 45 or b[: len(_PNG_SIG)] != _PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, ctype, comp, filt, interlace = b[24:29]
+    channels = _PNG_CHANNELS.get(ctype)
+    if (
+        depth != 8 or comp != 0 or filt != 0 or interlace != 0
+        or ctype == 3 or channels is None or w <= 0 or h <= 0
+    ):
+        return None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        clen = int.from_bytes(b[i : i + 4], "big")
+        cname = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            return None
+        if cname == b"IDAT":
+            idat += data
+        elif cname == b"IEND":
+            break
+        i += 12 + clen  # len + type + payload + crc
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        pos = y * (stride + 1)
+        ft = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        base = y * stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # sub
+            for j in range(bpp, stride):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # up
+            if y > 0:
+                for j in range(stride):
+                    row[j] = (row[j] + out[base - stride + j]) & 0xFF
+        elif ft == 3:  # average
+            for j in range(stride):
+                left = row[j - bpp] if j >= bpp else 0
+                up = out[base - stride + j] if y > 0 else 0
+                row[j] = (row[j] + (left + up) // 2) & 0xFF
+        elif ft == 4:  # paeth
+            for j in range(stride):
+                left = row[j - bpp] if j >= bpp else 0
+                up = out[base - stride + j] if y > 0 else 0
+                ul = out[base - stride + j - bpp] if (y > 0 and j >= bpp) else 0
+                row[j] = (row[j] + _paeth(left, up, ul)) & 0xFF
+        else:
+            return None
+        out[base : base + stride] = row
+    return (w, h, channels, bytes(out))
+
+
+def encode_png(
+    pixels: bytes, width: int, height: int, channels: int = 3,
+    filter_type: int | str = "cycle",
+) -> bytes:
+    """Minimal standard-conformant PNG encoder (stdlib zlib) for 8-bit
+    gray/gray+alpha/RGB/RGBA pixels — the synthesis side of the
+    dependency-free pixel path: tests and the oracle-checked phash query
+    round-trip deterministic pixels through REAL PNG bytes with it.
+
+    ``filter_type='cycle'`` rotates row filters 0,1,2,3,4,0,... so a
+    single image exercises every unfilter branch of
+    :func:`decode_png_pixels`; an int pins one filter for all rows.
+    """
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixels length must be height*width*channels")
+    bpp = channels
+    filtered = bytearray()
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        prev = pixels[(y - 1) * stride : y * stride] if y > 0 else bytes(stride)
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        filtered.append(ft)
+        for j in range(stride):
+            left = row[j - bpp] if j >= bpp else 0
+            up = prev[j]
+            ul = prev[j - bpp] if j >= bpp else 0
+            if ft == 0:
+                v = row[j]
+            elif ft == 1:
+                v = row[j] - left
+            elif ft == 2:
+                v = row[j] - up
+            elif ft == 3:
+                v = row[j] - (left + up) // 2
+            elif ft == 4:
+                v = row[j] - _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            filtered.append(v & 0xFF)
+
+    def chunk(name: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(name + payload) & 0xFFFFFFFF
+        return len(payload).to_bytes(4, "big") + name + payload + crc.to_bytes(4, "big")
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-PNG payload per row: a ``DHASH_COLS x
+    DHASH_ROWS`` RGB image whose pixels are an integer formula of the id
+    (``r=(id*7+y*31+x*13)%256`` etc.), encoded to genuine PNG bytes with
+    :func:`encode_png` (cycling row filters — every unfilter branch of
+    the decoder runs on every image).
+
+    This is the synthesis side of the oracle-checkable REAL pixel path:
+    a downstream ``image_phash(decoder='real')`` must reproduce exactly
+    what a SQL oracle computes straight from the pixel formula — if
+    inflate/unfilter were wrong anywhere, the hashes would diverge. The
+    container's stand-in for reading actual image bytes (no image corpus
+    ships with the test tables)."""
+    w, h = DHASH_COLS, DHASH_ROWS
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                pixels = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in (
+                        (did * 7 + y * 31 + x * 13) % 256,
+                        (did * 11 + y * 17 + x * 19) % 256,
+                        (did * 13 + y * 23 + x * 29) % 256,
+                    )
+                )
+                payloads.append(bytearray(encode_png(pixels, w, h, 3)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash image dedup (dHash over downsampled brightness)
 # ---------------------------------------------------------------------------
 
 PHASH_SCHEMA = "doc_id long, phash long"
+
+# dHash grid: 8 rows x 9 columns of brightness -> 8 gradient bits per
+# row. Bit 63 is dropped (63-bit hash) so the value is non-negative in
+# BIGINT on both engines — a signed-wrap convention would force mod-2^64
+# arithmetic into every SQL oracle for one bit of discrimination.
+DHASH_ROWS = 8
+DHASH_COLS = 9
+
+
+def _dhash_from_pixels(w: int, h: int, channels: int, px: bytes) -> int | None:
+    """63-bit dHash over REAL decoded pixels: integer luma grayscale
+    (ITU-R 601 weights, floor division), box-downsample to the
+    ``DHASH_ROWS x DHASH_COLS`` grid (integer area mean), then bit
+    ``y*8+x`` = 1 iff cell (y, x+1) is brighter than (y, x). All-integer
+    => engine-exact, which is what lets a SQL oracle replay it."""
+    if w < DHASH_COLS or h < DHASH_ROWS:
+        return None
+    # luma plane (channels 1/2: first channel IS luminance; alpha ignored)
+    if channels >= 3:
+        luma = [
+            (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
+            for i in range(0, len(px), channels)
+        ]
+    elif channels == 2:
+        luma = px[::2]
+    else:
+        luma = px
+    grid = []
+    for gy in range(DHASH_ROWS):
+        y0, y1 = gy * h // DHASH_ROWS, (gy + 1) * h // DHASH_ROWS
+        for gx in range(DHASH_COLS):
+            x0, x1 = gx * w // DHASH_COLS, (gx + 1) * w // DHASH_COLS
+            s = 0
+            for y in range(y0, y1):
+                base = y * w
+                for x in range(x0, x1):
+                    s += luma[base + x]
+            grid.append(s // ((y1 - y0) * (x1 - x0)))
+    ph = 0
+    for gy in range(DHASH_ROWS):
+        for gx in range(DHASH_COLS - 1):
+            bit = gy * 8 + gx
+            if bit >= 63:
+                continue
+            if grid[gy * DHASH_COLS + gx + 1] > grid[gy * DHASH_COLS + gx]:
+                ph |= 1 << bit
+    return ph
 
 
 def image_phash(df: DataFrame, chunks: int = 33, decoder: str = "stub") -> DataFrame:
@@ -519,9 +777,30 @@ def image_phash(df: DataFrame, chunks: int = 33, decoder: str = "stub") -> DataF
     too, not just ASCII. Non-utf-8 payloads fall back to raw byte sums
     (oracle-uncheckable, but the real-codec path replaces this stub for
     actual images anyway).
+
+    ``decoder='real'``: REAL pixels — :func:`decode_png_pixels` (stdlib
+    zlib inflate + unfilter) feeds :func:`_dhash_from_pixels` (integer
+    luma, box-downsample to 8x9, 63-bit gradient hash). Payloads that
+    aren't decodable PNGs (or are smaller than the dHash grid) get a
+    NULL phash — fail-open, like the other real decode paths; JPEG
+    pixel decode stays codec-gated.
     """
     if decoder == "real":
-        _require_real_decoder("image")
+
+        def _hash_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                phs = []
+                for i in range(len(pdf)):
+                    dec = decode_png_pixels(bytes(pdf["payload"].iat[i]))
+                    phs.append(_dhash_from_pixels(*dec) if dec else None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "phash": pd.array(phs, dtype="Int64"),
+                    }
+                )
+
+        return df.select("doc_id", "payload").mapInPandas(_hash_real, PHASH_SCHEMA)
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -676,6 +676,44 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_pairs(ph, max_hamming=_PHASH_HAM)
 
 
+@query(
+    "multimodal_phash_png",
+    """
+    WITH g AS (
+      SELECT d.doc_id, y.y, x.x,
+             (299*((d.doc_id*7  + y.y*31 + x.x*13) % 256)
+            + 587*((d.doc_id*11 + y.y*17 + x.x*19) % 256)
+            + 114*((d.doc_id*13 + y.y*23 + x.x*29) % 256)) // 1000 AS luma
+      FROM documents d,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+    )
+    SELECT a.doc_id,
+           CAST(COALESCE(SUM(CASE WHEN b.luma > a.luma
+                  THEN CAST(1 AS BIGINT) << CAST(a.y*8 + a.x AS INT)
+                  ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+    FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+    WHERE NOT (a.y = 7 AND a.x = 7)
+    GROUP BY a.doc_id
+    """,
+)
+def q_multimodal_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash over REAL DECODED PIXELS, end to end: each doc id
+    becomes a genuine PNG payload (formula pixels -> filtered scanlines
+    -> zlib deflate, operators/multimodal.synthesize_png_payloads), and
+    ``image_phash(decoder='real')`` must inflate + unfilter those exact
+    bytes back (decode_png_pixels — stdlib zlib, no codec) and dHash the
+    luma plane. The oracle computes the same 63-bit hash STRAIGHT from
+    the pixel formula, never seeing the PNG — any defect in the
+    compress/filter/decode round-trip diverges the hashes. JPEG pixel
+    decode has no dependency-free path and stays codec-gated
+    (multimodal.extract_features)."""
+    from ..operators.multimodal import synthesize_png_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_phash(synthesize_png_payloads(docs), decoder="real")
+
+
 # ---------------------------------------------------------------------------
 # Rolling z-score anomaly detection
 # ---------------------------------------------------------------------------
@@ -785,7 +823,12 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
     join — the §2.11 evidence that the streaming operator computes the
     same relation as its batch statement. State on both sides is
     bounded by the watermark + the closed time window (see
-    streaming/pipeline.streaming_interval_join)."""
+    streaming/pipeline.streaming_interval_join).
+
+    The memory sink is the driver-sized ORACLE-HARNESS shape only; the
+    production sink is ``foreachBatch`` into a partitioned parquet
+    ``ServingStore`` (streaming/pipeline.py + streaming/serving.py) —
+    do not copy the memory sink to a cluster."""
     import uuid
 
     from ..session import restored_conf
@@ -864,7 +907,12 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerates and the state size (see
     streaming/pipeline.streaming_drop_duplicates). Only the dedup keys
     are projected out, so which replica won is unobservable — the result
-    is deterministic under any batch split."""
+    is deterministic under any batch split.
+
+    The memory sink is the driver-sized ORACLE-HARNESS shape only; the
+    production sink is ``foreachBatch`` into a partitioned parquet
+    ``ServingStore`` (streaming/pipeline.py + streaming/serving.py) —
+    do not copy the memory sink to a cluster."""
     import uuid
 
     from ..session import restored_conf

@@ -481,3 +481,116 @@ def test_minhash_lsh_cross_pairs_batch_vs_snapshot(spark):
     assert pairs[(100, 1)]["jaccard"] == 1.0
     assert all(inc >= 100 and snap < 100 for inc, snap in pairs)
     assert (101, 2) not in pairs
+
+
+def test_decode_png_pixels_crafted_bit_exact():
+    """Hand-assembled PNG (chunks built inline, NOT via encode_png):
+    2x2 RGB, row 0 filter=0 (none), row 1 filter=2 (up) — the decoder
+    must return the exact pixel bytes."""
+    import struct
+    import zlib
+
+    pix_row0 = bytes([10, 20, 30, 40, 50, 60])
+    pix_row1 = bytes([15, 25, 35, 45, 55, 65])
+    # filter 2 stores row1 - row0 bytewise
+    filt = (
+        b"\x00" + pix_row0
+        + b"\x02" + bytes((b - a) & 0xFF for a, b in zip(pix_row0, pix_row1))
+    )
+
+    def chunk(name, payload):
+        return (
+            struct.pack(">I", len(payload)) + name + payload
+            + struct.pack(">I", zlib.crc32(name + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">II", 2, 2) + bytes([8, 2, 0, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(filt))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_png_pixels(png) == (2, 2, 3, pix_row0 + pix_row1)
+
+
+def test_png_roundtrip_every_filter_and_color_type():
+    """encode_png -> decode_png_pixels is the identity for all four
+    supported color types, for every fixed filter type 0-4 AND the
+    cycling mode (which exercises every unfilter branch in one image)."""
+    for channels in (1, 2, 3, 4):
+        w, h = 13, 7
+        pixels = bytes(
+            (x * 37 + y * 91 + c * 53 + channels * 17) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(channels)
+        )
+        for ft in (0, 1, 2, 3, 4, "cycle"):
+            png = M.encode_png(pixels, w, h, channels, filter_type=ft)
+            assert M.decode_png_pixels(png) == (w, h, channels, pixels), (
+                channels, ft,
+            )
+
+
+def test_decode_png_rejects_unsupported_shapes():
+    import struct
+    import zlib
+
+    good = M.encode_png(bytes(range(27)), 3, 3, 3)
+    assert M.decode_png_pixels(good) is not None
+    # palette color type (3): needs PLTE indirection -> gated
+    pal = bytearray(good)
+    pal[25] = 3
+    assert M.decode_png_pixels(bytes(pal)) is None
+    # 16-bit depth
+    deep = bytearray(good)
+    deep[24] = 16
+    assert M.decode_png_pixels(bytes(deep)) is None
+    # Adam7 interlace
+    inter = bytearray(good)
+    inter[28] = 1
+    assert M.decode_png_pixels(bytes(inter)) is None
+    # corrupt deflate stream
+    bad = (
+        good[:33]
+        + struct.pack(">I", 4) + b"IDAT" + b"\xde\xad\xbe\xef"
+        + struct.pack(">I", zlib.crc32(b"IDAT\xde\xad\xbe\xef") & 0xFFFFFFFF)
+        + good[-12:]
+    )
+    assert M.decode_png_pixels(bad) is None
+    # truncated mid-IDAT (cut inside the deflate payload)
+    assert M.decode_png_pixels(good[:45]) is None
+    assert M.decode_png_pixels(b"") is None
+
+
+def test_image_phash_real_pixels(spark):
+    """phash(decoder='real') runs on REAL decoded pixels: payloads are
+    genuine PNG bytes (cycling filters), the Spark answer must equal the
+    direct dHash of the raw pixel arrays, and a non-PNG payload hashes
+    to NULL."""
+    rows = []
+    expected = {}
+    for doc_id in range(6):
+        w, h = 9, 8
+        pixels = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                (doc_id * 7 + y * 31 + x * 13) % 256,
+                (doc_id * 11 + y * 17 + x * 19) % 256,
+                (doc_id * 13 + y * 23 + x * 29) % 256,
+            )
+        )
+        rows.append((doc_id, bytearray(M.encode_png(pixels, w, h, 3))))
+        expected[doc_id] = M._dhash_from_pixels(w, h, 3, pixels)
+    rows.append((99, bytearray(b"not a png at all, just text")))
+    expected[99] = None
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in M.image_phash(df, decoder="real").collect()
+    }
+    assert got == expected
+    assert any(v is not None and v > 0 for v in got.values())
