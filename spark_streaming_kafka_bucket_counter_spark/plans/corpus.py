@@ -308,6 +308,11 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-open ([start, last+gap)), so an event exactly ``gap`` seconds
     after the previous one STARTS A NEW session — the oracle islands use
     ``>= gap`` accordingly (the batch ``sessionize_events`` uses ``>``).
+
+    The memory sink is the driver-sized ORACLE-HARNESS shape only; the
+    production sink is ``foreachBatch`` into a partitioned parquet
+    ``ServingStore`` (streaming/pipeline.py + streaming/serving.py) —
+    do not copy the memory sink to a cluster.
     """
     import uuid
 
@@ -746,7 +751,12 @@ def q_streaming_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (60s window, 20s hop, complete-mode availableNow drain into a memory
     sink) — §2.11 evidence that the streaming sliding aggregation equals
     the batch `bucket_count_sliding` relation (same F.window construct,
-    same oracle)."""
+    same oracle).
+
+    The memory sink is the driver-sized ORACLE-HARNESS shape only; the
+    production sink is ``foreachBatch`` into a partitioned parquet
+    ``ServingStore`` (streaming/pipeline.start_sliding_counter) — do
+    not copy the memory sink to a cluster."""
     import uuid
 
     from ..session import restored_conf

@@ -189,6 +189,13 @@ def q_merged_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch running count (A5) EXECUTED as a stateful streaming
+    aggregation in update mode, drained with availableNow.
+
+    The memory sink is the driver-sized ORACLE-HARNESS shape only; the
+    production sink is ``foreachBatch`` into a partitioned parquet
+    ``ServingStore`` or a JDBC MERGE upsert (streaming/pipeline.py,
+    streaming/sinks.py) — do not copy the memory sink to a cluster."""
     import shutil
     import tempfile
     import uuid
@@ -721,39 +728,20 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Catalog queries that have never appeared green in a driver
-# CORRECTNESS_r*.json (diff of CORRECTNESS_r01..r03 keys vs the full
+# CORRECTNESS_r*.json (diff of CORRECTNESS_r01..rN keys vs the full
 # catalog, recomputed each round). The driver oracle-checks a ~50-query
 # sample per round taken as an insertion-order prefix, so these names are
-# emitted FIRST to rotate them into coverage. Regenerated after the r03
-# run landed: 49 never-sampled names + embedding_quantize (red in r03 —
-# array-column driver-hash incompatibility, fixed this round by emitting
-# qvec as a CSV string) = exactly 50, one full driver sample. After
-# CORRECTNESS_r04 lands, regenerate again (r04 should make the union of
-# driver rows cover the whole pre-round-4 catalog; round-4 additions
-# below then rotate in at r05).
+# emitted FIRST to rotate them into coverage. Regenerated after the r04
+# run landed: the union of driver rows r01..r04 covers 151/155 — the only
+# names without a driver row are the round-4 index-persistence triad and
+# this round's PNG-pixel phash addition, all queued below for r05. After
+# CORRECTNESS_r05 lands, recompute the diff again (expected: empty —
+# full-catalog driver coverage).
 _DRIVER_PRIORITY = [
-    # — the 49 never-driver-sampled queries (r01..r03 diff) —
-    "boilerplate_flags", "bootstrap_value_ci", "bpe_pair_counts",
-    "classify_quality_linear", "cluster_kmeans", "contamination_by_source",
-    "corpus_curation_stack", "curation_report", "dedup_bloom_incremental",
-    "dedup_containment_pairs", "dedup_cross_corpus", "dedup_drop_contained",
-    "dedup_lsh_eval", "dedup_semantic_pairs", "dedup_simhash_pairs_legacy16",
-    "dq_checksum", "dsir_importance", "embedding_random_projection",
-    "entity_golden_records", "entity_match_parts", "entity_match_sorted",
-    "feature_ewma", "feature_percentile_rank", "feature_winsorize",
-    "graph_communities_lpa", "histogram_value", "knn_graph_lsh",
-    "mixture_temperature", "privacy_k_anonymity", "quality_by_source",
-    "retention_curve", "salted_join_revenue", "sample_balanced_by_centroid",
-    "sample_group_split", "sample_negatives", "sketch_cm_heavy_hitters",
-    "source_top_terms", "sql_returned_item_ranking", "sql_shipping_priority",
-    "sql_top_supplier", "sql_volume_shipping", "streaming_click_purchase_join",
-    "streaming_count_sliding", "streaming_dedup_events", "streaming_sessionize",
-    "text_bigram_logprob", "text_tokens_to_ids", "trending_by_bucket",
-    "unpivot_order_flags",
-    # — red in r03 (driver pandas canonicalizer vs array column; fixed) —
-    "embedding_quantize",
-    # — round 4 additions (never driver-checked yet; rotate in at r05) —
+    # — never driver-sampled (r01..r04 diff): round-4 index triad —
     "sim_ivf_index_topk", "search_bm25_index_topk", "dedup_lsh_index_query",
+    # — round-5 addition (real PNG pixel decode -> dHash) —
+    "multimodal_phash_png",
 ]
 
 
