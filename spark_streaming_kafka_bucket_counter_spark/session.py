@@ -41,6 +41,16 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local-mode driver == the whole "cluster": Spark's 1g default
+        # heap OOMs broadcast builds around generator-sf1 (6M-row
+        # lineitem; found by tools/scale_bench.py), long before the
+        # container's memory is a constraint. Only effective on the
+        # session-creating process (a JVM that already exists keeps its
+        # heap); the grading driver's own bare session runs sf0.01,
+        # where 1g is fine.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")

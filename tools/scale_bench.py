@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Scale-curve spot bench: the bench headliners + the expensive tail, at
+generator-sf0.1 AND generator-sf1 (tools/gen_scale.py data, 10x rows).
+
+The per-round bench (bench.py, driver sf0.1 data) can't see a plan whose
+cost grows superlinearly — every round measures one scale. This runner
+measures the SAME query at two scales of the SAME generator and records
+the ratio; ~<=10x on 10x data = scale-safe, >>10x = a plan bug (or a
+fixed-cost floor finally being exceeded — SCALE.md interprets each).
+
+Writes BENCH_sf1.json: {"queries": {name: {"sf01": s, "sf1": s,
+"ratio": r}}, "totals": {...}}. Run: python3 tools/scale_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from spark_streaming_kafka_bucket_counter_spark.plans import queries as catalog
+from spark_streaming_kafka_bucket_counter_spark.session import get_spark
+
+# bench.py CORE (the round-over-round headliners) + the bench-tail
+# queries VERDICT r4's plan audit called out as the expensive five
+QUERIES = [
+    "bucket_count_epoch",
+    "bucket_count_multikey",
+    "bucket_count_iso",
+    "json_decode_count",
+    "merged_count_by_type",
+    "sql_join_revenue_by_nation",
+    "sql_topk_orders",
+    "retention_recent_batches",
+    "dedup_minhash_lsh",
+    "sim_ivf_topk",
+    "corpus_curation_stack",
+    "dedup_clusters",
+    "dedup_drop_near_duplicates",
+    "streaming_click_purchase_join",
+    "graph_pagerank",
+    "curation_report",
+]
+
+SCALES = {
+    "sf01": "/tmp/ssbc_scale/gen-sf0.1",
+    "sf1": "/tmp/ssbc_scale/gen-sf1",
+}
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from tools.gen_scale import generate
+
+    for sf, d in (("0.1", SCALES["sf01"]), ("1.0", SCALES["sf1"])):
+        if not os.path.exists(os.path.join(d, "_GENERATED")):
+            print(f"generating sf={sf} -> {d}", flush=True)
+            generate(float(sf), d)
+
+    spark = get_spark(app_name="ssbc-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict[str, float]] = {}
+    for scale, sf_dir in SCALES.items():
+        # per-scale warmups, mirroring bench.py (JVM/codegen + Arrow pool)
+        _force(catalog.QUERIES["bucket_count_epoch"](spark, sf_dir))
+        _force(catalog.QUERIES["sim_ivf_topk"](spark, sf_dir))
+        for name in QUERIES:
+            fn = catalog.QUERIES[name]
+            passes = []
+            for _ in range(2):
+                t0 = time.time()
+                _force(fn(spark, sf_dir))
+                passes.append(time.time() - t0)
+            # warm = min-of-2 (the steady-state number, like bench.py);
+            # cold = first pass — for memoized/cached artifacts (CC label
+            # memo, on-disk index caches) cold is where the BUILD cost
+            # lives, so the scale curve of the build is cold's ratio
+            rec = out.setdefault(name, {})
+            rec[scale] = round(min(passes), 3)
+            rec[f"{scale}_cold"] = round(passes[0], 3)
+            print(f"{scale} {name} warm={min(passes):.2f}s cold={passes[0]:.2f}s",
+                  flush=True)
+
+    for name, rec in out.items():
+        rec["ratio"] = round(rec["sf1"] / max(rec["sf01"], 1e-9), 2)
+        rec["ratio_cold"] = round(
+            rec["sf1_cold"] / max(rec["sf01_cold"], 1e-9), 2
+        )
+    totals = {
+        "sf01": round(sum(r["sf01"] for r in out.values()), 2),
+        "sf1": round(sum(r["sf1"] for r in out.values()), 2),
+    }
+    totals["ratio"] = round(totals["sf1"] / totals["sf01"], 2)
+    rec = {
+        "metric": "scale_curve_gen_sf0.1_to_sf1",
+        "unit": "sec",
+        "generator": "tools/gen_scale.py seed=42",
+        "queries": out,
+        "totals": totals,
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as fh:
+        json.dump(rec, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(totals))
+
+
+if __name__ == "__main__":
+    main()
