@@ -425,6 +425,143 @@ def extract_features(df: DataFrame, dim: int = 8, decoder: str = "stub") -> Data
     return df.select("doc_id", "payload").mapInPandas(_extract, schema)
 
 
+PNG_STATS_SCHEMA = (
+    "doc_id long, width long, height long, channels long, mean_luma_e4 long, "
+    "mean_r_e4 long, mean_g_e4 long, mean_b_e4 long, grad_h long"
+)
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL-pixel image statistics, integer-exact: decode the PNG payload
+    (:func:`decode_png_pixels`), emit per-channel means in 1e-4 units
+    (``sum * 10000 // n_px`` — floor, so both engines agree bit-for-bit)
+    and the horizontal total-variation ``grad_h`` (sum of |luma[x+1] -
+    luma[x]| over every row) — the sharpness/flatness signal an image
+    curation filter thresholds on (a near-constant image has tiny TV; a
+    dithered/noisy one is huge). Non-PNG payloads yield NULL stats.
+
+    Luma is the same ITU-R 601 integer recipe as the dHash path. For
+    gray / gray+alpha inputs the r/g/b means are NULL and luma is the
+    first channel. All arithmetic is integer, which is what lets the
+    DuckDB oracle replay the whole operator from a pixel formula."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                dec = decode_png_pixels(bytes(pdf["payload"].iat[i]))
+                if dec is None:
+                    rows.append((did, None, None, None, None, None, None, None, None))
+                    continue
+                w, h, ch, px = dec
+                n = w * h
+                if ch >= 3:
+                    luma = [
+                        (299 * px[j] + 587 * px[j + 1] + 114 * px[j + 2]) // 1000
+                        for j in range(0, len(px), ch)
+                    ]
+                    mr = sum(px[0::ch]) * 10_000 // n
+                    mg = sum(px[1::ch]) * 10_000 // n
+                    mb = sum(px[2::ch]) * 10_000 // n
+                else:
+                    luma = list(px[::ch])
+                    mr = mg = mb = None
+                grad = sum(
+                    abs(luma[y * w + x + 1] - luma[y * w + x])
+                    for y in range(h)
+                    for x in range(w - 1)
+                )
+                rows.append(
+                    (did, w, h, ch, sum(luma) * 10_000 // n, mr, mg, mb, grad)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "mean_luma_e4",
+                    "mean_r_e4", "mean_g_e4", "mean_b_e4", "grad_h",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "width", "height", "channels", "mean_luma_e4",
+                    "mean_r_e4", "mean_g_e4", "mean_b_e4", "grad_h",
+                )}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_stats, PNG_STATS_SCHEMA)
+
+
+RESIZE_PNG_SCHEMA = (
+    "doc_id long, out_width long, out_height long, pixel_sum long, "
+    "out_bytes long, out_payload binary"
+)
+
+
+def resize_png_payloads(df: DataFrame, target: int = 256) -> DataFrame:
+    """REAL pixel resize, end to end and codec-free: decode the PNG
+    payload, box-resample to fit the longer side into ``target`` px
+    (never upscale; integer area mean with floor boundaries —
+    ``out[Y][X][c] = sum(region) // area`` over region
+    ``[Y*h//oh, (Y+1)*h//oh) x [X*w//ow, (X+1)*w//ow)``), and RE-ENCODE
+    the result as PNG. ``pixel_sum`` is computed by DECODING the
+    re-encoded output again, so one row exercises decode -> resample ->
+    encode -> decode; with the all-integer resample, a SQL oracle can
+    replay ``pixel_sum`` straight from a source-pixel formula and any
+    defect anywhere in that chain diverges it. Non-PNG payloads yield
+    NULL outputs (fail-open, like the other real decode paths).
+
+    This is the real counterpart of :func:`resize_images` (which only
+    PLANS output dims): thumbnails for a vision-curation pipeline,
+    producible at scale with zero codec dependencies for PNG inputs.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                dec = decode_png_pixels(bytes(pdf["payload"].iat[i]))
+                if dec is None:
+                    rows.append((did, None, None, None, None, None))
+                    continue
+                w, h, ch, px = dec
+                longest = max(w, h, target)
+                ow = max(1, w * target // longest)
+                oh = max(1, h * target // longest)
+                out = bytearray(ow * oh * ch)
+                for oy in range(oh):
+                    y0, y1 = oy * h // oh, (oy + 1) * h // oh
+                    for ox in range(ow):
+                        x0, x1 = ox * w // ow, (ox + 1) * w // ow
+                        area = (y1 - y0) * (x1 - x0)
+                        for c in range(ch):
+                            s = 0
+                            for y in range(y0, y1):
+                                base = (y * w) * ch + c
+                                for x in range(x0, x1):
+                                    s += px[base + x * ch]
+                            out[(oy * ow + ox) * ch + c] = s // area
+                payload = encode_png(bytes(out), ow, oh, ch)
+                redec = decode_png_pixels(payload)
+                assert redec is not None and redec[3] == bytes(out)
+                rows.append(
+                    (did, ow, oh, sum(redec[3]), len(payload), bytearray(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_width", "out_height", "pixel_sum",
+                    "out_bytes", "out_payload",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "out_width", "out_height", "pixel_sum", "out_bytes",
+                )}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, RESIZE_PNG_SCHEMA)
+
+
 def parse_audio_header(b: bytes) -> tuple[str, int, int, int] | None:
     """``(format, sample_rate, channels, n_frames)`` from raw audio
     bytes, or ``None``. Codec-free like :func:`parse_image_header`: a

@@ -714,6 +714,108 @@ def q_multimodal_phash_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash(synthesize_png_payloads(docs), decoder="real")
 
 
+@query(
+    "multimodal_png_stats",
+    """
+    WITH lum AS (
+      SELECT d.doc_id, y.y, x.x,
+             (d.doc_id*7  + y.y*31 + x.x*13) % 256 AS r,
+             (d.doc_id*11 + y.y*17 + x.x*19) % 256 AS g,
+             (d.doc_id*13 + y.y*23 + x.x*29) % 256 AS b,
+             (299*((d.doc_id*7  + y.y*31 + x.x*13) % 256)
+            + 587*((d.doc_id*11 + y.y*17 + x.x*19) % 256)
+            + 114*((d.doc_id*13 + y.y*23 + x.x*29) % 256)) // 1000 AS luma
+      FROM documents d,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(luma) * 10000 // 72 AS BIGINT) AS mean_luma_e4,
+             CAST(SUM(r) * 10000 // 72 AS BIGINT) AS mean_r_e4,
+             CAST(SUM(g) * 10000 // 72 AS BIGINT) AS mean_g_e4,
+             CAST(SUM(b) * 10000 // 72 AS BIGINT) AS mean_b_e4
+      FROM lum GROUP BY doc_id
+    ),
+    grad AS (
+      SELECT a.doc_id, CAST(SUM(abs(n.luma - a.luma)) AS BIGINT) AS grad_h
+      FROM lum a JOIN lum n ON a.doc_id = n.doc_id AND a.y = n.y AND n.x = a.x + 1
+      GROUP BY a.doc_id
+    )
+    SELECT agg.doc_id, CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           mean_luma_e4, mean_r_e4, mean_g_e4, mean_b_e4, grad_h
+    FROM agg JOIN grad ON agg.doc_id = grad.doc_id
+    """,
+)
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact image statistics over REAL DECODED PIXELS: per-doc
+    PNG payloads (synthesize_png_payloads) are inflate+unfiltered back
+    to pixels and reduced to per-channel means (1e-4 units, floor) and
+    horizontal total variation — the flatness/sharpness signals an image
+    curation gate thresholds on. The oracle computes the same integers
+    straight from the pixel formula without ever seeing a PNG byte, so
+    the whole decode path is under the hash check."""
+    from ..operators.multimodal import png_pixel_stats, synthesize_png_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return png_pixel_stats(synthesize_png_payloads(docs))
+
+
+_RESIZE_PNG_TARGET = 4  # 9x8 source -> 4x3 thumbnail (floor-fit)
+
+
+@query(
+    "multimodal_resize_png",
+    f"""
+    WITH pxc AS (
+      SELECT d.doc_id, y.y, x.x, c.c,
+             CASE c.c
+               WHEN 0 THEN (d.doc_id*7  + y.y*31 + x.x*13) % 256
+               WHEN 1 THEN (d.doc_id*11 + y.y*17 + x.x*19) % 256
+               ELSE        (d.doc_id*13 + y.y*23 + x.x*29) % 256
+             END AS v
+      FROM documents d,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x,
+           (SELECT unnest(range(0, 3)) AS c) c
+    ),
+    cells AS (
+      SELECT p.doc_id, oy.oy, ox.ox, p.c,
+             CAST(SUM(p.v) // ((((oy.oy+1)*8)//3 - (oy.oy*8)//3)
+                             * (((ox.ox+1)*9)//{_RESIZE_PNG_TARGET}
+                                - (ox.ox*9)//{_RESIZE_PNG_TARGET}))
+                  AS BIGINT) AS cell
+      FROM (SELECT unnest(range(0, 3)) AS oy) oy,
+           (SELECT unnest(range(0, {_RESIZE_PNG_TARGET})) AS ox) ox,
+           pxc p
+      WHERE p.y >= (oy.oy*8)//3 AND p.y < ((oy.oy+1)*8)//3
+        AND p.x >= (ox.ox*9)//{_RESIZE_PNG_TARGET}
+        AND p.x < ((ox.ox+1)*9)//{_RESIZE_PNG_TARGET}
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, CAST({_RESIZE_PNG_TARGET} AS BIGINT) AS out_width,
+           CAST(3 AS BIGINT) AS out_height,
+           CAST(SUM(cell) AS BIGINT) AS pixel_sum
+    FROM cells GROUP BY doc_id
+    """,
+)
+def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize end to end: decode each doc's genuine PNG
+    payload, box-resample 9x8 RGB down to 4x3 (integer area mean, floor
+    boundaries), re-encode as PNG, decode THAT again, and sum the
+    thumbnail's pixel bytes. The oracle replays the resample arithmetic
+    straight from the pixel formula — one hash check covers decode ->
+    resample -> encode -> decode. The real counterpart of the
+    plan-only ``multimodal_image_resize``."""
+    from ..operators.multimodal import resize_png_payloads, synthesize_png_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return resize_png_payloads(
+        synthesize_png_payloads(docs), target=_RESIZE_PNG_TARGET
+    ).select("doc_id", "out_width", "out_height", "pixel_sum")
+
+
 # ---------------------------------------------------------------------------
 # Rolling z-score anomaly detection
 # ---------------------------------------------------------------------------

@@ -594,3 +594,63 @@ def test_image_phash_real_pixels(spark):
     }
     assert got == expected
     assert any(v is not None and v > 0 for v in got.values())
+
+
+def test_png_pixel_stats_real_decode(spark):
+    """Stats must come from the DECODED pixels: an all-value-50 RGB
+    image has exact means and zero gradient; a gray image fills luma
+    only; non-PNG rows are NULL."""
+    flat = M.encode_png(bytes([50] * (9 * 8 * 3)), 9, 8, 3)
+    gray_px = bytes((x * 11 + y * 3) % 256 for y in range(8) for x in range(9))
+    gray = M.encode_png(gray_px, 9, 8, 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(gray)), (3, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in M.png_pixel_stats(df).collect()}
+    # luma of (50,50,50) = (299+587+114)*50//1000 = 50 exactly
+    assert got[1]["mean_luma_e4"] == 500_000 and got[1]["grad_h"] == 0
+    assert got[1]["mean_r_e4"] == got[1]["mean_g_e4"] == got[1]["mean_b_e4"] == 500_000
+    exp_grad = sum(
+        abs(gray_px[y * 9 + x + 1] - gray_px[y * 9 + x])
+        for y in range(8) for x in range(8)
+    )
+    assert got[2]["channels"] == 1 and got[2]["grad_h"] == exp_grad
+    assert got[2]["mean_r_e4"] is None
+    assert got[2]["mean_luma_e4"] == sum(gray_px) * 10_000 // 72
+    assert got[3]["width"] is None and got[3]["grad_h"] is None
+
+
+def test_resize_png_payloads_box_resample_exact(spark):
+    """decode -> box-resample -> encode -> decode, checked against a
+    hand-computed area mean; the emitted thumbnail payload must itself
+    decode to those exact pixels, and oversized targets never upscale."""
+    w, h = 9, 8
+    px = bytes((y * 29 + x * 17 + c * 7) % 256
+               for y in range(h) for x in range(w) for c in range(3))
+    png = M.encode_png(px, w, h, 3)
+    df = spark.createDataFrame(
+        [(7, bytearray(png)), (8, bytearray(b"junk"))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in M.resize_png_payloads(df, target=4).collect()}
+    r7 = rows[7]
+    assert (r7["out_width"], r7["out_height"]) == (4, 3)
+
+    def region_mean(oy, ox, c):
+        y0, y1 = oy * h // 3, (oy + 1) * h // 3
+        x0, x1 = ox * w // 4, (ox + 1) * w // 4
+        vals = [px[(y * w + x) * 3 + c] for y in range(y0, y1) for x in range(x0, x1)]
+        return sum(vals) // len(vals)
+
+    expected = bytes(
+        region_mean(oy, ox, c) for oy in range(3) for ox in range(4) for c in range(3)
+    )
+    dec = M.decode_png_pixels(bytes(r7["out_payload"]))
+    assert dec == (4, 3, 3, expected)
+    assert r7["pixel_sum"] == sum(expected)
+    assert rows[8]["out_width"] is None and rows[8]["out_payload"] is None
+
+    # target larger than the image: identity dims (never upscale)
+    big = {r["doc_id"]: r for r in M.resize_png_payloads(df, target=64).collect()}
+    assert (big[7]["out_width"], big[7]["out_height"]) == (9, 8)
+    assert M.decode_png_pixels(bytes(big[7]["out_payload"]))[3] == px
