@@ -446,16 +446,23 @@ def label_centroids(
     label_col: str,
     vec_col: str,
     scale: int = 1_000_000,
-    decimals: int = 6,
 ) -> DataFrame:
     """Per-label dimension-wise centroid — the training step behind IVF
     cells / class prototypes: ``(label, dim, n, centroid)`` in long form.
 
     Determinism: float sums are accumulation-order dependent, so each
     element is first snapped to fixed point (``ROUND(x * scale)`` as
-    BIGINT — exact and order-free under integer SUM), then the mean is
-    two single divisions + one rounding. This is the same exact-integer
-    discipline the money aggregates use.
+    BIGINT — exact and order-free under integer SUM). The mean is then
+    rounded half-away-from-zero to ``scale`` fixed point ENTIRELY IN
+    INTEGER arithmetic (``(2|S| + n) div (2n)``, sign reapplied) and
+    only converted to double by one exact-input IEEE division at the
+    end. An earlier version rounded a double mean with ``ROUND(x, 6)``
+    — Spark's BigDecimal HALF_UP and DuckDB's float rounding disagree
+    on half-way mantissas, which a cross-distribution sweep caught as a
+    1-ulp centroid mismatch (and a propagated wrong nearest-cell
+    assignment downstream). Headroom: |S| < n * scale * max|x|, so the
+    ``2*S`` intermediate is safe for corpora up to ~1e12 rows of
+    unit-scale embeddings.
 
     Scale shape: posexplode -> one partial-agg'd groupBy(label, dim).
     Shuffle volume is (labels x dims) partial rows per task — dimensions
@@ -468,13 +475,14 @@ def label_centroids(
     agg = e.groupBy(label_col, "dim").agg(
         F.count(F.lit(1)).alias("n"), F.sum(fixed).alias("_s")
     )
+    half_away_e = F.when(
+        F.col("_s") >= 0, F.expr("(2 * _s + n) div (2 * n)")
+    ).otherwise(-F.expr("(2 * (-_s) + n) div (2 * n)"))
     return agg.select(
         F.col(label_col),
         F.col("dim").cast("long").alias("dim"),
         F.col("n").cast("long").alias("n"),
-        F.round((F.col("_s").cast("double") / scale) / F.col("n"), decimals).alias(
-            "centroid"
-        ),
+        (half_away_e.cast("double") / scale).alias("centroid"),
     )
 
 
@@ -484,21 +492,25 @@ def label_centroids_sql(
     vec_col: str,
     dim: int,
     scale: int = 1_000_000,
-    decimals: int = 6,
 ) -> str:
-    """DuckDB twin: same fixed-point snap, same division order. ``dim``
-    is the (known) vector length; DuckDB lists are 1-indexed, the Spark
-    posexplode dim is 0-based — aligned here."""
+    """DuckDB twin: same fixed-point snap, same INTEGER half-away mean
+    (see :func:`label_centroids` — a double ROUND here diverges between
+    engines on half-way mantissas), one final exact-input double
+    division. ``dim`` is the (known) vector length; DuckDB lists are
+    1-indexed, the Spark posexplode dim is 0-based — aligned here."""
     elem = f"{vec_col}[CAST(i + 1 AS INT)]"
     fixed = f"CAST(ROUND(CAST({elem} AS DOUBLE) * {scale}) AS BIGINT)"
     return f"""
     SELECT {label_col},
            CAST(i AS BIGINT) AS dim,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND((CAST(SUM({fixed}) AS DOUBLE) / {scale}) / COUNT(*), {decimals})
-             AS centroid
-    FROM {table} CROSS JOIN range(0, {dim}) r(i)
-    GROUP BY 1, 2
+           CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                     ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE)
+             / {scale} AS centroid
+    FROM (SELECT {label_col}, i, COUNT(*) AS n,
+                 CAST(SUM({fixed}) AS BIGINT) AS s
+          FROM {table} CROSS JOIN range(0, {dim}) r(i)
+          GROUP BY 1, 2)
     """
 
 

@@ -626,3 +626,43 @@ def test_connected_components_mega_hub(spark):
     # cadence-2 convergence checks can add one identity round past the
     # ~2-round fixpoint before detecting it (graph.py check_every)
     assert connected_components.last_n_rounds <= 4
+
+
+def test_label_centroids_halfway_mean_is_engine_exact(spark, duck):
+    """The centroid mean must be rounded half-away IN INTEGER arithmetic:
+    a double ROUND(x, 6) disagrees between Spark (BigDecimal HALF_UP)
+    and DuckDB on half-way mantissas — found by the cross-distribution
+    sweep as a 1-ulp mismatch that flipped a nearest-cell assignment.
+    Pin exact half-way cases, both signs, and Spark/DuckDB equality."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        label_centroids,
+        label_centroids_sql,
+    )
+
+    # S/n in 1e-6 units: (5, 2) -> 2.5 -> 3 (half-away); (-5, 2) -> -3;
+    # (3, 2) -> 1.5 -> 2; plain cases stay exact
+    rows = [
+        (0, [2e-6, 3e-6]),   # dim0 S=5,n=2 -> 2.5 -> 3
+        (0, [3e-6, -8e-6]),  # dim1 S=-5 -> -2.5 -> -3
+        (1, [1e-6, 7e-6]),
+        (1, [2e-6, 7e-6]),   # dim0 S=3 -> 1.5 -> 2; dim1 exact 7
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in label_centroids(df, "label", "embedding").collect()
+    }
+    assert got[(0, 0)] == 3e-6 and got[(0, 1)] == -3e-6
+    assert got[(1, 0)] == 2e-6 and got[(1, 1)] == 7e-6
+
+    duck.execute("CREATE OR REPLACE TABLE _ctr AS SELECT * FROM (VALUES "
+                 "(0, [2e-6, 3e-6]), (0, [3e-6, -8e-6]), "
+                 "(1, [1e-6, 7e-6]), (1, [2e-6, 7e-6])) t(label, embedding)")
+    oracle = {
+        (r[0], r[1]): r[3]
+        for r in duck.execute(
+            label_centroids_sql("_ctr", "label", "embedding", 2)
+        ).fetchall()
+    }
+    assert oracle == {k: got[k] for k in oracle}
+    duck.execute("DROP TABLE _ctr")
