@@ -113,33 +113,22 @@ _LSH_PAIRS_CTES = f"""{_DOC_SHINGLES}, {_JACCARD_FROM_DS}, {_MINHASH_HS},
 # `dedup_clusters` and `dedup_drop_near_duplicates` both need the SAME
 # expensive artifact: component labels over the LSH-verified pair graph
 # (the iterative star-alternation loop dominates both queries' cost).
-# Memoize the label frame per (session, sf_dir): the inputs are static
-# per sf_dir, and the frame is candidates-scale (one row per node that
-# appears in a near-dup pair), so an eager localCheckpoint both
-# materializes it once and cuts the loop's lineage — the original loop
-# result is dropped immediately so its unpersist_with finalizers release
-# the loop's cached intermediates (the pairs pipeline) right away.
-_CC_MEMO: dict[tuple[int, str], DataFrame] = {}
+# Both the pair set and the label map go through the per-dataset memo
+# (plans/_memo.py) — one banded-join pipeline and one CC loop per
+# (session, sf_dir) serve dedup_minhash_lsh + both cluster queries.
 
 
 def _verified_pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
+    from ..operators.graph import connected_components
+    from ._memo import dataset_memo
+    from .extensions import verified_lsh_pairs
 
-    key = (id(spark), _os.path.abspath(sf_dir))
-    cc = _CC_MEMO.get(key)
-    if cc is None:
-        pairs = D.minhash_lsh_pairs(
-            _t(spark, sf_dir, "documents"), "doc_id", "text",
-            num_hashes=8, bands=2, k=3, threshold=0.5,
-        )
-        from ..operators.graph import connected_components
-
-        loop_out = connected_components(pairs, "doc_a", "doc_b")
-        cc = loop_out.localCheckpoint(eager=True)
-        del loop_out
-        _CC_MEMO.clear()  # one live entry: bench/driver iterate one sf_dir
-        _CC_MEMO[key] = cc
-    return cc
+    return dataset_memo(
+        spark, sf_dir, "lsh_pairs_cc",
+        lambda: connected_components(
+            verified_lsh_pairs(spark, sf_dir), "doc_a", "doc_b"
+        ),
+    )
 
 
 @query(

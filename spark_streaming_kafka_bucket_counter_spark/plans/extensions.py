@@ -293,17 +293,27 @@ _BAND1 = (
     WHERE jaccard >= 0.5
     """,
 )
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (2 bands x 4 rows) verified by exact Jaccard."""
-    return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        num_hashes=8,
-        bands=2,
-        k=3,
-        threshold=0.5,
+def verified_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-verified near-dup pair set (8 hashes, 2 bands, k=3,
+    jaccard >= 0.5) — built once per (session, dataset) and shared by
+    ``dedup_minhash_lsh`` and the connected-components label memo in
+    ``plans/analytics.py`` (one banded-join pipeline instead of two)."""
+    from ._memo import dataset_memo
+
+    return dataset_memo(
+        spark, sf_dir, "lsh_pairs:h8:b2:k3:t0.5",
+        lambda: D.minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text",
+            num_hashes=8, bands=2, k=3, threshold=0.5,
+        ),
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (2 bands x 4 rows) verified by exact
+    Jaccard; the pair frame is memoized per dataset (see
+    :func:`verified_lsh_pairs`)."""
+    return verified_lsh_pairs(spark, sf_dir)
 
 
 _H16 = X.token_hash16_sql("token")

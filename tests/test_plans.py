@@ -67,8 +67,24 @@ def test_lsh_verify_joins_are_broadcast(spark):
     """MinHash-LSH's exact-verify stage joins the candidate pairs against
     the candidate shingle-sets (small by construction, explicitly
     broadcast-hinted): they must plan as BroadcastHashJoin so the
-    inverted index is never shuffled during verification."""
-    plan = _plan(spark, "dedup_minhash_lsh")
+    inverted index is never shuffled during verification.
+
+    Pins the OPERATOR's plan directly: the `dedup_minhash_lsh` catalog
+    query now serves the per-dataset pair memo (plans/_memo.py), whose
+    explain is just the checkpoint scan."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+
+    df = minhash_lsh_pairs(
+        load_table(spark, SF_DIR, "documents"), "doc_id", "text",
+        num_hashes=8, bands=2, k=3, threshold=0.5,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
 
 
