@@ -267,6 +267,73 @@ def _bm25_write(
     )
 
 
+def bm25_write_segment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    batch_id: int,
+    buckets: int = 64,
+) -> None:
+    """Write one micro-batch's BM25 segment REPLAY-IDEMPOTENTLY: all
+    three tables (postings / dfreq / stats) land under a ``batch_id=``
+    partition with dynamic partition overwrite, so an at-least-once
+    replay of the batch REPLACES its own segment instead of appending a
+    duplicate. This is the streaming-loop variant of
+    :func:`bm25_append_index`, whose blind append is fine for a batch
+    daily-crawl job but would double tf/df/N under replay — BM25's
+    segments are ADDITIVE, so a duplicate segment silently corrupts
+    every score, unlike the LSH/IVF indexes whose query paths dedup.
+
+    The query path is unchanged: ``batch_id`` is just an outer partition
+    level; ``tb`` pruning still applies inside every segment, and the
+    existing segment merge (sum dfreq/stats, union postings) is exactly
+    the multi-batch read. Bootstrap and increment use the same call —
+    the index is born segmented.
+
+    Caller contract: a doc id must appear in at most one batch (the
+    ingest loop's upstream exact dedup guarantees it); duplicate ids
+    across DIFFERENT batches would double-count like any index append.
+    """
+    from pathlib import Path
+
+    docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).select(
+        F.col(id_col), F.col("_tok"), F.size("_tok").alias("_dl")
+    )
+    bid = F.lit(int(batch_id)).cast("long")
+    (
+        docs.agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
+        .withColumn("batch_id", bid)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(str(Path(path) / "stats"))
+    )
+    tf = (
+        docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("term"))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", _term_bucket(F.col("term"), buckets))
+        .withColumn("batch_id", bid)
+    )
+    (
+        tf.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "tb")
+        .parquet(str(Path(path) / "postings"))
+    )
+    (
+        tf.groupBy("tb", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("batch_id", bid)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "tb")
+        .parquet(str(Path(path) / "dfreq"))
+    )
+
+
 def bm25_query_index(
     spark,
     path: str,

@@ -419,6 +419,68 @@ def start_semantic_dedup_ingest(
     return writer.start()
 
 
+def start_search_index_ingest(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    checkpoint_dir: str,
+    buckets: int = 64,
+    dedup_delay: str = "1 hour",
+    ts_col: str | None = None,
+    available_now: bool = True,
+    compact_every: int = 0,
+) -> StreamingQuery:
+    """The lexical-search leg of the streaming ingest triad (near-dup
+    LSH, semantic IVF, and now BM25): per micro-batch of documents,
+    tokenize and fold a new SEGMENT into the persisted BM25 index —
+    term-bucket partitioned postings/dfreq plus corpus stats, queryable
+    at any point with :func:`~..operators.search.bm25_query_index`
+    (segment totals are additive, so mid-stream queries see exactly the
+    documents indexed so far).
+
+    Replay story — STRONGER than the other two loops by construction:
+    segments are written with :func:`~..operators.search.
+    bm25_write_segment`, which lands all three tables under the
+    micro-batch's own ``batch_id=`` partition with dynamic overwrite. A
+    crash-replayed batch REPLACES its segment bit-for-bit instead of
+    appending a duplicate — necessary because BM25 stats are additive
+    (a duplicated segment would double tf/df/N and silently corrupt
+    every score; there is no query-time dedup that could undo that,
+    unlike LSH's distinct() or IVF's candidate dedup).
+
+    ``ts_col`` (with ``dedup_delay``) enables upstream
+    ``dropDuplicatesWithinWatermark`` on ``id_col`` so an id replayed by
+    an at-least-once SOURCE (not the checkpoint) is indexed once —
+    cross-BATCH id duplication is the one hole batch-id overwrite can't
+    close. ``compact_every=N`` compacts segment leaves every N batches.
+    Memory-sink-free: the index ON DISK is the sink; this loop is
+    production-shaped as written.
+    """
+    from ..operators.search import bm25_write_segment
+
+    if ts_col is not None:
+        docs = streaming_drop_duplicates(docs, [id_col], ts_col, dedup_delay)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # same footerless-write guard as the peers
+            return
+        bm25_write_segment(
+            batch_df, id_col, text_col, index_path, batch_id, buckets=buckets
+        )
+        if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+            from ..sources.files import compact_parquet_tree
+
+            compact_parquet_tree(batch_df.sparkSession, index_path)
+
+    writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -473,3 +473,121 @@ def test_ingest_loops_survive_empty_first_batch(spark, tmp_path):
     )
     assert q2.awaitTermination(300)
     assert {r["vec_id"] for r in spark.read.parquet(vout).collect()} == set(range(16))
+
+
+def test_search_index_ingest_stream_end_to_end(spark, tmp_path):
+    """BM25 leg of the streaming ingest triad: two micro-batches fold
+    segments into the persisted index; querying it afterwards must score
+    IDENTICALLY to batch bm25_topk over the union corpus (segment
+    dfreq/stats sums == single-build values), and a mid-build index is
+    queryable with exactly the docs indexed so far."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_query_index,
+        bm25_topk,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_search_index_ingest,
+    )
+
+    b1 = [
+        {"doc_id": 1, "text": "apple banana apple cherry"},
+        {"doc_id": 2, "text": "banana cherry date elderberry fig"},
+    ]
+    b2 = [
+        {"doc_id": 3, "text": "apple apple apple grape"},
+        {"doc_id": 4, "text": "completely unrelated words here only"},
+    ]
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    f1, f2 = src / "a.json", src / "b.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    idx = str(tmp_path / "bm25_idx")
+    q = start_search_index_ingest(
+        stream, "doc_id", "text", idx, str(tmp_path / "sck"), compact_every=1
+    )
+    assert q.awaitTermination(300)
+
+    corpus = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1 + b2], "doc_id long, text string"
+    )
+    for terms in (["apple"], ["banana", "cherry"], ["grape", "fig"]):
+        via_index = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_query_index(spark, idx, terms, top_k=10).collect()
+        ]
+        direct = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(corpus, "doc_id", "text", terms, top_k=10).collect()
+        ]
+        assert via_index == direct, terms
+
+
+def test_search_index_ingest_replay_is_idempotent(spark, tmp_path):
+    """BM25 segments are ADDITIVE — a blindly re-appended batch would
+    double tf/df/N and corrupt every score with no query-time recovery.
+    The loop writes each segment under its batch_id partition with
+    dynamic overwrite, so a checkpoint-rollback replay must leave the
+    index bit-for-bit identical."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_query_index,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_search_index_ingest,
+    )
+
+    src = tmp_path / "rssrc"
+    src.mkdir()
+    f1, f2 = src / "a.json", src / "b.json"
+    f1.write_text(json.dumps({"doc_id": 1, "text": "apple banana apple"}))
+    f2.write_text(json.dumps({"doc_id": 2, "text": "apple cherry date"}))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    idx = str(tmp_path / "rsidx")
+    ck = str(tmp_path / "rsck")
+    q = start_search_index_ingest(_stream(), "doc_id", "text", idx, ck)
+    assert q.awaitTermination(300)
+    first = {
+        name: sorted(map(tuple, spark.read.parquet(f"{idx}/{name}").collect()))
+        for name in ("postings", "dfreq", "stats")
+    }
+    hits1 = bm25_query_index(spark, idx, ["apple"], top_k=10).collect()
+
+    # crash after batch 1's segment write, before its commit
+    os.remove(os.path.join(ck, "commits", "1"))
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start_search_index_ingest(_stream(), "doc_id", "text", idx, ck)
+    assert q2.awaitTermination(300)
+
+    replayed = {
+        name: sorted(map(tuple, spark.read.parquet(f"{idx}/{name}").collect()))
+        for name in ("postings", "dfreq", "stats")
+    }
+    assert replayed == first  # segment replaced, not duplicated
+    hits2 = bm25_query_index(spark, idx, ["apple"], top_k=10).collect()
+    assert [tuple(r) for r in hits2] == [tuple(r) for r in hits1]
+    # N must equal the true corpus size (a double-append would say 3)
+    from pyspark.sql import functions as F2
+
+    n = spark.read.parquet(f"{idx}/stats").agg(F2.sum("_N")).collect()[0][0]
+    assert n == 2
