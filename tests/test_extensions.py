@@ -654,3 +654,32 @@ def test_resize_png_payloads_box_resample_exact(spark):
     big = {r["doc_id"]: r for r in M.resize_png_payloads(df, target=64).collect()}
     assert (big[7]["out_width"], big[7]["out_height"]) == (9, 8)
     assert M.decode_png_pixels(bytes(big[7]["out_payload"]))[3] == px
+
+
+def test_image_phash_real_near_identical_pngs(spark):
+    """The point of perceptual hashing: a one-pixel edit to a real PNG
+    must keep the hash within a few bits (phash_near_pairs surfaces the
+    pair), while a structurally different image lands far away."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    w, h = 18, 16
+    base = rng.randint(0, 256, size=h * w * 3).astype("uint8").tobytes()
+    edited = bytearray(base)
+    edited[(5 * w + 7) * 3] = (edited[(5 * w + 7) * 3] + 9) % 256  # one subpixel
+    other = rng.randint(0, 256, size=h * w * 3).astype("uint8").tobytes()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(M.encode_png(base, w, h, 3))),
+            (2, bytearray(M.encode_png(bytes(edited), w, h, 3))),
+            (3, bytearray(M.encode_png(other, w, h, 3))),
+        ],
+        "doc_id long, payload binary",
+    )
+    ph = M.image_phash(df, decoder="real")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.phash_near_pairs(ph, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
