@@ -568,6 +568,88 @@ def q_sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivf_recall_eval",
+    f"""
+    WITH {_EMB_DOUBLE},
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    scored AS (
+      SELECT e.vec_id AS id, e.v, cent.cid,
+             {_COS.format(a='e.v', b='cent.cv')} AS sim
+      FROM e CROSS JOIN cent),
+    ranked AS (
+      SELECT id, v, cid,
+             row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+      FROM scored),
+    cand AS (SELECT id AS cand_id, v AS cand_v, cid FROM ranked WHERE rn = 1),
+    probe AS (SELECT id AS query_id, v AS query_v, cid
+              FROM ranked WHERE rn <= 2 AND id < 10),
+    pair AS (
+      SELECT p.query_id, c.cand_id,
+             {_COS.format(a='p.query_v', b='c.cand_v')} AS cosine
+      FROM probe p JOIN cand c ON p.cid = c.cid AND c.cand_id <> p.query_id),
+    ivf AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM pair QUALIFY rank <= 5),
+    bf AS (
+      SELECT qe.vec_id AS query_id, ce.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY qe.vec_id
+                                ORDER BY {_COS.format(a='qe.v', b='ce.v')} DESC,
+                                         ce.vec_id) AS rn
+      FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id
+      WHERE qe.vec_id < 10),
+    truth AS (SELECT query_id, cand_id FROM bf WHERE rn <= 5),
+    m AS (
+      SELECT t.query_id, COUNT(*) AS n_true,
+             SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM truth t LEFT JOIN ivf i
+        ON t.query_id = i.query_id AND t.cand_id = i.cand_id
+      GROUP BY 1),
+    r AS (SELECT query_id, n_hit * 1000000 // n_true AS recall_ppm FROM m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+           CAST(MIN(recall_ppm) AS BIGINT) AS min_recall_ppm
+    FROM r
+    """,
+)
+def q_sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN TUNING LOOP (the similarity-leg mirror of
+    ``dedup_lsh_eval``): recall@5 of the IVF probe (16 cells, nprobe=2)
+    against brute-force exact top-5 over the same queries, in exact ppm
+    integers — one row (n_queries, k, mean_recall_ppm, min_recall_ppm).
+    Operationally this runs on a SAMPLE to pick (n_centroids, nprobe)
+    before committing the 100 TB index build; mean tracks aggregate
+    quality, min exposes the worst query (a cell-boundary victim mean
+    alone would hide)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = S.cosine_topk(
+        emb, "vec_id", "embedding",
+        query_df=emb.filter(F.col("vec_id") < 10), top_k=5,
+    ).select("query_id", "cand_id")
+    approx = S.ivf_topk(
+        emb, "vec_id", "embedding",
+        query_ids_below=10, n_centroids=16, nprobe=2, top_k=5,
+    ).select("query_id", "cand_id")
+    per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        truth.join(approx, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    r = per_q.join(hits, "query_id", "left").select(
+        F.expr("coalesce(n_hit, 0) * 1000000 div n_true").alias("recall_ppm")
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(5).cast("long").alias("k"),
+        F.expr("sum(recall_ppm) div count(1)").cast("long").alias("mean_recall_ppm"),
+        F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits
 # ---------------------------------------------------------------------------

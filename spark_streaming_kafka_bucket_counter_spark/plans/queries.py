@@ -740,8 +740,9 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # — never driver-sampled (r01..r04 diff): round-4 index triad —
     "sim_ivf_index_topk", "search_bm25_index_topk", "dedup_lsh_index_query",
-    # — round-5 additions (real PNG pixel decode paths) —
+    # — round-5 additions (real PNG pixel decode paths + ANN eval) —
     "multimodal_phash_png", "multimodal_png_stats", "multimodal_resize_png",
+    "sim_ivf_recall_eval",
 ]
 
 
