@@ -295,3 +295,52 @@ def test_media_header_parsers_never_raise(prefix, tail):
             and isinstance(out[0], str)
             and all(isinstance(x, int) and x >= 0 for x in out[1:])
         )
+
+
+# ---------------------------------------------------------------------------
+# PNG codec: encode -> decode identity, and mutation rejection
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.randoms(use_true_random=False),
+    st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, channels, rnd, filter_type):
+    """encode_png -> decode_png_pixels is the identity for ANY size,
+    color type, pixel content, and row-filter choice."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    pixels = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    png = encode_png(pixels, w, h, channels, filter_type=filter_type)
+    assert decode_png_pixels(png) == (w, h, channels, pixels)
+
+
+@given(st.randoms(use_true_random=False), st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=80, deadline=None)
+def test_png_decoder_never_crashes_on_mutations(rnd, seed):
+    """Arbitrary byte corruption of a valid PNG must yield either None
+    or a well-formed (w, h, ch, pixels) tuple — never an exception
+    (decoder robustness on untrusted 100 TB crawl payloads)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    base = bytearray(
+        encode_png(bytes(rnd.randrange(256) for _ in range(9 * 8 * 3)), 9, 8, 3)
+    )
+    for _ in range(rnd.randrange(1, 6)):
+        base[rnd.randrange(len(base))] = rnd.randrange(256)
+    cut = rnd.randrange(len(base) + 1)
+    for payload in (bytes(base), bytes(base[:cut])):
+        out = decode_png_pixels(payload)
+        if out is not None:
+            w, h, ch, px = out
+            assert len(px) == w * h * ch
