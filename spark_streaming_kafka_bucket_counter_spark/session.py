@@ -46,7 +46,7 @@ def get_spark(
         # lineitem; found by tools/scale_bench.py), long before the
         # container's memory is a constraint. Only effective on the
         # session-creating process (a JVM that already exists keeps its
-        # heap); the grading driver's own bare session runs sf0.01,
+        # heap); the external driver harness's own bare session runs sf0.01,
         # where 1g is fine.
         .config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")

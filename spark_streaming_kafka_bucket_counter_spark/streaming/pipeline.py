@@ -456,6 +456,15 @@ def start_search_index_ingest(
     close. ``compact_every=N`` compacts segment leaves every N batches.
     Memory-sink-free: the index ON DISK is the sink; this loop is
     production-shaped as written.
+
+    Growth honesty: segment COUNT equals micro-batch count (compaction
+    merges files within a segment, never across — cross-segment merge
+    would reopen the replay window batch-id overwrite closes). At
+    daily-crawl cadence that is ~365 partition dirs/year — fine. A
+    high-frequency trigger should either widen batches (availableNow /
+    longer processingTime) or periodically rebuild offline with
+    ``bm25_build_index`` and swap paths; don't bolt an LSM merge onto
+    the live tree.
     """
     from ..operators.search import bm25_write_segment
 
