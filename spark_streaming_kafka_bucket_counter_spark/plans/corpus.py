@@ -282,7 +282,7 @@ _SS_GAP = 1800
     WITH e AS (SELECT user_id, {_DUCK_EPOCH.format(col='ts')} AS ts_e FROM events),
     flagged AS (
       SELECT user_id, ts_e,
-             CASE WHEN ts_e - lag(ts_e) OVER w >= {_SS_GAP} THEN 1 ELSE 0 END AS new_s
+             CASE WHEN ts_e - lag(ts_e) OVER w > {_SS_GAP} THEN 1 ELSE 0 END AS new_s
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_e)
     ),
     sessioned AS (
@@ -304,10 +304,14 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge), drained with availableNow into a memory sink, and
     oracle-checked against the batch islands construction — §2.11
     evidence that the streaming session operator computes the same
-    relation. NOTE the boundary semantics: ``session_window`` is
-    half-open ([start, last+gap)), so an event exactly ``gap`` seconds
-    after the previous one STARTS A NEW session — the oracle islands use
-    ``>= gap`` accordingly (the batch ``sessionize_events`` uses ``>``).
+    relation. Boundary semantics, pinned empirically (the gen-sf0.1
+    second-distribution sweep caught the oracle getting this wrong): an
+    event EXACTLY ``gap`` seconds after the previous one CONTINUES the
+    session — ``session_window`` merges touching windows — so the split
+    condition is ``diff > gap``, identical to the batch
+    ``sessionize_events`` islands. The driver dataset's sub-second
+    timestamps can never produce an exact-gap pair, which is why a
+    ``>=`` oracle survived four rounds there.
 
     The memory sink is the driver-sized ORACLE-HARNESS shape only; the
     production sink is ``foreachBatch`` into a partitioned parquet

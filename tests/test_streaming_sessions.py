@@ -1,7 +1,10 @@
 """Streaming-native sessionization: Spark's session_window (state-backed,
 watermark-evicted, append-mode) must group events identically to the
-batch islands operator whenever no inter-event gap equals the threshold
-exactly."""
+batch islands operator — INCLUDING at the exact-gap boundary, where
+``session_window`` merges touching windows (split iff diff > gap), the
+same ``>`` rule the batch islands use. Pinned empirically below; a
+``>=`` streaming oracle survived four rounds only because the driver
+dataset's sub-second timestamps never produce an exact-gap pair."""
 
 from __future__ import annotations
 
@@ -81,3 +84,36 @@ def test_session_window_matches_batch_islands(spark, tmp_path):
         (1, 100, 2),
         (2, 50, 1),
     }
+
+
+def test_session_window_exact_gap_continues_session(spark):
+    """An event EXACTLY ``gap`` seconds after the previous one CONTINUES
+    the session (touching windows merge); one second more splits. Both
+    engines' oracles must use the same ``> gap`` rule — the gen-sf0.1
+    sweep caught a ``>=`` oracle producing two extra sessions."""
+    df = spark.createDataFrame(
+        [(1, 1000), (1, 2800), (1, 4600), (2, 1000), (2, 2801)], "u long, t long"
+    ).select("u", F.timestamp_seconds("t").alias("ts"))
+    out = (
+        df.groupBy("u", F.session_window("ts", "1800 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("u", F.col("w.start").cast("long").alias("s"), "n")
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    # user 1: chain of exact gaps -> ONE session of 3; user 2: gap+1 -> split
+    assert got == [(1, 1000, 3), (2, 1000, 1), (2, 2801, 1)]
+
+    # batch islands agree (they split on diff > gap)
+    from spark_streaming_kafka_bucket_counter_spark.operators.sessions import (
+        session_summary,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, 1000, 1), (1, 2800, 2), (1, 4600, 3), (2, 1000, 4), (2, 2801, 5)],
+        "u long, ts_e long, event_id long",
+    )
+    rows = sorted(
+        (r["u"], r["session_start"], r["n_events"])
+        for r in session_summary(batch, "u", "ts_e", 1800, ["event_id"]).collect()
+    )
+    assert rows == [(1, 1000, 3), (2, 1000, 1), (2, 2801, 1)]
