@@ -166,6 +166,14 @@ def quality_columns(text_col: Column, tok: Column | None = None) -> dict[str, Co
     punct = n_chars - F.length(F.regexp_replace(text_col, _PUNCT_RE, ""))
     stop_hits = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS)))
     uniq = F.size(F.array_distinct(tok))
+    # ratios are NULL for token-less documents (empty/whitespace-only
+    # text): Spark ANSI mode errors on x/0 where DuckDB yields NULL, so
+    # the explicit guard is what keeps the engines identical — and NULL
+    # is the honest value (a ratio over nothing), which quality gates
+    # treat as fail-closed
+    def _ratio(num):
+        return F.when(n_tokens > 0, num.cast("double") / n_tokens)
+
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
@@ -174,9 +182,9 @@ def quality_columns(text_col: Column, tok: Column | None = None) -> dict[str, Co
         "stopword_count": stop_hits.cast("long"),
         # each ratio: one division of two exact ints -> bit-identical
         # across engines
-        "stopword_ratio": stop_hits.cast("double") / n_tokens,
-        "uniq_ratio": uniq.cast("double") / n_tokens,
-        "avg_token_len": (n_chars - n_tokens + 1).cast("double") / n_tokens,
+        "stopword_ratio": _ratio(stop_hits),
+        "uniq_ratio": _ratio(uniq),
+        "avg_token_len": _ratio(n_chars - n_tokens + 1),
     }
 
 

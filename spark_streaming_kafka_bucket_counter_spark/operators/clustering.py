@@ -69,6 +69,14 @@ def kmeans_lloyd(
     size, centroid_e6 the fixed-point coordinate. Clusters that end a
     round empty keep their previous centroid (and report n = 0), so the
     round count alone fixes the output.
+
+    Input domain: the integer squared-L2 needs
+    ``dims * (2 * |x| * scale)^2 < 2^63`` — |x| ≲ sqrt(2^63/dims) /
+    (2*scale), ~190 for 64 dims at the default scale. Real embedding
+    components are unit-ish, so only corrupted input trips this, and it
+    fails LOUDLY in both engines (Spark ANSI ARITHMETIC_OVERFLOW /
+    CAST_OVERFLOW, DuckDB conversion error; pinned by
+    ``test_fixed_point_overflow_is_loud``) rather than silently wrapping.
     """
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1: k={k}, iters={iters}")

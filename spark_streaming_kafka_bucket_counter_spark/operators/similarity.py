@@ -54,8 +54,24 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
-    """Cosine similarity rounded to ``decimals`` (cross-engine stability)."""
-    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+    """Cosine similarity rounded to ``decimals`` (cross-engine stability).
+
+    NULL when either norm is zero (undefined direction) instead of the
+    ANSI divide-by-zero error — matches DuckDB's x/0 -> NULL, so both
+    engines drop such rows through any threshold/rank filter the same
+    way. Similarity OPERATORS additionally exclude zero-norm vectors at
+    entry (:func:`nonzero_vectors`): a zero vector is a failed-encoder
+    sentinel, not a neighbor candidate."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, F.round(dot(a, b) / den, decimals))
+
+
+def nonzero_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude zero-norm vectors — the shared entry guard of every
+    cosine-similarity operator (edge-case sweep: a single all-zero
+    embedding crashed eleven catalog queries with ANSI divide-by-zero).
+    Squared-norm > 0 is exact in doubles, no epsilon needed."""
+    return df.filter(dot(F.col(vec_col), F.col(vec_col)) > 0)
 
 
 def cosine_topk(
@@ -71,7 +87,11 @@ def cosine_topk(
 
     The query side is broadcast (small by construction); the candidate
     side streams through one pass — no N x N materialization.
+    Zero-norm vectors are excluded on both sides (:func:`nonzero_vectors`).
     """
+    df = nonzero_vectors(df, vec_col)
+    if query_df is not None:
+        query_df = nonzero_vectors(query_df, vec_col)
     cand = df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
     if query_df is None:
         if query_ids is None:
@@ -204,7 +224,10 @@ def ivf_topk(
     the search join is a hash join on the small-int cell id — work drops
     from O(Q x N) to O(Q x N x nprobe / K), and dense cells are split by
     AQE skew handling. Recall is tuned by ``nprobe`` / ``n_centroids``.
+    Zero-norm vectors are excluded (:func:`nonzero_vectors`) — they have
+    no cosine direction to assign or rank.
     """
+    df = nonzero_vectors(df, vec_col)
     assigned = ivf_assign(df, id_col, vec_col, n_centroids, max_rank=nprobe)
     cand = assigned.filter(F.col("_rn") == 1).select(
         F.col("_id").alias("cand_id"), F.col("_vec").alias("cand_vec"), "cid"
@@ -272,6 +295,7 @@ def cosine_near_dup_pairs(
     raise recall with multi-probe or more planes). Rows are normalized
     once, so the per-pair cost is one dot-product fold.
     """
+    df = nonzero_vectors(df, vec_col)
     if not bucketed:
         if driver_allpairs:
             return _allpairs_cosine_numpy(df, id_col, vec_col, threshold)
@@ -283,7 +307,7 @@ def cosine_near_dup_pairs(
     # is a single dot fold + scalar divide.
     from ._cache import unpersist_with
 
-    base = df.select(
+    base = nonzero_vectors(df, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         norm(F.col(vec_col)).alias("_nrm"),
@@ -693,7 +717,12 @@ def semantic_dedup_pairs(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    sided = assigned.select(F.col(id_col), "cell", "_e6", norm.alias("_n"))
+    # zero SNAPPED norm (all-zero or sub-1/scale vector) has no cosine
+    # direction — exclude on the snapped criterion (a doubles-norm guard
+    # would pass a 1e-12 vector that still snaps to zero and divide by 0)
+    sided = assigned.select(F.col(id_col), "cell", "_e6", norm.alias("_n")).filter(
+        F.col("_n") > 0
+    )
     a = sided.select(
         F.col(id_col).alias("id_a"), "cell",
         F.col("_e6").alias("_ea"), F.col("_n").alias("_na"),
@@ -764,10 +793,12 @@ def semantic_dedup_pairs_sql(
     i = "CAST(i AS INT)"
     return f"""
     WITH {assign},
-    _sd_side AS (SELECT b.{id_col}, b.cell, e._e6,
-                        CAST(list_sum(list_transform(range(1, {dim} + 1),
-                                                     i -> e._e6[{i}] * e._e6[{i}])) AS BIGINT) AS _n
-                 FROM _nc_best b JOIN _nc_e e USING ({id_col})),
+    _sd_side AS (SELECT * FROM (
+                   SELECT b.{id_col}, b.cell, e._e6,
+                          CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                                       i -> e._e6[{i}] * e._e6[{i}])) AS BIGINT) AS _n
+                   FROM _nc_best b JOIN _nc_e e USING ({id_col}))
+                 WHERE _n > 0),
     _sd_pairs AS (
       SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, a.cell,
              ROUND(CAST(list_sum(list_transform(range(1, {dim} + 1),
@@ -858,7 +889,7 @@ def cosine_multiprobe_pairs(
     """
     from ._cache import unpersist_with
 
-    base = df.select(
+    base = nonzero_vectors(df, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         norm(F.col(vec_col)).alias("_nrm"),
@@ -927,6 +958,7 @@ def ivf_build_index(
     """
     from pathlib import Path
 
+    df = nonzero_vectors(df, vec_col)  # no direction -> not indexable
     cents = (
         df.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
@@ -964,7 +996,7 @@ def ivf_query_index(
 
     cents = spark.read.parquet(str(Path(path) / "centroids")).collect()
     probes = assign_to_centroids(
-        query_df, id_col, vec_col, cents, max_rank=nprobe
+        nonzero_vectors(query_df, vec_col), id_col, vec_col, cents, max_rank=nprobe
     ).select(
         F.col("_id").alias("query_id"), F.col("_vec").alias("qvec"), "cid"
     )
@@ -1019,7 +1051,9 @@ def ivf_append_index(
     from pathlib import Path
 
     cents = spark.read.parquet(str(Path(path) / "centroids")).collect()
-    assigned = assign_to_centroids(df, id_col, vec_col, cents, max_rank=1)
+    assigned = assign_to_centroids(
+        nonzero_vectors(df, vec_col), id_col, vec_col, cents, max_rank=1
+    )
     (
         assigned.select(
             F.col("_id").alias(id_col), F.col("_vec").alias(vec_col), "cid"
@@ -1150,7 +1184,7 @@ def knn_graph(
     member simply emit no edges (standard LSH-graph behavior — raise
     ``planes`` recall via multiprobe if needed).
     """
-    kb = df.select(
+    kb = nonzero_vectors(df, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),

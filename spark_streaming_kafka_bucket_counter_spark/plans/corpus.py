@@ -143,7 +143,9 @@ _KNN_BUCKET_SQL = " + ".join(
 @query(
     "knn_graph_lsh",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0),
     {S.knn_graph_sql('e', 'vec_id', _KNN_BUCKET_SQL, 3)}
     SELECT src, dst, cosine, rank FROM knn
     """,
@@ -570,7 +572,9 @@ _LPA_ITERS = 4
 @query(
     "graph_communities_lpa",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0),
     {S.knn_graph_sql('e', 'vec_id', _KNN_BUCKET_SQL, 3)},
     {G.label_propagation_sql('SELECT src, dst FROM knn', 'src', 'dst', _LPA_ITERS)}
     SELECT u AS node, label AS community FROM lpa_final

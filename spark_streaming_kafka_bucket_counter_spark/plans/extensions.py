@@ -48,7 +48,13 @@ _JACCARD_FROM_DS = """
           JOIN sizes sb ON inter.doc_b = sb.doc)
 """
 
-_EMB_DOUBLE = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+# zero-norm vectors are excluded (WHERE dot(v,v) > 0) — mirrors the
+# operators' nonzero_vectors entry guard: no cosine direction, not a
+# neighbor candidate (edge-case sweep finding)
+_EMB_DOUBLE = (
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0)"
+)
 from ..operators.similarity import COSINE_AB_SQL as _COSINE_AB  # one shared cosine oracle twin
 
 
