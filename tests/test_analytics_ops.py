@@ -666,3 +666,27 @@ def test_label_centroids_halfway_mean_is_engine_exact(spark, duck):
     }
     assert oracle == {k: got[k] for k in oracle}
     duck.execute("DROP TABLE _ctr")
+
+
+def test_fixed_point_overflow_is_loud(spark, duck):
+    """Out-of-domain embedding components (|x|*scale >= 2^63, i.e.
+    corrupted input) must FAIL LOUDLY in both engines, never wrap
+    silently — found by the edge-case sweep feeding a 1e30 component
+    into the fixed-point snap."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1e30, 0.0]), (1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        kmeans_lloyd(df, "vec_id", "embedding", k=1, iters=1).collect()
+
+    with pytest.raises(Exception, match="[Oo]ut of [Rr]ange|[Cc]onversion|overflow"):
+        duck.execute(
+            "SELECT CAST(ROUND(1e30 * 1000000) AS BIGINT)"
+        ).fetchall()

@@ -683,3 +683,55 @@ def test_image_phash_real_near_identical_pngs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert not any(3 in p for p in pairs)
+
+
+def test_zero_norm_vectors_excluded_from_similarity(spark):
+    """A zero vector (failed-encoder sentinel) must be invisible to every
+    cosine op — neither a query nor a candidate nor a centroid seed —
+    instead of crashing the job with ANSI divide-by-zero (edge-sweep
+    finding: one all-zero embedding took down eleven catalog queries)."""
+    rows = [
+        (0, [0.0, 0.0, 0.0]),          # zero: excluded everywhere
+        (1, [1e-12, 0.0, 0.0]),        # tiny but directional: kept
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    topk = S.cosine_topk(df, "vec_id", "embedding", query_ids=[0, 2], top_k=2).collect()
+    qids = {r["query_id"] for r in topk}
+    cands = {r["cand_id"] for r in topk}
+    assert 0 not in qids and 0 not in cands and 2 in qids
+
+    knn = S.knn_graph(df, "vec_id", "embedding", top_k=2, planes=2).collect()
+    assert all(r["src"] != 0 and r["dst"] != 0 for r in knn)
+
+    # semantic pairs: the snapped-norm guard also drops the 1e-12 vector
+    # (it snaps to all-zero at scale=1e6 — no direction in integer space)
+    sem = S.semantic_dedup_pairs(
+        df.withColumn("label", (F.col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", "label", threshold=0.5,
+    ).collect()
+    ids = {x for r in sem for x in (r["id_a"], r["id_b"])}
+    assert 0 not in ids and 1 not in ids
+
+
+def test_quality_ratios_null_on_tokenless_docs(spark):
+    """Empty / whitespace-only documents have NULL quality ratios (a
+    ratio over nothing) with the integer counts still zero — matching
+    DuckDB's x/0 -> NULL instead of Spark's ANSI error."""
+    from spark_streaming_kafka_bucket_counter_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n\t "), (3, "real words here")], "doc_id long, text string"
+    ).withColumn("_tok", X.tokens(F.col("text")))
+    cols = X.quality_columns(F.col("text"), tok=F.col("_tok"))
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).collect()}
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["stopword_ratio"] is None
+        assert out[d]["uniq_ratio"] is None
+        assert out[d]["avg_token_len"] is None
+    assert out[3]["uniq_ratio"] == 1.0

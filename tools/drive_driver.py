@@ -60,15 +60,20 @@ def main() -> int:
     for name in sorted(qs):
         if subset and name not in subset:
             continue
-        if name in oracles:
-            ok, detail = compare(spark, con, qs[name], oracles[name], SF)
-            if not ok:
-                bad += 1
-                print(name, "MISMATCH", detail, flush=True)
-            elif subset:
-                print(name, "OK", flush=True)
-        else:
-            print(name, "rows-only:", qs[name](spark, SF).count(), flush=True)
+        try:
+            if name in oracles:
+                ok, detail = compare(spark, con, qs[name], oracles[name], SF)
+                if not ok:
+                    bad += 1
+                    print(name, "MISMATCH", detail, flush=True)
+                elif subset:
+                    print(name, "OK", flush=True)
+            else:
+                print(name, "rows-only:", qs[name](spark, SF).count(), flush=True)
+        except Exception as exc:  # keep sweeping; an error IS a finding
+            bad += 1
+            msg = str(exc).replace("\n", " ")[:300]
+            print(name, "ERROR", f"{type(exc).__name__}: {msg}", flush=True)
     n = len(subset or qs)
     print(f"done {n} queries, {bad} mismatches, {int(time.time() - t0)}s vs {SF}")
     return bad
