@@ -150,13 +150,26 @@ def iter_rows(store: ServingStore, sql: str, partition_rows: int = 10_000):
     that (partitions transfer sequentially). Not exposed over HTTP — the
     reference's JSON-list response shape is inherently materialized, so
     the capped routes keep that contract and exports stay an API call.
+
+    The result is persisted DISK_ONLY for the duration of the export so
+    the sizing ``count()`` and the iteration read ONE evaluation of the
+    query — without it a nondeterministic query (rand(), now()) could
+    yield a count that disagrees with the streamed content, and every
+    deterministic query would pay its scan twice.
     """
-    df = store.run_cmd(sql)
-    n = df.count()
-    if n > partition_rows:
-        df = df.repartition(max(1, (n + partition_rows - 1) // partition_rows))
-    for row in df.toLocalIterator(prefetchPartitions=True):
-        yield row.asDict(recursive=True)
+    from pyspark import StorageLevel
+
+    df = store.run_cmd(sql).persist(StorageLevel.DISK_ONLY)
+    try:
+        n = df.count()
+        if n > partition_rows:
+            df_out = df.repartition(max(1, (n + partition_rows - 1) // partition_rows))
+        else:
+            df_out = df
+        for row in df_out.toLocalIterator(prefetchPartitions=True):
+            yield row.asDict(recursive=True)
+    finally:
+        df.unpersist()
 
 
 def delete(store: ServingStore, conditions: dict) -> dict:

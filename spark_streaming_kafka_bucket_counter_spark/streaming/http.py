@@ -36,7 +36,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote
 
 from . import api
-from .serving import ServingStore
+from .serving import CommandRejected, ServingStore
 
 
 def _route(store: ServingStore, path: str, max_rows: int | None = None):
@@ -91,6 +91,11 @@ def make_server(
         def do_GET(self):  # noqa: N802 (stdlib API)
             try:
                 status, payload = _route(store, self.path, max_rows)
+            except CommandRejected as exc:
+                # query-only surface: mutating SQL is refused before it
+                # executes (serving.reject_non_query); 403 = the route
+                # exists, the statement kind is forbidden
+                status, payload = 403, {"error": str(exc)}
             except ValueError as exc:
                 # empty store (e.g. right after /r): reads answer [],
                 # matching the reference's freshly-reset table

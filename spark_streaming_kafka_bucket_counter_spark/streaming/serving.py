@@ -41,6 +41,70 @@ from pyspark.sql import functions as F
 RST_COL = "RST_ID"
 
 
+class CommandRejected(ValueError):
+    """A non-query SQL statement was refused by the serving surface.
+
+    The reference served "full SQL calls" over HTTP (README:3,
+    http_endpoint.py:88-92) where the blast radius was a throwaway
+    SQLite file; here the same string reaches a SparkSession whose
+    catalog and filesystem outlive the request, so the query surface is
+    gated to read-only statements unless the owner opts out
+    (``allow_commands=True``).
+    """
+
+
+# Read-only Command subtypes that cannot mutate catalog or data — kept
+# queryable for parity with interactive SQL shells. Matched on the parsed
+# plan's class simple name (DescribeRelation, ShowTables, ExplainCommand,
+# ShowCreateTable, ...).
+_READONLY_COMMAND_PREFIXES = ("Describe", "Show", "Explain")
+
+
+def reject_non_query(spark: SparkSession, sql: str) -> None:
+    """Raise :class:`CommandRejected` unless ``sql`` parses to a read-only
+    plan.
+
+    Uses the session's own SQL parser (the exact grammar ``spark.sql``
+    will run) rather than keyword sniffing, so CTEs, parenthesized set
+    ops, ``VALUES``, ``TABLE t`` and ``FROM t SELECT`` all pass while
+    every mutating statement kind is caught **before** execution —
+    ``spark.sql`` runs DDL/commands eagerly, so the check cannot happen
+    after the call. Two plan families are mutating:
+
+    - anything implementing the Catalyst ``Command`` trait (DDL, SET,
+      ADD JAR, CACHE, DELETE/UPDATE/MERGE, ANALYZE, LOAD DATA, ...),
+      minus the read-only Describe/Show/Explain subtypes;
+    - ``InsertInto*`` statements (INSERT [OVERWRITE] parses to
+      ``InsertIntoStatement``, which is *not* a Command pre-analysis)
+      and SQL-scripting ``CompoundBody`` blocks, which could smuggle
+      commands.
+
+    A string that does not parse at all is let through untouched so
+    ``spark.sql`` raises its native ``ParseException`` (better message,
+    same safety: nothing executes).
+    """
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    except Exception:
+        return  # unparseable: spark.sql will raise the real ParseException
+    name = plan.getClass().getSimpleName()
+    command_cls = spark._jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    if command_cls.isInstance(plan):
+        if name.startswith(_READONLY_COMMAND_PREFIXES):
+            return
+        raise CommandRejected(
+            f"statement kind {name} is not a query; this surface is "
+            "read-only (pass allow_commands=True to opt out)"
+        )
+    if name.startswith("InsertInto") or name == "CompoundBody":
+        raise CommandRejected(
+            f"statement kind {name} writes data; this surface is "
+            "read-only (pass allow_commands=True to opt out)"
+        )
+
+
 class ServingStore:
     """Parquet-backed, rst_id-partitioned serving table.
 
@@ -55,12 +119,16 @@ class ServingStore:
         table_name: str = "default",
         clean_interval: int = 100,
         clean_freq: int = 10,
+        allow_commands: bool = False,
     ) -> None:
         self.spark = spark
         self.path = Path(path)
         self.table_name = table_name
         self.clean_interval = clean_interval
         self.clean_freq = clean_freq
+        # reference-compat escape hatch: the reference's run_cmd executed
+        # any SQL (models.py:155-187); default here is query-only
+        self.allow_commands = allow_commands
         self.path.mkdir(parents=True, exist_ok=True)
         self._batches_since_clean = 0
 
@@ -152,11 +220,19 @@ class ServingStore:
         """Q1/H1: SELECT * (models.py:309-333)."""
         return self.view()
 
-    def run_cmd(self, sql: str) -> DataFrame:
+    def run_cmd(self, sql: str, allow_commands: bool | None = None) -> DataFrame:
         """Q2/H2: arbitrary SQL against the registered serving view
         (run_cmd, models.py:155-187). Spark SQL parses/plans — no eval,
         no string-spliced execution.
+
+        Query-only by default: mutating statements (DDL, INSERT, SET,
+        ADD JAR, ...) raise :class:`CommandRejected` before anything
+        executes — see :func:`reject_non_query`. ``allow_commands``
+        overrides the store default (reference-compat full-SQL mode).
         """
+        permit = self.allow_commands if allow_commands is None else allow_commands
+        if not permit:
+            reject_non_query(self.spark, sql)
         self.register()
         return self.spark.sql(sql)
 
