@@ -41,6 +41,7 @@ multimodal datasets:
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -446,34 +447,31 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
     DuckDB oracle replay the whole operator from a pixel formula."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
+            decs = decode_png_pixels_batch(list(pdf["payload"]))
             for i in range(len(pdf)):
                 did = int(pdf["doc_id"].iat[i])
-                dec = decode_png_pixels(bytes(pdf["payload"].iat[i]))
+                dec = decs[i]
                 if dec is None:
                     rows.append((did, None, None, None, None, None, None, None, None))
                     continue
                 w, h, ch, px = dec
                 n = w * h
+                a = np.frombuffer(px, np.uint8).reshape(h, w, ch).astype(np.int64)
                 if ch >= 3:
-                    luma = [
-                        (299 * px[j] + 587 * px[j + 1] + 114 * px[j + 2]) // 1000
-                        for j in range(0, len(px), ch)
-                    ]
-                    mr = sum(px[0::ch]) * 10_000 // n
-                    mg = sum(px[1::ch]) * 10_000 // n
-                    mb = sum(px[2::ch]) * 10_000 // n
+                    luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+                    mr = int(a[:, :, 0].sum()) * 10_000 // n
+                    mg = int(a[:, :, 1].sum()) * 10_000 // n
+                    mb = int(a[:, :, 2].sum()) * 10_000 // n
                 else:
-                    luma = list(px[::ch])
+                    luma = a[:, :, 0]
                     mr = mg = mb = None
-                grad = sum(
-                    abs(luma[y * w + x + 1] - luma[y * w + x])
-                    for y in range(h)
-                    for x in range(w - 1)
-                )
+                grad = int(np.abs(np.diff(luma, axis=1)).sum())
                 rows.append(
-                    (did, w, h, ch, sum(luma) * 10_000 // n, mr, mg, mb, grad)
+                    (did, w, h, ch, int(luma.sum()) * 10_000 // n, mr, mg, mb, grad)
                 )
             yield pd.DataFrame(
                 rows,
@@ -516,37 +514,54 @@ def resize_png_payloads(df: DataFrame, target: int = 256) -> DataFrame:
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
+            decs = decode_png_pixels_batch(list(pdf["payload"]))
+            made = []  # (row_index_in_pdf, ow, oh, out_pixels, payload)
+            rows: list[tuple | None] = [None] * len(pdf)
             for i in range(len(pdf)):
                 did = int(pdf["doc_id"].iat[i])
-                dec = decode_png_pixels(bytes(pdf["payload"].iat[i]))
+                dec = decs[i]
                 if dec is None:
-                    rows.append((did, None, None, None, None, None))
+                    rows[i] = (did, None, None, None, None, None)
                     continue
                 w, h, ch, px = dec
                 longest = max(w, h, target)
                 ow = max(1, w * target // longest)
                 oh = max(1, h * target // longest)
-                out = bytearray(ow * oh * ch)
-                for oy in range(oh):
-                    y0, y1 = oy * h // oh, (oy + 1) * h // oh
-                    for ox in range(ow):
-                        x0, x1 = ox * w // ow, (ox + 1) * w // ow
-                        area = (y1 - y0) * (x1 - x0)
-                        for c in range(ch):
-                            s = 0
-                            for y in range(y0, y1):
-                                base = (y * w) * ch + c
-                                for x in range(x0, x1):
-                                    s += px[base + x * ch]
-                            out[(oy * ow + ox) * ch + c] = s // area
-                payload = encode_png(bytes(out), ow, oh, ch)
-                redec = decode_png_pixels(payload)
-                assert redec is not None and redec[3] == bytes(out)
-                rows.append(
-                    (did, ow, oh, sum(redec[3]), len(payload), bytearray(payload))
+                # integer box resample via an integral image: box sum =
+                # S[y1,x1]-S[y0,x1]-S[y1,x0]+S[y0,x0], then floor-divide
+                # by the box area — same exact integers as the per-pixel
+                # formulation the SQL oracle replays
+                a = np.frombuffer(px, np.uint8).reshape(h, w, ch).astype(np.int64)
+                S = np.zeros((h + 1, w + 1, ch), np.int64)
+                S[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+                ys = np.array([oy * h // oh for oy in range(oh + 1)])
+                xs = np.array([ox * w // ow for ox in range(ow + 1)])
+                y0, y1 = ys[:-1], ys[1:]
+                x0, x1 = xs[:-1], xs[1:]
+                box = (
+                    S[np.ix_(y1, x1)] - S[np.ix_(y0, x1)]
+                    - S[np.ix_(y1, x0)] + S[np.ix_(y0, x0)]
                 )
+                areas = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[:, :, None]
+                out = (box // areas).astype(np.uint8).tobytes()
+                payload = encode_png(out, ow, oh, ch)
+                made.append((i, did, ow, oh, out, payload))
+            # re-decode every output in one lockstep pass: pixel_sum is
+            # computed from the RE-DECODED payload, so one row exercises
+            # decode -> resample -> encode -> decode
+            redecs = decode_png_pixels_batch([m[5] for m in made])
+            for (i, did, ow, oh, out, payload), redec in zip(made, redecs):
+                if redec is None or redec[3] != out:
+                    # never assert: stripped under -O, and a silent codec
+                    # fault must fail the job loudly, not corrupt output
+                    raise RuntimeError(
+                        f"PNG re-encode round-trip mismatch for doc {did} "
+                        f"({ow}x{oh}): encoder and decoder disagree"
+                    )
+                rows[i] = (did, ow, oh, sum(redec[3]), len(payload), bytearray(payload))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -657,6 +672,75 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _parse_png_stream(
+    b: bytes,
+) -> tuple[int, int, int, bytes | None, bytes] | None:
+    """Container walk + inflate shared by the scalar and batch decoders:
+    ``(width, height, bpp, palette, raw)`` where ``bpp`` is the
+    bytes-per-pixel the FILTER layer sees (1 for palette indices),
+    ``palette`` is the PLTE payload (RGB triples) for color type 3 else
+    ``None``, and ``raw`` is the inflated filtered scanline stream of
+    exactly ``height * (width*bpp + 1)`` bytes. ``None`` for anything
+    that isn't a supported PNG (bad magic, depth != 8, interlaced,
+    missing/oversized PLTE, short or corrupt IDAT).
+    """
+
+    if len(b) < 45 or b[: len(_PNG_SIG)] != _PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, ctype, comp, filt, interlace = b[24:29]
+    channels = _PNG_CHANNELS.get(ctype)
+    if (
+        depth != 8 or comp != 0 or filt != 0 or interlace != 0
+        or channels is None or w <= 0 or h <= 0
+    ):
+        return None
+    idat = bytearray()
+    palette: bytes | None = None
+    i = 8
+    while i + 8 <= len(b):
+        clen = int.from_bytes(b[i : i + 4], "big")
+        cname = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            return None
+        if cname == b"IDAT":
+            idat += data
+        elif cname == b"PLTE":
+            palette = bytes(data)
+        elif cname == b"IEND":
+            break
+        i += 12 + clen  # len + type + payload + crc
+    if not idat:
+        return None
+    if ctype == 3:
+        # palette indirection (PNG spec 4.1.2): 1..256 RGB entries
+        if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
+            return None
+    else:
+        palette = None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (w * channels + 1):
+        return None
+    return (w, h, channels, palette, raw)
+
+
+def _apply_palette_scalar(px: bytes, palette: bytes) -> bytes | None:
+    """Palette index plane -> RGB bytes; ``None`` on any out-of-range
+    index (corrupt stream — the spec calls it an error, we fail closed)."""
+    n_entries = len(palette) // 3
+    if px and max(px) >= n_entries:
+        return None
+    out = bytearray(len(px) * 3)
+    for i, v in enumerate(px):
+        out[3 * i : 3 * i + 3] = palette[3 * v : 3 * v + 3]
+    return bytes(out)
+
+
 def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
     """Full PNG pixel decode with ONLY the stdlib: ``(width, height,
     channels, pixels)`` where ``pixels`` is ``height*width*channels``
@@ -667,54 +751,24 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
     IDAT is zlib-deflate over per-row filtered scanlines, so stdlib
     ``zlib`` plus the five filter inverses (none/sub/up/average/paeth,
     PNG spec 9) reconstructs exact pixels. Coverage: 8-bit depth, color
-    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced —
-    the shapes a curation pipeline's thumbnails/tiles actually use.
-    Palette (needs PLTE indirection), 16-bit, and Adam7 return ``None``
-    rather than guessing; JPEG stays codec-gated (DCT entropy decode is
-    a real codec's job — see :func:`_require_real_decoder`).
+    types 0 (gray), 2 (RGB), 3 (palette — PLTE indirection, decoded to
+    RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the shapes a
+    curation pipeline's thumbnails/tiles actually use. 16-bit and Adam7
+    return ``None`` rather than guessing; JPEG stays codec-gated (DCT
+    entropy decode is a real codec's job — see
+    :func:`_require_real_decoder`).
 
-    Per-byte Python loops are fine here: this is the dependency-free
-    correctness path for thumbnail-sized images (the phash input); bulk
-    pixel work at 100 TB plugs a vectorized codec into the same
-    ``mapInPandas`` slot.
+    This scalar per-byte path is the REFERENCE implementation the
+    property suite pins; the hot path for bulk Arrow batches is
+    :func:`decode_png_pixels_batch` (numpy lockstep across images),
+    property-tested byte-identical to this one.
     """
-    import zlib
-
-    if len(b) < 45 or b[: len(_PNG_SIG)] != _PNG_SIG or b[12:16] != b"IHDR":
+    parsed = _parse_png_stream(bytes(b))
+    if parsed is None:
         return None
-    w = int.from_bytes(b[16:20], "big")
-    h = int.from_bytes(b[20:24], "big")
-    depth, ctype, comp, filt, interlace = b[24:29]
-    channels = _PNG_CHANNELS.get(ctype)
-    if (
-        depth != 8 or comp != 0 or filt != 0 or interlace != 0
-        or ctype == 3 or channels is None or w <= 0 or h <= 0
-    ):
-        return None
-    idat = bytearray()
-    i = 8
-    while i + 8 <= len(b):
-        clen = int.from_bytes(b[i : i + 4], "big")
-        cname = b[i + 4 : i + 8]
-        data = b[i + 8 : i + 8 + clen]
-        if len(data) < clen:
-            return None
-        if cname == b"IDAT":
-            idat += data
-        elif cname == b"IEND":
-            break
-        i += 12 + clen  # len + type + payload + crc
-    if not idat:
-        return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        return None
+    w, h, bpp, palette, raw = parsed
+    stride = w * bpp
     out = bytearray(h * stride)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(h):
         pos = y * (stride + 1)
         ft = raw[pos]
@@ -743,7 +797,167 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
         else:
             return None
         out[base : base + stride] = row
-    return (w, h, channels, bytes(out))
+    if palette is not None:
+        rgb = _apply_palette_scalar(bytes(out), palette)
+        return None if rgb is None else (w, h, 3, rgb)
+    return (w, h, bpp, bytes(out))
+
+
+def decode_png_pixels_batch(
+    payloads,
+) -> list[tuple[int, int, int, bytes] | None]:
+    """Vectorized decode of MANY PNGs at once — the Arrow-batch hot path.
+
+    Same results as mapping :func:`decode_png_pixels` (property-pinned
+    byte-identical), restructured for throughput: the per-row ``left``
+    dependence of the average/paeth filters is inherently sequential
+    *within* one image, but images are independent — so payloads of the
+    same geometry decode in LOCKSTEP, and every numpy operation spans
+    all images in the group at once. The residual Python loops are over
+    scanline index (all filters) and pixel x (average/paeth only); the
+    per-element work — including the branch-free paeth predictor — is
+    numpy over ``(n_images, bpp)`` lanes, so interpreter overhead
+    amortizes across the batch instead of being paid per byte. The
+    pinned micro-bench (`tests/test_extensions.py`) holds this at >=5x
+    the scalar decoder on the property corpus; on thumbnail-sized
+    batches it measures far higher.
+    """
+    import numpy as np
+
+    parsed = [_parse_png_stream(bytes(p)) for p in payloads]
+    results: list[tuple[int, int, int, bytes] | None] = [None] * len(parsed)
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    for i, pr in enumerate(parsed):
+        if pr is not None:
+            w, h, bpp, _, _ = pr
+            groups.setdefault((w, h, bpp), []).append(i)
+    def _unfilter_rows(row, prev, f, w, bpp):
+        """One scanline step for a uniform filter type ``f`` across all
+        images in ``row`` (shape (k, w*bpp), int16). Returns the
+        reconstructed rows. Additions stay exact in int16 then mask to
+        the mod-256 byte, matching the scalar decoder bit for bit."""
+        if f == 0:
+            return row
+        if f == 1:  # sub: recon[x] = cumsum(filt) mod 256 per lane
+            return (
+                np.cumsum(row.reshape(-1, w, bpp), axis=1, dtype=np.int64) & 0xFF
+            ).reshape(row.shape).astype(np.int16)
+        if f == 2:  # up: pure vector add
+            return (row + prev) & 0xFF
+        s = row.reshape(-1, w, bpp)
+        p = prev.reshape(-1, w, bpp)
+        o = np.empty_like(s)
+        left = np.zeros((s.shape[0], bpp), np.int16)
+        if f == 3:  # average: x-sequential, lanes vectorized
+            for x in range(w):
+                left = (s[:, x] + ((left + p[:, x]) >> 1)) & 0xFF
+                o[:, x] = left
+        else:  # paeth: x-sequential, branch-free predictor per lane
+            ul = np.zeros((s.shape[0], bpp), np.int16)
+            for x in range(w):
+                up = p[:, x]
+                pa = np.abs(up - ul)
+                pb = np.abs(left - ul)
+                pc = np.abs(left + up - 2 * ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (s[:, x] + pred) & 0xFF
+                o[:, x] = left
+                ul = up
+        return o.reshape(row.shape)
+
+    for (w, h, bpp), idxs in groups.items():
+        stride = w * bpp
+        n = len(idxs)
+        arr = np.frombuffer(
+            b"".join(parsed[i][4] for i in idxs), np.uint8
+        ).reshape(n, h, stride + 1)
+        fts = arr[:, :, 0]
+        data = arr[:, :, 1:].astype(np.int16)
+        bad_any = (fts > 4).any(axis=1)
+        rec = np.empty((n, h, stride), np.int16)
+        prev = np.zeros((n, stride), np.int16)
+        for y in range(h):
+            f = fts[:, y]
+            f0 = int(f[0])
+            if (f == f0).all():
+                # uniform filter across the whole lockstep group (the
+                # common case: same encoder, aligned rows) — no mask
+                # copies, whole-group views go straight through
+                if f0 > 4:
+                    cur = data[:, y, :]  # bad filter: rows masked out below
+                else:
+                    cur = _unfilter_rows(data[:, y, :], prev, f0, w, bpp)
+            else:
+                row = data[:, y, :]
+                cur = row.copy()
+                for ft in range(1, 5):
+                    m = f == ft
+                    if m.any():
+                        cur[m] = _unfilter_rows(row[m], prev[m], ft, w, bpp)
+            rec[:, y, :] = cur
+            prev = cur
+        px8 = rec.astype(np.uint8)
+        for k, i in enumerate(idxs):
+            if bad_any[k]:
+                continue  # scalar decoder returns None on filter byte > 4
+            palette = parsed[i][3]
+            if palette is None:
+                results[i] = (w, h, bpp, px8[k].tobytes())
+            else:
+                plane = px8[k].reshape(-1)
+                n_entries = len(palette) // 3
+                if plane.size and int(plane.max()) >= n_entries:
+                    continue  # out-of-range index: fail closed, like scalar
+                pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+                results[i] = (w, h, 3, pal[plane].tobytes())
+    return results
+
+
+def _filter_scanlines(
+    pixels: bytes, width: int, height: int, bpp: int, filter_type: int | str
+) -> bytes:
+    """Pixels -> PNG filtered scanline stream (filter byte + filtered
+    row, per row). Unlike DECODING, filtering is not sequential — every
+    neighbor (left/up/upleft) is an ORIGINAL pixel — so all five filters
+    compute as whole-image numpy expressions and the row loop only picks
+    which precomputed plane each row emits. Byte-identical to the spec's
+    per-byte formulation (all arithmetic mod 256)."""
+    import numpy as np
+
+    stride = width * bpp
+    px = np.frombuffer(pixels, np.uint8).reshape(height, stride).astype(np.int16)
+    prev = np.vstack([np.zeros((1, stride), np.int16), px[:-1]])
+    left = np.concatenate([np.zeros((height, bpp), np.int16), px[:, :-bpp]], axis=1)
+    ul = np.concatenate([np.zeros((height, bpp), np.int16), prev[:, :-bpp]], axis=1)
+    pa = np.abs(prev - ul)
+    pb = np.abs(left - ul)
+    pc = np.abs(left + prev - 2 * ul)
+    paeth_pred = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+    )
+    planes = {
+        0: px.astype(np.uint8),
+        1: ((px - left) & 0xFF).astype(np.uint8),
+        2: ((px - prev) & 0xFF).astype(np.uint8),
+        3: ((px - ((left + prev) >> 1)) & 0xFF).astype(np.uint8),
+        4: ((px - paeth_pred) & 0xFF).astype(np.uint8),
+    }
+    out = np.empty((height, stride + 1), np.uint8)
+    for y in range(height):
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        if ft not in planes:
+            raise ValueError(f"bad filter type {ft}")
+        out[y, 0] = ft
+        out[y, 1:] = planes[ft][y]
+    return out.tobytes()
+
+
+def _png_chunk(name: bytes, payload: bytes) -> bytes:
+
+    crc = zlib.crc32(name + payload) & 0xFFFFFFFF
+    return len(payload).to_bytes(4, "big") + name + payload + crc.to_bytes(4, "big")
 
 
 def encode_png(
@@ -758,51 +972,58 @@ def encode_png(
     ``filter_type='cycle'`` rotates row filters 0,1,2,3,4,0,... so a
     single image exercises every unfilter branch of
     :func:`decode_png_pixels`; an int pins one filter for all rows.
+    Filtering is numpy-vectorized (:func:`_filter_scanlines` — identical
+    bytes to the per-byte spec formulation, so output payloads are
+    stable across versions).
     """
-    import zlib
 
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     if len(pixels) != height * stride:
         raise ValueError("pixels length must be height*width*channels")
-    bpp = channels
-    filtered = bytearray()
-    for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
-        prev = pixels[(y - 1) * stride : y * stride] if y > 0 else bytes(stride)
-        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
-        filtered.append(ft)
-        for j in range(stride):
-            left = row[j - bpp] if j >= bpp else 0
-            up = prev[j]
-            ul = prev[j - bpp] if j >= bpp else 0
-            if ft == 0:
-                v = row[j]
-            elif ft == 1:
-                v = row[j] - left
-            elif ft == 2:
-                v = row[j] - up
-            elif ft == 3:
-                v = row[j] - (left + up) // 2
-            elif ft == 4:
-                v = row[j] - _paeth(left, up, ul)
-            else:
-                raise ValueError(f"bad filter type {ft}")
-            filtered.append(v & 0xFF)
-
-    def chunk(name: bytes, payload: bytes) -> bytes:
-        crc = zlib.crc32(name + payload) & 0xFFFFFFFF
-        return len(payload).to_bytes(4, "big") + name + payload + crc.to_bytes(4, "big")
-
+    filtered = _filter_scanlines(pixels, width, height, channels, filter_type)
     ihdr = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big")
         + bytes([8, ctype, 0, 0, 0])
     )
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(filtered))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: bytes, palette: bytes, width: int, height: int,
+    filter_type: int | str = "cycle",
+) -> bytes:
+    """Indexed-color (type 3) PNG encoder: ``indices`` is one palette
+    index byte per pixel, ``palette`` the PLTE payload (RGB triples,
+    1..256 entries). Indexed color is everywhere in real crawl
+    thumbnails (small palettes compress hard), so the decode path must
+    eat it — this encoder is the test/synthesis side that produces
+    conformant type-3 streams (the same filter pipeline runs over the
+    index plane at bpp=1, per spec)."""
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    if len(palette) % 3 or not 3 <= len(palette) <= 768:
+        raise ValueError("palette must be 1..256 RGB triples")
+    n_entries = len(palette) // 3
+    if indices and max(indices) >= n_entries:
+        raise ValueError("palette index out of range")
+
+    filtered = _filter_scanlines(indices, width, height, 1, filter_type)
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(palette))
+        + _png_chunk(b"IDAT", zlib.compress(filtered))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -811,7 +1032,10 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     DHASH_ROWS`` RGB image whose pixels are an integer formula of the id
     (``r=(id*7+y*31+x*13)%256`` etc.), encoded to genuine PNG bytes with
     :func:`encode_png` (cycling row filters — every unfilter branch of
-    the decoder runs on every image).
+    the decoder runs on every image). Ids with ``id % 5 == 3`` are
+    emitted as indexed-color (PLTE) PNGs via :func:`encode_png_palette`
+    with IDENTICAL decoded pixels, so the palette path is exercised on
+    every dataset without touching any oracle.
 
     This is the synthesis side of the oracle-checkable REAL pixel path:
     a downstream ``image_phash(decoder='real')`` must reproduce exactly
@@ -822,21 +1046,39 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     w, h = DHASH_COLS, DHASH_ROWS
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
         for pdf in batches:
             payloads = []
             for did in pdf[id_col]:
                 did = int(did)
-                pixels = bytes(
-                    v
-                    for y in range(h)
-                    for x in range(w)
-                    for v in (
-                        (did * 7 + y * 31 + x * 13) % 256,
-                        (did * 11 + y * 17 + x * 19) % 256,
-                        (did * 13 + y * 23 + x * 29) % 256,
+                img = np.stack(
+                    [
+                        (did * 7 + yy * 31 + xx * 13) % 256,
+                        (did * 11 + yy * 17 + xx * 19) % 256,
+                        (did * 13 + yy * 23 + xx * 29) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                if did % 5 == 3:
+                    # every 5th image ships as an indexed-color (type 3)
+                    # PNG: a w*h thumbnail always fits a 256-entry
+                    # palette, the decoded RGB pixels are IDENTICAL, so
+                    # every downstream oracle is unchanged while the
+                    # PLTE decode path runs on real catalog data
+                    flat = img.reshape(-1, 3)
+                    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+                    payloads.append(
+                        bytearray(
+                            encode_png_palette(
+                                inverse.astype(np.uint8).tobytes(),
+                                palette.tobytes(), w, h,
+                            )
+                        )
                     )
-                )
-                payloads.append(bytearray(encode_png(pixels, w, h, 3)))
+                else:
+                    payloads.append(bytearray(encode_png(img.tobytes(), w, h, 3)))
             yield pd.DataFrame(
                 {id_col: pdf[id_col].astype("int64"), "payload": payloads}
             )
@@ -898,6 +1140,40 @@ def _dhash_from_pixels(w: int, h: int, channels: int, px: bytes) -> int | None:
     return ph
 
 
+def _dhash_from_pixels_np(w: int, h: int, channels: int, px: bytes) -> int | None:
+    """Numpy formulation of :func:`_dhash_from_pixels` — identical
+    results (property-pinned), integral-image box means instead of
+    per-pixel loops. This is the hot path behind
+    ``image_phash(decoder='real')``; the scalar version stays as the
+    reference implementation."""
+    import numpy as np
+
+    if w < DHASH_COLS or h < DHASH_ROWS:
+        return None
+    a = np.frombuffer(px, np.uint8).reshape(h, w, channels).astype(np.int64)
+    if channels >= 3:
+        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    else:
+        luma = a[:, :, 0]
+    S = np.zeros((h + 1, w + 1), np.int64)
+    S[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    ys = np.array([gy * h // DHASH_ROWS for gy in range(DHASH_ROWS + 1)])
+    xs = np.array([gx * w // DHASH_COLS for gx in range(DHASH_COLS + 1)])
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    box = S[np.ix_(y1, x1)] - S[np.ix_(y0, x1)] - S[np.ix_(y1, x0)] + S[np.ix_(y0, x0)]
+    grid = box // ((y1 - y0)[:, None] * (x1 - x0)[None, :])
+    cmp = grid[:, 1:] > grid[:, :-1]  # (DHASH_ROWS, DHASH_COLS-1)
+    ph = 0
+    for gy in range(DHASH_ROWS):
+        row_bits = cmp[gy]
+        for gx in range(DHASH_COLS - 1):
+            bit = gy * 8 + gx
+            if bit < 63 and row_bits[gx]:
+                ph |= 1 << bit
+    return ph
+
+
 def image_phash(df: DataFrame, chunks: int = 33, decoder: str = "stub") -> DataFrame:
     """Binary payload -> 32-bit dHash-style perceptual hash: downsample
     the payload to ``chunks`` equal slices ("brightness" = slice value
@@ -926,10 +1202,8 @@ def image_phash(df: DataFrame, chunks: int = 33, decoder: str = "stub") -> DataF
 
         def _hash_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                phs = []
-                for i in range(len(pdf)):
-                    dec = decode_png_pixels(bytes(pdf["payload"].iat[i]))
-                    phs.append(_dhash_from_pixels(*dec) if dec else None)
+                decs = decode_png_pixels_batch(list(pdf["payload"]))
+                phs = [_dhash_from_pixels_np(*dec) if dec else None for dec in decs]
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"].astype("int64"),

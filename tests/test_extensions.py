@@ -538,7 +538,8 @@ def test_decode_png_rejects_unsupported_shapes():
 
     good = M.encode_png(bytes(range(27)), 3, 3, 3)
     assert M.decode_png_pixels(good) is not None
-    # palette color type (3): needs PLTE indirection -> gated
+    # palette color type (3) WITHOUT a PLTE chunk: corrupt stream — the
+    # palette path itself is supported (see the round-trip tests)
     pal = bytearray(good)
     pal[25] = 3
     assert M.decode_png_pixels(bytes(pal)) is None
@@ -735,3 +736,38 @@ def test_quality_ratios_null_on_tokenless_docs(spark):
         assert out[d]["uniq_ratio"] is None
         assert out[d]["avg_token_len"] is None
     assert out[3]["uniq_ratio"] == 1.0
+
+
+def test_png_batch_decode_throughput_pinned():
+    """The numpy lockstep batch decoder must hold >=5x the scalar
+    reference decoder's throughput on the property-corpus shapes (the
+    round-5 per-byte kernel was flagged as the one design-level perf
+    weak; this pins the fix so it can't regress). Corpus: cycle-filtered
+    images — every unfilter branch runs — at the catalog thumbnail shape
+    (9x8 RGB, the phash input) and a tile shape (48x48 RGBA). Best-of-3
+    timing on both sides to shrug off CI noise; the measured margin is
+    ~2x the asserted bar."""
+    import random
+    import time
+
+    rnd = random.Random(20260814)
+    corpus = [
+        M.encode_png(bytes(rnd.randrange(256) for _ in range(9 * 8 * 3)), 9, 8, 3)
+        for _ in range(1200)
+    ] + [
+        M.encode_png(bytes(rnd.randrange(256) for _ in range(48 * 48 * 4)), 48, 48, 4)
+        for _ in range(120)
+    ]
+    M.decode_png_pixels_batch(corpus)  # warm numpy/zlib
+    best_scalar = best_batch = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scalar = [M.decode_png_pixels(p) for p in corpus]
+        t1 = time.perf_counter()
+        batch = M.decode_png_pixels_batch(corpus)
+        t2 = time.perf_counter()
+        assert scalar == batch  # identical bytes, every payload
+        best_scalar = min(best_scalar, t1 - t0)
+        best_batch = min(best_batch, t2 - t1)
+    speedup = best_scalar / best_batch
+    assert speedup >= 5.0, f"batch decoder only {speedup:.1f}x scalar"

@@ -344,3 +344,85 @@ def test_png_decoder_never_crashes_on_mutations(rnd, seed):
         if out is not None:
             w, h, ch, px = out
             assert len(px) == w * h * ch
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=256),
+    st.randoms(use_true_random=False),
+    st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_palette_roundtrip_property(w, h, n_entries, rnd, filter_type):
+    """encode_png_palette -> decode_png_pixels maps every index through
+    the PLTE table: decoded output is the palette-expanded RGB plane."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_palette,
+    )
+
+    palette = bytes(rnd.randrange(256) for _ in range(3 * n_entries))
+    idx = bytes(rnd.randrange(n_entries) for _ in range(w * h))
+    png = encode_png_palette(idx, palette, w, h, filter_type=filter_type)
+    expected = b"".join(palette[3 * v : 3 * v + 3] for v in idx)
+    assert decode_png_pixels(png) == (w, h, 3, expected)
+
+
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=25, deadline=None)
+def test_png_batch_decoder_equals_scalar(rnd):
+    """decode_png_pixels_batch (numpy lockstep hot path) is byte-exact
+    against the scalar reference decoder on a mixed corpus: every color
+    type incl. palette, every filter mode, plus corrupted/truncated
+    payloads (both must fail closed identically)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        decode_png_pixels_batch,
+        encode_png,
+        encode_png_palette,
+    )
+
+    corpus = []
+    for _ in range(rnd.randrange(3, 12)):
+        ch = rnd.choice([1, 2, 3, 4])
+        w, h = rnd.randrange(1, 16), rnd.randrange(1, 16)
+        px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        corpus.append(
+            encode_png(px, w, h, ch, filter_type=rnd.choice([0, 1, 2, 3, 4, "cycle"]))
+        )
+    for _ in range(rnd.randrange(1, 5)):
+        w, h = rnd.randrange(1, 12), rnd.randrange(1, 12)
+        n_entries = rnd.randrange(1, 257)
+        palette = bytes(rnd.randrange(256) for _ in range(3 * n_entries))
+        idx = bytes(rnd.randrange(n_entries) for _ in range(w * h))
+        corpus.append(encode_png_palette(idx, palette, w, h))
+    valid_n = len(corpus)
+    corpus += [b"", b"junk", corpus[0][:30]]
+    for _ in range(rnd.randrange(2, 8)):
+        mut = bytearray(corpus[rnd.randrange(valid_n)])
+        for _ in range(rnd.randrange(1, 4)):
+            mut[rnd.randrange(len(mut))] = rnd.randrange(256)
+        corpus.append(bytes(mut[: rnd.randrange(len(mut) + 1)]))
+    assert decode_png_pixels_batch(corpus) == [decode_png_pixels(p) for p in corpus]
+
+
+@given(
+    st.integers(min_value=9, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.sampled_from([1, 2, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_dhash_numpy_equals_scalar(w, h, channels, rnd):
+    """_dhash_from_pixels_np (integral-image hot path) matches the
+    scalar reference hash for every geometry and color type."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        _dhash_from_pixels,
+        _dhash_from_pixels_np,
+    )
+
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    assert _dhash_from_pixels_np(w, h, channels, px) == _dhash_from_pixels(
+        w, h, channels, px
+    )
