@@ -15,34 +15,79 @@ independently).
 Mechanics: the builder's result is materialized with an EAGER
 ``localCheckpoint`` (cuts lineage AND stores the rows executor-local)
 and the builder's own frame is dropped immediately so its
-``unpersist_with`` finalizers release any loop-internal caches. Entries
-for other (session, dataset) pairs are evicted on insert — the bench
-loop and the external driver harness both walk one dataset per session, so one
-live generation bounds executor storage.
+``unpersist_with`` finalizers release any loop-internal caches.
+
+Lifecycle (round-6 hardening):
+- the memo key folds in the SAME source fingerprint ``cached_index_dir``
+  uses (every table file's name, size, mtime_ns) — regenerating the
+  parquet under an sf_dir within one session misses the memo and
+  rebuilds instead of serving stale artifacts;
+- generations are LRU-bounded at 2 (bench + driver walk one dataset per
+  session; a long-lived server alternating two sf_dirs keeps both warm
+  instead of thrashing rebuilds);
+- eviction releases each evicted frame's checkpoint blocks explicitly
+  (``LogicalRDD.rdd().unpersist``) rather than waiting for Python GC +
+  the ContextCleaner to reclaim executor storage.
 """
 
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# (session id, dataset fingerprint) -> {artifact key -> checkpointed frame}
+_MEMO: OrderedDict[tuple[int, str], dict[str, DataFrame]] = OrderedDict()
+_MAX_GENERATIONS = 2
+
+
+def _dataset_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    root = os.path.abspath(sf_dir)
+    src = "|".join(
+        f"{p.name}:{st.st_size}:{st.st_mtime_ns}"
+        for p in sorted(Path(root).glob("*.parquet"))
+        for st in [p.stat()]
+    )
+    return (id(spark), f"{root}|{src}")
+
+
+def _release(df: DataFrame) -> None:
+    """Free a checkpointed frame's executor blocks deterministically.
+
+    An eager ``localCheckpoint`` plans as a ``LogicalRDD`` over a
+    persisted internal RDD; unpersisting THAT RDD drops the blocks now.
+    Best-effort: on any internal-API drift the frames still get
+    reclaimed by GC + ContextCleaner, just later.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def dataset_memo(
     spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    """Return the memoized artifact for (session, sf_dir, key), building
-    and materializing it on first use."""
-    k = (id(spark), os.path.abspath(sf_dir), key)
-    df = _MEMO.get(k)
+    """Return the memoized artifact for (session, dataset, key), building
+    and materializing it on first use. ``dataset`` identity includes the
+    source-file fingerprint, so regenerated data never serves stale
+    frames."""
+    gen_key = _dataset_key(spark, sf_dir)
+    gen = _MEMO.get(gen_key)
+    if gen is None:
+        gen = _MEMO[gen_key] = {}
+    _MEMO.move_to_end(gen_key)
+    while len(_MEMO) > _MAX_GENERATIONS:
+        _, stale = _MEMO.popitem(last=False)
+        for stale_df in stale.values():
+            _release(stale_df)
+    df = gen.get(key)
     if df is None:
         res = build()
         df = res.localCheckpoint(eager=True)
         del res  # finalizers release the builder's persisted intermediates
-        for stale in [x for x in _MEMO if x[:2] != k[:2]]:
-            del _MEMO[stale]
-        _MEMO[k] = df
+        gen[key] = df
     return df

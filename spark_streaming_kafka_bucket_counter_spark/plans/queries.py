@@ -731,19 +731,12 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r*.json (diff of CORRECTNESS_r01..rN keys vs the full
 # catalog, recomputed each round). The driver oracle-checks a ~50-query
 # sample per round taken as an insertion-order prefix, so these names are
-# emitted FIRST to rotate them into coverage. Regenerated after the r04
-# run landed: the union of driver rows r01..r04 covers 151/155 — the only
-# names without a driver row are the round-4 index-persistence triad and
-# this round's PNG-pixel phash addition, all queued below for r05. After
-# CORRECTNESS_r05 lands, recompute the diff again (expected: empty —
-# full-catalog driver coverage).
-_DRIVER_PRIORITY = [
-    # — never driver-sampled (r01..r04 diff): round-4 index triad —
-    "sim_ivf_index_topk", "search_bm25_index_topk", "dedup_lsh_index_query",
-    # — round-5 additions (real PNG pixel decode paths + ANN eval) —
-    "multimodal_phash_png", "multimodal_png_stats", "multimodal_resize_png",
-    "sim_ivf_recall_eval",
-]
+# emitted FIRST to rotate them into coverage. Regenerated after the r05
+# run landed: the union of driver rows r01..r05 covers 158/158 — the
+# rotation goal is met and the list is EMPTY. Any round-6+ addition goes
+# here until its first green driver row; recompute the diff each round
+# (tests/test_bench_contract.py pins the list against going stale).
+_DRIVER_PRIORITY: list[str] = []
 
 
 def _priority_ordered(reg: dict) -> dict:

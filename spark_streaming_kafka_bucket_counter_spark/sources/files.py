@@ -133,9 +133,16 @@ def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
                 if not (root / "_BUILT").exists():
                     # not a concurrent winner — a stale half-built root
                     # (interrupted build) is squatting the slot; evict
-                    # it and retry the publish once
+                    # it and retry the publish once. The retry itself can
+                    # race a second process republishing between our
+                    # rmtree and rename — if the slot is completed by
+                    # then, serve the winner's copy instead of raising
                     shutil.rmtree(root, ignore_errors=True)
-                    stage.rename(root)
+                    try:
+                        stage.rename(root)
+                    except OSError:
+                        if not (root / "_BUILT").exists():
+                            raise
         finally:
             shutil.rmtree(stage, ignore_errors=True)
     return str(root)

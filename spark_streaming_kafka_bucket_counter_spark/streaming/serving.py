@@ -32,6 +32,7 @@ default (``main.py:61`` db_uri default); same API.
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -132,18 +133,94 @@ class ServingStore:
         self.path.mkdir(parents=True, exist_ok=True)
         self._batches_since_clean = 0
 
+    # -- versioned-partition publish (reader-atomic swaps) ---------------
+    def _publish_partition(self, batch_id: int, staged: Path) -> None:
+        """Point ``RST_ID=<b>`` at ``staged`` atomically.
+
+        Partitions are SYMLINKS to hidden versioned data directories
+        (``_data_<b>_<token>``): replacing one is a single ``rename`` of
+        a fresh symlink over the old one — POSIX-atomic, so a concurrent
+        reader lists either the complete old version or the complete new
+        one, never a missing or half-written partition (the window the
+        round-5 two-rename swap documented). Displaced version dirs stay
+        on disk (hidden from Spark's listing) until the next maintenance
+        call sweeps them, so an in-flight reader that already resolved
+        the old target finishes its scan untouched.
+
+        A legacy REAL directory in the slot (pre-symlink layout) cannot
+        be atomically replaced by a symlink; it is moved aside first — a
+        two-syscall window paid once per legacy partition, after which
+        every subsequent swap is atomic.
+        """
+        import uuid
+
+        token = uuid.uuid4().hex[:8]
+        part = self.path / f"{RST_COL}={int(batch_id)}"
+        tmp_link = self.path / f"_lnk_{token}"
+        os.symlink(staged.name, tmp_link)  # relative: store stays movable
+        try:
+            if part.exists() and not part.is_symlink():
+                part.rename(self.path / f"_gc_{part.name}_{token}")  # legacy dir
+            os.rename(tmp_link, part)
+        except OSError:
+            tmp_link.unlink(missing_ok=True)
+            raise
+
+    def _stage_dir(self, batch_id: int) -> Path:
+        import uuid
+
+        return self.path / f"_data_{int(batch_id)}_{uuid.uuid4().hex[:8]}"
+
+    def _sweep_orphans(self) -> int:
+        """Drop hidden version dirs no live partition references (swap
+        leftovers, crash debris, legacy dirs moved aside). Runs from the
+        maintenance calls (clean/compact), i.e. one maintenance cycle
+        AFTER the swap that displaced them — in-flight readers of the
+        old version have long finished. Single-maintainer contract, same
+        as the reference's one cleaner (models.py:702): streaming
+        ingest serializes maintenance inside ``foreachBatch``."""
+        live_targets = {
+            os.readlink(p)
+            for p in self.path.iterdir()
+            if p.is_symlink() and p.name.startswith(f"{RST_COL}=")
+        }
+        swept = 0
+        for p in self.path.iterdir():
+            if (
+                p.is_dir()
+                and not p.is_symlink()
+                and (p.name.startswith("_data_") or p.name.startswith("_gc_"))
+                and p.name not in live_targets
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                swept += 1
+        return swept
+
+    def _remove_partition(self, part: Path) -> None:
+        if part.is_symlink():
+            target = self.path / os.readlink(part)
+            part.unlink(missing_ok=True)
+            shutil.rmtree(target, ignore_errors=True)
+        else:
+            shutil.rmtree(part, ignore_errors=True)
+
     # -- K7/K8: tagged (bulk) insert ------------------------------------
     def append(self, df: DataFrame, batch_id: int) -> None:
         """Append one micro-batch under partition ``RST_ID=batch_id``.
 
-        Overwrite-by-partition makes replays idempotent (exactly-once
-        serving rows per batch id).
+        The batch writes to a hidden versioned directory and is published
+        with an atomic symlink swap (:meth:`_publish_partition`), so
+        replays are idempotent (exactly-once serving rows per batch id)
+        AND a replayed overwrite never exposes a half-written partition
+        to a concurrent reader.
         """
+        staged = self._stage_dir(batch_id)
         (
             df.withColumn(RST_COL, F.lit(int(batch_id)).cast("long"))
             .write.mode("overwrite")
-            .save(str(self.path / f"{RST_COL}={int(batch_id)}"), format="parquet")
+            .save(str(staged), format="parquet")
         )
+        self._publish_partition(batch_id, staged)
         self._batches_since_clean += 1
         if self.clean_freq > 0 and self._batches_since_clean >= self.clean_freq:
             self.clean()
@@ -151,9 +228,8 @@ class ServingStore:
 
     # -- catalog (D1-D3) -------------------------------------------------
     def _recover_compactions(self) -> None:
-        """Finish or roll back compaction swaps interrupted by a crash.
-
-        :meth:`compact` swaps a partition via two renames
+        """Finish or roll back LEGACY compaction swaps interrupted by a
+        crash — pre-round-6 stores used a two-rename swap
         (``part -> _old_<b>`` then ``_compact_<b> -> part``); a crash
         between them leaves the batch only under ``_old_<b>``, which
         Spark's file listing hides — the batch would silently vanish
@@ -163,6 +239,10 @@ class ServingStore:
         (the compacted data is complete — the swap just didn't finish);
         a leftover ``_old_<b>`` is restored when the live partition is
         gone and discarded when it exists.
+
+        The current symlink-versioned layout cannot strand a batch: the
+        publish is one atomic rename, and a crash before it only leaves
+        a hidden ``_data_*`` orphan for :meth:`_sweep_orphans`.
         """
         for tmp in self.path.glob("_compact_*"):
             b = tmp.name[len("_compact_") :]
@@ -172,12 +252,14 @@ class ServingStore:
             else:
                 # crash before the first rename: live partition is intact,
                 # the staged rewrite is redundant — compact() will redo it
-                shutil.rmtree(tmp, ignore_errors=True)
+                self._remove_partition(tmp)
         for bak in self.path.glob("_old_*"):
             b = bak.name[len("_old_") :]
             part = self.path / f"{RST_COL}={b}"
             if part.exists():
-                shutil.rmtree(bak, ignore_errors=True)  # swap finished
+                # swap finished: drop the backup (and, when the backup is
+                # a displaced symlink, its versioned data dir)
+                self._remove_partition(bak)
             else:
                 bak.rename(part)  # compacted copy lost: restore original
 
@@ -273,6 +355,7 @@ class ServingStore:
         keep = self.clean_interval if clean_interval is None else clean_interval
         if keep < 0:
             return 0
+        self._sweep_orphans()
         ids = self._batch_ids()
         if not ids:
             return 0
@@ -280,7 +363,7 @@ class ServingStore:
         dropped = 0
         for i in ids:
             if i < cutoff:
-                shutil.rmtree(self.path / f"{RST_COL}={i}", ignore_errors=True)
+                self._remove_partition(self.path / f"{RST_COL}={i}")
                 dropped += 1
         return dropped
 
@@ -296,10 +379,17 @@ class ServingStore:
         Recent partitions are left alone — they are still inside the
         retention/serving hot window and may be replayed (overwritten)
         by the stream; frozen ones are immutable, so the rewrite is
-        safe. The swap goes through ``_``-prefixed temp dirs, which
-        Spark's file listing treats as hidden — readers never see a
-        half-written partition.
+        safe. The rewrite stages into a hidden versioned dir and is
+        published with the atomic symlink swap
+        (:meth:`_publish_partition`) — concurrent readers see either
+        the whole pre-compaction partition or the whole rewritten one,
+        never a missing/partial leaf (the round-5 two-rename scheme's
+        documented gap, closed per VERDICT ask #8; racing-reader
+        pytest pins it). Displaced versions are swept on the NEXT
+        maintenance call so readers mid-scan on the old files finish
+        cleanly.
         """
+        self._sweep_orphans()
         ids = self._batch_ids()
         frozen = ids[: -keep_recent] if keep_recent > 0 else ids
         rewritten = 0
@@ -309,12 +399,9 @@ class ServingStore:
             if len(files) <= target_files:
                 continue
             df = self.spark.read.parquet(str(part))
-            tmp = self.path / f"_compact_{b}"
-            df.coalesce(target_files).write.mode("overwrite").parquet(str(tmp))
-            bak = self.path / f"_old_{b}"
-            part.rename(bak)
-            tmp.rename(part)
-            shutil.rmtree(bak, ignore_errors=True)
+            staged = self._stage_dir(b)
+            df.coalesce(target_files).write.mode("overwrite").parquet(str(staged))
+            self._publish_partition(b, staged)
             rewritten += 1
         return rewritten
 
@@ -339,13 +426,12 @@ class ServingStore:
             if n_match == 0:
                 continue
             keep = part.filter(~cond | cond.isNull()).drop(RST_COL)
-            # stage to temp dir then swap, so we never read+overwrite the
-            # same files in one job
-            tmp = self.path / f"_staging_{RST_COL}={bid}"
-            keep.write.mode("overwrite").parquet(str(tmp))
-            final = self.path / f"{RST_COL}={bid}"
-            shutil.rmtree(final, ignore_errors=True)
-            tmp.rename(final)
+            # stage to a hidden versioned dir (never read+overwrite the
+            # same files in one job), then atomic symlink publish —
+            # racing readers see pre- or post-delete rows, nothing between
+            staged = self._stage_dir(bid)
+            keep.write.mode("overwrite").parquet(str(staged))
+            self._publish_partition(bid, staged)
             deleted += n_match
         return deleted
 

@@ -11,6 +11,7 @@ catalog.
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 
 def _bench():
@@ -48,3 +49,27 @@ def test_summary_line_stays_small_and_schema_complete():
     # the full record carries every timing the summary elides
     assert set(full["queries"]) == set(timings)
     assert full["value"] == summary["value"]
+
+
+def test_driver_priority_list_is_not_stale():
+    """_DRIVER_PRIORITY exists to rotate never-driver-sampled queries
+    into the driver's ~50-query insertion-order prefix. A name that
+    already has a green row in any committed CORRECTNESS_r*.json has
+    been sampled — keeping it in the list would displace genuinely
+    unsampled queries, so the list may only contain never-sampled
+    catalog names (VERDICT r5 ask #4: keep the rotation truthful)."""
+    import glob
+    import json
+
+    from spark_streaming_kafka_bucket_counter_spark.plans.queries import (
+        _DRIVER_PRIORITY,
+        queries,
+    )
+
+    sampled = set()
+    for path in glob.glob(str(Path(__file__).resolve().parent.parent / "CORRECTNESS_r*.json")):
+        sampled |= set(json.load(open(path)))
+    catalog = set(queries())
+    for name in _DRIVER_PRIORITY:
+        assert name in catalog, f"{name} is not a catalog query"
+        assert name not in sampled, f"{name} already driver-sampled; drop it"

@@ -272,3 +272,68 @@ def test_store_time_travel(spark, tmp_path):
     assert "PartitionFilters" in plan and "RST_ID" in plan
     # full view unaffected
     assert store.view().count() == 3
+
+
+def test_store_compact_is_reader_atomic(spark, tmp_path):
+    """Racing readers during compaction never observe a partial store
+    (VERDICT r5 ask #8). Two readers race repeated compactions: a Spark
+    reader re-aggregating the full view (must always see every row), and
+    a high-frequency filesystem lister resolving every partition the way
+    Spark's file index does (every RST_ID must always be present,
+    resolvable, and non-empty — the round-5 two-rename swap had a window
+    where a partition was absent). The symlink publish makes the swap a
+    single atomic rename, so both loops must be clean."""
+    import glob
+    import os
+    import threading
+
+    store = ServingStore(spark, str(tmp_path / "astore"), clean_freq=0)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    n_parts = 4
+    for b in range(n_parts):
+        store.append(df.repartition(4), b)
+    expect_sum = store.view().groupBy().sum("v").collect()[0][0]
+    expect_ids = set(range(n_parts))
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def spark_reader():
+        while not stop.is_set():
+            got = store.view().groupBy().sum("v").collect()[0][0]
+            if got != expect_sum:
+                errors.append(f"spark reader saw partial sum {got}")
+                return
+
+    def fs_lister():
+        root = str(tmp_path / "astore")
+        while not stop.is_set():
+            seen = {
+                int(name.split("=", 1)[1])
+                for name in os.listdir(root)
+                if name.startswith("RST_ID=") and os.path.isdir(os.path.join(root, name))
+            }
+            if seen != expect_ids:
+                errors.append(f"lister saw partitions {sorted(seen)}")
+                return
+            for b in expect_ids:
+                files = glob.glob(os.path.join(root, f"RST_ID={b}", "*.parquet"))
+                if not files:
+                    errors.append(f"lister saw empty partition {b}")
+                    return
+
+    threads = [threading.Thread(target=spark_reader), threading.Thread(target=fs_lister)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(5):
+            # re-fragment every partition, then compact all of them: each
+            # round performs n_parts atomic swaps under the racing readers
+            for b in range(n_parts):
+                store.append(df.repartition(4), b)
+            assert store.compact(keep_recent=0) == n_parts
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors[0]
+    assert store.view().groupBy().sum("v").collect()[0][0] == expect_sum
