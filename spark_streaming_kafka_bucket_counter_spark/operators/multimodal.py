@@ -32,11 +32,14 @@ multimodal datasets:
 - SECOND EXCEPTION: PNG *pixels* need only stdlib zlib — IDAT is
   deflate over per-row filtered scanlines, so
   :func:`decode_png_pixels` reconstructs exact 8-bit
-  gray/gray+alpha/RGB/RGBA pixel bytes dependency-free, and
-  ``image_phash(decoder='real')`` perceptual-hashes real pixels
-  (:func:`_dhash_from_pixels`). :func:`encode_png` is the matching
+  gray/gray+alpha/RGB/RGBA/palette(PLTE) pixel bytes dependency-free,
+  :func:`decode_png_pixels_batch` is the numpy lockstep hot path
+  (>=5x, pinned), and ``image_phash(decoder='real')``
+  perceptual-hashes real pixels (:func:`_dhash_from_pixels`).
+  :func:`encode_png` / :func:`encode_png_palette` are the matching
   synthesis side. JPEG/video pixel decode (:func:`extract_features`)
-  still needs PIL/ffmpeg and stays gated.
+  still needs PIL/ffmpeg and stays gated; 16-bit and Adam7 PNG return
+  ``None`` rather than guessing.
 """
 
 from __future__ import annotations
