@@ -675,28 +675,42 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _parse_png_stream(
-    b: bytes,
-) -> tuple[int, int, int, bytes | None, bytes] | None:
-    """Container walk + inflate shared by the scalar and batch decoders:
-    ``(width, height, bpp, palette, raw)`` where ``bpp`` is the
-    bytes-per-pixel the FILTER layer sees (1 for palette indices),
-    ``palette`` is the PLTE payload (RGB triples) for color type 3 else
-    ``None``, and ``raw`` is the inflated filtered scanline stream of
-    exactly ``height * (width*bpp + 1)`` bytes. ``None`` for anything
-    that isn't a supported PNG (bad magic, depth != 8, interlaced,
-    missing/oversized PLTE, short or corrupt IDAT).
-    """
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per pass
+# (PNG spec 8.2); each pass is an independently filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+# legal (color type -> bit depths), PNG spec table 11.1
+_PNG_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+# left-bit-replication scale factors for sub-byte grayscale samples
+_PNG_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
 
+
+def _scanline_layout(width: int, channels: int, depth: int) -> tuple[int, int]:
+    """(stride_bytes, filter_bpp) for one scanline: sub-byte depths pack
+    bits MSB-first with row padding; the filter offset is at least 1."""
+    stride = (width * channels * depth + 7) // 8
+    return stride, max(1, channels * depth // 8)
+
+
+def _png_chunks(
+    b: bytes,
+) -> tuple[int, int, int, int, int, bytes | None, bytes] | None:
+    """Container walk + inflate shared by every decode path:
+    ``(width, height, depth, ctype, interlace, palette, raw)`` where
+    ``raw`` is the inflated filtered scanline stream (layout depends on
+    depth/interlace — validated by the caller). ``None`` for anything
+    that isn't a supported PNG (bad magic, illegal depth/ctype combo,
+    missing/oversized PLTE, corrupt IDAT)."""
     if len(b) < 45 or b[: len(_PNG_SIG)] != _PNG_SIG or b[12:16] != b"IHDR":
         return None
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
     depth, ctype, comp, filt, interlace = b[24:29]
-    channels = _PNG_CHANNELS.get(ctype)
     if (
-        depth != 8 or comp != 0 or filt != 0 or interlace != 0
-        or channels is None or w <= 0 or h <= 0
+        comp != 0 or filt != 0 or interlace > 1 or w <= 0 or h <= 0
+        or depth not in _PNG_LEGAL_DEPTHS.get(ctype, ())
     ):
         return None
     idat = bytearray()
@@ -727,55 +741,22 @@ def _parse_png_stream(
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (w * channels + 1):
-        return None
-    return (w, h, channels, palette, raw)
+    return (w, h, depth, ctype, interlace, palette, raw)
 
 
-def _apply_palette_scalar(px: bytes, palette: bytes) -> bytes | None:
-    """Palette index plane -> RGB bytes; ``None`` on any out-of-range
-    index (corrupt stream — the spec calls it an error, we fail closed)."""
-    n_entries = len(palette) // 3
-    if px and max(px) >= n_entries:
-        return None
-    out = bytearray(len(px) * 3)
-    for i, v in enumerate(px):
-        out[3 * i : 3 * i + 3] = palette[3 * v : 3 * v + 3]
-    return bytes(out)
-
-
-def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
-    """Full PNG pixel decode with ONLY the stdlib: ``(width, height,
-    channels, pixels)`` where ``pixels`` is ``height*width*channels``
-    raw bytes in scanline order, or ``None`` if the payload isn't a
-    decodable PNG.
-
-    PNG is the one mainstream image format that needs no codec library:
-    IDAT is zlib-deflate over per-row filtered scanlines, so stdlib
-    ``zlib`` plus the five filter inverses (none/sub/up/average/paeth,
-    PNG spec 9) reconstructs exact pixels. Coverage: 8-bit depth, color
-    types 0 (gray), 2 (RGB), 3 (palette — PLTE indirection, decoded to
-    RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the shapes a
-    curation pipeline's thumbnails/tiles actually use. 16-bit and Adam7
-    return ``None`` rather than guessing; JPEG stays codec-gated (DCT
-    entropy decode is a real codec's job — see
-    :func:`_require_real_decoder`).
-
-    This scalar per-byte path is the REFERENCE implementation the
-    property suite pins; the hot path for bulk Arrow batches is
-    :func:`decode_png_pixels_batch` (numpy lockstep across images),
-    property-tested byte-identical to this one.
-    """
-    parsed = _parse_png_stream(bytes(b))
-    if parsed is None:
-        return None
-    w, h, bpp, palette, raw = parsed
-    stride = w * bpp
-    out = bytearray(h * stride)
-    for y in range(h):
-        pos = y * (stride + 1)
-        ft = raw[pos]
-        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+def _unfilter_stream(
+    raw: bytes, pos: int, n_rows: int, stride: int, bpp: int
+) -> bytearray | None:
+    """Invert the five row filters over ``n_rows`` scanlines starting at
+    ``raw[pos]`` (each ``1 + stride`` bytes); returns the reconstructed
+    ``n_rows * stride`` bytes, or ``None`` on a bad filter byte. The
+    scalar reference kernel — the numpy lockstep batch path must match
+    it bit for bit."""
+    out = bytearray(n_rows * stride)
+    for y in range(n_rows):
+        p = pos + y * (stride + 1)
+        ft = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
         base = y * stride
         if ft == 0:
             pass
@@ -800,10 +781,118 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
         else:
             return None
         out[base : base + stride] = row
+    return out
+
+
+def _row_samples(rb, width: int, channels: int, depth: int):
+    """One reconstructed scanline -> ``width*channels`` 8-bit-container
+    samples: depth 8 verbatim, depth 16 keeps the high byte (the
+    standard 16->8 reduction), sub-byte depths unpack MSB-first
+    (unscaled — grayscale scaling and palette mapping happen later)."""
+    if depth == 8:
+        return rb
+    if depth == 16:
+        return rb[0::2]
+    mask = (1 << depth) - 1
+    out = bytearray(width)
+    for j in range(width):
+        bitpos = j * depth
+        out[j] = (rb[bitpos >> 3] >> (8 - depth - (bitpos & 7))) & mask
+    return out
+
+
+def _decode_parsed(pc) -> tuple[int, int, int, bytes] | None:
+    """Decode a `_png_chunks` result to ``(w, h, channels, pixels)``."""
+    w, h, depth, ctype, interlace, palette, raw = pc
+    channels = _PNG_CHANNELS[ctype]
+    if depth == 8 and interlace == 0:
+        stride, bpp = _scanline_layout(w, channels, depth)
+        if len(raw) != h * (stride + 1):
+            return None
+        px = _unfilter_stream(raw, 0, h, stride, bpp)
+        if px is None:
+            return None
+        if palette is not None:
+            rgb = _apply_palette_scalar(bytes(px), palette)
+            return None if rgb is None else (w, h, 3, rgb)
+        return (w, h, channels, bytes(px))
+    # general path: 16-bit / sub-byte depths / Adam7 — rare in thumbnail
+    # corpora, so plain per-pass scalar work is fine here
+    passes = [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    plan = []
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride, bpp = _scanline_layout(pw, channels, depth)
+        plan.append((x0, y0, dx, dy, pw, ph, pstride, bpp))
+        expected += ph * (pstride + 1)
+    if len(raw) != expected:
+        return None
+    scale = _PNG_GRAY_SCALE.get(depth) if ctype == 0 else None
+    out = bytearray(w * h * channels)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph, pstride, bpp in plan:
+        rows = _unfilter_stream(raw, pos, ph, pstride, bpp)
+        if rows is None:
+            return None
+        pos += ph * (pstride + 1)
+        for i in range(ph):
+            samples = _row_samples(rows[i * pstride : (i + 1) * pstride], pw, channels, depth)
+            y = y0 + i * dy
+            for j in range(pw):
+                base = ((y * w) + x0 + j * dx) * channels
+                s = samples[j * channels : (j + 1) * channels]
+                out[base : base + channels] = s
+    if scale is not None:
+        out = bytearray(v * scale for v in out)
     if palette is not None:
         rgb = _apply_palette_scalar(bytes(out), palette)
         return None if rgb is None else (w, h, 3, rgb)
-    return (w, h, bpp, bytes(out))
+    return (w, h, channels, bytes(out))
+
+
+def _apply_palette_scalar(px: bytes, palette: bytes) -> bytes | None:
+    """Palette index plane -> RGB bytes; ``None`` on any out-of-range
+    index (corrupt stream — the spec calls it an error, we fail closed)."""
+    n_entries = len(palette) // 3
+    if px and max(px) >= n_entries:
+        return None
+    out = bytearray(len(px) * 3)
+    for i, v in enumerate(px):
+        out[3 * i : 3 * i + 3] = palette[3 * v : 3 * v + 3]
+    return bytes(out)
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Full PNG pixel decode with ONLY the stdlib: ``(width, height,
+    channels, pixels)`` where ``pixels`` is ``height*width*channels``
+    raw bytes in scanline order, or ``None`` if the payload isn't a
+    decodable PNG.
+
+    PNG is the one mainstream image format that needs no codec library:
+    IDAT is zlib-deflate over per-row filtered scanlines, so stdlib
+    ``zlib`` plus the five filter inverses (none/sub/up/average/paeth,
+    PNG spec 9) reconstructs exact pixels. Coverage: EVERY legal PNG
+    shape — color types 0 (gray), 2 (RGB), 3 (palette, decoded to RGB),
+    4 (gray+alpha), 6 (RGBA) at every legal bit depth (1/2/4/8/16),
+    interlaced or not. Sub-byte grayscale samples scale up by left-bit
+    replication (1->255, 2->85, 4->17); 16-bit samples keep the high
+    byte (the standard 16->8 reduction); Adam7 passes are unfiltered
+    independently and scattered into place (PNG spec 8.2). The output
+    container is always 8-bit samples. JPEG stays codec-gated (DCT
+    entropy decode is a real codec's job — see
+    :func:`_require_real_decoder`).
+
+    This scalar per-byte path is the REFERENCE implementation the
+    property suite pins; the hot path for bulk Arrow batches is
+    :func:`decode_png_pixels_batch` (numpy lockstep across images),
+    property-tested byte-identical to this one.
+    """
+    pc = _png_chunks(bytes(b))
+    return None if pc is None else _decode_parsed(pc)
 
 
 def decode_png_pixels_batch(
@@ -827,13 +916,24 @@ def decode_png_pixels_batch(
     """
     import numpy as np
 
-    parsed = [_parse_png_stream(bytes(p)) for p in payloads]
-    results: list[tuple[int, int, int, bytes] | None] = [None] * len(parsed)
+    results: list[tuple[int, int, int, bytes] | None] = [None] * len(payloads)
+    parsed: list[tuple | None] = [None] * len(payloads)
     groups: dict[tuple[int, int, int], list[int]] = {}
-    for i, pr in enumerate(parsed):
-        if pr is not None:
-            w, h, bpp, _, _ = pr
-            groups.setdefault((w, h, bpp), []).append(i)
+    for i, p in enumerate(payloads):
+        pc = _png_chunks(bytes(p))
+        if pc is None:
+            continue
+        w, h, depth, ctype, interlace, palette, raw = pc
+        channels = _PNG_CHANNELS[ctype]
+        if depth == 8 and interlace == 0:
+            if len(raw) != h * (w * channels + 1):
+                continue
+            parsed[i] = (w, h, channels, palette, raw)
+            groups.setdefault((w, h, channels), []).append(i)
+        else:
+            # exotic shapes (16-bit / sub-byte / Adam7) are rare in
+            # thumbnail corpora: scalar general path, same results
+            results[i] = _decode_parsed(pc)
     def _unfilter_rows(row, prev, f, w, bpp):
         """One scanline step for a uniform filter type ``f`` across all
         images in ``row`` (shape (k, w*bpp), int16). Returns the
@@ -919,17 +1019,18 @@ def decode_png_pixels_batch(
 
 
 def _filter_scanlines(
-    pixels: bytes, width: int, height: int, bpp: int, filter_type: int | str
+    pixels: bytes, stride: int, height: int, bpp: int, filter_type: int | str
 ) -> bytes:
-    """Pixels -> PNG filtered scanline stream (filter byte + filtered
-    row, per row). Unlike DECODING, filtering is not sequential — every
-    neighbor (left/up/upleft) is an ORIGINAL pixel — so all five filters
-    compute as whole-image numpy expressions and the row loop only picks
-    which precomputed plane each row emits. Byte-identical to the spec's
-    per-byte formulation (all arithmetic mod 256)."""
+    """Row bytes (``height * stride``) -> PNG filtered scanline stream
+    (filter byte + filtered row, per row). Unlike DECODING, filtering is
+    not sequential — every neighbor (left/up/upleft) is an ORIGINAL
+    byte — so all five filters compute as whole-image numpy expressions
+    and the row loop only picks which precomputed plane each row emits.
+    Byte-identical to the spec's per-byte formulation (all arithmetic
+    mod 256). ``stride`` is the PACKED row length (≠ width*bpp for
+    sub-byte depths)."""
     import numpy as np
 
-    stride = width * bpp
     px = np.frombuffer(pixels, np.uint8).reshape(height, stride).astype(np.int16)
     prev = np.vstack([np.zeros((1, stride), np.int16), px[:-1]])
     left = np.concatenate([np.zeros((height, bpp), np.int16), px[:, :-bpp]], axis=1)
@@ -984,7 +1085,7 @@ def encode_png(
     stride = width * channels
     if len(pixels) != height * stride:
         raise ValueError("pixels length must be height*width*channels")
-    filtered = _filter_scanlines(pixels, width, height, channels, filter_type)
+    filtered = _filter_scanlines(pixels, width * channels, height, channels, filter_type)
     ihdr = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big")
         + bytes([8, ctype, 0, 0, 0])
@@ -997,35 +1098,156 @@ def encode_png(
     )
 
 
+def _pack_rows(values, width: int, height: int, depth: int) -> tuple[bytes, int]:
+    """Per-row MSB-first bit packing (PNG spec 7.2) for sub-byte sample
+    streams; returns (packed bytes, row stride)."""
+    stride = (width * depth + 7) // 8
+    out = bytearray(height * stride)
+    for y in range(height):
+        row = y * stride
+        for j in range(width):
+            bitpos = j * depth
+            out[row + (bitpos >> 3)] |= values[y * width + j] << (8 - depth - (bitpos & 7))
+    return bytes(out), stride
+
+
 def encode_png_palette(
     indices: bytes, palette: bytes, width: int, height: int,
-    filter_type: int | str = "cycle",
+    filter_type: int | str = "cycle", depth: int = 8,
 ) -> bytes:
     """Indexed-color (type 3) PNG encoder: ``indices`` is one palette
-    index byte per pixel, ``palette`` the PLTE payload (RGB triples,
-    1..256 entries). Indexed color is everywhere in real crawl
-    thumbnails (small palettes compress hard), so the decode path must
-    eat it — this encoder is the test/synthesis side that produces
-    conformant type-3 streams (the same filter pipeline runs over the
-    index plane at bpp=1, per spec)."""
+    index per pixel, ``palette`` the PLTE payload (RGB triples, 1..256
+    entries). Indexed color is everywhere in real crawl thumbnails
+    (small palettes compress hard), so the decode path must eat it —
+    this encoder is the test/synthesis side that produces conformant
+    type-3 streams. ``depth`` 1/2/4 packs indices sub-byte (MSB-first
+    with row padding, per spec); 8 is one byte per index; the filter
+    pipeline runs over the packed index plane at bpp=1 either way."""
     if len(indices) != width * height:
         raise ValueError("indices length must be width*height")
     if len(palette) % 3 or not 3 <= len(palette) <= 768:
         raise ValueError("palette must be 1..256 RGB triples")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1, 2, 4 or 8")
     n_entries = len(palette) // 3
-    if indices and max(indices) >= n_entries:
+    if indices and max(indices) >= min(n_entries, 1 << depth):
         raise ValueError("palette index out of range")
-
-    filtered = _filter_scanlines(indices, width, height, 1, filter_type)
+    if depth == 8:
+        plane, stride = bytes(indices), width
+    else:
+        plane, stride = _pack_rows(indices, width, height, depth)
+    filtered = _filter_scanlines(plane, stride, height, 1, filter_type)
     ihdr = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big")
-        + bytes([8, 3, 0, 0, 0])
+        + bytes([depth, 3, 0, 0, 0])
     )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", bytes(palette))
         + _png_chunk(b"IDAT", zlib.compress(filtered))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_16(
+    samples, width: int, height: int, channels: int = 3,
+    filter_type: int | str = "cycle",
+) -> bytes:
+    """16-bit-per-sample PNG encoder (gray/GA/RGB/RGBA): ``samples`` is
+    ``width*height*channels`` ints in [0, 65536), stored big-endian per
+    spec. Filtering runs on the BYTE stream with bpp = 2*channels. The
+    decoder reduces 16->8 by keeping each sample's high byte, so the
+    round-trip property is ``decode(encode16(s)) == msb(s)``."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if len(samples) != width * height * channels:
+        raise ValueError("samples length must be width*height*channels")
+    plane = bytearray(len(samples) * 2)
+    for i, v in enumerate(samples):
+        if not 0 <= v < 65536:
+            raise ValueError("16-bit sample out of range")
+        plane[2 * i] = v >> 8
+        plane[2 * i + 1] = v & 0xFF
+    stride = width * channels * 2
+    filtered = _filter_scanlines(bytes(plane), stride, height, channels * 2, filter_type)
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([16, ctype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(filtered))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_lowdepth(
+    values, depth: int, width: int, height: int,
+    filter_type: int | str = "cycle",
+) -> bytes:
+    """Sub-byte grayscale (type 0, depth 1/2/4) PNG encoder: ``values``
+    is one sample in [0, 2^depth) per pixel, packed MSB-first with row
+    padding. The decoder scales samples up by left-bit replication
+    (1->x255, 2->x85, 4->x17), so ``decode(encode_lowdepth(v)) ==
+    v * scale``."""
+    if depth not in (1, 2, 4):
+        raise ValueError("low-depth gray must be depth 1, 2 or 4")
+    if len(values) != width * height:
+        raise ValueError("values length must be width*height")
+    if values and max(values) >= (1 << depth):
+        raise ValueError("sample out of range for depth")
+    plane, stride = _pack_rows(values, width, height, depth)
+    filtered = _filter_scanlines(plane, stride, height, 1, filter_type)
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([depth, 0, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(filtered))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(
+    pixels: bytes, width: int, height: int, channels: int = 3,
+    filter_type: int | str = "cycle",
+) -> bytes:
+    """Adam7-interlaced 8-bit PNG encoder: the image splits into the
+    seven spec passes (each an independent sub-image filtered with its
+    own scanline stream, PNG spec 8.2), which is exactly what the
+    decoder's general path re-assembles — the round-trip pins the
+    interlace support with real conformant streams."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels length must be width*height*channels")
+    streams = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = bytearray(pw * ph * channels)
+        for i in range(ph):
+            y = y0 + i * dy
+            for j in range(pw):
+                x = x0 + j * dx
+                src = (y * width + x) * channels
+                dst = (i * pw + j) * channels
+                sub[dst : dst + channels] = pixels[src : src + channels]
+        streams.append(
+            _filter_scanlines(bytes(sub), pw * channels, ph, channels, filter_type)
+        )
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 1])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(streams)))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -1064,12 +1286,12 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                if did % 5 == 3:
-                    # every 5th image ships as an indexed-color (type 3)
-                    # PNG: a w*h thumbnail always fits a 256-entry
-                    # palette, the decoded RGB pixels are IDENTICAL, so
-                    # every downstream oracle is unchanged while the
-                    # PLTE decode path runs on real catalog data
+                # a deterministic slice of ids ships in each alternative
+                # container shape — decoded RGB pixels are IDENTICAL in
+                # every case, so all downstream oracles are unchanged
+                # while the PLTE / Adam7 / 16-bit decode paths run on
+                # real catalog data in every dataset
+                if did % 5 == 3:  # indexed-color (PLTE): w*h <= 256 colors
                     flat = img.reshape(-1, 3)
                     palette, inverse = np.unique(flat, axis=0, return_inverse=True)
                     payloads.append(
@@ -1080,6 +1302,13 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             )
                         )
                     )
+                elif did % 7 == 1:  # Adam7 interlaced, same pixels
+                    payloads.append(
+                        bytearray(encode_png_adam7(img.tobytes(), w, h, 3))
+                    )
+                elif did % 11 == 2:  # 16-bit, v*257 -> high byte is v
+                    s16 = [int(v) * 257 for v in img.reshape(-1)]
+                    payloads.append(bytearray(encode_png_16(s16, w, h, 3)))
                 else:
                     payloads.append(bytearray(encode_png(img.tobytes(), w, h, 3)))
             yield pd.DataFrame(

@@ -426,3 +426,124 @@ def test_dhash_numpy_equals_scalar(w, h, channels, rnd):
     assert _dhash_from_pixels_np(w, h, channels, px) == _dhash_from_pixels(
         w, h, channels, px
     )
+
+
+@given(
+    st.integers(min_value=1, max_value=18),
+    st.integers(min_value=1, max_value=18),
+    st.sampled_from([1, 2, 3, 4]),
+    st.randoms(use_true_random=False),
+    st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_png16_roundtrip_keeps_high_byte(w, h, channels, rnd, filter_type):
+    """decode(encode_png_16(s)) is the per-sample high byte — the
+    standard 16->8 reduction, exact."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_16,
+    )
+
+    s16 = [rnd.randrange(65536) for _ in range(w * h * channels)]
+    png = encode_png_16(s16, w, h, channels, filter_type)
+    assert decode_png_pixels(png) == (w, h, channels, bytes(v >> 8 for v in s16))
+
+
+@given(
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=1, max_value=25),
+    st.sampled_from([1, 2, 4]),
+    st.randoms(use_true_random=False),
+    st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_lowdepth_gray_roundtrip_scales(w, h, depth, rnd, filter_type):
+    """Sub-byte grayscale unpacks MSB-first (row-padded) and scales by
+    left-bit replication: 1-bit x255, 2-bit x85, 4-bit x17."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_lowdepth,
+    )
+
+    scale = {1: 255, 2: 85, 4: 17}[depth]
+    vals = [rnd.randrange(1 << depth) for _ in range(w * h)]
+    png = encode_png_lowdepth(vals, depth, w, h, filter_type)
+    assert decode_png_pixels(png) == (w, h, 1, bytes(v * scale for v in vals))
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from([1, 2, 3, 4]),
+    st.randoms(use_true_random=False),
+    st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_roundtrip_property(w, h, channels, rnd, filter_type):
+    """Adam7: seven independently filtered passes scatter back to the
+    exact source pixels for every geometry (incl. degenerate 1xN/Nx1
+    where several passes are empty)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_adam7,
+    )
+
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    png = encode_png_adam7(px, w, h, channels, filter_type)
+    assert decode_png_pixels(png) == (w, h, channels, px)
+
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.sampled_from([1, 2, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_subbyte_palette_roundtrip(w, h, depth, rnd):
+    """Sub-byte palette indices unpack then map through PLTE."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_palette,
+    )
+
+    n = 1 << depth
+    palette = bytes(rnd.randrange(256) for _ in range(3 * n))
+    idx = bytes(rnd.randrange(n) for _ in range(w * h))
+    png = encode_png_palette(idx, palette, w, h, depth=depth)
+    expected = b"".join(palette[3 * v : 3 * v + 3] for v in idx)
+    assert decode_png_pixels(png) == (w, h, 3, expected)
+
+
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=20, deadline=None)
+def test_png_batch_equals_scalar_on_exotic_shapes(rnd):
+    """The batch decoder routes 16-bit / sub-byte / Adam7 payloads to
+    the scalar general path — results identical, incl. under mutation."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_png_pixels,
+        decode_png_pixels_batch,
+        encode_png,
+        encode_png_16,
+        encode_png_adam7,
+        encode_png_lowdepth,
+        encode_png_palette,
+    )
+
+    w, h = rnd.randrange(1, 12), rnd.randrange(1, 12)
+    corpus = [
+        encode_png(bytes(rnd.randrange(256) for _ in range(w * h * 3)), w, h, 3),
+        encode_png_16([rnd.randrange(65536) for _ in range(w * h * 2)], w, h, 2),
+        encode_png_lowdepth([rnd.randrange(4) for _ in range(w * h)], 2, w, h),
+        encode_png_adam7(bytes(rnd.randrange(256) for _ in range(w * h * 4)), w, h, 4),
+        encode_png_palette(
+            bytes(rnd.randrange(4) for _ in range(w * h)),
+            bytes(rnd.randrange(256) for _ in range(12)), w, h, depth=2,
+        ),
+    ]
+    for _ in range(rnd.randrange(3, 10)):
+        mut = bytearray(corpus[rnd.randrange(5)])
+        for _ in range(rnd.randrange(1, 4)):
+            mut[rnd.randrange(len(mut))] = rnd.randrange(256)
+        corpus.append(bytes(mut[: rnd.randrange(len(mut) + 1)]))
+    assert decode_png_pixels_batch(corpus) == [decode_png_pixels(p) for p in corpus]
