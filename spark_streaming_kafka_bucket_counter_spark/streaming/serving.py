@@ -152,19 +152,9 @@ class ServingStore:
         two-syscall window paid once per legacy partition, after which
         every subsequent swap is atomic.
         """
-        import uuid
+        from ..sources.files import publish_dir_atomic
 
-        token = uuid.uuid4().hex[:8]
-        part = self.path / f"{RST_COL}={int(batch_id)}"
-        tmp_link = self.path / f"_lnk_{token}"
-        os.symlink(staged.name, tmp_link)  # relative: store stays movable
-        try:
-            if part.exists() and not part.is_symlink():
-                part.rename(self.path / f"_gc_{part.name}_{token}")  # legacy dir
-            os.rename(tmp_link, part)
-        except OSError:
-            tmp_link.unlink(missing_ok=True)
-            raise
+        publish_dir_atomic(self.path / f"{RST_COL}={int(batch_id)}", staged)
 
     def _stage_dir(self, batch_id: int) -> Path:
         import uuid
@@ -197,12 +187,9 @@ class ServingStore:
         return swept
 
     def _remove_partition(self, part: Path) -> None:
-        if part.is_symlink():
-            target = self.path / os.readlink(part)
-            part.unlink(missing_ok=True)
-            shutil.rmtree(target, ignore_errors=True)
-        else:
-            shutil.rmtree(part, ignore_errors=True)
+        from ..sources.files import remove_dir_or_link
+
+        remove_dir_or_link(part)
 
     # -- K7/K8: tagged (bulk) insert ------------------------------------
     def append(self, df: DataFrame, batch_id: int) -> None:

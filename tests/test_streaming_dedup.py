@@ -391,9 +391,12 @@ def test_ivf_index_crash_mid_compaction_recovers(spark, tmp_path):
 
     compact_parquet_tree(spark, idx)  # recovery sweep runs first
     assert not list(cells.glob("_compact_*")) and not list(cells.glob("_old_*"))
-    assert {p.name for p in cells.iterdir() if p.is_dir()} == {
-        p.name for p in leaves
-    }
+    # visible leaf set restored exactly; hidden _data_/_gc_ version dirs
+    # may persist until the NEXT maintenance call (deferred GC keeps
+    # in-flight readers alive) and are invisible to Spark's listing
+    assert {
+        p.name for p in cells.iterdir() if p.is_dir() and not p.name.startswith("_")
+    } == {p.name for p in leaves}
 
     got = set(
         spark.read.parquet(str(cells)).select("vec_id").toPandas()["vec_id"]
