@@ -1318,6 +1318,57 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
 
 
+PNG_CONTAINER_SCHEMA = (
+    "doc_id long, container string, width long, height long, channels long, "
+    "pixel_sum long"
+)
+
+
+def png_container_report(df: DataFrame) -> DataFrame:
+    """Per-payload container-shape report over REAL decoded pixels:
+    classify each PNG by its IHDR (palette / interlaced / deep16 /
+    plain8) and emit the decoded pixel sum. The point of the operator is
+    the invariant it lets an oracle check: the pixel sum must be
+    IDENTICAL no matter which container shape carried the image —
+    palette indirection, Adam7 pass scatter, and the 16->8 high-byte
+    reduction all reconstruct the same 8-bit pixels. Undecodable
+    payloads yield NULL fields (fail-open, like the other decode
+    paths)."""
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = list(pdf["payload"])
+            decs = decode_png_pixels_batch(payloads)
+            rows = []
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                dec = decs[i]
+                if dec is None:
+                    rows.append((did, None, None, None, None, None))
+                    continue
+                b = bytes(payloads[i])
+                depth, ctype, _, _, interlace = b[24:29]
+                kind = (
+                    "palette" if ctype == 3
+                    else "interlaced" if interlace == 1
+                    else "deep16" if depth == 16
+                    else "plain8"
+                )
+                w, h, ch, px = dec
+                rows.append((did, kind, w, h, ch, sum(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "width", "height", "channels",
+                    "pixel_sum",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in ("width", "height", "channels", "pixel_sum")}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_report, PNG_CONTAINER_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash image dedup (dHash over downsampled brightness)
 # ---------------------------------------------------------------------------

@@ -816,6 +816,42 @@ def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "out_width", "out_height", "pixel_sum")
 
 
+@query(
+    "multimodal_png_containers",
+    """
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 5 = 3 THEN 'palette'
+                WHEN d.doc_id % 7 = 1 THEN 'interlaced'
+                WHEN d.doc_id % 11 = 2 THEN 'deep16'
+                ELSE 'plain8' END AS container,
+           CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(((d.doc_id*7  + y.y*31 + x.x*13) % 256)
+                  + ((d.doc_id*11 + y.y*17 + x.x*19) % 256)
+                  + ((d.doc_id*13 + y.y*23 + x.x*29) % 256)) AS BIGINT)
+             AS pixel_sum
+    FROM documents d,
+         (SELECT unnest(range(0, 8)) AS y) y,
+         (SELECT unnest(range(0, 9)) AS x) x
+    GROUP BY d.doc_id
+    """,
+)
+def q_multimodal_png_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-shape matrix over REAL PNG bytes (round 6): the
+    synthesized corpus ships deterministic id slices as palette, Adam7-
+    interlaced, and 16-bit containers; the report classifies each
+    payload from its actual IHDR and decodes it. The oracle derives the
+    container from the id rules and the pixel sum STRAIGHT from the
+    formula — so the hash check pins (a) that each slice really was
+    encoded in its shape and (b) that palette indirection, interlace
+    scatter, and the 16->8 high-byte reduction all reconstruct the
+    identical pixels."""
+    from ..operators.multimodal import png_container_report, synthesize_png_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return png_container_report(synthesize_png_payloads(docs))
+
+
 # ---------------------------------------------------------------------------
 # Rolling z-score anomaly detection
 # ---------------------------------------------------------------------------

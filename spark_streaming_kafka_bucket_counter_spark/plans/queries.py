@@ -733,10 +733,13 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample per round taken as an insertion-order prefix, so these names are
 # emitted FIRST to rotate them into coverage. Regenerated after the r05
 # run landed: the union of driver rows r01..r05 covers 158/158 — the
-# rotation goal is met and the list is EMPTY. Any round-6+ addition goes
-# here until its first green driver row; recompute the diff each round
+# rotation goal is met. Any round-6+ addition goes here until its first
+# green driver row; recompute the diff each round
 # (tests/test_bench_contract.py pins the list against going stale).
-_DRIVER_PRIORITY: list[str] = []
+_DRIVER_PRIORITY: list[str] = [
+    # round-6 addition: mixed PNG container matrix (palette/Adam7/16-bit)
+    "multimodal_png_containers",
+]
 
 
 def _priority_ordered(reg: dict) -> dict:
