@@ -37,9 +37,15 @@ multimodal datasets:
   (>=5x, pinned), and ``image_phash(decoder='real')``
   perceptual-hashes real pixels (:func:`_dhash_from_pixels`).
   :func:`encode_png` / :func:`encode_png_palette` are the matching
-  synthesis side. JPEG/video pixel decode (:func:`extract_features`)
-  still needs PIL/ffmpeg and stays gated; 16-bit and Adam7 PNG return
-  ``None`` rather than guessing.
+  synthesis side.
+- THIRD EXCEPTION (round 6): baseline JPEG pixels decode with numpy
+  only — ``operators/jpeg.py`` is a self-contained sequential-DCT
+  codec (marker parse, canonical Huffman entropy decode, dequant,
+  IDCT, 4:2:0 upsample, DRI resync) with a conformant encoder for
+  synthesis; :func:`decode_image_pixels_batch` dispatches PNG/JPEG.
+  Progressive/arithmetic/12-bit JPEG and video frame decode
+  (:func:`extract_features`) still need a real codec library and stay
+  gated.
 """
 
 from __future__ import annotations
@@ -882,9 +888,9 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
     replication (1->255, 2->85, 4->17); 16-bit samples keep the high
     byte (the standard 16->8 reduction); Adam7 passes are unfiltered
     independently and scattered into place (PNG spec 8.2). The output
-    container is always 8-bit samples. JPEG stays codec-gated (DCT
-    entropy decode is a real codec's job — see
-    :func:`_require_real_decoder`).
+    container is always 8-bit samples. Baseline JPEG has its own
+    dependency-free codec (``operators/jpeg.py``;
+    :func:`decode_image_pixels_batch` dispatches both formats).
 
     This scalar per-byte path is the REFERENCE implementation the
     property suite pins; the hot path for bulk Arrow batches is
@@ -1318,6 +1324,131 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
 
 
+def decode_image_pixels_batch(
+    payloads,
+) -> list[tuple[int, int, int, bytes] | None]:
+    """Format-dispatching batch pixel decode: PNG payloads take the
+    numpy lockstep path (:func:`decode_png_pixels_batch`), ``FFD8``
+    payloads the baseline-JPEG codec (``operators/jpeg.py``); anything
+    else is ``None``. The shared entry point for pixel consumers that
+    accept either container (``image_phash(decoder='real')``)."""
+    from .jpeg import decode_jpeg_baseline
+
+    decs = decode_png_pixels_batch(payloads)
+    for i, d in enumerate(decs):
+        if d is None:
+            b = bytes(payloads[i])
+            if b[:2] == b"\xff\xd8":
+                decs[i] = decode_jpeg_baseline(b)
+    return decs
+
+
+JPEG_REPORT_SCHEMA = (
+    "doc_id long, width long, height long, channels long, const_val long, "
+    "n_bytes long"
+)
+
+
+def synthesize_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id", textured: bool = False
+) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payload per row
+    (operators/jpeg.py encoder — conformant JFIF bytes).
+
+    Default (oracle mode): a UNIFORM grayscale image of value
+    ``96 + id%64`` at per-id geometry ``(8+id%9) x (8+id%5)``, quality
+    75. Quality 75 puts the luma DC quantizer at exactly 8, and the DC
+    of a uniform 8x8 block is exactly ``8*(v-128)`` — so quantization
+    divides exactly, the IDCT restores ``v`` bit-for-bit, and a SQL
+    oracle can replay the decoded value even though JPEG is lossy in
+    general. Ids with ``id%4 == 1`` add a restart interval (DRI/RSTn
+    resync structure). ``textured=True`` instead encodes the phash
+    pixel-formula RGB image (4:2:0 for ``id%3 == 1``) — realistic lossy
+    payloads for the rows-only stats path."""
+    from .jpeg import encode_jpeg_baseline
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                if textured:
+                    w, h = DHASH_COLS, DHASH_ROWS
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [
+                            (did * 7 + yy * 31 + xx * 13) % 256,
+                            (did * 11 + yy * 17 + xx * 19) % 256,
+                            (did * 13 + yy * 23 + xx * 29) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payloads.append(
+                        bytearray(
+                            encode_jpeg_baseline(
+                                img.tobytes(), w, h, 3, quality=90,
+                                subsample=(did % 3 == 1),
+                                restart_interval=2 if did % 4 == 1 else 0,
+                            )
+                        )
+                    )
+                else:
+                    w, h = 8 + did % 9, 8 + did % 5
+                    val = 96 + did % 64
+                    payloads.append(
+                        bytearray(
+                            encode_jpeg_baseline(
+                                bytes([val]) * (w * h), w, h, 1, quality=75,
+                                restart_interval=2 if did % 4 == 1 else 0,
+                            )
+                        )
+                    )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+
+
+def jpeg_report(df: DataFrame) -> DataFrame:
+    """Decode baseline-JPEG payloads (operators/jpeg.py — marker parse,
+    canonical Huffman entropy decode, dequant, IDCT, upsample) and emit
+    per-payload dims plus ``const_val``: the single pixel value when the
+    decoded image is uniform, NULL otherwise (or on decode failure).
+    ``const_val`` is what makes a lossy codec oracle-checkable — see
+    :func:`synthesize_jpeg_payloads`."""
+    from .jpeg import decode_jpeg_baseline
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                b = bytes(pdf["payload"].iat[i])
+                dec = decode_jpeg_baseline(b)
+                if dec is None:
+                    rows.append((did, None, None, None, None, len(b)))
+                    continue
+                w, h, ch, px = dec
+                const = px[0] if px and len(set(px)) == 1 else None
+                rows.append((did, w, h, ch, const, len(b)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "const_val",
+                    "n_bytes",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "width", "height", "channels", "const_val", "n_bytes",
+                )}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_report, JPEG_REPORT_SCHEMA)
+
+
 PNG_CONTAINER_SCHEMA = (
     "doc_id long, container string, width long, height long, channels long, "
     "pixel_sum long"
@@ -1474,18 +1605,18 @@ def image_phash(df: DataFrame, chunks: int = 33, decoder: str = "stub") -> DataF
     (oracle-uncheckable, but the real-codec path replaces this stub for
     actual images anyway).
 
-    ``decoder='real'``: REAL pixels — :func:`decode_png_pixels` (stdlib
-    zlib inflate + unfilter) feeds :func:`_dhash_from_pixels` (integer
+    ``decoder='real'``: REAL pixels — :func:`decode_image_pixels_batch`
+    (PNG lockstep inflate+unfilter, or the baseline-JPEG codec for
+    ``FFD8`` payloads) feeds :func:`_dhash_from_pixels_np` (integer
     luma, box-downsample to 8x9, 63-bit gradient hash). Payloads that
-    aren't decodable PNGs (or are smaller than the dHash grid) get a
-    NULL phash — fail-open, like the other real decode paths; JPEG
-    pixel decode stays codec-gated.
+    decode in neither format (or are smaller than the dHash grid) get a
+    NULL phash — fail-open, like the other real decode paths.
     """
     if decoder == "real":
 
         def _hash_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                decs = decode_png_pixels_batch(list(pdf["payload"]))
+                decs = decode_image_pixels_batch(list(pdf["payload"]))
                 phs = [_dhash_from_pixels_np(*dec) if dec else None for dec in decs]
                 yield pd.DataFrame(
                     {

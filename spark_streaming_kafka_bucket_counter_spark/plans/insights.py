@@ -852,6 +852,50 @@ def q_multimodal_png_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_container_report(synthesize_png_payloads(docs))
 
 
+@query(
+    "multimodal_jpeg_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 5 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(96 + doc_id % 64 AS BIGINT) AS const_val
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode under the ORACLE hash check (round 6): each
+    doc becomes a conformant JFIF payload (operators/jpeg.py encoder —
+    uniform grayscale at per-id geometry, quality 75, DRI/RSTn on an id
+    slice) and the decoder must recover the exact uniform value: at
+    quality 75 the luma DC quantizer is exactly 8 and a uniform block's
+    DC is exactly 8*(v-128), so quantization divides exactly and the
+    IDCT restores v bit-for-bit — the one shape where a LOSSY codec has
+    an integer-exact SQL twin. One hash check covers marker layout,
+    canonical Huffman tables, the entropy bit stream, restart resync,
+    dequant and the IDCT normalization. Textured (genuinely lossy)
+    payloads live in the rows-only ``multimodal_jpeg_stats``."""
+    from ..operators.multimodal import jpeg_report, synthesize_jpeg_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_report(synthesize_jpeg_payloads(docs)).drop("n_bytes")
+
+
+@query("multimodal_jpeg_stats")  # rows-only: no oracle, by design
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by design (no oracle_sql entry): textured RGB payloads
+    through the full lossy pipeline — 4:4:4 and 4:2:0, with and without
+    restart markers — decoded back to dims + payload size. The decoded
+    pixel VALUES are float-DCT-dependent, which is exactly why this
+    query is rows-only while ``multimodal_jpeg_roundtrip`` carries the
+    integer-exact oracle; pytest pins the error bounds
+    (tests/test_extensions.py)."""
+    from ..operators.multimodal import jpeg_report, synthesize_jpeg_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_report(synthesize_jpeg_payloads(docs, textured=True))
+
+
 # ---------------------------------------------------------------------------
 # Rolling z-score anomaly detection
 # ---------------------------------------------------------------------------

@@ -737,8 +737,11 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green driver row; recompute the diff each round
 # (tests/test_bench_contract.py pins the list against going stale).
 _DRIVER_PRIORITY: list[str] = [
-    # round-6 addition: mixed PNG container matrix (palette/Adam7/16-bit)
+    # round-6 additions: mixed PNG container matrix (palette/Adam7/16-bit)
+    # and the baseline-JPEG codec queries
     "multimodal_png_containers",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_jpeg_stats",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Baseline JPEG codec (operators/jpeg.py): round-trip error bounds,
+the uniform-image exactness contract behind the oracle-checked catalog
+query, restart/subsampling structure, and decoder robustness on
+corrupted bytes. No Spark needed — pure codec pins."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
+from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+    parse_image_header,
+)
+
+
+def _gradient(w: int, h: int, ch: int) -> bytes:
+    return bytes(
+        int(127 + 80 * np.sin((x + 2 * y + 3 * c) / 8))
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+def test_roundtrip_error_bound_high_quality():
+    """Smooth content at quality 95 must round-trip within a few code
+    values (4:4:4) — the codec's accuracy pin."""
+    for w, h in ((24, 17), (8, 8), (33, 9)):
+        px = _gradient(w, h, 3)
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(px, w, h, 3, quality=95))
+        assert dec is not None and dec[:3] == (w, h, 3)
+        err = np.abs(
+            np.frombuffer(px, np.uint8).astype(int)
+            - np.frombuffer(dec[3], np.uint8).astype(int)
+        )
+        assert err.max() <= 8, (w, h, err.max())
+
+
+def test_subsampled_and_restart_streams_decode():
+    """4:2:0 (multi-block MCUs + chroma upsampling) and DRI/RSTn resync
+    are real decoder paths, driven by our own conformant streams."""
+    px = _gradient(24, 18, 3)
+    for sub in (False, True):
+        for ri in (0, 1, 3):
+            enc = encode_jpeg_baseline(
+                px, 24, 18, 3, quality=92, subsample=sub, restart_interval=ri
+            )
+            dec = decode_jpeg_baseline(enc)
+            assert dec is not None and dec[:3] == (24, 18, 3), (sub, ri)
+            err = np.abs(
+                np.frombuffer(px, np.uint8).astype(int)
+                - np.frombuffer(dec[3], np.uint8).astype(int)
+            )
+            # chroma detail is halved under 4:2:0 — luma stays tight
+            assert err.max() <= (40 if sub else 10), (sub, ri, err.max())
+
+
+def test_grayscale_roundtrip():
+    g = _gradient(19, 11, 1)
+    dec = decode_jpeg_baseline(encode_jpeg_baseline(g, 19, 11, 1, quality=95))
+    assert dec is not None and dec[:3] == (19, 11, 1)
+    err = np.abs(
+        np.frombuffer(g, np.uint8).astype(int)
+        - np.frombuffer(dec[3], np.uint8).astype(int)
+    )
+    assert err.max() <= 4
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.sampled_from([0, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_uniform_gray_q75_is_exact(doc_id, restart):
+    """The oracle contract of multimodal_jpeg_roundtrip: at quality 75
+    the luma DC step is exactly 8 and a uniform block's DC is exactly
+    8*(v-128), so the decode returns the EXACT uniform value for every
+    id-derived geometry — including odd sizes (edge padding) and
+    restart-marker streams."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 5
+    val = 96 + doc_id % 64
+    enc = encode_jpeg_baseline(
+        bytes([val]) * (w * h), w, h, 1, quality=75, restart_interval=restart
+    )
+    dec = decode_jpeg_baseline(enc)
+    assert dec == (w, h, 1, bytes([val]) * (w * h))
+
+
+def test_header_parser_recognizes_our_streams():
+    enc = encode_jpeg_baseline(_gradient(24, 17, 3), 24, 17, 3)
+    assert parse_image_header(enc) == ("jpeg", 24, 17, 3)
+    sub = encode_jpeg_baseline(_gradient(24, 18, 3), 24, 18, 3, subsample=True)
+    assert parse_image_header(sub) == ("jpeg", 24, 18, 3)
+
+
+def test_encoder_is_deterministic():
+    px = _gradient(16, 16, 3)
+    a = encode_jpeg_baseline(px, 16, 16, 3, quality=85)
+    b = encode_jpeg_baseline(px, 16, 16, 3, quality=85)
+    assert a == b
+
+
+def test_rejects_non_baseline_shapes():
+    good = encode_jpeg_baseline(_gradient(16, 16, 3), 16, 16, 3)
+    assert decode_jpeg_baseline(good) is not None
+    # progressive SOF2 marker in place of SOF0
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_baseline(prog) is None
+    # 12-bit precision
+    i = good.find(b"\xff\xc0")
+    deep = bytearray(good)
+    deep[i + 4] = 12
+    assert decode_jpeg_baseline(bytes(deep)) is None
+    assert decode_jpeg_baseline(b"") is None
+    assert decode_jpeg_baseline(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_baseline(good[:40]) is None
+
+
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=40, deadline=None)
+def test_decoder_never_crashes_on_mutations(rnd):
+    """Arbitrary corruption/truncation of valid streams (4:4:4, 4:2:0,
+    DRI, gray) must yield None or a well-formed tuple — never throw
+    (untrusted crawl bytes)."""
+    base = rnd.choice(
+        [
+            encode_jpeg_baseline(_gradient(16, 16, 3), 16, 16, 3),
+            encode_jpeg_baseline(
+                _gradient(24, 18, 3), 24, 18, 3, subsample=True, restart_interval=2
+            ),
+            encode_jpeg_baseline(_gradient(9, 8, 1), 9, 8, 1),
+        ]
+    )
+    mut = bytearray(base)
+    for _ in range(rnd.randrange(1, 6)):
+        mut[rnd.randrange(len(mut))] = rnd.randrange(256)
+    payload = bytes(mut[: rnd.randrange(len(mut) + 1)])
+    out = decode_jpeg_baseline(payload)
+    if out is not None:
+        w, h, ch, px = out
+        assert len(px) == w * h * ch
+
+
+def test_quality_monotonicity():
+    """Lower quality -> smaller payloads (quant tables coarsen); both
+    ends still decode to the right geometry."""
+    px = _gradient(32, 24, 3)
+    sizes = []
+    for q in (95, 75, 50, 25):
+        enc = encode_jpeg_baseline(px, 32, 24, 3, quality=q)
+        assert decode_jpeg_baseline(enc)[:3] == (32, 24, 3)
+        sizes.append(len(enc))
+    assert sizes == sorted(sizes, reverse=True), sizes
+
+
+def test_random_noise_structural_roundtrip():
+    """Worst-case content (uniform noise) still produces decodable
+    streams at every quality — structure, not fidelity."""
+    rnd = random.Random(9)
+    px = bytes(rnd.randrange(256) for _ in range(17 * 13 * 3))
+    for q in (10, 50, 90):
+        dec = decode_jpeg_baseline(encode_jpeg_baseline(px, 17, 13, 3, quality=q))
+        assert dec is not None and dec[:3] == (17, 13, 3)
+
+
+def test_dispatching_decoder_handles_both_formats():
+    """decode_image_pixels_batch feeds phash from PNG *or* JPEG bytes
+    (mixed crawl batches); junk stays None."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        _dhash_from_pixels_np,
+        decode_image_pixels_batch,
+        encode_png,
+    )
+
+    jpg = encode_jpeg_baseline(_gradient(16, 16, 3), 16, 16, 3, quality=95)
+    png_px = _gradient(9, 8, 3)
+    png = encode_png(png_px, 9, 8, 3)
+    decs = decode_image_pixels_batch([jpg, png, b"junk", b""])
+    assert decs[0] is not None and decs[0][:3] == (16, 16, 3)
+    assert decs[1] == (9, 8, 3, png_px)
+    assert decs[2] is None and decs[3] is None
+    assert _dhash_from_pixels_np(*decs[0]) is not None
