@@ -519,14 +519,16 @@ def resize_png_payloads(df: DataFrame, target: int = 256) -> DataFrame:
 
     This is the real counterpart of :func:`resize_images` (which only
     PLANS output dims): thumbnails for a vision-curation pipeline,
-    producible at scale with zero codec dependencies for PNG inputs.
+    producible at scale with zero codec dependencies. Inputs may be PNG
+    or baseline JPEG (the dispatching decoder); the thumbnail always
+    re-encodes as PNG (lossless, deterministic output bytes).
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            decs = decode_png_pixels_batch(list(pdf["payload"]))
+            decs = decode_image_pixels_batch(list(pdf["payload"]))
             made = []  # (row_index_in_pdf, ow, oh, out_pixels, payload)
             rows: list[tuple | None] = [None] * len(pdf)
             for i in range(len(pdf)):

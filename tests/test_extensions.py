@@ -771,3 +771,28 @@ def test_png_batch_decode_throughput_pinned():
         best_batch = min(best_batch, t2 - t1)
     speedup = best_scalar / best_batch
     assert speedup >= 5.0, f"batch decoder only {speedup:.1f}x scalar"
+
+
+def test_resize_accepts_jpeg_inputs(spark):
+    """resize_png_payloads takes PNG *or* baseline JPEG inputs (the
+    dispatching decoder) and always emits PNG thumbnails."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+
+    w, h = 16, 12
+    px = bytes((x * 11 + y * 7 + c * 5) % 256 for y in range(h) for x in range(w) for c in range(3))
+    rows = [
+        (1, bytearray(encode_jpeg_baseline(px, w, h, 3, quality=95))),
+        (2, bytearray(M.encode_png(px, w, h, 3))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in M.resize_png_payloads(df, target=8).collect()}
+    assert got[1]["out_width"] == 8 and got[1]["out_height"] == 6
+    assert got[2]["out_width"] == 8 and got[2]["out_height"] == 6
+    assert got[3]["out_width"] is None
+    # thumbnails re-encode as PNG regardless of input container
+    for did in (1, 2):
+        redec = M.decode_png_pixels(bytes(got[did]["out_payload"]))
+        assert redec is not None and redec[:3] == (8, 6, 3)
