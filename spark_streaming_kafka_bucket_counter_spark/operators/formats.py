@@ -1,0 +1,379 @@
+"""Dependency-free BMP and GIF pixel codecs — the two remaining
+mainstream LOSSLESS image containers after PNG (multimodal.py) and
+baseline JPEG (jpeg.py). Both are integer-exact, so like PNG they can
+sit under the DuckDB oracle hash gate with real container bytes.
+
+- BMP (Windows DIB, BITMAPINFOHEADER): uncompressed 8-bit palette /
+  24-bit BGR / 32-bit BGRA rows, 4-byte row padding, bottom-up or
+  top-down. RLE compression and 16-bit masks return ``None``.
+- GIF (87a/89a): LZW-compressed 8-bit indexed frames over a global or
+  local color table, interlaced or not; the FIRST image descriptor is
+  decoded (animation frames beyond it are out of scope for a
+  thumbnail pipeline). Output is palette-expanded RGB.
+
+Encoders emit conformant streams for tests/synthesis: BMP 24-bit
+bottom-up, GIF87a with a real LZW compressor (variable code width,
+clear codes on table overflow — decodable by any GIF reader).
+"""
+
+from __future__ import annotations
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """BMP -> ``(width, height, channels, pixels)`` with 8-bit samples
+    in top-down scanline order (3 channels RGB for palette/24-bit
+    inputs, 4 for 32-bit BGRA), or ``None`` for anything unsupported
+    (RLE, bitfield masks, OS/2 headers, truncation)."""
+    try:
+        return _decode_bmp_inner(bytes(b))
+    except Exception:
+        return None
+
+
+def _decode_bmp_inner(b: bytes) -> tuple[int, int, int, bytes] | None:
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        return None  # BITMAPCOREHEADER/OS2: unsupported
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    planes = int.from_bytes(b[26:28], "little")
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if w <= 0 or h == 0 or planes != 1 or compression != 0:
+        return None
+    top_down = h < 0
+    height = abs(h)
+    if bpp == 8:
+        n_colors = int.from_bytes(b[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(b):
+            return None
+        # BGRA palette entries
+        palette = [
+            (b[pal_off + 4 * i + 2], b[pal_off + 4 * i + 1], b[pal_off + 4 * i])
+            for i in range(n_colors)
+        ]
+        stride = (w + 3) // 4 * 4
+        if data_off + stride * height > len(b):
+            return None
+        out = bytearray(w * height * 3)
+        for row in range(height):
+            y = row if top_down else height - 1 - row
+            base = data_off + row * stride
+            for x in range(w):
+                idx = b[base + x]
+                if idx >= n_colors:
+                    return None
+                r, g, bl = palette[idx]
+                o = (y * w + x) * 3
+                out[o : o + 3] = bytes((r, g, bl))
+        return (w, height, 3, bytes(out))
+    if bpp in (24, 32):
+        nch = bpp // 8
+        stride = (w * nch + 3) // 4 * 4
+        if data_off + stride * height > len(b):
+            return None
+        out = bytearray(w * height * nch)
+        for row in range(height):
+            y = row if top_down else height - 1 - row
+            base = data_off + row * stride
+            for x in range(w):
+                px = b[base + x * nch : base + (x + 1) * nch]
+                o = (y * w + x) * nch
+                # BGR(A) -> RGB(A)
+                out[o] = px[2]
+                out[o + 1] = px[1]
+                out[o + 2] = px[0]
+                if nch == 4:
+                    out[o + 3] = px[3]
+        return (w, height, nch, bytes(out))
+    return None  # 1/4/16-bit or bitfields
+
+
+def encode_bmp(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """Conformant 24-bit (RGB) or 32-bit (RGBA) bottom-up BMP."""
+    if channels not in (3, 4):
+        raise ValueError("BMP encoder supports 3 (RGB) or 4 (RGBA) channels")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels length must be width*height*channels")
+    bpp = channels * 8
+    stride = (width * channels + 3) // 4 * 4
+    data = bytearray()
+    for row in range(height):
+        y = height - 1 - row  # bottom-up
+        line = bytearray()
+        for x in range(width):
+            o = (y * width + x) * channels
+            line += bytes((pixels[o + 2], pixels[o + 1], pixels[o]))  # BGR
+            if channels == 4:
+                line.append(pixels[o + 3])
+        line += bytes(stride - len(line))
+        data += line
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + off.to_bytes(4, "little")
+    )
+    return hdr + info + bytes(data)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW)
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """First frame of a GIF87a/89a -> ``(width, height, 3, rgb)``, or
+    ``None`` (bad LZW stream, missing color table, truncation). The
+    frame is composed onto the logical screen? No — thumbnail-pipeline
+    scope: the first image descriptor's own rectangle IS the output
+    (its width/height), palette-expanded; interlaced frames are
+    de-interlaced per spec."""
+    try:
+        return _decode_gif_inner(bytes(b))
+    except Exception:
+        return None
+
+
+def _decode_gif_inner(b: bytes) -> tuple[int, int, int, bytes] | None:
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = b[10]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if i + 3 * n > len(b):
+            return None
+        gct = b[i : i + 3 * n]
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: introducer, label, sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                return None
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                if i + 3 * n > len(b):
+                    return None
+                table = b[i : i + 3 * n]
+                i += 3 * n
+            if table is None or w == 0 or h == 0:
+                return None
+            interlaced = bool(iflags & 0x40)
+            if i >= len(b):
+                return None
+            min_code_size = b[i]
+            i += 1
+            if not 2 <= min_code_size <= 11:
+                return None
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                n = b[i]
+                if i + 1 + n > len(b):
+                    return None
+                data += b[i + 1 : i + 1 + n]
+                i += 1 + n
+            indices = _lzw_decode(bytes(data), min_code_size, w * h)
+            if indices is None:
+                return None
+            if interlaced:
+                deinter = bytearray(w * h)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        deinter[y * w : (y + 1) * w] = indices[src : src + w]
+                        src += w
+                indices = bytes(deinter)
+            n_colors = len(table) // 3
+            out = bytearray(w * h * 3)
+            for j, idx in enumerate(indices):
+                if idx >= n_colors:
+                    return None
+                out[3 * j : 3 * j + 3] = table[3 * idx : 3 * idx + 3]
+            return (w, h, 3, bytes(out))
+        elif block == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes | None:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    CLEAR resets the table, codes grow to 12 bits max."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader (LSB-first per GIF spec)
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def init_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = init_table()
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    next_code = end + 1
+    while len(out) < expect:
+        while nbits < code_size:
+            if pos >= len(data):
+                return None  # truncated stream
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = init_table()
+            code_size = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < expect:
+        return None
+    return bytes(out[:expect])
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compressor (variable width, CLEAR on table
+    overflow) — conformant counterpart of :func:`_lzw_decode`."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    emit(clear, code_size)
+    run = b""
+    for byte in indices:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+        run = bytes([byte])
+    if run:
+        emit(table[run], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    indices: bytes, palette: bytes, width: int, height: int,
+    interlaced: bool = False,
+) -> bytes:
+    """Conformant single-frame GIF87a from one palette-index byte per
+    pixel and an RGB color table (padded up to a power-of-two size)."""
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    if len(palette) % 3 or not 3 <= len(palette) <= 768:
+        raise ValueError("palette must be 1..256 RGB triples")
+    n_colors = len(palette) // 3
+    if indices and max(indices) >= n_colors:
+        raise ValueError("palette index out of range")
+    size_exp = 1
+    while (2 << (size_exp - 1)) < n_colors:
+        size_exp += 1
+    table_n = 2 << (size_exp - 1)
+    table = bytes(palette) + bytes(3 * (table_n - n_colors))
+    min_code_size = max(2, size_exp)
+    if interlaced:
+        ordered = bytearray()
+        for start, step in _GIF_INTERLACE_PASSES:
+            for y in range(start, height, step):
+                ordered += indices[y * width : (y + 1) * width]
+        indices = bytes(ordered)
+    lzw = _lzw_encode(indices, min_code_size)
+    out = bytearray(b"GIF87a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | ((size_exp - 1) & 7), 0, 0])  # GCT present
+    out += table
+    out += b"\x2c" + (0).to_bytes(2, "little") * 2
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00])
+    out += bytes([min_code_size])
+    for j in range(0, len(lzw), 255):
+        chunk = lzw[j : j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

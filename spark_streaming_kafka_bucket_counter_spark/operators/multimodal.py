@@ -1330,10 +1330,13 @@ def decode_image_pixels_batch(
     payloads,
 ) -> list[tuple[int, int, int, bytes] | None]:
     """Format-dispatching batch pixel decode: PNG payloads take the
-    numpy lockstep path (:func:`decode_png_pixels_batch`), ``FFD8``
-    payloads the baseline-JPEG codec (``operators/jpeg.py``); anything
+    numpy lockstep path (:func:`decode_png_pixels_batch`); ``FFD8``
+    payloads the baseline-JPEG codec (``operators/jpeg.py``); ``GIF8``
+    and ``BM`` the LZW / DIB codecs (``operators/formats.py``). Anything
     else is ``None``. The shared entry point for pixel consumers that
-    accept either container (``image_phash(decoder='real')``)."""
+    accept any mainstream container (``image_phash(decoder='real')``,
+    :func:`resize_png_payloads`, :func:`image_format_report`)."""
+    from .formats import decode_bmp_pixels, decode_gif_pixels
     from .jpeg import decode_jpeg_baseline
 
     decs = decode_png_pixels_batch(payloads)
@@ -1342,7 +1345,108 @@ def decode_image_pixels_batch(
             b = bytes(payloads[i])
             if b[:2] == b"\xff\xd8":
                 decs[i] = decode_jpeg_baseline(b)
+            elif b[:4] == b"GIF8":
+                decs[i] = decode_gif_pixels(b)
+            elif b[:2] == b"BM":
+                decs[i] = decode_bmp_pixels(b)
     return decs
+
+
+IMAGE_FORMAT_SCHEMA = (
+    "doc_id long, container string, width long, height long, channels long, "
+    "pixel_sum long"
+)
+
+
+def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic formula image per id, carried in an id-chosen
+    LOSSLESS container: ``id%3`` 0 -> GIF (palettized — a thumbnail's
+    <=256 colors always fit), 1 -> BMP (24-bit), 2 -> PNG. All three
+    decode to the IDENTICAL pixel bytes, which is the oracle-checkable
+    invariant :func:`image_format_report` exposes."""
+    from .formats import encode_bmp, encode_gif
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w, h = DHASH_COLS, DHASH_ROWS
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                img = np.stack(
+                    [
+                        (did * 7 + yy * 31 + xx * 13) % 256,
+                        (did * 11 + yy * 17 + xx * 19) % 256,
+                        (did * 13 + yy * 23 + xx * 29) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                kind = did % 3
+                if kind == 0:
+                    flat = img.reshape(-1, 3)
+                    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+                    payloads.append(
+                        bytearray(
+                            encode_gif(
+                                inverse.astype(np.uint8).tobytes(),
+                                palette.tobytes(), w, h,
+                                interlaced=(did % 2 == 1),
+                            )
+                        )
+                    )
+                elif kind == 1:
+                    payloads.append(bytearray(encode_bmp(img.tobytes(), w, h, 3)))
+                else:
+                    payloads.append(bytearray(encode_png(img.tobytes(), w, h, 3)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+
+
+def image_format_report(df: DataFrame) -> DataFrame:
+    """Classify each payload by its magic bytes (png/jpeg/gif/bmp),
+    decode through the dispatching batch decoder, and emit dims + the
+    decoded pixel sum — the cross-container parity surface (a lossless
+    image must sum identically no matter which container carried it).
+    Unknown/undecodable payloads yield NULL fields."""
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = list(pdf["payload"])
+            decs = decode_image_pixels_batch(payloads)
+            rows = []
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                dec = decs[i]
+                if dec is None:
+                    rows.append((did, None, None, None, None, None))
+                    continue
+                b = bytes(payloads[i])
+                if b[:8] == _PNG_SIG:
+                    kind = "png"
+                elif b[:2] == b"\xff\xd8":
+                    kind = "jpeg"
+                elif b[:4] == b"GIF8":
+                    kind = "gif"
+                else:
+                    kind = "bmp"
+                w, h, ch, px = dec
+                rows.append((did, kind, w, h, ch, sum(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "width", "height", "channels",
+                    "pixel_sum",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in ("width", "height", "channels", "pixel_sum")}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_report, IMAGE_FORMAT_SCHEMA)
 
 
 JPEG_REPORT_SCHEMA = (

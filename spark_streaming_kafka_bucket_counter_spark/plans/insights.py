@@ -881,6 +881,41 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_report(synthesize_jpeg_payloads(docs)).drop("n_bytes")
 
 
+@query(
+    "multimodal_image_formats",
+    """
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'gif'
+                WHEN d.doc_id % 3 = 1 THEN 'bmp'
+                ELSE 'png' END AS container,
+           CAST(9 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(((d.doc_id*7  + y.y*31 + x.x*13) % 256)
+                  + ((d.doc_id*11 + y.y*17 + x.x*19) % 256)
+                  + ((d.doc_id*13 + y.y*23 + x.x*29) % 256)) AS BIGINT)
+             AS pixel_sum
+    FROM documents d,
+         (SELECT unnest(range(0, 8)) AS y) y,
+         (SELECT unnest(range(0, 9)) AS x) x
+    GROUP BY d.doc_id
+    """,
+)
+def q_multimodal_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container pixel parity (round 6): the formula image ships
+    per id as GIF (LZW + palette, interlaced on odd ids), BMP (24-bit
+    DIB, bottom-up) or PNG, decoded through the dispatching batch
+    decoder (operators/formats.py + multimodal.py). The oracle derives
+    the container from the id rule and the pixel sum straight from the
+    formula — a lossless image must sum identically no matter which
+    container carried it, so one hash check covers the LZW decoder
+    (variable code widths, clear codes, interlace reorder), the DIB row
+    layout (BGR, padding, bottom-up flip) and the PNG path at once."""
+    from ..operators.multimodal import image_format_report, synthesize_image_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_format_report(synthesize_image_payloads(docs))
+
+
 @query("multimodal_jpeg_stats")  # rows-only: no oracle, by design
 def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only by design (no oracle_sql entry): textured RGB payloads

@@ -742,6 +742,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_png_containers",
     "multimodal_jpeg_roundtrip",
     "multimodal_jpeg_stats",
+    "multimodal_image_formats",
 ]
 
 

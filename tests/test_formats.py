@@ -1,0 +1,171 @@
+"""BMP and GIF codecs (operators/formats.py): exact round-trips (both
+formats are lossless), LZW table-overflow/clear behavior, interlacing,
+decoder robustness, and the cross-container dispatch. Pure codec pins —
+no Spark."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_streaming_kafka_bucket_counter_spark.operators.formats import (
+    decode_bmp_pixels,
+    decode_gif_pixels,
+    encode_bmp,
+    encode_gif,
+)
+from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+    decode_image_pixels_batch,
+    parse_image_header,
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_bmp_roundtrip_property(w, h, channels, rnd):
+    """24/32-bit BMP is lossless: encode -> decode is the identity for
+    any geometry (row padding, bottom-up flip, BGR swizzle)."""
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    assert decode_bmp_pixels(encode_bmp(px, w, h, channels)) == (w, h, channels, px)
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=2, max_value=256),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_gif_roundtrip_property(w, h, n_colors, interlaced, rnd):
+    """GIF LZW is lossless: indices map through the color table exactly,
+    plain or interlaced, at every palette size (variable LZW code
+    widths)."""
+    palette = bytes(rnd.randrange(256) for _ in range(3 * n_colors))
+    idx = bytes(rnd.randrange(n_colors) for _ in range(w * h))
+    gif = encode_gif(idx, palette, w, h, interlaced=interlaced)
+    expected = b"".join(palette[3 * v : 3 * v + 3] for v in idx)
+    assert decode_gif_pixels(gif) == (w, h, 3, expected)
+
+
+def test_gif_lzw_table_overflow_and_clear():
+    """Streams long enough to exhaust the 4096-entry LZW table force
+    CLEAR codes — the compressor emits them and the decoder resets."""
+    idx = bytes((i // 7) % 4 for i in range(120 * 90))
+    palette = bytes(range(12))
+    dec = decode_gif_pixels(encode_gif(idx, palette, 120, 90))
+    assert dec == (120, 90, 3, b"".join(palette[3 * v : 3 * v + 3] for v in idx))
+    # random max-entropy indices over a full 256-color table
+    import random
+
+    rnd = random.Random(4)
+    palette = bytes(rnd.randrange(256) for _ in range(768))
+    idx = bytes(rnd.randrange(256) for _ in range(100 * 80))
+    dec = decode_gif_pixels(encode_gif(idx, palette, 100, 80))
+    assert dec == (100, 80, 3, b"".join(palette[3 * v : 3 * v + 3] for v in idx))
+
+
+def test_bmp_8bit_palette_and_topdown_decode():
+    """Hand-built 8-bit palette BMP (top-down, negative height) — the
+    decode paths our encoder doesn't produce."""
+    w, h = 5, 3
+    palette = b"".join(
+        bytes((b, g, r, 0)) for r, g, b in [(10, 20, 30), (200, 100, 50)]
+    )
+    idx = bytes([0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0])
+    stride = (w + 3) // 4 * 4
+    rows = b"".join(idx[y * w : (y + 1) * w] + bytes(stride - w) for y in range(h))
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + (-h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+        + bytes(8) + (2).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    )
+    off = 14 + 40 + len(palette)
+    bmp = (
+        b"BM" + (off + len(rows)).to_bytes(4, "little") + bytes(4)
+        + off.to_bytes(4, "little") + info + palette + rows
+    )
+    dec = decode_bmp_pixels(bmp)
+    expected = b"".join(
+        [bytes((10, 20, 30)), bytes((200, 100, 50))][v] for v in idx
+    )
+    assert dec == (w, h, 3, expected)
+
+
+def test_rejects_unsupported_shapes():
+    good_bmp = encode_bmp(bytes(range(48)), 4, 4, 3)
+    assert decode_bmp_pixels(good_bmp) is not None
+    rle = bytearray(good_bmp)
+    rle[30] = 1  # BI_RLE8
+    assert decode_bmp_pixels(bytes(rle)) is None
+    assert decode_bmp_pixels(b"") is None
+    gif = encode_gif(bytes([0, 1, 1, 0]), bytes(range(6)), 2, 2)
+    assert decode_gif_pixels(gif) is not None
+    assert decode_gif_pixels(gif[:-2]) is not None  # trailer optional for us
+    assert decode_gif_pixels(b"GIF89a") is None
+    assert decode_gif_pixels(b"") is None
+
+
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=40, deadline=None)
+def test_decoders_never_crash_on_mutations(rnd):
+    base = rnd.choice(
+        [
+            encode_bmp(bytes(rnd.randrange(256) for _ in range(16 * 12 * 3)), 16, 12, 3),
+            encode_gif(
+                bytes(rnd.randrange(16) for _ in range(16 * 12)),
+                bytes(rnd.randrange(256) for _ in range(48)), 16, 12,
+                interlaced=rnd.random() < 0.5,
+            ),
+        ]
+    )
+    mut = bytearray(base)
+    for _ in range(rnd.randrange(1, 6)):
+        mut[rnd.randrange(len(mut))] = rnd.randrange(256)
+    payload = bytes(mut[: rnd.randrange(len(mut) + 1)])
+    for fn in (decode_bmp_pixels, decode_gif_pixels):
+        out = fn(payload)
+        if out is not None:
+            w, h, ch, px = out
+            assert len(px) == w * h * ch
+
+
+def test_dispatch_and_header_parity():
+    """The dispatching decoder routes all four containers; dims agree
+    with the header-only parser."""
+    import random
+
+    rnd = random.Random(8)
+    px = bytes(rnd.randrange(256) for _ in range(9 * 8 * 3))
+    pal_idx = bytes(rnd.randrange(4) for _ in range(9 * 8))
+    pal = bytes(rnd.randrange(256) for _ in range(12))
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    payloads = [
+        encode_png(px, 9, 8, 3),
+        encode_jpeg_baseline(px, 9, 8, 3, quality=95),
+        encode_gif(pal_idx, pal, 9, 8),
+        encode_bmp(px, 9, 8, 3),
+        b"junk",
+    ]
+    decs = decode_image_pixels_batch(payloads)
+    assert decs[0] == (9, 8, 3, px)
+    assert decs[1] is not None and decs[1][:3] == (9, 8, 3)
+    assert decs[2] is not None and decs[2][:3] == (9, 8, 3)
+    assert decs[3] == (9, 8, 3, px)
+    assert decs[4] is None
+    for p, fmt in zip(payloads[:4], ("png", "jpeg", "gif", "bmp")):
+        hdr = parse_image_header(p)
+        assert hdr is not None and hdr[0] == fmt and hdr[1:3] == (9, 8)

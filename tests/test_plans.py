@@ -419,11 +419,28 @@ def test_bpe_pair_counts_uses_distributed_topk(spark):
 
 
 def test_knn_graph_is_bucket_equijoin(spark):
-    """The kNN graph joins on the LSH bucket key (hash equi-join) —
-    never a nested-loop/cartesian candidate generation."""
-    plan = _plan(spark, "knn_graph_lsh")
+    """The kNN graph BUILD joins on the LSH bucket key (hash equi-join)
+    — never a nested-loop/cartesian candidate generation. Pinned on the
+    operator directly: since round 6 the `knn_graph_lsh` catalog query
+    serves the per-dataset memoized artifact (its own plan is a
+    checkpoint Scan ExistingRDD, shared with graph_communities_lpa), so
+    the build-side plan must be inspected at the operator level."""
+    import contextlib
+    import io
+
+    from spark_streaming_kafka_bucket_counter_spark.operators import similarity as S
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = S.knn_graph(emb, "vec_id", "embedding", top_k=3, planes=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan
+    # and the catalog query really is the shared memoized artifact
+    assert "ExistingRDD" in _plan(spark, "knn_graph_lsh")
 
 
 def test_entity_match_joins_on_block_key(spark):

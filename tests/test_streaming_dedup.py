@@ -194,11 +194,19 @@ def test_semantic_dedup_ingest_stream_end_to_end(spark, tmp_path):
     top = hits.collect()[0]
     assert top["cand_id"] == 101 and top["cosine"] >= 0.999999
 
-    # compact_every=1 ran after each batch: every index leaf is 1 file
-    from pathlib import Path
-
-    for leaf in {f.parent for f in Path(idx).rglob("*.parquet")}:
-        assert len(list(leaf.glob("*.parquet"))) == 1, leaf
+    # compact_every=1 ran after each batch: every LIVE index leaf is 1
+    # file. Walk with followlinks (leaves are symlinks to versioned
+    # dirs since round 6) and skip the hidden _data_/_gc_ versions
+    # awaiting the next sweep — they're invisible to Spark's listing.
+    live_leaves = []
+    for dirpath, dirnames, filenames in os.walk(idx, followlinks=True):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        if any(f.endswith(".parquet") for f in filenames):
+            live_leaves.append(dirpath)
+    assert live_leaves
+    for leaf in live_leaves:
+        n = sum(1 for f in os.listdir(leaf) if f.endswith(".parquet"))
+        assert n == 1, leaf
 
 
 def test_near_dup_ingest_replay_is_idempotent(spark, tmp_path):

@@ -27,6 +27,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# The grading driver runs at sf0.01 where Spark's 1g local-mode default
+# heap is plenty; the sf1 scale sweep is not — in local mode executors
+# share the driver JVM, and 8 concurrent tasks over 6M-row joins OOM a
+# 1g heap (observed: JVM SIGSEGV mid-catalog, every later query failing
+# on the dead gateway). driver-memory must be set BEFORE the JVM
+# launches, hence the env hook rather than a builder conf.
+_mem = os.environ.get("SPARK_GRAFT_SIM_MEM")
+if _mem:
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", f"--driver-memory {_mem} pyspark-shell"
+    )
+
 import duckdb
 from pyspark.sql import SparkSession
 
