@@ -618,6 +618,132 @@ def parse_audio_header(b: bytes) -> tuple[str, int, int, int] | None:
     return ("wav", sample_rate, channels, data_size // block_align)
 
 
+def encode_wav_pcm16(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Conformant RIFF/WAVE container around 16-bit little-endian PCM
+    frames — the synthesis side of the dependency-free audio path."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    block_align = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav_pcm16(b: bytes) -> tuple[int, int, list[int]] | None:
+    """RIFF/WAVE -> ``(sample_rate, channels, samples)`` for 16-bit PCM
+    payloads (the sample-level counterpart of
+    :func:`parse_audio_header`'s metadata walk), or ``None`` for
+    non-PCM / non-16-bit / malformed containers. Integer-exact, which
+    is what lets audio statistics sit under the SQL oracle gate the way
+    PNG pixels do."""
+    hdr = parse_audio_header(bytes(b))
+    if hdr is None:
+        return None
+    _, sample_rate, channels, n_frames = hdr
+    # locate fmt codec + data payload (parse_audio_header validated walk)
+    b = bytes(b)
+    i = 12
+    codec = bits = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            codec = int.from_bytes(b[i + 8 : i + 10], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            avail = min(csize, max(0, len(b) - (i + 8)))
+            data = b[i + 8 : i + 8 + avail]
+        i += 8 + csize + (csize & 1)
+    if codec != 1 or bits != 16 or data is None:
+        return None  # compressed / float / deep PCM stays out of scope
+    usable = len(data) // 2 * 2
+    samples = [
+        int.from_bytes(data[j : j + 2], "little", signed=True)
+        for j in range(0, usable, 2)
+    ]
+    return (sample_rate, channels, samples)
+
+
+WAV_STATS_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, n_samples long, "
+    "peak long, sum_sq long, mean_e4 long"
+)
+
+
+def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL WAV payload per row: ``64 + id%64`` frames of
+    16-bit PCM whose samples are an integer formula of (id, index)
+    (``((id*13 + i*17) % 2001) - 1000``), in a conformant RIFF
+    container — the audio analog of :func:`synthesize_png_payloads`."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + did % 64
+                samples = [((did * 13 + i * 17) % 2001) - 1000 for i in range(n)]
+                payloads.append(bytearray(encode_wav_pcm16(samples)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+
+
+def wav_pcm_stats(df: DataFrame) -> DataFrame:
+    """REAL PCM sample statistics, integer-exact: decode the WAV payload
+    (:func:`decode_wav_pcm16`) and emit peak amplitude (max |s|), the
+    energy sum-of-squares, and the mean in 1e-4 units (floor toward
+    negative infinity, matching SQL integer division) — the loudness /
+    clipping / silence signals an audio-curation gate thresholds on.
+    Non-PCM payloads yield NULL stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                dec = decode_wav_pcm16(bytes(pdf["payload"].iat[i]))
+                if dec is None or not dec[2]:
+                    rows.append((did, None, None, None, None, None, None))
+                    continue
+                sr, ch, s = dec
+                n = len(s)
+                total = sum(s)
+                rows.append(
+                    (
+                        did, sr, ch, n,
+                        max(abs(v) for v in s),
+                        sum(v * v for v in s),
+                        (total * 10_000) // n,  # floor division, both engines
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_samples",
+                    "peak", "sum_sq", "mean_e4",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "sample_rate", "channels", "n_samples", "peak", "sum_sq",
+                    "mean_e4",
+                )}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_stats, WAV_STATS_SCHEMA)
+
+
 def sample_audio_frames(df: DataFrame, frame_bytes: int = 160, decoder: str = "stub") -> DataFrame:
     """Binary payload -> frame-sampling metadata (stub: fixed-size frames).
 

@@ -916,6 +916,45 @@ def q_multimodal_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_format_report(synthesize_image_payloads(docs))
 
 
+@query(
+    "multimodal_wav_stats",
+    """
+    WITH s AS (
+      SELECT d.doc_id, ((d.doc_id*13 + i.i*17) % 2001) - 1000 AS v
+      FROM documents d, (SELECT unnest(range(0, 128)) AS i) i
+      WHERE i.i < 64 + d.doc_id % 64
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total,
+             CAST(MAX(abs(v)) AS BIGINT) AS peak,
+             CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples,
+           peak, sum_sq,
+           CAST((total * 10000) // n
+                - CASE WHEN (total * 10000) % n <> 0 AND total < 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS mean_e4
+    FROM agg
+    """,
+)
+def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio statistics under the oracle gate (round 6): each
+    doc id becomes a conformant RIFF/WAVE container of formula-derived
+    16-bit samples, and the dependency-free PCM decoder must recover
+    them exactly — peak, energy (sum of squares) and 1e-4 mean are all
+    integers, so the SQL twin replays them straight from the sample
+    formula without ever seeing a WAV byte. The mean uses FLOOR
+    division; DuckDB's `//` truncates toward zero, so the oracle
+    emulates floor explicitly (the r5 lesson: pin the divergence, don't
+    discover it on adversarial data)."""
+    from ..operators.multimodal import synthesize_wav_payloads, wav_pcm_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return wav_pcm_stats(synthesize_wav_payloads(docs))
+
+
 @query("multimodal_jpeg_stats")  # rows-only: no oracle, by design
 def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only by design (no oracle_sql entry): textured RGB payloads

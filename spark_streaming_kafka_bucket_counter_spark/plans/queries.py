@@ -743,6 +743,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_jpeg_roundtrip",
     "multimodal_jpeg_stats",
     "multimodal_image_formats",
+    "multimodal_wav_stats",
 ]
 
 

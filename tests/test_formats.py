@@ -169,3 +169,33 @@ def test_dispatch_and_header_parity():
     for p, fmt in zip(payloads[:4], ("png", "jpeg", "gif", "bmp")):
         hdr = parse_image_header(p)
         assert hdr is not None and hdr[0] == fmt and hdr[1:3] == (9, 8)
+
+
+def test_wav_pcm16_roundtrip_and_floor_semantics():
+    """decode_wav_pcm16 recovers exact samples; the stats floor-division
+    contract (Python // vs DuckDB trunc) is pinned on a negative-total
+    stream."""
+    import random
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        parse_audio_header,
+    )
+
+    rnd = random.Random(6)
+    samples = [rnd.randrange(-32768, 32768) for _ in range(200)]
+    wav = encode_wav_pcm16(samples, sample_rate=8000, channels=1)
+    assert decode_wav_pcm16(wav) == (8000, 1, samples)
+    assert parse_audio_header(wav) == ("wav", 8000, 1, 200)
+    # truncated data chunk: decode what's there, never throw
+    cut = decode_wav_pcm16(wav[:-7])
+    assert cut is not None and len(cut[2]) < 200
+    # negative-total floor: -7 samples of mean -7/3 -> floor(-23333.33)
+    neg = [-3, -3, -1]
+    total = sum(neg)
+    assert (total * 10_000) // 3 == -23334  # Python floors; oracle emulates
+    # non-PCM (codec != 1) fails closed
+    mut = bytearray(wav)
+    mut[20] = 2  # wFormatTag
+    assert decode_wav_pcm16(bytes(mut)) is None
