@@ -7,13 +7,21 @@ sit under the DuckDB oracle hash gate with real container bytes.
   24-bit BGR / 32-bit BGRA rows, 4-byte row padding, bottom-up or
   top-down. RLE compression and 16-bit masks return ``None``.
 - GIF (87a/89a): LZW-compressed 8-bit indexed frames over a global or
-  local color table, interlaced or not; the FIRST image descriptor is
-  decoded (animation frames beyond it are out of scope for a
-  thumbnail pipeline). Output is palette-expanded RGB.
+  local color table, interlaced or not. :func:`decode_gif_pixels`
+  returns the FIRST image descriptor's rectangle (thumbnail scope);
+  :func:`decode_gif_frames` decodes the WHOLE animation — sub-rect
+  frames composed onto the logical screen per the disposal method
+  (none / do-not-dispose / restore-background) — which is the
+  dependency-free "video" container: real multi-frame byte streams a
+  frame-sampling operator can decode losslessly.
 
 Encoders emit conformant streams for tests/synthesis: BMP 24-bit
 bottom-up, GIF87a with a real LZW compressor (variable code width,
-clear codes on table overflow — decodable by any GIF reader).
+clear codes on table overflow — decodable by any GIF reader), and
+GIF89a animations (:func:`encode_gif_animated`) where every frame
+after the first ships as the genuine delta bounding box against its
+predecessor under disposal=do-not-dispose — so decoding exercises real
+frame composition, not just repeated full-rect replacement.
 """
 
 from __future__ import annotations
@@ -377,3 +385,198 @@ def encode_gif(
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF — the dependency-free video container
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_blocks(indices: bytes, min_code_size: int) -> bytes:
+    """LZW-compress and wrap in <=255-byte sub-blocks + terminator."""
+    lzw = _lzw_encode(indices, min_code_size)
+    out = bytearray([min_code_size])
+    for j in range(0, len(lzw), 255):
+        chunk = lzw[j : j + 255]
+        out += bytes([len(chunk)]) + chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_animated(
+    frames, palette: bytes, width: int, height: int, delay_cs: int = 4
+) -> bytes:
+    """Conformant GIF89a animation from full-canvas index frames.
+
+    ``frames`` is a sequence of ``width*height`` palette-index byte
+    strings (the COMPOSED canvas at each step). Frame 0 is written as a
+    full-rect image; every later frame is written as the genuine delta
+    bounding box against its predecessor under disposal=do-not-dispose
+    (the dominant encoding in real animated GIFs) — an unchanged frame
+    degenerates to a 1x1 rect so the frame count is preserved. A
+    NETSCAPE2.0 loop extension is included so the stream matches what
+    crawlers actually see."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame length must be width*height")
+    if len(palette) % 3 or not 3 <= len(palette) <= 768:
+        raise ValueError("palette must be 1..256 RGB triples")
+    n_colors = len(palette) // 3
+    size_exp = 1
+    while (2 << (size_exp - 1)) < n_colors:
+        size_exp += 1
+    table_n = 2 << (size_exp - 1)
+    min_code_size = max(2, size_exp)
+
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | ((size_exp - 1) & 7), 0, 0])
+    out += bytes(palette) + bytes(3 * (table_n - n_colors))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    prev = None
+    for fr in frames:
+        if prev is None:
+            left, top, w, h, rect = 0, 0, width, height, fr
+        else:
+            diff = [j for j in range(width * height) if fr[j] != prev[j]]
+            if diff:
+                ys = [j // width for j in diff]
+                xs = [j % width for j in diff]
+                top, left = min(ys), min(xs)
+                h, w = max(ys) - top + 1, max(xs) - left + 1
+            else:
+                left, top, w, h = 0, 0, 1, 1
+            rect = b"".join(
+                fr[(top + y) * width + left : (top + y) * width + left + w]
+                for y in range(h)
+            )
+        # GCE: disposal=1 (do not dispose), no transparency
+        out += b"\x21\xf9\x04\x04" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out += _gif_lzw_blocks(rect, min_code_size)
+        prev = fr
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Whole-animation decode: ``(width, height, [rgb_frame, ...])``
+    with each frame the COMPOSED logical screen (palette-expanded RGB,
+    ``width*height*3`` bytes), or ``None`` for anything unsupported or
+    corrupt. Sub-rect frames are painted onto the running canvas;
+    disposal methods none(0)/do-not-dispose(1) keep the canvas,
+    restore-background(2) clears the painted rect to the background
+    color afterwards; restore-previous(3) is out of scope -> ``None``.
+    The canvas starts as the background color (GCT[bg], else black)."""
+    try:
+        return _decode_gif_frames_inner(bytes(b))
+    except Exception:
+        return None
+
+
+def _decode_gif_frames_inner(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    if width == 0 or height == 0:
+        return None
+    flags, bg = b[10], b[11]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if i + 3 * n > len(b):
+            return None
+        gct = b[i : i + 3 * n]
+        i += 3 * n
+    if gct is not None and bg < len(gct) // 3:
+        bg_rgb = gct[3 * bg : 3 * bg + 3]
+    else:
+        bg_rgb = b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (width * height))
+    frames: list[bytes] = []
+    disposal = 0
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension
+            if i + 2 > len(b):
+                return None
+            label = b[i + 1]
+            j = i + 2
+            if label == 0xF9 and j < len(b) and b[j] >= 4:
+                disposal = (b[j + 1] >> 2) & 0x07
+                if disposal >= 3:
+                    return None  # restore-previous: out of scope
+            while j < len(b) and b[j] != 0:
+                j += 1 + b[j]
+            i = j + 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                return None
+            left = int.from_bytes(b[i + 1 : i + 3], "little")
+            top = int.from_bytes(b[i + 3 : i + 5], "little")
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                if i + 3 * n > len(b):
+                    return None
+                table = b[i : i + 3 * n]
+                i += 3 * n
+            if table is None or w == 0 or h == 0:
+                return None
+            if left + w > width or top + h > height:
+                return None
+            if i >= len(b):
+                return None
+            min_code_size = b[i]
+            i += 1
+            if not 2 <= min_code_size <= 11:
+                return None
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                n = b[i]
+                if i + 1 + n > len(b):
+                    return None
+                data += b[i + 1 : i + 1 + n]
+                i += 1 + n
+            i += 1  # block terminator
+            indices = _lzw_decode(bytes(data), min_code_size, w * h)
+            if indices is None:
+                return None
+            if iflags & 0x40:  # interlaced rect
+                deinter = bytearray(w * h)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        deinter[y * w : (y + 1) * w] = indices[src : src + w]
+                        src += w
+                indices = bytes(deinter)
+            n_colors = len(table) // 3
+            for y in range(h):
+                row = indices[y * w : (y + 1) * w]
+                off = ((top + y) * width + left) * 3
+                for x, idx in enumerate(row):
+                    if idx >= n_colors:
+                        return None
+                    canvas[off + 3 * x : off + 3 * x + 3] = table[
+                        3 * idx : 3 * idx + 3
+                    ]
+            frames.append(bytes(canvas))
+            if disposal == 2:  # restore rect to background
+                for y in range(h):
+                    off = ((top + y) * width + left) * 3
+                    canvas[off : off + 3 * w] = bg_rgb * w
+            disposal = 0
+        elif block == 0x3B:  # trailer
+            return (width, height, frames) if frames else None
+        else:
+            return None
+    return None

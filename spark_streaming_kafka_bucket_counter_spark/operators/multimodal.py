@@ -744,6 +744,106 @@ def wav_pcm_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_stats, WAV_STATS_SCHEMA)
 
 
+GIF_FRAME_STATS_SCHEMA = (
+    "doc_id long, frame_idx long, n_frames_total long, mean_v_e4 long, "
+    "motion long"
+)
+
+_GIF_VIDEO_W, _GIF_VIDEO_H = 9, 8  # matches the PNG formula canvas
+
+
+def synthesize_gif_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL multi-frame GIF89a per row — the video analog
+    of :func:`synthesize_png_payloads`: ``id % 5 + 2`` frames of a 9x8
+    canvas over a grayscale identity palette (index == gray level), so
+    every decoded RGB channel equals the palette index. Rows ``y < 4``
+    are static across frames and rows ``y >= 4`` animate
+    (``(id*7 + f*37 + y*31 + x*13) % 256``), so the encoder's delta
+    bounding box is a genuine sub-rect and decoding exercises real
+    frame composition onto the logical screen."""
+    from .formats import encode_gif_animated
+
+    w, h = _GIF_VIDEO_W, _GIF_VIDEO_H
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames = []
+                for f in range(did % 5 + 2):
+                    fr = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            fr.append(
+                                (did * 7 + y * 31 + x * 13) % 256
+                                if y < 4
+                                else (did * 7 + f * 37 + y * 31 + x * 13) % 256
+                            )
+                    frames.append(bytes(fr))
+                payloads.append(
+                    bytearray(encode_gif_animated(frames, palette, w, h))
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+
+
+def gif_frame_stats(df: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling over REAL decoded video frames: decode the whole
+    GIF animation (:func:`formats.decode_gif_frames` — LZW, sub-rect
+    composition, disposal), keep every ``stride``-th frame (frame 0
+    always), and emit per-sampled-frame mean level (1e-4 units, floor)
+    plus MOTION — the summed absolute difference against the frame's
+    container predecessor, the scene-change / static-clip signal a
+    video-curation gate thresholds on (0 for frame 0). Grayscale
+    payloads reduce channel 0; undecodable payloads yield no rows
+    (fail-closed, like the image path)."""
+    from .formats import decode_gif_frames
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                dec = decode_gif_frames(bytes(pdf["payload"].iat[i]))
+                if dec is None or not dec[2]:
+                    continue
+                w, h, frames = dec
+                gray = [
+                    np.frombuffer(fr, dtype=np.uint8)[0::3].astype(np.int64)
+                    for fr in frames
+                ]
+                for f in range(0, len(frames), stride):
+                    motion = (
+                        int(np.abs(gray[f] - gray[f - 1]).sum()) if f else 0
+                    )
+                    rows.append(
+                        (
+                            did, f, len(frames),
+                            int(gray[f].sum()) * 10_000 // (w * h),
+                            motion,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames_total", "mean_v_e4",
+                    "motion",
+                ],
+                dtype="int64",
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _stats, GIF_FRAME_STATS_SCHEMA
+    )
+
+
 def sample_audio_frames(df: DataFrame, frame_bytes: int = 160, decoder: str = "stub") -> DataFrame:
     """Binary payload -> frame-sampling metadata (stub: fixed-size frames).
 

@@ -955,6 +955,62 @@ def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_pcm_stats(synthesize_wav_payloads(docs))
 
 
+@query(
+    "multimodal_gif_frames",
+    """
+    WITH px AS (
+      SELECT d.doc_id, f.f, y.y, x.x,
+             CASE WHEN y.y < 4
+                  THEN (d.doc_id*7 + y.y*31 + x.x*13) % 256
+                  ELSE (d.doc_id*7 + f.f*37 + y.y*31 + x.x*13) % 256
+             END AS v
+      FROM documents d,
+           (SELECT unnest(range(0, 6)) AS f) f,
+           (SELECT unnest(range(0, 8)) AS y) y,
+           (SELECT unnest(range(0, 9)) AS x) x
+      WHERE f.f < d.doc_id % 5 + 2
+    ),
+    m AS (
+      SELECT doc_id, f, CAST(SUM(v) * 10000 // 72 AS BIGINT) AS mean_v_e4
+      FROM px GROUP BY doc_id, f
+    ),
+    mot AS (
+      SELECT a.doc_id, a.f, CAST(SUM(abs(a.v - b.v)) AS BIGINT) AS motion
+      FROM px a
+      JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y AND a.x = b.x
+               AND b.f = a.f - 1
+      GROUP BY a.doc_id, a.f
+    )
+    SELECT m.doc_id, CAST(m.f AS BIGINT) AS frame_idx,
+           CAST(m.doc_id % 5 + 2 AS BIGINT) AS n_frames_total,
+           m.mean_v_e4,
+           CAST(COALESCE(mot.motion, 0) AS BIGINT) AS motion
+    FROM m LEFT JOIN mot ON mot.doc_id = m.doc_id AND mot.f = m.f
+    WHERE m.f % 2 = 0
+    """,
+)
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over REAL container bytes, end to end
+    (round 6): each doc id becomes a genuine GIF89a animation —
+    ``id % 5 + 2`` frames, every frame after the first shipped as its
+    true delta bounding box (rows ``y >= 4`` animate, ``y < 4`` are
+    static) — and ``gif_frame_stats`` must LZW-decode every frame,
+    compose the sub-rects onto the logical screen, sample every 2nd
+    frame and reduce each to mean level + motion (sum |Δ| vs the
+    container predecessor). The oracle replays the same integers
+    straight from the pixel formula without ever seeing a GIF byte, so
+    the whole animation codec — delta encode, composition, disposal
+    bookkeeping, sampling arithmetic — sits under one hash check.
+    This closes the image/audio/video triad: PNG/JPEG/GIF/BMP pixels,
+    WAV PCM samples, and now multi-frame video, all dependency-free.
+    Reference scope: the reference has no media path at all; this is
+    the training-data-pipeline extension surface (SURVEY §2.13)."""
+    from ..operators.multimodal import gif_frame_stats, synthesize_gif_videos
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return gif_frame_stats(synthesize_gif_videos(docs), stride=2)
+
+
 @query("multimodal_jpeg_stats")  # rows-only: no oracle, by design
 def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only by design (no oracle_sql entry): textured RGB payloads

@@ -199,3 +199,101 @@ def test_wav_pcm16_roundtrip_and_floor_semantics():
     mut = bytearray(wav)
     mut[20] = 2  # wFormatTag
     assert decode_wav_pcm16(bytes(mut)) is None
+
+
+@given(
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=2, max_value=256),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_animated_roundtrip_property(w, h, n_frames, n_colors, rnd):
+    """Animated GIF89a is lossless end to end: every composed frame
+    decodes back exactly, even though frames after the first ship as
+    delta bounding boxes (sub-rect composition onto the canvas)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.formats import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    palette = bytes(rnd.randrange(256) for _ in range(3 * n_colors))
+    frames = [
+        bytes(rnd.randrange(n_colors) for _ in range(w * h))
+        for _ in range(n_frames)
+    ]
+    gif = encode_gif_animated(frames, palette, w, h)
+    dec = decode_gif_frames(gif)
+    assert dec is not None
+    dw, dh, dframes = dec
+    assert (dw, dh, len(dframes)) == (w, h, n_frames)
+    for fr, out in zip(frames, dframes):
+        assert out == b"".join(palette[3 * v : 3 * v + 3] for v in fr)
+
+
+def test_gif_animated_static_and_disposal():
+    """Identical consecutive frames degenerate to a 1x1 delta rect but
+    keep the frame count; disposal=2 (restore background) clears the
+    painted rect before the next frame composes."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.formats import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = bytes(v for i in range(4) for v in (i * 10, i * 10, i * 10))
+    fr = bytes([1, 2, 3, 0] * 4)
+    w, h, frames = decode_gif_frames(encode_gif_animated([fr, fr, fr], pal, 4, 4))
+    assert (w, h, len(frames)) == (4, 4, 3)
+    assert frames[0] == frames[1] == frames[2]
+
+    # hand-built disposal=2 stream: frame 1 paints a 1x1 rect at (0,0),
+    # then the rect restores to background color 0 before frame 2 (also
+    # 1x1 at (1,0)) — so frame 2's canvas has pixel (0,0) back at bg.
+    from spark_streaming_kafka_bucket_counter_spark.operators.formats import (
+        _gif_lzw_blocks,
+    )
+
+    out = bytearray(b"GIF89a")
+    out += (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    out += bytes([0x80, 0, 0]) + bytes([0, 0, 0, 255, 255, 255])
+    out += b"\x21\xf9\x04\x08\x00\x00\x00\x00"  # GCE disposal=2
+    out += b"\x2c" + (0).to_bytes(2, "little") * 2
+    out += (1).to_bytes(2, "little") * 2 + b"\x00"
+    out += _gif_lzw_blocks(bytes([1]), 2)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE disposal=0
+    out += b"\x2c" + (1).to_bytes(2, "little") + (0).to_bytes(2, "little")
+    out += (1).to_bytes(2, "little") * 2 + b"\x00"
+    out += _gif_lzw_blocks(bytes([1]), 2)
+    out += b"\x3b"
+    w, h, frames = decode_gif_frames(bytes(out))
+    assert (w, h, len(frames)) == (2, 1, 2)
+    assert frames[0] == bytes([255, 255, 255, 0, 0, 0])
+    assert frames[1] == bytes([0, 0, 0, 255, 255, 255])
+
+
+def test_gif_animated_decoder_never_crashes_on_mutations():
+    """Truncations and byte flips over an animated stream return None or
+    a best-effort prefix — never raise (the crawl-data contract)."""
+    import random
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.formats import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    rnd = random.Random(11)
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    frames = [
+        bytes(rnd.randrange(256) for _ in range(9 * 8)) for _ in range(3)
+    ]
+    base = bytearray(encode_gif_animated(frames, pal, 9, 8))
+    for t in range(400):
+        bb = bytearray(base)
+        for _ in range(rnd.randint(1, 6)):
+            bb[rnd.randrange(len(bb))] = rnd.randrange(256)
+        data = bytes(bb[: rnd.randrange(8, len(bb))]) if t % 3 == 0 else bytes(bb)
+        res = decode_gif_frames(data)
+        if res is not None:
+            w, h, frs = res
+            assert all(len(fr) == w * h * 3 for fr in frs)
