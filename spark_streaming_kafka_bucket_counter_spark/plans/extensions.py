@@ -961,3 +961,74 @@ def q_multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-format ingest round-trips (JSONL / CSV)
+# ---------------------------------------------------------------------------
+
+_INGEST_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_text,
+           CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty_text,
+           CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS sum_chars,
+           CAST(COALESCE(SUM(length(text)
+                  - length(replace(text, chr(10), ''))), 0) AS BIGINT)
+             AS n_newlines,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    GROUP BY lang
+"""
+
+
+def _ingest_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from ..sources.files import export_documents_files, read_documents_files
+
+    path = export_documents_files(spark, sf_dir, fmt)
+    df = read_documents_files(spark, path, fmt)
+    nl = F.expr("length(text) - length(replace(text, '\n', ''))")
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty_text"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0))
+        .cast("long")
+        .alias("sum_chars"),
+        F.coalesce(F.sum(nl), F.lit(0)).cast("long").alias("n_newlines"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+@query("ingest_jsonl_roundtrip", _INGEST_ORACLE)
+def q_ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-corpus ingest parity, JSON-lines: the documents table is
+    materialized as real JSONL part files (build-once fingerprinted
+    cache) and read back with an EXPLICIT schema — at 100 TB schema
+    inference is a full extra pass, so the reader never infers. The
+    per-lang aggregate (doc counts, NULL vs '' disambiguation, char
+    sums, embedded-newline counts) must hash-match the oracle computed
+    straight from the parquet view, so serialization losses anywhere in
+    write->read (unicode, empties, newlines) surface as a mismatch.
+    Reference scope: S5/S6's JSON decode path (main.py json loads),
+    re-expressed as Spark's native distributed JSONL reader."""
+    return _ingest_roundtrip(spark, sf_dir, "jsonl")
+
+
+@query("ingest_csv_roundtrip", _INGEST_ORACLE)
+def q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-corpus ingest parity, CSV: same gate as the JSONL twin but
+    through the far trickier dialect — the pinned lossless options
+    (sources/files._CSV_LOSSLESS) are load-bearing: RFC-4180 quote
+    doubling via escape='"', a '\\N' null sentinel so NULL and ''
+    survive as distinct values, whitespace trimming disabled both ways,
+    and multiLine=true so quoted embedded newlines parse (which makes a
+    CSV file non-splittable — the export writes many part files because
+    file count IS the read parallelism at scale)."""
+    return _ingest_roundtrip(spark, sf_dir, "csv")

@@ -389,3 +389,85 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-format ingest: JSONL / CSV round-trip
+# ---------------------------------------------------------------------------
+
+DOCUMENTS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+_CSV_LOSSLESS = {
+    # The pinned lossless CSV dialect (probed on Spark 4, tested):
+    # - escape='"' -> RFC-4180 doubled quotes instead of backslashes
+    # - nullValue='\N' sentinel -> NULL and '' survive as distinct
+    #   values (default dialect reads a quoted empty back as NULL)
+    # - whitespace trimming OFF both ways (reader default TRIMS
+    #   trailing spaces out of unquoted fields)
+    #
+    # Known, inherent limitation (pinned in tests): a field whose VALUE
+    # is exactly the sentinel reads back as NULL — Spark's writer emits
+    # data '\N' and NULL identically (quoteAll doesn't help; it quotes
+    # the null representation too), the same property the Hive/Postgres
+    # '\N' convention has always had. export_documents_files therefore
+    # FAILS FAST if the corpus contains a colliding value, rather than
+    # writing a silently lossy file.
+    "header": True,
+    "escape": '"',
+    "nullValue": "\\N",
+    "ignoreLeadingWhiteSpace": False,
+    "ignoreTrailingWhiteSpace": False,
+}
+
+
+def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize a JSONL or CSV rendition of the ``documents`` table
+    into the build-once cache (same fingerprinted keying as the serving
+    indexes — regenerated parquet auto-misses). This is the raw-ingest
+    fixture: training corpora arrive as JSON-lines / CSV long before
+    they are parquet, and the round-trip queries put those readers
+    under the oracle hash gate. Written as multiple part files on
+    purpose — multiLine CSV is NOT splittable (one file = one task), so
+    file count IS the read parallelism at scale."""
+    if fmt not in ("jsonl", "csv"):
+        raise ValueError(f"unsupported export format: {fmt}")
+
+    def build(path: str) -> None:
+        df = load_table(spark, sf_dir, "documents").repartition(8)
+        if fmt == "jsonl":
+            df.write.mode("overwrite").json(path)
+        else:
+            sentinel = _CSV_LOSSLESS["nullValue"]
+            cond = None
+            for c, t in df.dtypes:
+                if t == "string":
+                    e = F.col(c) == sentinel
+                    cond = e if cond is None else cond | e
+            collide = df.filter(cond).count() if cond is not None else 0
+            if collide:
+                raise ValueError(
+                    f"{collide} row(s) contain the CSV null sentinel "
+                    f"{sentinel!r} as data — the dialect cannot round-trip "
+                    "them (writer emits data and NULL identically); "
+                    "refusing to write a lossy file"
+                )
+            w = df.write.mode("overwrite")
+            for k, v in _CSV_LOSSLESS.items():
+                w = w.option(k, v)
+            w.csv(path)
+
+    return cached_index_dir(f"{fmt}-export", sf_dir, "documents-v1", build)
+
+
+def read_documents_files(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Read a JSONL/CSV documents rendition with the EXPLICIT schema (at
+    100 TB schema inference is a full extra pass; never infer) and the
+    lossless dialect options matching :func:`export_documents_files`."""
+    if fmt == "jsonl":
+        return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    if fmt != "csv":
+        raise ValueError(f"unsupported ingest format: {fmt}")
+    r = spark.read.schema(DOCUMENTS_SCHEMA).option("multiLine", True)
+    for k, v in _CSV_LOSSLESS.items():
+        r = r.option(k, v)
+    return r.csv(path)

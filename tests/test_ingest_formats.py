@@ -1,0 +1,121 @@
+"""Multi-format ingest: the lossless JSONL / CSV round-trip contract.
+
+The catalog queries (`ingest_jsonl_roundtrip`, `ingest_csv_roundtrip`)
+hash-check the aggregate against DuckDB; these tests pin the row-level
+dialect semantics on adversarial values the test tables may not carry —
+NULL vs empty string, quotes+commas, embedded newlines, leading/trailing
+whitespace, a literal backslash-N, and astral unicode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+    _CSV_LOSSLESS,
+    export_documents_files,
+    read_documents_files,
+)
+
+ROWS = [
+    (1, "plain"),
+    (2, ""),
+    (3, None),
+    (4, 'with "quote" and, comma'),
+    (5, "line1\nline2\nline3"),
+    (6, "trailing space "),
+    (7, " leading space"),
+    (8, "\\N suffix"),  # contains the sentinel but is not equal to it
+    (9, "unicode £ü中 and astral 🎉"),
+    (10, ","),
+]
+
+
+def _roundtrip(spark, tmp_path, fmt):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    p = os.path.join(str(tmp_path), fmt)
+    if fmt == "jsonl":
+        df.write.json(p)
+    else:
+        w = df.write
+        for k, v in _CSV_LOSSLESS.items():
+            w = w.option(k, v)
+        w.csv(p)
+    back = read_documents_files(spark, p, fmt)
+    return sorted((r.doc_id, r.text) for r in back.select("doc_id", "text").collect())
+
+
+def test_jsonl_roundtrip_is_lossless(spark, tmp_path):
+    assert _roundtrip(spark, tmp_path, "jsonl") == sorted(ROWS)
+
+
+def test_csv_roundtrip_is_lossless(spark, tmp_path):
+    """Every hazard the default CSV dialect LOSES survives the pinned
+    one: '' vs NULL stay distinct, whitespace is not trimmed, embedded
+    newlines parse under multiLine, literal backslash-N is not a null."""
+    assert _roundtrip(spark, tmp_path, "csv") == sorted(ROWS)
+
+
+def test_csv_default_dialect_would_lose_data(spark, tmp_path):
+    """Negative control: the DEFAULT dialect really does conflate '' with
+    NULL and trim trailing whitespace — the reason _CSV_LOSSLESS exists.
+    If Spark ever changes these defaults this test flags the dead
+    workaround."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    p = os.path.join(str(tmp_path), "default_csv")
+    df.write.option("header", True).csv(p)
+    back = (
+        spark.read.schema("doc_id long, text string")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(p)
+    )
+    got = dict((r.doc_id, r.text) for r in back.collect())
+    assert got[2] is None  # '' became NULL
+    assert got[6] == "trailing space"  # trimmed
+
+
+def test_csv_sentinel_collision_is_null_and_export_fails_fast(spark, tmp_path):
+    """The inherent '\\N' convention limitation, pinned: a value EXACTLY
+    equal to the sentinel reads back as NULL (writer emits data and NULL
+    identically — quoteAll quotes the null representation too, so no
+    option set fixes it). The exporter therefore refuses to write a
+    corpus containing a colliding value instead of silently nullifying."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "\\N"), (2, None)], "doc_id long, text string")
+    p = os.path.join(str(tmp_path), "collide")
+    w = df.write
+    for k, v in _CSV_LOSSLESS.items():
+        w = w.option(k, v)
+    w.csv(p)
+    back = read_documents_files(spark, p, "csv")
+    assert [r.text for r in back.collect()] == [None, None]
+
+    # fail-fast at export: a documents table whose text IS the sentinel
+    sf = os.path.join(str(tmp_path), "sf_collide")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, "\\N", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    with pytest.raises(ValueError, match="null sentinel"):
+        export_documents_files(spark, sf, "csv")
+    # the jsonl path has no sentinel and exports the same corpus fine
+    out = export_documents_files(spark, sf, "jsonl")
+    assert [r.text for r in read_documents_files(spark, out, "jsonl").collect()] == [
+        "\\N"
+    ]
+
+
+def test_export_cache_hits_and_rereads(spark):
+    """export_documents_files is build-once per (sf_dir, fingerprint):
+    the second call returns the same directory without rebuilding, and
+    the rendition reads back with the full documents schema."""
+    sf = "/root/testdata/sf0.001"
+    p1 = export_documents_files(spark, sf, "jsonl")
+    p2 = export_documents_files(spark, sf, "jsonl")
+    assert p1 == p2
+    back = read_documents_files(spark, p1, "jsonl")
+    assert back.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert back.count() > 0
