@@ -274,3 +274,116 @@ def avro_encode_df(df: DataFrame, schema_json: str) -> DataFrame:
             yield pd.DataFrame({"avro": vals})
 
     return df.select(*names).mapInPandas(_encode, "avro binary")
+
+
+# ---------------------------------------------------------------------------
+# Object Container Files (the standard .avro file format)
+# ---------------------------------------------------------------------------
+
+_OCF_MAGIC = b"Obj\x01"
+
+
+def encode_ocf(
+    schema_json: str,
+    records: list[dict],
+    codec: str = "deflate",
+    block_records: int = 1000,
+) -> bytes:
+    """Records -> a conformant Avro Object Container File (spec 1.x):
+    magic, file-metadata map (``avro.schema`` + ``avro.codec``), 16-byte
+    sync marker, then data blocks of ``(count, size, payload, sync)``.
+    ``deflate`` is raw RFC-1951 (no zlib header), per spec. The sync
+    marker is derived deterministically from the schema + first record
+    so identical inputs produce identical bytes (testable builds);
+    uniqueness across files is irrelevant to correctness — sync exists
+    for split alignment, which block boundaries here provide."""
+    import hashlib
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec: {codec}")
+    fields = parse_schema(schema_json)
+    sync = hashlib.md5(
+        schema_json.encode() + repr(sorted((records or [{}])[0].items())).encode()
+    ).digest()
+
+    out = bytearray(_OCF_MAGIC)
+    meta = {
+        "avro.schema": schema_json.encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out += kb
+        _write_long(out, len(v))
+        out += v
+    _write_long(out, 0)  # end of map
+    out += sync
+    for start in range(0, len(records), block_records):
+        chunk = records[start : start + block_records]
+        payload = bytearray()
+        for rec in chunk:
+            payload += encode_record(fields, rec)
+        data = bytes(payload)
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            data = comp.compress(data) + comp.flush()
+        _write_long(out, len(chunk))
+        _write_long(out, len(data))
+        out += data
+        out += sync
+    return bytes(out)
+
+
+def decode_ocf(data: bytes) -> tuple[str, list[dict]]:
+    """Object Container File -> ``(schema_json, records)``. Raises
+    ``ValueError`` on bad magic / codec / sync drift — ingest should
+    fail loudly on a corrupt container, not guess (unlike the
+    crawl-payload decoders, which fail closed per row)."""
+    import zlib
+
+    if data[:4] != _OCF_MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a byte size
+            n = -n
+            _, pos = _read_long(data, pos)
+        for _ in range(n):
+            klen, pos = _read_long(data, pos)
+            k = data[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _read_long(data, pos)
+            meta[k] = data[pos : pos + vlen]
+            pos += vlen
+    schema_json = meta["avro.schema"].decode()
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec: {codec}")
+    fields = parse_schema(schema_json)
+    sync = data[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(data):
+        cnt, pos = _read_long(data, pos)
+        size, pos = _read_long(data, pos)
+        payload = data[pos : pos + size]
+        pos += size
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        rp = 0
+        for _ in range(cnt):
+            rec, rp = _decode_at(fields, payload, rp)
+            records.append(rec)
+        if rp != len(payload):
+            raise ValueError("block payload has trailing bytes")
+        if data[pos : pos + 16] != sync:
+            raise ValueError("sync marker drift (corrupt block boundary)")
+        pos += 16
+    return schema_json, records

@@ -1032,3 +1032,18 @@ def q_ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV file non-splittable — the export writes many part files because
     file count IS the read parallelism at scale)."""
     return _ingest_roundtrip(spark, sf_dir, "csv")
+
+
+@query("ingest_avro_roundtrip", _INGEST_ORACLE)
+def q_ingest_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-corpus ingest parity, Avro Object Container Files: the
+    documents table is exported as conformant ``.avro`` containers
+    (pure-Python OCF writer over the avro_lite wire codec — magic,
+    schema metadata, sync-marked deflate/null blocks, codec alternating
+    per file so both decode paths run) and read back through Spark's
+    ``binaryFile`` source + the container decoder, then aggregated under
+    the same oracle as the JSONL/CSV twins. This extends the
+    reference's Avro surface (S3/S4: Kafka-framed records,
+    utils.py:341-373) to the standard FILE container — the executed
+    fallback for clusters without the spark-avro module."""
+    return _ingest_roundtrip(spark, sf_dir, "avro")
