@@ -767,21 +767,20 @@ def synthesize_gif_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     palette = bytes(v for i in range(256) for v in (i, i, i))
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = yy * 31 + xx * 13  # static formula term, shared by all rows
         for pdf in batches:
             payloads = []
             for did in pdf[id_col]:
                 did = int(did)
+                static = (did * 7 + base) % 256
                 frames = []
                 for f in range(did % 5 + 2):
-                    fr = bytearray()
-                    for y in range(h):
-                        for x in range(w):
-                            fr.append(
-                                (did * 7 + y * 31 + x * 13) % 256
-                                if y < 4
-                                else (did * 7 + f * 37 + y * 31 + x * 13) % 256
-                            )
-                    frames.append(bytes(fr))
+                    img = (did * 7 + f * 37 + base) % 256
+                    img[:4] = static[:4]  # rows y<4 are frame-invariant
+                    frames.append(img.astype(np.uint8).tobytes())
                 payloads.append(
                     bytearray(encode_gif_animated(frames, palette, w, h))
                 )
