@@ -737,13 +737,18 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green driver row; recompute the diff each round
 # (tests/test_bench_contract.py pins the list against going stale).
 _DRIVER_PRIORITY: list[str] = [
-    # round-6 additions: mixed PNG container matrix (palette/Adam7/16-bit)
-    # and the baseline-JPEG codec queries
+    # round-6 additions: mixed PNG container matrix (palette/Adam7/16-bit),
+    # the baseline-JPEG/GIF/BMP/WAV codec queries, animated-GIF video
+    # frame sampling, and the multi-format ingest round-trips
     "multimodal_png_containers",
     "multimodal_jpeg_roundtrip",
     "multimodal_jpeg_stats",
     "multimodal_image_formats",
     "multimodal_wav_stats",
+    "multimodal_gif_frames",
+    "ingest_jsonl_roundtrip",
+    "ingest_csv_roundtrip",
+    "ingest_avro_roundtrip",
 ]
 
 
