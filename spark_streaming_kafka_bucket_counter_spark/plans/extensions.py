@@ -1047,3 +1047,55 @@ def q_ingest_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     utils.py:341-373) to the standard FILE container — the executed
     fallback for clusters without the spark-avro module."""
     return _ingest_roundtrip(spark, sf_dir, "avro")
+
+
+@query("ingest_jsonl_gz_roundtrip", _INGEST_ORACLE)
+def q_ingest_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-corpus ingest parity, gzip JSONL — the dominant wire format
+    for shipped corpora (.json.gz / .jsonl.gz dumps). Spark's text
+    source auto-decompresses by extension, but whole-file gzip is NOT
+    splittable: one .gz = one read task no matter its size, so the
+    export deliberately writes 8 part files — at 100 TB the part-file
+    count (or a recompress-to-zstd-frames step) IS the read
+    parallelism, and this query pins that the compressed path loses
+    nothing relative to the plain-JSONL twin."""
+    return _ingest_roundtrip(spark, sf_dir, "jsonl_gz")
+
+
+@query(
+    "ingest_warc_roundtrip",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(COALESCE(text, ''))
+                  - length(replace(COALESCE(text, ''), chr(10), '')))
+             AS BIGINT) AS n_newlines,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-corpus ingest parity, WARC — the container crawl corpora
+    actually arrive in (Common Crawl's ~100 TB .warc.gz dumps): the
+    documents table becomes member-gzipped WARC/1.0 response records
+    (HTTP envelope, byte-exact Content-Length, percent-encoded source
+    in the target URI) and is read back through binaryFile + the
+    tolerant parser, then aggregated per source. WARC has no NULL body,
+    so the pinned contract is COALESCE(text,'') on BOTH engines (a NULL
+    document is an empty fetch). n_docs catches silently dropped or
+    malformed records; sum_chars/n_newlines catch any byte-vs-char
+    slicing error in the Content-Length handling (bodies are sliced in
+    BYTES then decoded)."""
+    from ..sources.files import export_documents_files, read_documents_warc
+
+    path = export_documents_files(spark, sf_dir, "warc")
+    df = read_documents_warc(spark, path)
+    nl = F.expr("length(text) - length(replace(text, '\n', ''))")
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(nl).cast("long").alias("n_newlines"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )

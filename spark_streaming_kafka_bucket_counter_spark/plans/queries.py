@@ -749,6 +749,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ingest_jsonl_roundtrip",
     "ingest_csv_roundtrip",
     "ingest_avro_roundtrip",
+    "ingest_jsonl_gz_roundtrip",
+    "ingest_warc_roundtrip",
 ]
 
 

@@ -439,15 +439,23 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     under the oracle hash gate. Written as multiple part files on
     purpose — multiLine CSV is NOT splittable (one file = one task), so
     file count IS the read parallelism at scale."""
-    if fmt not in ("jsonl", "csv", "avro"):
+    if fmt not in ("jsonl", "jsonl_gz", "csv", "avro", "warc"):
         raise ValueError(f"unsupported export format: {fmt}")
 
     def build(path: str) -> None:
         df = load_table(spark, sf_dir, "documents").repartition(8)
         if fmt == "jsonl":
             df.write.mode("overwrite").json(path)
+        elif fmt == "jsonl_gz":
+            # whole-file gzip: the dominant wire format for shipped
+            # corpora, and NOT splittable — one .json.gz = one read task,
+            # so (like multiLine CSV and OCF files) part-file count IS
+            # the read parallelism; the 8-way repartition is the lever
+            df.write.mode("overwrite").option("compression", "gzip").json(path)
         elif fmt == "avro":
             _write_documents_ocf(df, path)
+        elif fmt == "warc":
+            _write_documents_warc(df, path)
         else:
             sentinel = _CSV_LOSSLESS["nullValue"]
             cond = None
@@ -529,7 +537,9 @@ def read_documents_files(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     ``binaryFile`` source + the pure-Python container decoder — the
     executed fallback for clusters without the spark-avro module (the
     same rationale as functions/avro_lite itself)."""
-    if fmt == "jsonl":
+    if fmt in ("jsonl", "jsonl_gz"):
+        # the gzip leg needs no reader options: Spark's text source
+        # auto-decompresses by file extension
         return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     if fmt == "avro":
         from ..functions.avro_lite import decode_ocf
@@ -560,3 +570,95 @@ def read_documents_files(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     for k, v in _CSV_LOSSLESS.items():
         r = r.option(k, v)
     return r.csv(path)
+
+
+def _write_documents_warc(df: DataFrame, path: str) -> None:
+    """Executor-side Common-Crawl-style export: each Arrow batch becomes
+    one ``.warc.gz`` of member-gzipped response records. doc_id rides in
+    WARC-Record-ID (``urn:ssbc:<id>``) and source in the target URI path
+    (percent-encoded, so any source string round-trips); a NULL text is
+    an empty fetch body — WARC has no NULL, so the ingest contract is
+    COALESCE(text, '') on both engines."""
+    import hashlib
+    import os as _os
+    from urllib.parse import quote
+
+    from .warc import build_warc_response, encode_warc
+
+    _os.makedirs(path, exist_ok=True)
+
+    def _write(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for did, text, src in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                did = int(did)
+                body = ("" if text is None or text is pd.NA else str(text)).encode()
+                src_seg = (
+                    quote(str(src), safe="")
+                    if src is not None and src is not pd.NA
+                    else None
+                )
+                uri = (
+                    f"http://corpus.invalid/{src_seg}/doc/{did}"
+                    if src_seg is not None
+                    else f"http://corpus.invalid/doc/{did}"
+                )
+                recs.append(build_warc_response(f"urn:ssbc:{did}", uri, body))
+            if not recs:
+                continue
+            blob = encode_warc(recs, member_gzip=True)
+            name = hashlib.md5(blob).hexdigest()[:16]
+            with open(_os.path.join(path, f"part-{name}.warc.gz"), "wb") as fh:
+                fh.write(blob)
+            yield pd.DataFrame({"file": [name], "n": [len(recs)]})
+
+    df.select("doc_id", "text", "source").mapInPandas(
+        _write, "file string, n long"
+    ).collect()
+
+
+def read_documents_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read a .warc.gz tree back to ``(doc_id, text, source,
+    n_malformed)`` via binaryFile + the tolerant WARC parser. Files are
+    the split unit here; at cluster scale the member-gzip layout also
+    permits sub-file splits (resync on gzip magic)."""
+    from urllib.parse import unquote
+
+    from .warc import parse_warc
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+    )
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                recs, bad = parse_warc(bytes(blob))
+                for r in recs:
+                    if r.get("type") != "response":
+                        continue
+                    rid = r.get("record_id", "")
+                    if not rid.startswith("urn:ssbc:"):
+                        continue
+                    segs = r.get("target_uri", "").split("/")
+                    # http://corpus.invalid/<src>/doc/<id> vs .../doc/<id>
+                    src = unquote(segs[3]) if len(segs) == 6 else None
+                    rows.append(
+                        (int(rid.rsplit(":", 1)[1]), r.get("body", ""), src, bad)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "source", "n_malformed"]
+            ).astype({"doc_id": "int64", "n_malformed": "int64"})
+
+    return raw.select("content").mapInPandas(
+        _decode, "doc_id long, text string, source string, n_malformed long"
+    )

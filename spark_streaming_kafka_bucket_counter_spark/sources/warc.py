@@ -1,0 +1,161 @@
+"""WARC (ISO 28500) reader/writer — the container format crawl corpora
+actually arrive in (Common Crawl ships ~100 TB-scale .warc.gz dumps).
+
+Pure Python over stdlib gzip/zlib, same rationale as the other
+dependency-free codecs: the Spark-side plumbing (binaryFile source,
+Arrow batches, per-record tolerance) is the real deliverable and is
+fully testable without a crawl library.
+
+Layout implemented (the subset every WARC consumer relies on):
+
+- record = ``WARC/1.0`` version line, CRLF header block
+  (``WARC-Type``, ``WARC-Record-ID``, ``WARC-Target-URI``,
+  ``Content-Length`` in BYTES), blank line, a block of exactly
+  Content-Length bytes, then CRLF CRLF.
+- response records carry an HTTP/1.1 response inside the block: status
+  line + headers, blank line, body.
+- Common-Crawl-style ``.warc.gz``: every record is its OWN gzip member
+  and members are concatenated — which is exactly what makes the format
+  splittable at member boundaries (a reader can seek to any gzip magic
+  and resynchronize). :func:`parse_warc` handles both plain and
+  member-gzip input.
+
+Parsing is per-record tolerant (crawl reality: truncated/garbled
+records are normal) — malformed records are skipped and COUNTED, never
+raised, unlike the object-container ingest which fails loudly on its
+own files.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+
+CRLF = b"\r\n"
+
+
+def build_warc_response(
+    record_id: str, target_uri: str, body: bytes, date: str = "2026-01-01T00:00:00Z"
+) -> bytes:
+    """One conformant WARC/1.0 response record (uncompressed)."""
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Type: text/plain; charset=utf-8" + CRLF
+        + b"Content-Length: " + str(len(body)).encode() + CRLF
+        + CRLF
+        + body
+    )
+    hdr = (
+        b"WARC/1.0" + CRLF
+        + b"WARC-Type: response" + CRLF
+        + b"WARC-Record-ID: <" + record_id.encode() + b">" + CRLF
+        + b"WARC-Date: " + date.encode() + CRLF
+        + b"WARC-Target-URI: " + target_uri.encode() + CRLF
+        + b"Content-Type: application/http;msgtype=response" + CRLF
+        + b"Content-Length: " + str(len(http)).encode() + CRLF
+        + CRLF
+    )
+    return hdr + http + CRLF + CRLF
+
+
+def encode_warc(records: list[bytes], member_gzip: bool = True) -> bytes:
+    """Concatenate records into a WARC file; ``member_gzip`` compresses
+    each record as its own gzip member (the Common Crawl layout, and
+    the reason .warc.gz is splittable: any gzip magic is a resync
+    point). ``mtime=0`` keeps output deterministic."""
+    if not member_gzip:
+        return b"".join(records)
+    out = bytearray()
+    for rec in records:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        out += buf.getvalue()
+    return bytes(out)
+
+
+def _gunzip_members(data: bytes) -> list[bytes]:
+    """Split concatenated gzip members into their decompressed payloads."""
+    members = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        members.append(d.decompress(data[pos:]))
+        tail = d.unused_data
+        pos = len(data) - len(tail)
+        if not members[-1] and not d.eof:
+            break  # truncated final member
+    return members
+
+
+def parse_warc(data: bytes) -> tuple[list[dict], int]:
+    """WARC bytes (plain or member-gzip) -> ``(records, n_malformed)``.
+
+    Each record dict carries ``type``, ``record_id``, ``target_uri``,
+    and — for response records — ``status`` plus the decoded ``body``
+    (UTF-8, replacement on bad bytes: crawl text is dirty by nature).
+    Content-Length is in BYTES and is trusted over delimiters, per
+    spec. Malformed records are skipped and counted."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            chunks = _gunzip_members(data)
+        except zlib.error:
+            return [], 1
+    else:
+        chunks = [data]
+    records: list[dict] = []
+    bad = 0
+    for chunk in chunks:
+        pos = 0
+        while pos < len(chunk):
+            # skip inter-record padding
+            while chunk[pos : pos + 2] == CRLF:
+                pos += 2
+            if pos >= len(chunk):
+                break
+            if not chunk[pos:].startswith(b"WARC/"):
+                bad += 1
+                break  # cannot resynchronize inside a plain stream
+            hdr_end = chunk.find(CRLF + CRLF, pos)
+            if hdr_end < 0:
+                bad += 1
+                break
+            headers: dict[str, str] = {}
+            lines = chunk[pos:hdr_end].split(CRLF)
+            for line in lines[1:]:
+                k, _, v = line.partition(b":")
+                if _:
+                    headers[k.strip().lower().decode("ascii", "replace")] = (
+                        v.strip().decode("utf-8", "replace")
+                    )
+            try:
+                clen = int(headers["content-length"])
+            except (KeyError, ValueError):
+                bad += 1
+                break
+            block = chunk[hdr_end + 4 : hdr_end + 4 + clen]
+            pos = hdr_end + 4 + clen
+            if len(block) < clen:
+                bad += 1
+                break
+            rec = {
+                "type": headers.get("warc-type", ""),
+                "record_id": headers.get("warc-record-id", "").strip("<>"),
+                "target_uri": headers.get("warc-target-uri", ""),
+            }
+            if rec["type"] == "response" and block[:5] == b"HTTP/":
+                http_end = block.find(CRLF + CRLF)
+                if http_end < 0:
+                    bad += 1
+                    continue
+                status_line = block[: block.find(CRLF)]
+                parts = status_line.split(None, 2)
+                try:
+                    rec["status"] = int(parts[1])
+                except (IndexError, ValueError):
+                    bad += 1
+                    continue
+                rec["body"] = block[http_end + 4 :].decode("utf-8", "replace")
+            records.append(rec)
+    return records, bad

@@ -187,3 +187,76 @@ def test_avro_export_read_spark_path(spark, tmp_path):
     out = export_documents_files(spark, sf, "avro")
     back = read_documents_files(spark, out, "avro")
     assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_warc_codec_roundtrip_and_tolerance():
+    """WARC response records round-trip both layouts (plain and
+    Common-Crawl member-gzip); bodies are sliced by BYTE Content-Length
+    then decoded (astral unicode safe); truncation yields a prefix plus
+    a malformed count — never an exception."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.warc import (
+        build_warc_response,
+        encode_warc,
+        parse_warc,
+    )
+
+    bodies = ["", "plain", 'nl\nand "q", comma', "astral 🎉 £ü中", "\\N"]
+    recs = [
+        build_warc_response(f"urn:ssbc:{i}", f"http://c/{i}", b.encode())
+        for i, b in enumerate(bodies)
+    ]
+    for gz in (True, False):
+        out, bad = parse_warc(encode_warc(recs, member_gzip=gz))
+        assert bad == 0 and [r["body"] for r in out] == bodies
+        assert all(r["status"] == 200 for r in out)
+    assert encode_warc(recs) == encode_warc(recs)  # deterministic (mtime=0)
+    out, bad = parse_warc(encode_warc(recs, member_gzip=False)[:60])
+    assert bad == 1 and out == []
+    # garbage is counted, not raised
+    assert parse_warc(b"\x1f\x8b not actually gzip")[1] == 1
+    assert parse_warc(b"HTTP nonsense")[0] == []
+
+
+def test_warc_spark_roundtrip_with_nulls_and_weird_sources(spark, tmp_path):
+    """End-to-end Spark WARC export/read: NULL text becomes an empty
+    fetch body (the pinned COALESCE contract), NULL source survives as
+    NULL, and a source containing '/' and spaces round-trips through the
+    percent-encoded target URI."""
+    import os as _os
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        read_documents_warc,
+    )
+
+    sf = _os.path.join(str(tmp_path), "sf")
+    _os.makedirs(sf)
+    rows = [
+        (1, "hello 🎉", "en", "plain", 7),
+        (2, None, None, None, None),
+        (3, "a\nb", "fr", "weird/src with space", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(_os.path.join(sf, "documents.parquet"))
+    out = export_documents_files(spark, sf, "warc")
+    back = read_documents_warc(spark, out)
+    got = sorted(
+        (r.doc_id, r.text, r.source, r.n_malformed) for r in back.collect()
+    )
+    assert got == [
+        (1, "hello 🎉", "plain", 0),
+        (2, "", None, 0),  # NULL text -> empty fetch body, by contract
+        (3, "a\nb", "weird/src with space", 0),
+    ]
+
+
+def test_jsonl_gz_roundtrip_is_lossless(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    p = os.path.join(str(tmp_path), "gz")
+    df.write.option("compression", "gzip").json(p)
+    import glob
+
+    assert glob.glob(os.path.join(p, "*.json.gz"))  # really compressed
+    back = read_documents_files(spark, p, "jsonl_gz")
+    got = sorted((r.doc_id, r.text) for r in back.select("doc_id", "text").collect())
+    assert got == sorted(ROWS)
