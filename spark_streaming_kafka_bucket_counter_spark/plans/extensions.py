@@ -1099,3 +1099,53 @@ def q_ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nl).cast("long").alias("n_newlines"),
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
     )
+
+
+@query("ingest_orc_roundtrip", _INGEST_ORACLE)
+def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-corpus ingest parity, ORC — the other columnar warehouse
+    format (Hive-lineage clusters standardize on it). Spark's reader is
+    native and splittable with full pushdown/pruning, so unlike the
+    text formats there is no dialect to pin — the query's value is the
+    round-trip proof that a parquet-centric pipeline can interchange
+    with ORC-based lakes losslessly."""
+    return _ingest_roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "ingest_html_extract",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(4 + length(CAST(doc_id AS VARCHAR))
+                 + CASE WHEN text IS NULL OR text = '' THEN 0
+                        ELSE 1 + length(text) END) AS BIGINT)
+             AS sum_extracted_chars,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 0
+                         ELSE 1 + length(text)
+                              - length(replace(text, chr(10), '')) END)
+             AS BIGINT) AS sum_extracted_newlines
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_ingest_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction under the oracle gate — the step
+    between WARC ingest and text curation: every document becomes a
+    deterministic page (escaped content inside <h1>/<p> blocks, PLUS
+    the boilerplate an extractor must drop: a script, a stylesheet, a
+    comment containing fake <p> markup, and nav-menu text outside
+    content tags) and the stdlib-parser extractor must recover EXACTLY
+    'Doc <id>' plus the original lines — entity decoding, inline-tag
+    merging, script/comment suppression all under one hash check. The
+    oracle computes the expected char/newline sums straight from the
+    original text without ever seeing HTML."""
+    from ..operators.htmltext import html_extract_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    stats = html_extract_stats(docs)
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("extracted_chars").cast("long").alias("sum_extracted_chars"),
+        F.sum("extracted_newlines").cast("long").alias("sum_extracted_newlines"),
+    )

@@ -751,6 +751,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ingest_avro_roundtrip",
     "ingest_jsonl_gz_roundtrip",
     "ingest_warc_roundtrip",
+    "ingest_orc_roundtrip",
+    "ingest_html_extract",
 ]
 
 

@@ -439,7 +439,7 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     under the oracle hash gate. Written as multiple part files on
     purpose — multiLine CSV is NOT splittable (one file = one task), so
     file count IS the read parallelism at scale."""
-    if fmt not in ("jsonl", "jsonl_gz", "csv", "avro", "warc"):
+    if fmt not in ("jsonl", "jsonl_gz", "csv", "avro", "warc", "orc"):
         raise ValueError(f"unsupported export format: {fmt}")
 
     def build(path: str) -> None:
@@ -456,6 +456,8 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             _write_documents_ocf(df, path)
         elif fmt == "warc":
             _write_documents_warc(df, path)
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(path)
         else:
             sentinel = _CSV_LOSSLESS["nullValue"]
             cond = None
@@ -541,6 +543,9 @@ def read_documents_files(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         # the gzip leg needs no reader options: Spark's text source
         # auto-decompresses by file extension
         return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    if fmt == "orc":
+        # columnar like parquet: pushdown/pruning/splittability all hold
+        return spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
     if fmt == "avro":
         from ..functions.avro_lite import decode_ocf
 

@@ -260,3 +260,45 @@ def test_jsonl_gz_roundtrip_is_lossless(spark, tmp_path):
     back = read_documents_files(spark, p, "jsonl_gz")
     got = sorted((r.doc_id, r.text) for r in back.select("doc_id", "text").collect())
     assert got == sorted(ROWS)
+
+
+def test_html_extraction_contract_property():
+    """For ANY text (hypothesis: unicode incl. markup-looking chars),
+    synthesize -> extract recovers exactly 'Doc <id>' + the original
+    lines; boilerplate (script/style/comment/nav) never leaks."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.htmltext import (
+        extract_main_text,
+        synthesize_html,
+    )
+
+    @given(
+        st.integers(min_value=0, max_value=10**9),
+        st.one_of(st.none(), st.text(max_size=200)),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(did, txt):
+        got = extract_main_text(synthesize_html(did, txt))
+        exp = f"Doc {did}" + (("\n" + txt) if txt else "")
+        assert got == exp
+
+    check()
+
+
+def test_html_extractor_drops_boilerplate_and_survives_dirt():
+    from spark_streaming_kafka_bucket_counter_spark.operators.htmltext import (
+        extract_main_text,
+    )
+
+    page = (
+        "<html><body><script>var x = '<p>js not text</p>';</script>"
+        "<style>.c{}</style><div>menu</div><p>keep <b>this</b> &amp; that</p>"
+        "<!-- <p>comment</p> --><li>item</li></body></html>"
+    )
+    assert extract_main_text(page) == "keep this & that\nitem"
+    # unclosed content tag at EOF keeps its text; garbage never raises
+    assert extract_main_text("<p>tail") == "tail"
+    for bad in ("", "<<<>>", "<script>while(1){", "<p>&bogus;</p>"):
+        extract_main_text(bad)
