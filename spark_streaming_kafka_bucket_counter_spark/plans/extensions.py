@@ -1091,7 +1091,10 @@ def q_ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.files import export_documents_files, read_documents_warc
 
     path = export_documents_files(spark, sf_dir, "warc")
-    df = read_documents_warc(spark, path)
+    # split_bytes small enough that every part file fans out into
+    # multiple byte-range tasks: the gate exercises gzip-magic resync,
+    # not just whole-file decode
+    df = read_documents_warc(spark, path, split_bytes=16 * 1024)
     nl = F.expr("length(text) - length(replace(text, '\n', ''))")
     return df.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -159,3 +159,56 @@ def parse_warc(data: bytes) -> tuple[list[dict], int]:
                 rec["body"] = block[http_end + 4 :].decode("utf-8", "replace")
             records.append(rec)
     return records, bad
+
+
+def read_member_range(path: str, start: int, end: int) -> tuple[list[bytes], int]:
+    """The splittable-read primitive: decompress every gzip member whose
+    FIRST byte lies in ``[start, end)`` of a member-gzip WARC file,
+    returning ``(records, n_malformed)``.
+
+    A task that does not start at 0 RESYNCHRONIZES: scan forward for a
+    gzip magic (``1f 8b 08``) whose decompression cleanly yields a
+    ``WARC/`` prefix — magic bytes occur by chance inside compressed
+    streams, so a candidate is only accepted when it actually inflates
+    to a record (the same trick production WARC readers use; false
+    candidates cost one failed inflate and are skipped). Each member is
+    then decoded independently; the member straddling ``end`` belongs to
+    the task that OWNS its first byte, so every record is read exactly
+    once across a partition of ``[0, filesize)``."""
+    out: list[bytes] = []
+    bad = 0
+    with open(path, "rb") as fh:
+        data = fh.read()  # per-task byte range + tail; files are bounded
+    n = len(data)
+    pos = start
+    if pos > 0:  # resync to the first true member at/after pos
+        while True:
+            hit = data.find(b"\x1f\x8b\x08", pos)
+            if hit < 0 or hit >= end:
+                return out, bad
+            d = zlib.decompressobj(wbits=31)
+            try:
+                payload = b""
+                feed = hit
+                while len(payload) < 5 and not d.eof and feed < n:
+                    payload += d.decompress(data[feed : feed + 4096])
+                    feed += 4096
+                if payload[:5] == b"WARC/":
+                    pos = hit
+                    break
+            except zlib.error:
+                pass
+            pos = hit + 1
+    while pos < min(end, n):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            payload = d.decompress(data[pos:])
+        except zlib.error:
+            bad += 1
+            break
+        if not d.eof:
+            bad += 1  # truncated trailing member
+            break
+        out.append(payload)
+        pos = n - len(d.unused_data)
+    return out, bad

@@ -302,3 +302,34 @@ def test_html_extractor_drops_boilerplate_and_survives_dirt():
     assert extract_main_text("<p>tail") == "tail"
     for bad in ("", "<<<>>", "<script>while(1){", "<p>&bogus;</p>"):
         extract_main_text(bad)
+
+
+def test_warc_split_read_parity(spark, tmp_path):
+    """The splittable byte-range WARC read returns EXACTLY the whole-file
+    read's rows at every split size — including splits far smaller than
+    a record (tasks that own no member yield nothing; resync never
+    duplicates or drops the straddling member)."""
+    import os as _os
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        read_documents_warc,
+    )
+
+    sf = _os.path.join(str(tmp_path), "sf")
+    _os.makedirs(sf)
+    rows = [(i, f"text {i} " * (i % 40), "en", f"s{i % 4}", 8) for i in range(300)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(_os.path.join(sf, "documents.parquet"))
+    out = export_documents_files(spark, sf, "warc")
+    whole = sorted(
+        (r.doc_id, r.text, r.source)
+        for r in read_documents_warc(spark, out).collect()
+    )
+    assert len(whole) == 300
+    for split in (512, 7_000, 10**9):
+        got = sorted(
+            (r.doc_id, r.text, r.source)
+            for r in read_documents_warc(spark, out, split_bytes=split).collect()
+        )
+        assert got == whole, f"split={split}"
