@@ -744,6 +744,110 @@ def wav_pcm_stats(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_stats, WAV_STATS_SCHEMA)
 
 
+AUDIO_FRAME_FEATURES_SCHEMA = (
+    "doc_id long, frame_idx long, n_samples long, peak long, energy long, "
+    "ms_e0 long, zero_crossings long"
+)
+
+
+def audio_frame_features(df: DataFrame, frame: int = 32) -> DataFrame:
+    """Framed audio features over REAL WAV PCM — the per-window signals
+    an audio-curation gate thresholds on (VAD-ish silence/energy cuts,
+    clipping detection, periodicity screens): the payload splits into
+    fixed non-overlapping ``frame``-sample windows (final partial window
+    kept) and each window reduces to
+
+    - ``peak``   max |s| (clipping / silence),
+    - ``energy`` sum of squares (integer-exact loudness),
+    - ``ms_e0``  mean square, floor-divided (RMS^2 without floats),
+    - ``zero_crossings`` count of strict sign flips whose SECOND sample
+      lands in the window (``s[i-1]*s[i] < 0`` — a zero sample ends a
+      run and never counts, matching the SQL twin's CASE exactly).
+
+    The hot path is numpy end to end: samples come straight off the
+    RIFF data chunk via ``frombuffer('<i2')`` and every reduction is a
+    ``reduceat`` over the window boundaries — no per-sample Python, so
+    the same kernel that is oracle-checked at 10^2 docs holds its
+    throughput at 10^9-row audio shards (the PNG-unfilter lesson from
+    round 6, applied from the start). Non-PCM payloads yield no rows.
+    Reference scope: none (training-data extension, SURVEY §2.13)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_f, out_n, out_peak, out_en, out_ms, out_zc = (
+                [], [], [], [], [], [], []
+            )
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                b = bytes(pdf["payload"].iat[i])
+                hdr = parse_audio_header(b)
+                if hdr is None:
+                    continue
+                # chunk walk for the raw data payload (same as decode)
+                j, codec, bits, data = 12, None, None, None
+                while j + 8 <= len(b):
+                    cid = b[j : j + 4]
+                    csize = int.from_bytes(b[j + 4 : j + 8], "little")
+                    if cid == b"fmt " and j + 8 + 16 <= len(b):
+                        codec = int.from_bytes(b[j + 8 : j + 10], "little")
+                        bits = int.from_bytes(b[j + 22 : j + 24], "little")
+                    elif cid == b"data":
+                        avail = min(csize, max(0, len(b) - (j + 8)))
+                        data = b[j + 8 : j + 8 + avail]
+                    j += 8 + csize + (csize & 1)
+                if codec != 1 or bits != 16 or not data:
+                    continue
+                v = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(
+                    np.int64
+                )
+                n = v.shape[0]
+                if n == 0:
+                    continue
+                bounds = np.arange(0, n, frame)
+                nf = bounds.shape[0]
+                counts = np.diff(np.append(bounds, n))
+                energy = np.add.reduceat(v * v, bounds)
+                peak = np.maximum.reduceat(np.abs(v), bounds)
+                flips = np.zeros(n, dtype=np.int64)
+                flips[1:] = (v[:-1] * v[1:] < 0).astype(np.int64)
+                zc = np.add.reduceat(flips, bounds)
+                out_id.append(np.full(nf, did, dtype=np.int64))
+                out_f.append(np.arange(nf, dtype=np.int64))
+                out_n.append(counts.astype(np.int64))
+                out_peak.append(peak)
+                out_en.append(energy)
+                out_ms.append(energy // counts)
+                out_zc.append(zc)
+            if not out_id:
+                yield pd.DataFrame(
+                    {
+                        c: pd.Series(dtype="int64")
+                        for c in (
+                            "doc_id", "frame_idx", "n_samples", "peak",
+                            "energy", "ms_e0", "zero_crossings",
+                        )
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_id),
+                    "frame_idx": np.concatenate(out_f),
+                    "n_samples": np.concatenate(out_n),
+                    "peak": np.concatenate(out_peak),
+                    "energy": np.concatenate(out_en),
+                    "ms_e0": np.concatenate(out_ms),
+                    "zero_crossings": np.concatenate(out_zc),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _feats, AUDIO_FRAME_FEATURES_SCHEMA
+    )
+
+
 GIF_FRAME_STATS_SCHEMA = (
     "doc_id long, frame_idx long, n_frames_total long, mean_v_e4 long, "
     "motion long"

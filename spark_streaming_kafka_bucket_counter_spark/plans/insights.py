@@ -956,6 +956,52 @@ def q_multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_frame_features",
+    """
+    WITH s AS (
+      SELECT d.doc_id, i.i AS i,
+             ((d.doc_id*13 + i.i*17) % 2001) - 1000 AS v
+      FROM documents d, (SELECT unnest(range(0, 128)) AS i) i
+      WHERE i.i < 64 + d.doc_id % 64
+    ),
+    x AS (
+      SELECT doc_id, i, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(i // 32 AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+           CAST(SUM(CAST(v AS BIGINT) * v) // COUNT(*) AS BIGINT) AS ms_e0,
+           CAST(SUM(CASE WHEN (pv > 0 AND v < 0) OR (pv < 0 AND v > 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM x
+    GROUP BY doc_id, i // 32
+    """,
+)
+def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window audio features over REAL RIFF/WAVE bytes (round 6):
+    each doc id becomes a conformant 16-bit PCM container
+    (:func:`synthesize_wav_payloads`'s integer sample formula) and
+    ``audio_frame_features`` must recover, per non-overlapping 32-sample
+    window, the peak, energy, floor mean-square and strict-sign-flip
+    zero-crossing count — the VAD/clipping/periodicity signals an audio
+    curation gate cuts on. The oracle replays the identical integers
+    from the sample formula (LAG for the crossing pairs) without seeing
+    a WAV byte, so the container walk, ``frombuffer`` sample extraction
+    and every ``reduceat`` window reduction sit under one hash check.
+    A zero sample never counts as a crossing in either engine (strict
+    ``<``/``>``), and the final partial window is kept — both pinned
+    here rather than discovered on adversarial data later."""
+    from ..operators.multimodal import audio_frame_features, synthesize_wav_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return audio_frame_features(synthesize_wav_payloads(docs))
+
+
+@query(
     "multimodal_gif_frames",
     """
     WITH px AS (

@@ -745,6 +745,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_jpeg_stats",
     "multimodal_image_formats",
     "multimodal_wav_stats",
+    "audio_frame_features",
     "multimodal_gif_frames",
     "ingest_jsonl_roundtrip",
     "ingest_csv_roundtrip",

@@ -201,6 +201,38 @@ def test_wav_pcm16_roundtrip_and_floor_semantics():
     assert decode_wav_pcm16(bytes(mut)) is None
 
 
+def test_audio_frame_features_edge_rules(spark):
+    """The framed-feature contract the oracle can't isolate: a ZERO
+    sample never counts as a crossing (strict sign flip only), the
+    final partial window is kept with its true sample count, and
+    non-PCM / garbage payloads contribute no rows rather than NULLs."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav_pcm16,
+    )
+
+    # 35 samples: flips at i=1 (5,-5) and i=4 (-3,3); the 0 at i=2
+    # breaks the (-5, -3) run so neither neighbor pair crosses
+    samples = [5, -5, 0, -3, 3] + [7] * 30
+    wav = encode_wav_pcm16(samples, sample_rate=8000)
+    non_pcm = bytearray(wav)
+    non_pcm[20] = 3  # wFormatTag: IEEE float, out of scope
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytes(non_pcm)), (3, b"not audio")],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.frame_idx): r
+        for r in audio_frame_features(df, frame=32).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 1)}
+    f0, f1 = rows[(1, 0)], rows[(1, 1)]
+    assert (f0.n_samples, f1.n_samples) == (32, 3)  # partial window kept
+    assert f0.zero_crossings == 2 and f1.zero_crossings == 0
+    assert f0.peak == 7 and f1.peak == 7
+    assert f1.energy == 3 * 49 and f1.ms_e0 == 49
+
+
 @given(
     st.integers(min_value=2, max_value=16),
     st.integers(min_value=2, max_value=12),
