@@ -1115,6 +1115,22 @@ def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ingest_roundtrip(spark, sf_dir, "orc")
 
 
+@query("ingest_parquet_ext_roundtrip", _INGEST_ORACLE)
+def q_ingest_parquet_ext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-writer parquet interchange under the oracle gate: the
+    documents table is re-materialized by an EXTERNAL writer (pyarrow,
+    not Spark's parquet-java) as one directory of part files whose
+    compression codec rotates zstd/gzip/snappy/lz4 per file, and
+    Spark's native reader must take the mixed-codec tree in one scan
+    and reproduce the per-lang aggregate hash-exactly. This is the
+    100 TB lake reality the single-writer round-trips can't exercise —
+    corpora land from many engines and codec policies (lz4 especially:
+    pyarrow emits LZ4_RAW, the variant older parquet-java rejected),
+    and a reader that silently mangles one codec's pages must show up
+    as a hash mismatch, not a production surprise."""
+    return _ingest_roundtrip(spark, sf_dir, "parquet_ext")
+
+
 @query(
     "ingest_html_extract",
     """

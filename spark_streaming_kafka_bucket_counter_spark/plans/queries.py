@@ -753,6 +753,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ingest_jsonl_gz_roundtrip",
     "ingest_warc_roundtrip",
     "ingest_orc_roundtrip",
+    "ingest_parquet_ext_roundtrip",
     "ingest_html_extract",
 ]
 

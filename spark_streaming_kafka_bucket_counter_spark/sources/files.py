@@ -439,7 +439,7 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     under the oracle hash gate. Written as multiple part files on
     purpose — multiLine CSV is NOT splittable (one file = one task), so
     file count IS the read parallelism at scale."""
-    if fmt not in ("jsonl", "jsonl_gz", "csv", "avro", "warc", "orc"):
+    if fmt not in ("jsonl", "jsonl_gz", "csv", "avro", "warc", "orc", "parquet_ext"):
         raise ValueError(f"unsupported export format: {fmt}")
 
     def build(path: str) -> None:
@@ -458,6 +458,8 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             _write_documents_warc(df, path)
         elif fmt == "orc":
             df.write.mode("overwrite").orc(path)
+        elif fmt == "parquet_ext":
+            _write_documents_parquet_ext(df, path)
         else:
             sentinel = _CSV_LOSSLESS["nullValue"]
             cond = None
@@ -531,6 +533,72 @@ def _write_documents_ocf(df: DataFrame, path: str) -> None:
             fh.write(blob)
 
 
+def _write_documents_parquet_ext(df: DataFrame, path: str) -> None:
+    """Executor-side EXTERNAL-writer parquet export: each Arrow batch
+    becomes one part file written by pyarrow (not Spark's parquet-java),
+    with the compression codec rotated zstd/gzip/snappy/lz4 by the
+    batch's lead doc_id — the interchange reality of a 100 TB lake,
+    where data lands from many writers and codec choices, and the
+    reader must take them all in one directory scan (parquet carries
+    the codec per column chunk, so mixed-codec directories are legal).
+    lz4 is deliberately included: pyarrow writes LZ4_RAW, the frame
+    variant that older parquet-java could NOT read — this gate pins
+    that the deployed Spark still can. Content-hash filenames keep
+    re-runs idempotent, same as the OCF/WARC exporters."""
+    import hashlib
+    import io
+    import os as _os
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    _os.makedirs(path, exist_ok=True)
+    codecs = ("zstd", "gzip", "snappy", "lz4")
+
+    def _write(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            table = pa.Table.from_pandas(
+                pdf[cols], schema=schema, preserve_index=False
+            )
+            codec = codecs[int(pdf["doc_id"].iat[0]) % len(codecs)]
+            buf = io.BytesIO()
+            pq.write_table(table, buf, compression=codec)
+            blob = buf.getvalue()
+            name = hashlib.md5(blob).hexdigest()[:16]
+            with open(_os.path.join(path, f"part-{name}.parquet"), "wb") as fh:
+                fh.write(blob)
+            yield pd.DataFrame({"file": [name], "n": [len(pdf)]})
+
+    written = df.select(*cols).mapInPandas(_write, "file string, n long").collect()
+    if not written:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+        pq.write_table(empty, _os.path.join(path, "part-empty.parquet"))
+
+
 def read_documents_files(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     """Read a JSONL/CSV/Avro-OCF documents rendition with the EXPLICIT
     schema (at 100 TB schema inference is a full extra pass; never
@@ -546,6 +614,9 @@ def read_documents_files(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     if fmt == "orc":
         # columnar like parquet: pushdown/pruning/splittability all hold
         return spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
+    if fmt == "parquet_ext":
+        # native reader over the externally-written mixed-codec tree
+        return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
     if fmt == "avro":
         from ..functions.avro_lite import decode_ocf
 

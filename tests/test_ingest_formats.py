@@ -250,6 +250,71 @@ def test_warc_spark_roundtrip_with_nulls_and_weird_sources(spark, tmp_path):
     ]
 
 
+def test_parquet_ext_all_codecs_read_in_one_scan(spark, tmp_path):
+    """Every codec the external writer rotates through (zstd, gzip,
+    snappy, lz4/LZ4_RAW) lands in ONE directory — deterministically,
+    one file per codec, rather than trusting the rotation to cover all
+    four on tiny data — and Spark's native reader takes the mixed tree
+    losslessly in a single scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = os.path.join(str(tmp_path), "pq_ext")
+    os.makedirs(p)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    expected = []
+    for k, codec in enumerate(("zstd", "gzip", "snappy", "lz4")):
+        doc_id, text = ROWS[2 * k][0], ROWS[2 * k][1]
+        expected.append((doc_id, text))
+        t = pa.table(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "text": pa.array([text], pa.string()),
+                "lang": pa.array([codec], pa.string()),
+                "source": pa.array(["ext"], pa.string()),
+                "n_chars": pa.array(
+                    [len(text) if text is not None else None], pa.int64()
+                ),
+            },
+            schema=schema,
+        )
+        pq.write_table(t, os.path.join(p, f"part-{codec}.parquet"), compression=codec)
+    back = read_documents_files(spark, p, "parquet_ext")
+    got = sorted(
+        (r.doc_id, r.text) for r in back.select("doc_id", "text").collect()
+    )
+    assert got == sorted(expected)
+
+
+def test_parquet_ext_export_read_spark_path(spark, tmp_path):
+    """The executor-side exporter itself: full documents fixture out
+    through _write_documents_parquet_ext, back through the native
+    reader, value-exact including NULL vs '' and unicode."""
+    df = spark.createDataFrame(
+        [(i, t, "xx", "src", len(t) if t is not None else None) for i, t in ROWS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        _write_documents_parquet_ext,
+    )
+
+    p = os.path.join(str(tmp_path), "pq_ext_full")
+    _write_documents_parquet_ext(df.repartition(4), p)
+    back = read_documents_files(spark, p, "parquet_ext")
+    got = sorted((r.doc_id, r.text, r.n_chars) for r in back.collect())
+    assert got == sorted(
+        (i, t, len(t) if t is not None else None) for i, t in ROWS
+    )
+
+
 def test_jsonl_gz_roundtrip_is_lossless(spark, tmp_path):
     df = spark.createDataFrame(ROWS, "doc_id long, text string")
     p = os.path.join(str(tmp_path), "gz")
