@@ -374,6 +374,65 @@ def normalized_text_sql(col: str) -> str:
     return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
 
 
+def canonicalize_url(col: Column) -> Column:
+    """Canonical URL form for crawl-frontier / document-identity dedup —
+    the normalization step every web-scale corpus applies before URL-level
+    dedup (variant pages fetched once, duplicate fetches collapsed):
+
+    - scheme and host lowercase; a leading ``www.`` stripped
+    - the scheme's default port (``:80``/``:443``) stripped, any other
+      port kept
+    - the fragment dropped (never sent to the server)
+    - trailing slash runs stripped from the path (root stays ``/``)
+    - tracking params (``utm_*``) dropped, the rest sorted byte-wise so
+      param order never splits an identity group
+
+    Entirely Catalyst built-ins (``parse_url`` + string/array kernels),
+    so it runs inside whole-stage codegen at scan speed — no Python in
+    the loop, and the subsequent dedup is ONE groupBy shuffle on the
+    canonical string. IPv6 bracket authorities and userinfo are out of
+    scope (documented; they parse, but the port split is naive).
+    Malformed URLs yield NULL (try_parse_url; plain parse_url THROWS
+    under ANSI mode) rather than a crash.
+    """
+    proto = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(col, F.lit("HOST"))), r"^www\.", ""
+    )
+    auth = F.try_parse_url(col, F.lit("AUTHORITY"))
+    port = F.when(
+        auth.contains(":"), F.substring_index(auth, ":", -1)
+    ).otherwise(F.lit(""))
+    is_default = ((proto == "http") & (port == "80")) | (
+        (proto == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port != "") & ~is_default, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit(""))
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        portpart,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
 def md5_fingerprint(col: Column) -> Column:
     """Exact-dup fingerprint: md5 of normalized text."""
     return F.md5(normalized_text(col))

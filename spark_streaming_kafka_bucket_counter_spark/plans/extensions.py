@@ -1131,6 +1131,94 @@ def q_ingest_parquet_ext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return _ingest_roundtrip(spark, sf_dir, "parquet_ext")
 
 
+_URL_RAW_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0
+          THEN 'WWW.EXAMPLE' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+          WHEN doc_id % 3 = 1
+          THEN 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+          ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+          WHEN doc_id % 5 = 0
+          THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+          ELSE '' END) ||
+    '/Item/' || CAST(doc_id % 11 AS VARCHAR) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+    '?utm_source=feed&b=2&a=1' ||
+    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+"""
+
+
+@query(
+    "web_url_dedup",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             {_URL_RAW_SQL} AS raw_url,
+             (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+               || '://example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+               || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+               || '/Item/' || CAST(doc_id % 11 AS VARCHAR)
+               || '?a=1&b=2' AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM u GROUP BY canonical_url
+    """,
+)
+def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over canonicalized page identities — the step a
+    crawl pipeline runs BEFORE any content dedup (variant URLs of one
+    page collapse without touching the bytes). Each doc id becomes a
+    deliberately messy URL (case-shifted scheme/host, optional ``www.``,
+    explicit-default vs absent vs non-default ports, trailing-slash
+    variants, ``utm_*`` tracking junk, fragments); the Spark side must
+    PARSE and normalize the real strings via
+    :func:`functions.text.canonicalize_url` (parse_url + array kernels,
+    all whole-stage codegen) and group, while the oracle replays the
+    canonical form straight from the id arithmetic — so every
+    normalization rule (default-port strip, www strip, param sort,
+    utm drop, fragment drop, slash trim) sits under the hash gate.
+    ``n_variants < n_docs`` whenever distinct messy spellings collide,
+    exactly the dedup win the canonicalizer exists to create. One
+    shuffle, on the canonical string: scale-safe at crawl size."""
+    from ..functions.text import canonicalize_url
+
+    # build the messy URL with Spark's concat over the same CASE parts
+    raw = F.expr(
+        "concat("
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://', "
+        "CASE WHEN doc_id % 3 = 0 "
+        "THEN concat('WWW.EXAMPLE', CAST(doc_id % 7 AS STRING), '.COM') "
+        "WHEN doc_id % 3 = 1 "
+        "THEN concat('www.example', CAST(doc_id % 7 AS STRING), '.com') "
+        "ELSE concat('example', CAST(doc_id % 7 AS STRING), '.com') END, "
+        "CASE WHEN doc_id % 7 = 0 THEN ':8080' "
+        "WHEN doc_id % 5 = 0 "
+        "THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END "
+        "ELSE '' END, "
+        "'/Item/', CAST(doc_id % 11 AS STRING), "
+        "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+        "'?utm_source=feed&b=2&a=1', "
+        "CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", raw.alias("raw_url")
+    )
+    return (
+        docs.withColumn("canonical_url", canonicalize_url(F.col("raw_url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("raw_url").cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
 @query(
     "ingest_html_extract",
     """

@@ -755,6 +755,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ingest_orc_roundtrip",
     "ingest_parquet_ext_roundtrip",
     "ingest_html_extract",
+    "web_url_dedup",
 ]
 
 

@@ -377,3 +377,39 @@ def test_bloom_probe_duplicate_rows_no_false_negative(spark):
     }
     assert len(out) == 50
     assert all(out.values())  # no false negatives under replay
+
+
+def test_canonicalize_url_rules(spark):
+    """Each normalization rule in isolation — the cases the formula
+    query can't split apart: default vs non-default port per scheme,
+    www/case folding, utm drop vs a param whose VALUE contains 'utm_',
+    param sorting, fragment drop, trailing-slash runs, root path, and
+    malformed input -> NULL (never a crash)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_kafka_bucket_counter_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a/", "http://ex.com/a"),
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("https://ex.com:444/a", "https://ex.com:444/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com///", "http://ex.com/"),
+        ("http://ex.com/a?b=2&a=1#frag", "http://ex.com/a?a=1&b=2"),
+        ("http://ex.com/a?utm_source=x&z=utm_keep", "http://ex.com/a?z=utm_keep"),
+        ("http://ex.com/a?utm_campaign=c", "http://ex.com/a"),
+        ("http://wwwx.ex.com/a", "http://wwwx.ex.com/a"),  # only 'www.' strips
+        ("not a url at all", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
