@@ -78,8 +78,11 @@ def main() -> int:
                 if not ok:
                     bad += 1
                     print(name, "MISMATCH", detail, flush=True)
-                elif subset:
-                    print(name, "OK", flush=True)
+                else:
+                    # always one line per query: a full-catalog run at a
+                    # big sf can take hours, and a silent loop is
+                    # indistinguishable from a hung one
+                    print(name, "OK", f"{time.time() - t0:.0f}s", flush=True)
             else:
                 print(name, "rows-only:", qs[name](spark, SF).count(), flush=True)
         except Exception as exc:  # keep sweeping; an error IS a finding
