@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the codegen class cache defaults to 100 entries; a session that
+        # serves the whole 174-query catalog (bench, the driver loop, a
+        # long-lived serving process) compiles far more generated classes
+        # than that, and eviction turns later queries' stages back into
+        # fresh Janino compiles (~100-300 ms each, visible as uniform
+        # catalog-wide inflation as the catalog grows)
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
