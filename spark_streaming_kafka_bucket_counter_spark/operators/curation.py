@@ -437,3 +437,52 @@ def adjacent_pair_counts_sql(table: str, text_col: str, top_n: int = 50) -> str:
       FROM pairs
       QUALIFY rank <= {top_n}
     )"""
+
+
+NFC_STATS_SCHEMA = "doc_id long, changed long, len_raw long, len_nfc long"
+
+
+def nfc_normalize_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization audit — the curation step that catches
+    canonically-equivalent duplicate text exact dedup misses: the same
+    visible string can arrive precomposed (``é``) or decomposed
+    (``e`` + U+0301), or with combining marks in non-canonical order,
+    and md5-style fingerprints treat those as different documents. Per
+    row: did NFC change the bytes, and the codepoint length before and
+    after (composition shrinks it). NULL text stays NULL (no opinion).
+
+    Runs as one Arrow ``mapInPandas`` stage over Python's unicodedata;
+    the DuckDB oracle computes the same answer with utf8proc's
+    ``nfc_normalize`` — a genuine DUAL-IMPLEMENTATION gate (two
+    independent Unicode libraries must agree on every document), which
+    is stronger than a formula-replay oracle. The normalization itself
+    is per-string library work in any engine (Spark has no NFC
+    built-in); the Arrow batch path is the scale-correct way to run it,
+    and the downstream dedup is unchanged: fingerprint NFC(text)
+    instead of text.
+    """
+    import pandas as pd
+
+    def _nfc(batches):
+        import unicodedata
+
+        for pdf in batches:
+            changed, lr, ln = [], [], []
+            for s in pdf[text_col]:
+                if s is None or (isinstance(s, float) and pd.isna(s)):
+                    changed.append(None); lr.append(None); ln.append(None)
+                    continue
+                n = unicodedata.normalize("NFC", s)
+                changed.append(1 if n != s else 0)
+                lr.append(len(s))
+                ln.append(len(n))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "changed": pd.array(changed, dtype="Int64"),
+                    "len_raw": pd.array(lr, dtype="Int64"),
+                    "len_nfc": pd.array(ln, dtype="Int64"),
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(_nfc, NFC_STATS_SCHEMA)

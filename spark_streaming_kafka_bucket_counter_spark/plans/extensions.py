@@ -1220,6 +1220,59 @@ def q_web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_nfc_normalize",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             text || (CASE CAST(doc_id % 5 AS INT)
+                      WHEN 0 THEN 'e' || chr(769)
+                      WHEN 1 THEN chr(233)
+                      WHEN 2 THEN 'x' || chr(770) || chr(803)
+                      ELSE '' END) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN s IS NULL THEN NULL
+                     WHEN nfc_normalize(s) <> s THEN 1 ELSE 0 END
+             AS BIGINT) AS changed,
+           CAST(length(s) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS len_nfc
+    FROM f
+    """,
+)
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC audit (round 6): canonically-equivalent text — the
+    same visible string precomposed vs decomposed vs mark-reordered —
+    defeats exact-fingerprint dedup, so a corpus pipeline normalizes to
+    NFC first. Each doc gets a deterministic suffix exercising the three
+    interesting shapes (``e``+U+0301 composes, precomposed U+00E9 is
+    already canonical, ``x``+circumflex+dot-below only REORDERS by
+    combining class) and the operator reports, per doc, whether NFC
+    changed the string and the codepoint lengths before/after. The
+    oracle is NOT a formula replay: DuckDB's utf8proc ``nfc_normalize``
+    independently normalizes the same strings, so two unrelated Unicode
+    implementations (CPython unicodedata vs utf8proc) must agree on
+    every document — on the edge tables that includes CJK, emoji and
+    RTL text. NULL text stays NULL in both engines (``||`` and
+    ``concat`` are both NULL-propagating)."""
+    from ..operators.curation import nfc_normalize_stats
+
+    # explicit escapes: decomposed/precomposed forms are visually
+    # identical in source, so never write them as naked literals
+    suffix_sql = (
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN 'e\u0301' "  # decomposed: NFC composes to U+00E9
+        "WHEN 1 THEN '\u00e9' "   # precomposed: already canonical
+        "WHEN 2 THEN 'x\u0302\u0323' "  # NFC only REORDERS (ccc 230>220)
+        "ELSE '' END"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"concat(text, {suffix_sql})").alias("text")
+    )
+    return nfc_normalize_stats(docs)
+
+
+@query(
     "ingest_html_extract",
     """
     SELECT lang,

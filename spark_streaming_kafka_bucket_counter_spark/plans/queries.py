@@ -756,6 +756,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ingest_parquet_ext_roundtrip",
     "ingest_html_extract",
     "web_url_dedup",
+    "text_nfc_normalize",
 ]
 
 
