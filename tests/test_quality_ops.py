@@ -413,3 +413,40 @@ def test_canonicalize_url_rules(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_nfc_stats_tricky_scripts_agree_with_duckdb(spark, duck):
+    """The dual-implementation contract on scripts the synthetic corpus
+    never contains: Hangul jamo (NFC composes L+V+T into syllable
+    blocks), Devanagari nukta (composes), Greek with combining marks,
+    singleton replacements (Angstrom sign -> A-ring), astral emoji
+    (length must count CODEPOINTS, not UTF-16 units), and NULL."""
+    cases = [
+        "각",        # jamo G+A+K -> U+AC01 (3 -> 1 cp)
+        "ऩ",              # DEVANAGARI NA + NUKTA -> U+0929
+        "ά",              # alpha + acute -> U+03AC
+        "Å",                    # ANGSTROM SIGN -> U+00C5 (singleton)
+        "\U0001f600x̣̂",   # astral + already-canonical marks (unchanged)
+        None,
+    ]
+    from spark_streaming_kafka_bucket_counter_spark.operators.curation import (
+        nfc_normalize_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.changed, r.len_raw, r.len_nfc)
+        for r in nfc_normalize_stats(df).collect()
+    }
+    for i, t in enumerate(cases):
+        if t is None:
+            assert got[i] == (None, None, None)
+            continue
+        want = duck.execute(
+            "SELECT CASE WHEN nfc_normalize(?) <> ? THEN 1 ELSE 0 END,"
+            " length(?), length(nfc_normalize(?))",
+            [t, t, t, t],
+        ).fetchone()
+        assert got[i] == want, f"{t!r}: {got[i]} != {want}"
