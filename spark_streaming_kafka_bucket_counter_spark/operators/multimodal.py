@@ -679,6 +679,19 @@ WAV_STATS_SCHEMA = (
 )
 
 
+def _fanout(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread codec work across the session's cores. Media synthesis /
+    decode stages are Python-per-row by nature, but the id column of a
+    small parquet table arrives as 1-2 input splits — without an
+    explicit exchange the whole Arrow pipeline runs on 1-2 cores no
+    matter how wide the cluster is (found by the round-6 bench: the
+    textured-JPEG stage ran 8s single-threaded on a 32-core box).
+    Hash-partition on the id column — deterministic under retries,
+    unlike round-robin — to the session's default parallelism."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, id_col)
+
+
 def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL WAV payload per row: ``64 + id%64`` frames of
     16-bit PCM whose samples are an integer formula of (id, index)
@@ -697,7 +710,9 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _synth, f"{id_col} long, payload binary"
+    )
 
 
 def wav_pcm_stats(df: DataFrame) -> DataFrame:
@@ -892,7 +907,9 @@ def synthesize_gif_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _synth, f"{id_col} long, payload binary"
+    )
 
 
 def gif_frame_stats(df: DataFrame, stride: int = 2) -> DataFrame:
@@ -1652,7 +1669,9 @@ def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {id_col: pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _synth, f"{id_col} long, payload binary"
+    )
 
 
 def decode_image_pixels_batch(
@@ -1733,7 +1752,9 @@ def synthesize_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 {id_col: pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _synth, f"{id_col} long, payload binary"
+    )
 
 
 def image_format_report(df: DataFrame) -> DataFrame:
@@ -1844,7 +1865,9 @@ def synthesize_jpeg_payloads(
                 {id_col: pdf[id_col].astype("int64"), "payload": payloads}
             )
 
-    return df.select(id_col).mapInPandas(_synth, f"{id_col} long, payload binary")
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _synth, f"{id_col} long, payload binary"
+    )
 
 
 def jpeg_report(df: DataFrame) -> DataFrame:

@@ -1053,10 +1053,9 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training-data-pipeline extension surface (SURVEY §2.13)."""
     from ..operators.multimodal import gif_frame_stats, synthesize_gif_videos
 
-    # the LZW encode/decode stages are pure-Python per frame (GIF has no
-    # C fast path like zlib) — spread them over the cores; documents
-    # arrives as 1-2 parquet splits at test scale
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    # codec fan-out now lives in the synthesize operator itself
+    # (multimodal._fanout), shared by every media query
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
     return gif_frame_stats(synthesize_gif_videos(docs), stride=2)
 
 
