@@ -391,9 +391,12 @@ def canonicalize_url(col: Column) -> Column:
     so it runs inside whole-stage codegen at scan speed — no Python in
     the loop, and the subsequent dedup is ONE groupBy shuffle on the
     canonical string. IPv6 bracket authorities and userinfo are out of
-    scope (documented; they parse, but the port split is naive).
-    Malformed URLs yield NULL (try_parse_url; plain parse_url THROWS
-    under ANSI mode) rather than a crash.
+    scope and FAIL CLOSED: an authority containing ``@`` or ``[`` would
+    make the naive ``substring_index(auth, ':', -1)`` port split produce
+    garbage like ``pass@host`` or ``1]`` and silently merge unrelated
+    URLs into one identity, so those yield NULL — the same contract as
+    malformed URLs (try_parse_url; plain parse_url THROWS under ANSI
+    mode): out-of-scope input never fabricates an identity.
     """
     proto = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
     host = F.regexp_replace(
@@ -423,13 +426,20 @@ def canonicalize_url(col: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        proto,
-        F.lit("://"),
-        host,
-        portpart,
-        path,
-        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    out_of_scope = auth.isNotNull() & (
+        auth.contains("@") | auth.contains("[")
+    )
+    return F.when(out_of_scope, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            proto,
+            F.lit("://"),
+            host,
+            portpart,
+            path,
+            F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+                F.lit("")
+            ),
+        )
     )
 
 

@@ -27,7 +27,17 @@ Lifecycle (round-6 hardening):
   instead of thrashing rebuilds);
 - eviction releases each evicted frame's checkpoint blocks explicitly
   (``LogicalRDD.rdd().unpersist``) rather than waiting for Python GC +
-  the ContextCleaner to reclaim executor storage.
+  the ContextCleaner to reclaim executor storage — but DEFERRED by one
+  eviction cycle (round-7 hardening, ADVICE r6): an evicted generation
+  parks in a tombstone slot and its blocks are only dropped when the
+  NEXT eviction pushes it out, so a caller still holding a previously
+  returned frame across one dataset switch (long-lived server touching
+  a 3rd dataset, or the same sf_dir regenerated mid-session) keeps a
+  usable handle instead of hitting missing-block errors on a
+  lineage-truncated frame. Returned frames must still not be held
+  across TWO dataset switches — hold the memo's return only within one
+  dataset's working set, or re-call :func:`dataset_memo` (cheap on hit)
+  instead of caching it yourself.
 """
 
 from __future__ import annotations
@@ -42,6 +52,11 @@ from pyspark.sql import DataFrame, SparkSession
 # (session id, dataset fingerprint) -> {artifact key -> checkpointed frame}
 _MEMO: OrderedDict[tuple[int, str], dict[str, DataFrame]] = OrderedDict()
 _MAX_GENERATIONS = 2
+
+# one-deep grace slot: the most recently evicted generation's frames stay
+# materialized until the next eviction, so handles returned before a
+# dataset switch survive it (see module docstring)
+_TOMBSTONE: list[DataFrame] = []
 
 
 def _dataset_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
@@ -82,8 +97,9 @@ def dataset_memo(
     _MEMO.move_to_end(gen_key)
     while len(_MEMO) > _MAX_GENERATIONS:
         _, stale = _MEMO.popitem(last=False)
-        for stale_df in stale.values():
-            _release(stale_df)
+        for tomb_df in _TOMBSTONE:
+            _release(tomb_df)
+        _TOMBSTONE[:] = stale.values()
     df = gen.get(key)
     if df is None:
         res = build()

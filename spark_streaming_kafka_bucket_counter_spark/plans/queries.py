@@ -737,26 +737,10 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green driver row; recompute the diff each round
 # (tests/test_bench_contract.py pins the list against going stale).
 _DRIVER_PRIORITY: list[str] = [
-    # round-6 additions: mixed PNG container matrix (palette/Adam7/16-bit),
-    # the baseline-JPEG/GIF/BMP/WAV codec queries, animated-GIF video
-    # frame sampling, and the multi-format ingest round-trips
-    "multimodal_png_containers",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_jpeg_stats",
-    "multimodal_image_formats",
-    "multimodal_wav_stats",
-    "audio_frame_features",
-    "multimodal_gif_frames",
-    "ingest_jsonl_roundtrip",
-    "ingest_csv_roundtrip",
-    "ingest_avro_roundtrip",
-    "ingest_jsonl_gz_roundtrip",
-    "ingest_warc_roundtrip",
-    "ingest_orc_roundtrip",
-    "ingest_parquet_ext_roundtrip",
-    "ingest_html_extract",
-    "web_url_dedup",
-    "text_nfc_normalize",
+    # empty after the r06 driver run landed: every round-6 addition got
+    # its green row in CORRECTNESS_r06.json, so the union of driver rows
+    # r01..r06 covers the whole 175-query catalog. Round-7 additions go
+    # here until their first green driver row.
 ]
 
 

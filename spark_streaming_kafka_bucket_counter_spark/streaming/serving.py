@@ -70,15 +70,26 @@ def reject_non_query(spark: SparkSession, sql: str) -> None:
     ops, ``VALUES``, ``TABLE t`` and ``FROM t SELECT`` all pass while
     every mutating statement kind is caught **before** execution —
     ``spark.sql`` runs DDL/commands eagerly, so the check cannot happen
-    after the call. Two plan families are mutating:
+    after the call.
+
+    The classifier walks the ENTIRE parsed tree (``children`` +
+    ``innerChildren``), not just the root: ``WITH x AS (...) INSERT INTO
+    t ...`` parses to a top-level ``UnresolvedWith`` whose *child* is the
+    ``InsertIntoStatement``, and a root-only check would wave it through
+    and then execute the mutation. Three node families are mutating:
 
     - anything implementing the Catalyst ``Command`` trait (DDL, SET,
       ADD JAR, CACHE, DELETE/UPDATE/MERGE, ANALYZE, LOAD DATA, ...),
-      minus the read-only Describe/Show/Explain subtypes;
+      minus the read-only Describe/Show/Explain subtypes — those are
+      accepted WITHOUT descending into them, since e.g. ``EXPLAIN
+      INSERT ...`` never executes the insert;
     - ``InsertInto*`` statements (INSERT [OVERWRITE] parses to
       ``InsertIntoStatement``, which is *not* a Command pre-analysis)
       and SQL-scripting ``CompoundBody`` blocks, which could smuggle
-      commands.
+      commands;
+    - ``*ExecuteImmediate`` (``EXECUTE IMMEDIATE '<any sql>'`` — neither
+      a Command nor an InsertInto pre-analysis, and it would run an
+      arbitrary second statement at execution time).
 
     A string that does not parse at all is let through untouched so
     ``spark.sql`` raises its native ``ParseException`` (better message,
@@ -88,22 +99,39 @@ def reject_non_query(spark: SparkSession, sql: str) -> None:
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     except Exception:
         return  # unparseable: spark.sql will raise the real ParseException
-    name = plan.getClass().getSimpleName()
     command_cls = spark._jvm.java.lang.Class.forName(
         "org.apache.spark.sql.catalyst.plans.logical.Command"
     )
-    if command_cls.isInstance(plan):
-        if name.startswith(_READONLY_COMMAND_PREFIXES):
-            return
-        raise CommandRejected(
-            f"statement kind {name} is not a query; this surface is "
-            "read-only (pass allow_commands=True to opt out)"
-        )
-    if name.startswith("InsertInto") or name == "CompoundBody":
-        raise CommandRejected(
-            f"statement kind {name} writes data; this surface is "
-            "read-only (pass allow_commands=True to opt out)"
-        )
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if command_cls.isInstance(node):
+            if name.startswith(_READONLY_COMMAND_PREFIXES):
+                continue  # EXPLAIN/DESCRIBE never execute their payload
+            raise CommandRejected(
+                f"statement kind {name} is not a query; this surface is "
+                "read-only (pass allow_commands=True to opt out)"
+            )
+        if (
+            name.startswith("InsertInto")
+            or name == "CompoundBody"
+            or "ExecuteImmediate" in name
+        ):
+            raise CommandRejected(
+                f"statement kind {name} writes data; this surface is "
+                "read-only (pass allow_commands=True to opt out)"
+            )
+        # children covers CTE bodies (UnresolvedWith's child IS the
+        # wrapped statement); innerChildren covers the cteRelations and
+        # other out-of-band sub-plans.
+        for getter in ("children", "innerChildren"):
+            try:
+                it = getattr(node, getter)().iterator()
+                while it.hasNext():
+                    stack.append(it.next())
+            except Exception:
+                pass  # expression leaves / API drift: nothing to descend
 
 
 class ServingStore:

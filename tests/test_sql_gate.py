@@ -73,6 +73,14 @@ COMMANDS_BLOCKED = [
     "TRUNCATE TABLE default",
     "ALTER TABLE default ADD COLUMNS (z INT)",
     "LOAD DATA INPATH '/etc/passwd' INTO TABLE default",
+    # root-node-only bypasses (ADVICE r6 high): the mutation hides below
+    # a top-level UnresolvedWith / UnresolvedExecuteImmediate node
+    "WITH x AS (SELECT 1) INSERT INTO default SELECT 'x', 9 FROM x",
+    "WITH x AS (SELECT 1 AS a) DELETE FROM default "
+    "WHERE EXISTS (SELECT 1 FROM x)",
+    "WITH x AS (SELECT 1) MERGE INTO default USING x ON true "
+    "WHEN MATCHED THEN DELETE",
+    "EXECUTE IMMEDIATE 'DROP TABLE default'",
 ]
 
 
@@ -96,6 +104,22 @@ def test_classifier_lets_parse_errors_through(spark):
 def test_readonly_commands_stay_queryable(spark):
     for sql in ("SHOW TABLES", "EXPLAIN SELECT 1", "DESCRIBE TABLE default"):
         reject_non_query(spark, sql)  # no raise
+
+
+def test_explain_of_a_mutation_stays_queryable(spark):
+    # EXPLAIN never executes its payload; the tree walk must not descend
+    # into read-only commands and reject their inner InsertIntoStatement
+    reject_non_query(spark, "EXPLAIN INSERT INTO default VALUES ('x', 9)")
+
+
+def test_http_cte_wrapped_insert_is_403(gated):
+    store, base = gated
+    status, _ = _get(
+        base, "/c/WITH x AS (SELECT 1) INSERT INTO default SELECT 'x', 9 FROM x"
+    )
+    assert status == 403
+    status, rows = _get(base, "/a/*")
+    assert status == 200 and len(rows) == 2  # nothing was inserted
 
 
 def test_http_select_is_200(gated):
