@@ -401,6 +401,67 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def jpeg_structure(b: bytes) -> tuple[int, int, int, str, int] | None:
+    """Marker-level structural parse (no entropy decode): ``(width,
+    height, channels, subsampling, restart_interval)`` from the first
+    SOF frame header, or ``None`` when no frame header is found before
+    SOS/EOI. ``subsampling`` names the dominant layouts: ``'gray'`` (one
+    component), ``'444'``/``'422'``/``'420'`` by the luma sampling
+    factors, ``'other'`` for anything else. These are the integer-exact
+    fields of a LOSSY payload — what the catalog oracle can check even
+    though the decoded pixel values are float-DCT-dependent."""
+    try:
+        b = bytes(b)
+        if len(b) < 4 or b[0:2] != b"\xff\xd8":
+            return None
+        frame = None
+        restart_interval = 0
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            tag = b[i + 1]
+            if tag == 0xD9:
+                break
+            if 0xD0 <= tag <= 0xD7 or tag == 0x01:
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2 or i + 2 + seglen > len(b):
+                return None
+            seg = b[i + 4 : i + 2 + seglen]
+            if tag == 0xDD:
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 all carry geometry
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if len(seg) < 6 + 3 * nc:
+                    return None
+                samps = [
+                    (seg[6 + 3 * c + 1] >> 4, seg[6 + 3 * c + 1] & 0xF)
+                    for c in range(nc)
+                ]
+                frame = (w, h, nc, samps)
+            elif tag == 0xDA:
+                break
+            i += 2 + seglen
+        if frame is None:
+            return None
+        w, h, nc, samps = frame
+        if nc == 1:
+            mode = "gray"
+        elif nc == 3 and samps[1] == (1, 1) and samps[2] == (1, 1):
+            mode = {(1, 1): "444", (2, 1): "422", (2, 2): "420"}.get(
+                samps[0], "other"
+            )
+        else:
+            mode = "other"
+        return (w, h, nc, mode, restart_interval)
+    except Exception:
+        return None
+
+
 def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes] | None:
     """Baseline sequential JPEG -> ``(width, height, channels, pixels)``
     (8-bit RGB or grayscale bytes), or ``None`` for anything that isn't

@@ -1907,6 +1907,62 @@ def jpeg_report(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_report, JPEG_REPORT_SCHEMA)
 
 
+JPEG_STRUCTURE_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "subsampling string, has_restart long, decode_ok long"
+)
+
+
+def jpeg_structure_report(df: DataFrame) -> DataFrame:
+    """Integer-exact report over LOSSY payloads (round-7 partial oracle
+    for ``multimodal_jpeg_stats``): marker-level structure (dims,
+    component count, subsampling mode, DRI presence via
+    :func:`jpeg.jpeg_structure`) plus ``decode_ok`` — whether the FULL
+    entropy decode (Huffman, dequant, IDCT, upsample) produced pixels at
+    the declared geometry. Every column is id-arithmetic-replayable in
+    SQL, so the whole structural layer of the lossy path sits under the
+    hash gate; the float pixel values stay pytest-error-bound-pinned
+    (tests/test_extensions.py), which is the only honest split for a
+    float-DCT codec."""
+    from .jpeg import decode_jpeg_baseline, jpeg_structure
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                did = int(pdf["doc_id"].iat[i])
+                b = bytes(pdf["payload"].iat[i])
+                st = jpeg_structure(b)
+                if st is None:
+                    rows.append((did, None, None, None, None, None, 0))
+                    continue
+                w, h, nc, mode, dri = st
+                dec = decode_jpeg_baseline(b)
+                ok = int(
+                    dec is not None
+                    and dec[0] == w
+                    and dec[1] == h
+                    and dec[2] == nc
+                    and len(dec[3]) == w * h * nc
+                )
+                rows.append((did, w, h, nc, mode, int(dri > 0), ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "subsampling",
+                    "has_restart", "decode_ok",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "width", "height", "channels", "has_restart", "decode_ok",
+                )}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _report, JPEG_STRUCTURE_SCHEMA
+    )
+
+
 PNG_CONTAINER_SCHEMA = (
     "doc_id long, container string, width long, height long, channels long, "
     "pixel_sum long"

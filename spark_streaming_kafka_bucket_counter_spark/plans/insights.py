@@ -1059,19 +1059,39 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_frame_stats(synthesize_gif_videos(docs), stride=2)
 
 
-@query("multimodal_jpeg_stats")  # rows-only: no oracle, by design
+@query(
+    "multimodal_jpeg_stats",
+    """
+    SELECT doc_id,
+           CAST(9 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CASE WHEN doc_id % 3 = 1 THEN '420' ELSE '444' END AS subsampling,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS has_restart,
+           CAST(1 AS BIGINT) AS decode_ok
+    FROM documents
+    """,
+)
 def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only by design (no oracle_sql entry): textured RGB payloads
-    through the full lossy pipeline — 4:4:4 and 4:2:0, with and without
-    restart markers — decoded back to dims + payload size. The decoded
-    pixel VALUES are float-DCT-dependent, which is exactly why this
-    query is rows-only while ``multimodal_jpeg_roundtrip`` carries the
-    integer-exact oracle; pytest pins the error bounds
-    (tests/test_extensions.py)."""
-    from ..operators.multimodal import jpeg_report, synthesize_jpeg_payloads
+    """Textured RGB payloads through the full lossy pipeline — 4:4:4 and
+    4:2:0, with and without restart markers. Round-7 partial oracle
+    (r6 VERDICT ask #2): the INTEGER-EXACT layer of a lossy payload —
+    frame geometry, component count, subsampling mode read from the SOF
+    sampling factors, DRI presence, and ``decode_ok`` proving the full
+    entropy decode ran to completion at the declared geometry — is
+    replayed by the SQL twin from id arithmetic, so the structural
+    contract sits under the hash gate. The decoded pixel VALUES are
+    float-DCT-dependent and stay pytest-error-bound-pinned
+    (tests/test_extensions.py), while ``multimodal_jpeg_roundtrip``
+    carries the bit-exact pixel oracle on its uniform-DC shape."""
+    from ..operators.multimodal import (
+        jpeg_structure_report,
+        synthesize_jpeg_payloads,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return jpeg_report(synthesize_jpeg_payloads(docs, textured=True))
+    return jpeg_structure_report(synthesize_jpeg_payloads(docs, textured=True))
 
 
 # ---------------------------------------------------------------------------

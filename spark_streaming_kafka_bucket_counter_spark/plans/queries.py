@@ -737,10 +737,11 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green driver row; recompute the diff each round
 # (tests/test_bench_contract.py pins the list against going stale).
 _DRIVER_PRIORITY: list[str] = [
-    # empty after the r06 driver run landed: every round-6 addition got
-    # its green row in CORRECTNESS_r06.json, so the union of driver rows
-    # r01..r06 covers the whole 175-query catalog. Round-7 additions go
-    # here until their first green driver row.
+    # emptied after the r06 driver run landed (every round-6 addition got
+    # its green row in CORRECTNESS_r06.json; union r01..r06 covers the
+    # whole 175-query catalog). Round-7 entries below need their first
+    # green driver row:
+    "multimodal_jpeg_stats",  # r7: grew its integer-exact partial oracle
 ]
 
 

@@ -56,20 +56,31 @@ def test_driver_priority_list_is_not_stale():
     into the driver's ~50-query insertion-order prefix. A name that
     already has a green row in any committed CORRECTNESS_r*.json has
     been sampled — keeping it in the list would displace genuinely
-    unsampled queries, so the list may only contain never-sampled
-    catalog names (VERDICT r5 ask #4: keep the rotation truthful)."""
+    unsampled queries, so the list may only contain never-green catalog
+    names (VERDICT r5 ask #4: keep the rotation truthful). "Green" means
+    the row's check actually passed: a hash-matched row, or an
+    errorless rows-only row for a query that STILL has no oracle. A
+    query whose only rows were ``err: no_oracle`` and that has since
+    grown an oracle (r7: multimodal_jpeg_stats) is legitimately due for
+    re-sampling."""
     import glob
     import json
 
     from spark_streaming_kafka_bucket_counter_spark.plans.queries import (
         _DRIVER_PRIORITY,
+        oracle_sql,
         queries,
     )
 
-    sampled = set()
+    oracles = set(oracle_sql())
+    green = set()
     for path in glob.glob(str(Path(__file__).resolve().parent.parent / "CORRECTNESS_r*.json")):
-        sampled |= set(json.load(open(path)))
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                green.add(name)
+            elif row.get("err") == "no_oracle" and name not in oracles:
+                green.add(name)  # rows-only by design, ran clean
     catalog = set(queries())
     for name in _DRIVER_PRIORITY:
         assert name in catalog, f"{name} is not a catalog query"
-        assert name not in sampled, f"{name} already driver-sampled; drop it"
+        assert name not in green, f"{name} already driver-green; drop it"

@@ -100,6 +100,27 @@ def test_header_parser_recognizes_our_streams():
     assert parse_image_header(sub) == ("jpeg", 24, 18, 3)
 
 
+def test_jpeg_structure_reads_sampling_and_dri():
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        jpeg_structure,
+    )
+
+    full = encode_jpeg_baseline(_gradient(24, 17, 3), 24, 17, 3)
+    assert jpeg_structure(full) == (24, 17, 3, "444", 0)
+    sub = encode_jpeg_baseline(
+        _gradient(24, 18, 3), 24, 18, 3, subsample=True, restart_interval=2
+    )
+    assert jpeg_structure(sub) == (24, 18, 3, "420", 2)
+    gray = encode_jpeg_baseline(bytes(100), 10, 10, 1)
+    assert jpeg_structure(gray) == (10, 10, 1, "gray", 0)
+    # progressive SOF2 still carries geometry (structure parse is
+    # decode-independent)
+    prog = full.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg_structure(prog) == (24, 17, 3, "444", 0)
+    assert jpeg_structure(b"") is None
+    assert jpeg_structure(b"\xff\xd8\xff\xd9") is None
+
+
 def test_encoder_is_deterministic():
     px = _gradient(16, 16, 3)
     a = encode_jpeg_baseline(px, 16, 16, 3, quality=85)
