@@ -25,10 +25,18 @@ Coverage and honesty:
   spec-legal; fancy interpolation is a quality nicety, not a
   correctness requirement.
 
-Scale shape: same as the PNG path — an Arrow ``mapInPandas`` kernel
-per batch; the per-block Huffman bit loop is Python (the honest
-correctness path for thumbnails), dequant+IDCT are vectorized numpy
-per block.
+Scale shape: same as the PNG path — an Arrow ``mapInPandas`` kernel per
+batch. Round 7 replaced the per-bit Huffman walk (the last per-bit
+Python kernel the r6 verdict flagged as the 100 TB multimodal
+throughput ceiling) with a table-driven decode: one peek-16 LUT lookup
+per Huffman symbol (canonical-code prefix ranges precomputed per DHT,
+cached across payloads — real corpora reuse a handful of tables) and
+one 32-bit window read per magnitude field, then ONE batched numpy
+dequant+IDCT over all blocks of a component instead of an 8x8 matmul
+per block. The scalar bit-reader decoder is kept as the reference
+implementation (``decode_jpeg_baseline_scalar``) and the fast path is
+pinned byte-exact against it, incl. on corrupt/truncated streams
+(tests/test_jpeg.py), with a >=3x throughput pin.
 """
 
 from __future__ import annotations
@@ -467,14 +475,25 @@ def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes] | None:
     (8-bit RGB or grayscale bytes), or ``None`` for anything that isn't
     a decodable baseline stream (progressive SOF2, arithmetic coding,
     12-bit, >3 components, sampling factors over 2, truncation,
-    corrupt entropy data)."""
+    corrupt entropy data). Fast path: LUT Huffman + batched IDCT."""
     try:
-        return _decode_jpeg_inner(bytes(b))
+        return _decode_jpeg_inner(bytes(b), scalar=False)
     except Exception:
         return None  # untrusted crawl bytes: fail closed, never throw
 
 
-def _decode_jpeg_inner(b: bytes) -> tuple[int, int, int, bytes] | None:
+def decode_jpeg_baseline_scalar(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Reference implementation: the per-bit reader / per-block IDCT
+    decoder the fast path is pinned byte-exact against."""
+    try:
+        return _decode_jpeg_inner(bytes(b), scalar=True)
+    except Exception:
+        return None
+
+
+def _decode_jpeg_inner(
+    b: bytes, scalar: bool = False
+) -> tuple[int, int, int, bytes] | None:
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         return None
     qtables: dict[int, np.ndarray] = {}
@@ -512,12 +531,12 @@ def _decode_jpeg_inner(b: bytes) -> tuple[int, int, int, bytes] | None:
             j = 0
             while j + 17 <= len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0xF
-                bits = list(seg[j + 1 : j + 17])
+                bits = seg[j + 1 : j + 17]
                 n = sum(bits)
-                vals = list(seg[j + 17 : j + 17 + n])
+                vals = seg[j + 17 : j + 17 + n]
                 if len(vals) < n:
                     return None
-                htables[(tc, th)] = _build_decoder_table(bits, vals)
+                htables[(tc, th)] = (bytes(bits), bytes(vals))
                 j += 17 + n
         elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 (both baseline-decodable)
             if seg[0] != 8:
@@ -542,14 +561,246 @@ def _decode_jpeg_inner(b: bytes) -> tuple[int, int, int, bytes] | None:
         elif tag == 0xDA:  # SOS
             if frame is None:
                 return None
-            return _decode_scan(
+            decode_scan = _decode_scan_scalar if scalar else _decode_scan_fast
+            return decode_scan(
                 b, i + 2 + seglen, seg, frame, qtables, htables, restart_interval
             )
         i += 2 + seglen
     return None
 
 
-def _decode_scan(b, pos, sos, frame, qtables, htables, restart_interval):
+# ---------------------------------------------------------------------------
+# fast scan decoder: peek-16 Huffman LUT + batched IDCT
+# ---------------------------------------------------------------------------
+
+# canonical-code LUT cache, keyed on DHT content (bits||vals). Real
+# corpora reuse a handful of tables (most encoders ship the Annex-K
+# defaults), so the 64 KiB build cost amortizes across payloads. Bounded:
+# adversarial streams with thousands of distinct DHTs can't grow it.
+_LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_CACHE_MAX = 64
+
+
+def _huff_lut(bits: bytes, vals: bytes) -> list[int]:
+    """DHT -> 2^16-entry decode table: ``lut[peek16] = (codelen << 8) |
+    symbol`` (0 = invalid prefix). One list index replaces the per-bit
+    tree walk; canonical prefix codes make the fill a contiguous range
+    per code word (T.81 C.2 code assignment)."""
+    key = bits + vals
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = [0] * 65536
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            span = 1 << (16 - length)
+            for _ in range(bits[length - 1]):
+                base = code << (16 - length)
+                lut[base : base + span] = [(length << 8) | vals[k]] * span
+                code += 1
+                k += 1
+            code <<= 1
+        if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_CACHE.clear()
+        _LUT_CACHE[key] = lut
+    return lut
+
+
+def _entropy_segments(b: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded data at ``pos`` into unstuffed restart
+    segments: FF00 un-stuffs to FF, RSTn markers delimit segments, any
+    other marker (EOI, next SOS, ...) ends the scan data. C-speed
+    (``bytes.find``) — no per-byte Python."""
+    segs = []
+    cur = bytearray()
+    i = pos
+    n = len(b)
+    while i < n:
+        j = b.find(b"\xff", i)
+        if j < 0:
+            cur += b[i:]
+            break
+        cur += b[i:j]
+        if j + 1 >= n:
+            break
+        nxt = b[j + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_scan_fast(b, pos, sos, frame, qtables, htables, restart_interval):
+    w, h, comps = frame
+    nc = sos[0]
+    if nc != len(comps) or len(sos) < 1 + 2 * nc + 3:
+        return None
+    scan_tables = {}
+    for c in range(nc):
+        cid, td_ta = sos[1 + 2 * c], sos[2 + 2 * c]
+        scan_tables[cid] = (td_ta >> 4, td_ta & 0xF)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for _, hs, vs, tq in comps:
+        if tq not in qtables:
+            return None
+    luts = []
+    for cid, hs, vs, tq in comps:
+        td, ta = scan_tables.get(cid, (None, None))
+        dcht = htables.get((0, td))
+        acht = htables.get((1, ta))
+        if dcht is None or acht is None:
+            return None
+        luts.append((_huff_lut(*dcht), _huff_lut(*acht)))
+    segs = _entropy_segments(b, pos)
+    ncomp = len(comps)
+    coef = [
+        np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
+        for _, hs, vs, _ in comps
+    ]
+    zig = _ZIGZAG
+    from_bytes = int.from_bytes
+    seg_idx = 0
+    # 6 guard bytes: one 40-bit window per symbol covers the worst case
+    # shift(7) + code(16) + magnitude(11) = 34 bits without a second read
+    data = segs[0] + b"\xff\xff\xff\xff\xff\xff"
+    total_bits = (len(data) - 6) * 8
+    bitpos = 0
+    preds = [0] * ncomp
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    return None
+                data = segs[seg_idx] + b"\xff\xff\xff\xff\xff\xff"
+                total_bits = (len(data) - 6) * 8
+                bitpos = 0
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                _, hs, vs, _ = comps[ci]
+                dlut, alut = luts[ci]
+                carr = coef[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        block = [0] * 64
+                        # DC: one 40-bit window serves LUT peek + magnitude
+                        shift = bitpos & 7
+                        chunk = from_bytes(
+                            data[bitpos >> 3 : (bitpos >> 3) + 5], "big"
+                        )
+                        packed = dlut[(chunk >> (24 - shift)) & 0xFFFF]
+                        if packed == 0:
+                            return None
+                        length = packed >> 8
+                        size = packed & 0xFF
+                        if size > 11:
+                            return None
+                        if size:
+                            bits = (chunk >> (40 - shift - length - size)) & (
+                                (1 << size) - 1
+                            )
+                            bitpos += length + size
+                            preds[ci] += (
+                                bits
+                                if bits >= (1 << (size - 1))
+                                else bits - (1 << size) + 1
+                            )
+                        else:
+                            bitpos += length
+                        if bitpos > total_bits:
+                            return None
+                        block[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            shift = bitpos & 7
+                            chunk = from_bytes(
+                                data[bitpos >> 3 : (bitpos >> 3) + 5], "big"
+                            )
+                            packed = alut[(chunk >> (24 - shift)) & 0xFFFF]
+                            if packed == 0:
+                                return None
+                            length = packed >> 8
+                            sym = packed & 0xFF
+                            if sym == 0x00:  # EOB
+                                bitpos += length
+                                break
+                            if sym == 0xF0:  # ZRL
+                                bitpos += length
+                                if bitpos > total_bits:
+                                    return None
+                                k += 16
+                                continue
+                            size = sym & 0xF
+                            k += sym >> 4
+                            if k > 63 or size == 0 or size > 10:
+                                return None
+                            bits = (chunk >> (40 - shift - length - size)) & (
+                                (1 << size) - 1
+                            )
+                            bitpos += length + size
+                            if bitpos > total_bits:
+                                return None
+                            block[zig[k]] = (
+                                bits
+                                if bits >= (1 << (size - 1))
+                                else bits - (1 << size) + 1
+                            )
+                            k += 1
+                        if bitpos > total_bits:
+                            return None
+                        carr[my * vs + by, mx * hs + bx] = block
+            mcu_count += 1
+    # batched dequant + IDCT: one stacked matmul pair per component
+    # (same pairwise contraction order as the per-block reference, so
+    # float results are bit-identical)
+    out_planes = []
+    for ci in range(ncomp):
+        _, hs, vs, tq = comps[ci]
+        nby, nbx = mcuy * vs, mcux * hs
+        c4 = (coef[ci] * qtables[tq]).astype(np.float64).reshape(
+            nby, nbx, 8, 8
+        )
+        spatial = _DCT_M.T @ c4 @ _DCT_M + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        out_planes.append(plane[:h, :w])
+    return _planes_to_pixels(out_planes, w, h)
+
+
+def _planes_to_pixels(out_planes, w, h):
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return (w, h, 1, gray.tobytes())
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return (w, h, 3, rgb.tobytes())
+
+
+def _decode_scan_scalar(b, pos, sos, frame, qtables, htables, restart_interval):
     w, h, comps = frame
     nc = sos[0]
     if nc != len(comps) or len(sos) < 1 + 2 * nc + 3:
@@ -568,6 +819,16 @@ def _decode_scan(b, pos, sos, frame, qtables, htables, restart_interval):
     for _, hs, vs, tq in comps:
         if tq not in qtables:
             return None
+    dicts = []
+    for cid, hs, vs, tq in comps:
+        td, ta = scan_tables.get(cid, (None, None))
+        dcht = htables.get((0, td))
+        acht = htables.get((1, ta))
+        if dcht is None or acht is None:
+            return None
+        dicts.append(
+            (_build_decoder_table(*dcht), _build_decoder_table(*acht))
+        )
     br = _BitReader(b, pos)
     preds = {cid: 0 for cid, *_ in comps}
     mcu_count = 0
@@ -578,11 +839,7 @@ def _decode_scan(b, pos, sos, frame, qtables, htables, restart_interval):
                     return None
                 preds = {cid: 0 for cid, *_ in comps}
             for ci, (cid, hs, vs, tq) in enumerate(comps):
-                td, ta = scan_tables.get(cid, (None, None))
-                dct = htables.get((0, td))
-                act = htables.get((1, ta))
-                if dct is None or act is None:
-                    return None
+                dct, act = dicts[ci]
                 for by in range(vs):
                     for bx in range(hs):
                         block = _decode_block(br, dct, act)
@@ -603,18 +860,7 @@ def _decode_scan(b, pos, sos, frame, qtables, htables, restart_interval):
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out_planes.append(p[:h, :w])
-    if len(comps) == 1:
-        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return (w, h, 1, gray.tobytes())
-    y, cb, cr = out_planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bl = y + 1.772 * cb
-    rgb = np.stack([r, g, bl], axis=-1)
-    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return (w, h, 3, rgb.tobytes())
+    return _planes_to_pixels(out_planes, w, h)
 
 
 def _decode_block(br, dct, act):
