@@ -11,10 +11,16 @@ canonical Huffman tables — valid per spec, no Annex-K hardcoding), so
 tests and synthesis exercise the decoder on REAL baseline JPEG bytes.
 
 Coverage and honesty:
-- decode: baseline sequential (SOF0), 8-bit, gray or YCbCr with any
-  sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
-  intervals (DRI/RSTn). Progressive (SOF2), arithmetic coding, 12-bit,
-  and CMYK return ``None`` rather than guessing.
+- decode: baseline sequential (SOF0/1) AND, since round 7, progressive
+  (SOF2) with spectral selection + successive approximation — all four
+  scan kinds of T.81 G.2 (DC first/refine, AC first/refine with EOB
+  runs and correction bits) — 8-bit, gray or YCbCr with any sampling
+  factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals
+  (DRI/RSTn). Arithmetic coding, 12-bit, lossless/hierarchical and
+  CMYK return ``None`` rather than guessing. Progressive parity is
+  pinned the strong way: a progressive stream carries the SAME
+  quantized coefficients as the baseline stream of the same image, so
+  decoding both must be pixel-identical bit-for-bit.
 - JPEG is LOSSY: decode(encode(x)) approximates x (tests bound the
   error at high quality), and bit-exactness across platforms is not
   part of the contract — the DCT runs in float64, so unlike the PNG
@@ -225,19 +231,14 @@ def _quantized_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return q[:, :, np.array(_ZIGZAG)]
 
 
-def encode_jpeg_baseline(
-    pixels: bytes, width: int, height: int, channels: int = 3,
-    quality: int = 90, subsample: bool = False, restart_interval: int = 0,
-) -> bytes:
-    """Minimal conformant baseline JFIF encoder for 8-bit grayscale or
-    RGB. ``subsample=True`` encodes 4:2:0 (Y at 2x2, box-averaged
-    half-resolution chroma — exercises the decoder's multi-block MCU and
-    upsampling paths with real streams); default is 4:4:4.
-    ``restart_interval`` emits DRI + RSTn markers every N MCUs (resets
-    DC predictors, byte-aligns — the resync structure real encoders
-    emit). Huffman tables are self-generated canonical tables (every
-    symbol at one code length — a valid DHT, decodable by any baseline
-    decoder)."""
+def _prepare_components(
+    pixels: bytes, width: int, height: int, channels: int,
+    quality: int, subsample: bool,
+):
+    """Shared encoder front half: RGB->YCbCr, chroma downsample, MCU
+    padding, DCT + quantization. Returns (comps, sampling, qtbls,
+    mcux, mcuy) where comps[ci] is the (nby, nbx, 64) zigzag-ordered
+    quantized coefficient array."""
     if channels not in (1, 3):
         raise ValueError("JPEG encoder supports 1 (gray) or 3 (RGB) channels")
     if len(pixels) != width * height * channels:
@@ -276,7 +277,25 @@ def encode_jpeg_baseline(
             p = p.reshape(ph0 // fy, fy, pw0 // fx, fx).mean(axis=(1, 3))
         padded = _pad_edge(p, mcuy * vs * 8, mcux * hs * 8)
         comps.append(_quantized_blocks(padded, qtbls[min(ci, 1)]))
+    return comps, sampling, qtbls, mcux, mcuy
 
+
+def encode_jpeg_baseline(
+    pixels: bytes, width: int, height: int, channels: int = 3,
+    quality: int = 90, subsample: bool = False, restart_interval: int = 0,
+) -> bytes:
+    """Minimal conformant baseline JFIF encoder for 8-bit grayscale or
+    RGB. ``subsample=True`` encodes 4:2:0 (Y at 2x2, box-averaged
+    half-resolution chroma — exercises the decoder's multi-block MCU and
+    upsampling paths with real streams); default is 4:4:4.
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs (resets
+    DC predictors, byte-aligns — the resync structure real encoders
+    emit). Huffman tables are self-generated canonical tables (every
+    symbol at one code length — a valid DHT, decodable by any baseline
+    decoder)."""
+    comps, sampling, qtbls, mcux, mcuy = _prepare_components(
+        pixels, width, height, channels, quality, subsample
+    )
     bw = _BitWriter()
     preds = [0] * channels
     rst_n = 0
@@ -322,6 +341,201 @@ def encode_jpeg_baseline(
     out += _marker(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _enc_scan_dc_first(comps, sampling, mcux, mcuy, al) -> bytes:
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(len(comps)):
+                hs, vs = sampling[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        # T.81 G.1.2.1: DC uses an ARITHMETIC shift
+                        v = int(comps[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size = _category(diff)
+                        code, ln = _DC_ENC[size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << size) - 1,
+                                size,
+                            )
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _enc_scan_dc_refine(comps, sampling, mcux, mcuy, al) -> bytes:
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(len(comps)):
+                hs, vs = sampling[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(comps[ci][my * vs + by, mx * hs + bx, 0])
+                        bw.write((v >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _enc_scan_ac_first(carr, gw, gh, ss, se, al) -> bytes:
+    bw = _BitWriter()
+    for by in range(gh):
+        for bx in range(gw):
+            blk = carr[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                # T.81 G.1.2.2: AC shifts the MAGNITUDE, then re-signs
+                m = (v if v >= 0 else -v) >> al
+                if m == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    c, ln = _AC_ENC[0xF0]
+                    bw.write(c, ln)
+                    r -= 16
+                val = m if v >= 0 else -m
+                s = m.bit_length()
+                c, ln = _AC_ENC[(r << 4) | s]
+                bw.write(c, ln)
+                bw.write(val if val >= 0 else val + (1 << s) - 1, s)
+                r = 0
+            if r:
+                c, ln = _AC_ENC[0x00]  # EOB (run of exactly 1 block)
+                bw.write(c, ln)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _enc_scan_ac_refine(carr, gw, gh, ss, se, al) -> bytes:
+    bw = _BitWriter()
+    for by in range(gh):
+        for bx in range(gw):
+            blk = carr[by, bx]
+            absv = [(abs(int(blk[k])) >> al) for k in range(ss, se + 1)]
+            eob = -1  # band index of the last NEWLY-nonzero coefficient
+            for j, m in enumerate(absv):
+                if m == 1:
+                    eob = j
+            r = 0
+            corr: list[int] = []  # buffered correction bits
+            for j, m in enumerate(absv):
+                if m == 0:
+                    r += 1
+                    continue
+                # ZRLs must be emitted at the FIRST nonzero coefficient
+                # of ANY kind once the zero run exceeds 15 (not deferred
+                # to the next newly-nonzero one): the decoder's ZRL walk
+                # consumes correction bits only for history-nonzero
+                # coefficients inside the 16-zero span, so buffering a
+                # later coefficient's bit across the ZRL boundary would
+                # desync the two sides. Runs that can fold into the EOB
+                # (j > eob) are not worth a ZRL.
+                while r > 15 and j <= eob:
+                    c, ln = _AC_ENC[0xF0]
+                    bw.write(c, ln)
+                    r -= 16
+                    for bit in corr:
+                        bw.write(bit, 1)
+                    corr = []
+                if m > 1:  # history-nonzero: correction bit, run untouched
+                    corr.append(m & 1)
+                    continue
+                c, ln = _AC_ENC[(r << 4) | 1]
+                bw.write(c, ln)
+                bw.write(1 if int(blk[ss + j]) > 0 else 0, 1)
+                for bit in corr:
+                    bw.write(bit, 1)
+                corr = []
+                r = 0
+            if r > 0 or corr:
+                c, ln = _AC_ENC[0x00]  # EOB carries the buffered bits
+                bw.write(c, ln)
+                for bit in corr:
+                    bw.write(bit, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_jpeg_progressive(
+    pixels: bytes, width: int, height: int, channels: int = 3,
+    quality: int = 90, subsample: bool = False,
+) -> bytes:
+    """Conformant progressive JFIF (SOF2) encoder over the SAME
+    quantized coefficients as :func:`encode_jpeg_baseline` — progressive
+    JPEG only reorders coefficient transmission, so decoding this stream
+    must reproduce the baseline stream's pixels BIT-FOR-BIT (the parity
+    the catalog query checks). Scan script exercises all four scan
+    kinds: interleaved DC first at Al=1, DC refinement to Al=0, then per
+    component AC spectral bands (1-5, 6-63) at Al=1 and one AC
+    refinement sweep (1-63, Ah=1->Al=0) — spectral selection AND
+    successive approximation, the shapes real crawl JPEGs use."""
+    comps, sampling, qtbls, mcux, mcuy = _prepare_components(
+        pixels, width, height, channels, quality, subsample
+    )
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qtbls):
+        out += _marker(0xDB, bytes([ti]) + bytes(int(qt[z]) for z in _ZIGZAG))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([channels])
+    for ci in range(channels):
+        hs, vs = sampling[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, min(ci, 1)])
+    out += _marker(0xC2, sof)  # SOF2: progressive DCT
+    out += _marker(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _marker(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if channels == 3:
+        out += _marker(0xC4, bytes([0x01]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += _marker(0xC4, bytes([0x11]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    def _sos(comp_ids_tables, ss, se, ah, al, payload):
+        hdr = bytes([len(comp_ids_tables)])
+        for cid, td_ta in comp_ids_tables:
+            hdr += bytes([cid, td_ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _marker(0xDA, hdr) + payload
+
+    all_comps = [(ci + 1, (0x00 if ci == 0 else 0x11)) for ci in range(channels)]
+    out += _sos(
+        all_comps, 0, 0, 0, 1,
+        _enc_scan_dc_first(comps, sampling, mcux, mcuy, 1),
+    )
+    out += _sos(
+        all_comps, 0, 0, 1, 0,
+        _enc_scan_dc_refine(comps, sampling, mcux, mcuy, 0),
+    )
+    for ci in range(channels):
+        hs, vs = sampling[ci]
+        cw = (width * hs + hmax - 1) // hmax
+        ch = (height * vs + vmax - 1) // vmax
+        gw, gh = (cw + 7) // 8, (ch + 7) // 8
+        ta = 0x00 if ci == 0 else 0x01
+        out += _sos(
+            [(ci + 1, ta)], 1, 5, 0, 1,
+            _enc_scan_ac_first(comps[ci], gw, gh, 1, 5, 1),
+        )
+        out += _sos(
+            [(ci + 1, ta)], 6, 63, 0, 1,
+            _enc_scan_ac_first(comps[ci], gw, gh, 6, 63, 1),
+        )
+        out += _sos(
+            [(ci + 1, ta)], 1, 63, 1, 0,
+            _enc_scan_ac_refine(comps[ci], gw, gh, 1, 63, 0),
+        )
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -470,12 +684,27 @@ def jpeg_structure(b: bytes) -> tuple[int, int, int, str, int] | None:
         return None
 
 
+def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Full JPEG decode -> ``(width, height, channels, pixels)`` —
+    baseline sequential (SOF0/1) AND progressive (SOF2, round 7:
+    spectral selection + successive approximation, the dominant
+    real-crawl encoding the r6 decoder honestly gated to ``None``).
+    Returns ``None`` for arithmetic coding, 12-bit, lossless/
+    hierarchical, >3 components, sampling factors over 2, truncation,
+    or corrupt entropy data."""
+    try:
+        return _decode_jpeg_inner(bytes(b), scalar=False, allow_progressive=True)
+    except Exception:
+        return None  # untrusted crawl bytes: fail closed, never throw
+
+
 def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes] | None:
     """Baseline sequential JPEG -> ``(width, height, channels, pixels)``
     (8-bit RGB or grayscale bytes), or ``None`` for anything that isn't
-    a decodable baseline stream (progressive SOF2, arithmetic coding,
-    12-bit, >3 components, sampling factors over 2, truncation,
-    corrupt entropy data). Fast path: LUT Huffman + batched IDCT."""
+    a decodable baseline stream (progressive SOF2 — use
+    :func:`decode_jpeg` — arithmetic coding, 12-bit, >3 components,
+    sampling factors over 2, truncation, corrupt entropy data). Fast
+    path: LUT Huffman + batched IDCT."""
     try:
         return _decode_jpeg_inner(bytes(b), scalar=False)
     except Exception:
@@ -492,7 +721,7 @@ def decode_jpeg_baseline_scalar(b: bytes) -> tuple[int, int, int, bytes] | None:
 
 
 def _decode_jpeg_inner(
-    b: bytes, scalar: bool = False
+    b: bytes, scalar: bool = False, allow_progressive: bool = False
 ) -> tuple[int, int, int, bytes] | None:
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         return None
@@ -500,13 +729,34 @@ def _decode_jpeg_inner(
     htables: dict[tuple[int, int], dict] = {}
     frame = None  # (w, h, comps) comps: list of (id, hs, vs, tq)
     restart_interval = 0
+    progressive = False
+    prog_coef = None  # per-component zigzag-order coefficient arrays
+    prog_grid = None  # (mcux, mcuy)
+    scans_done = 0
+
+    def _prog_assemble():
+        if not scans_done:
+            return None
+        w, h, comps = frame
+        for _, hs, vs, tq in comps:
+            if tq not in qtables:
+                return None
+        mcux, mcuy = prog_grid
+        zig = np.array(_ZIGZAG)
+        blockorder = []
+        for carr in prog_coef:
+            bo = np.zeros_like(carr)
+            bo[:, :, zig] = carr
+            blockorder.append(bo)
+        return _assemble_planes(blockorder, comps, qtables, mcux, mcuy, w, h)
+
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             return None
         tag = b[i + 1]
         if tag == 0xD9:  # EOI
-            return None  # no scan seen
+            return _prog_assemble() if progressive else None
         if 0xD0 <= tag <= 0xD7 or tag == 0x01:
             i += 2
             continue
@@ -538,7 +788,9 @@ def _decode_jpeg_inner(
                     return None
                 htables[(tc, th)] = (bytes(bits), bytes(vals))
                 j += 17 + n
-        elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 (both baseline-decodable)
+        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if tag == 0xC2 and not allow_progressive:
+                return None
             if seg[0] != 8:
                 return None  # 12-bit precision
             h = int.from_bytes(seg[1:3], "big")
@@ -554,19 +806,40 @@ def _decode_jpeg_inner(
                     return None
                 comps.append((cid, hs, vs, tq))
             frame = (w, h, comps)
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            if tag == 0xC2:
+                progressive = True
+                hmax = max(hs for _, hs, _, _ in comps)
+                vmax = max(vs for _, _, vs, _ in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                prog_grid = (mcux, mcuy)
+                prog_coef = [
+                    np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
+                    for _, hs, vs, _ in comps
+                ]
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # arithmetic / lossless / hierarchical
         elif tag == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif tag == 0xDA:  # SOS
             if frame is None:
                 return None
+            if progressive:
+                endpos = _decode_prog_scan(
+                    b, i + 2 + seglen, seg, frame, htables,
+                    restart_interval, prog_coef, prog_grid,
+                )
+                if endpos is None:
+                    return None
+                scans_done += 1
+                i = endpos
+                continue
             decode_scan = _decode_scan_scalar if scalar else _decode_scan_fast
             return decode_scan(
                 b, i + 2 + seglen, seg, frame, qtables, htables, restart_interval
             )
         i += 2 + seglen
-    return None
+    return _prog_assemble() if progressive else None
 
 
 # ---------------------------------------------------------------------------
@@ -606,15 +879,19 @@ def _huff_lut(bits: bytes, vals: bytes) -> list[int]:
     return lut
 
 
-def _entropy_segments(b: bytes, pos: int) -> list[bytes]:
+def _entropy_segments(b: bytes, pos: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded data at ``pos`` into unstuffed restart
     segments: FF00 un-stuffs to FF, RSTn markers delimit segments, any
-    other marker (EOI, next SOS, ...) ends the scan data. C-speed
-    (``bytes.find``) — no per-byte Python."""
+    other marker (EOI, next SOS/DHT, ...) ends the scan data. C-speed
+    (``bytes.find``) — no per-byte Python. Returns ``(segments,
+    endpos)`` where ``endpos`` is the offset of the terminating
+    marker's FF (or ``len(b)``), so multi-scan (progressive) parsing
+    can resume at the next marker."""
     segs = []
     cur = bytearray()
     i = pos
     n = len(b)
+    endpos = n
     while i < n:
         j = b.find(b"\xff", i)
         if j < 0:
@@ -632,9 +909,10 @@ def _entropy_segments(b: bytes, pos: int) -> list[bytes]:
             cur = bytearray()
             i = j + 2
         else:
+            endpos = j
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, endpos
 
 
 def _decode_scan_fast(b, pos, sos, frame, qtables, htables, restart_interval):
@@ -661,7 +939,7 @@ def _decode_scan_fast(b, pos, sos, frame, qtables, htables, restart_interval):
         if dcht is None or acht is None:
             return None
         luts.append((_huff_lut(*dcht), _huff_lut(*acht)))
-    segs = _entropy_segments(b, pos)
+    segs, _ = _entropy_segments(b, pos)
     ncomp = len(comps)
     coef = [
         np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
@@ -765,11 +1043,18 @@ def _decode_scan_fast(b, pos, sos, frame, qtables, htables, restart_interval):
                             return None
                         carr[my * vs + by, mx * hs + bx] = block
             mcu_count += 1
-    # batched dequant + IDCT: one stacked matmul pair per component
-    # (same pairwise contraction order as the per-block reference, so
-    # float results are bit-identical)
+    return _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h)
+
+
+def _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h):
+    """Batched dequant + IDCT + upsample + color convert: one stacked
+    matmul pair per component (same pairwise contraction order as the
+    per-block reference, so float results are bit-identical).
+    ``coef[ci]`` is (nby, nbx, 64) in BLOCK-POSITION order."""
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
     out_planes = []
-    for ci in range(ncomp):
+    for ci in range(len(comps)):
         _, hs, vs, tq = comps[ci]
         nby, nbx = mcuy * vs, mcux * hs
         c4 = (coef[ci] * qtables[tq]).astype(np.float64).reshape(
@@ -798,6 +1083,259 @@ def _planes_to_pixels(out_planes, w, h):
     rgb = np.stack([r, g, bl], axis=-1)
     rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return (w, h, 3, rgb.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decoding — T.81 G.2
+# ---------------------------------------------------------------------------
+
+
+class _SegReader:
+    """Bit reader over one unstuffed restart segment, using the same
+    LUT-peek tricks as the fast baseline path."""
+
+    __slots__ = ("data", "bitpos", "total")
+
+    def __init__(self, seg: bytes) -> None:
+        self.data = seg + b"\xff\xff\xff\xff\xff\xff"
+        self.total = len(seg) * 8
+        self.bitpos = 0
+
+    def huff(self, lut: list[int]) -> int | None:
+        bp = self.bitpos
+        shift = bp & 7
+        chunk = int.from_bytes(self.data[bp >> 3 : (bp >> 3) + 3], "big")
+        packed = lut[(chunk >> (8 - shift)) & 0xFFFF]
+        if packed == 0:
+            return None
+        self.bitpos = bp + (packed >> 8)
+        if self.bitpos > self.total:
+            return None
+        return packed & 0xFF
+
+    def bits(self, n: int) -> int | None:
+        if n == 0:
+            return 0
+        bp = self.bitpos
+        shift = bp & 7
+        chunk = int.from_bytes(self.data[bp >> 3 : (bp >> 3) + 4], "big")
+        self.bitpos = bp + n
+        if self.bitpos > self.total:
+            return None
+        return (chunk >> (32 - shift - n)) & ((1 << n) - 1)
+
+
+def _decode_prog_scan(
+    b, pos, sos, frame, htables, restart_interval, prog_coef, prog_grid
+):
+    """Decode one progressive scan into the per-component zigzag-order
+    coefficient arrays. Returns the offset of the terminating marker
+    (where header parsing resumes) or ``None`` on any error. Implements
+    all four scan kinds of T.81 G.2: DC first / DC refine (raw bits) /
+    AC first (EOB runs) / AC refine (correction bits), with restart
+    segments resetting DC predictors and the EOB run."""
+    w, h, comps = frame
+    nc_scan = sos[0]
+    if len(sos) < 1 + 2 * nc_scan + 3 or not 1 <= nc_scan <= len(comps):
+        return None
+    ss, se, ahl = sos[1 + 2 * nc_scan : 4 + 2 * nc_scan]
+    ah, al = ahl >> 4, ahl & 0xF
+    if ss == 0:
+        if se != 0:
+            return None  # DC scan must be exactly [0, 0]
+        kind = "dc"
+    else:
+        if not (ss <= se <= 63) or nc_scan != 1:
+            return None  # AC scans are single-component per spec
+        kind = "ac"
+    if al > 13 or ah > 13 or (ah and ah != al + 1):
+        return None  # successive approximation moves one bit at a time
+    cid_index = {cid: ci for ci, (cid, *_r) in enumerate(comps)}
+    scan_cis = []
+    scan_tables = {}
+    for c in range(nc_scan):
+        cid, td_ta = sos[1 + 2 * c], sos[2 + 2 * c]
+        if cid not in cid_index:
+            return None
+        scan_cis.append(cid_index[cid])
+        scan_tables[cid_index[cid]] = (td_ta >> 4, td_ta & 0xF)
+    mcux, mcuy = prog_grid
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    # entropy-coded segment list + resume offset
+    segs, endpos = _entropy_segments(b, pos)
+
+    # resolve Huffman LUTs needed by this scan (DC refine needs none)
+    luts = {}
+    for ci in scan_cis:
+        td, ta = scan_tables[ci]
+        if kind == "dc" and ah == 0:
+            t = htables.get((0, td))
+            if t is None:
+                return None
+            luts[ci] = _huff_lut(*t)
+        elif kind == "ac":
+            t = htables.get((1, ta))
+            if t is None:
+                return None
+            luts[ci] = _huff_lut(*t)
+
+    # block iteration order: interleaved MCUs when the scan has several
+    # components, else the single component's OWN block grid (ceil of
+    # its true resolution — NOT the MCU-padded grid)
+    interleaved = nc_scan > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        ci = scan_cis[0]
+        _, hs, vs, _ = comps[ci]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        gw, gh = (cw + 7) // 8, (ch + 7) // 8
+        units = gw * gh
+
+    zig = _ZIGZAG
+    seg_idx = 0
+    rd = _SegReader(segs[0])
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def _refine_existing(carr, by, bx, k0: int) -> int | None:
+        """Correction bits for already-nonzero coefficients in
+        [k0, se] (the EOB-run path of AC refine)."""
+        blk = carr[by, bx]
+        for k in range(k0, se + 1):
+            v = int(blk[k])
+            if v:
+                bit = rd.bits(1)
+                if bit is None:
+                    return None
+                if bit and not (abs(v) >> al) & 1:
+                    blk[k] = v + (1 << al) if v > 0 else v - (1 << al)
+        return 0
+
+    for unit in range(units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            rd = _SegReader(segs[seg_idx])
+            preds = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            blocks = []
+            for ci in scan_cis:
+                _, hs, vs, _ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blocks.append((ci, my * vs + by, mx * hs + bx))
+        else:
+            ci = scan_cis[0]
+            by, bx = divmod(unit, gw)
+            blocks = [(ci, by, bx)]
+        for ci, by, bx in blocks:
+            carr = prog_coef[ci]
+            if kind == "dc":
+                if ah == 0:  # DC first: baseline DC coding of coef >> al
+                    size = rd.huff(luts[ci])
+                    if size is None or size > 11:
+                        return None
+                    bits = rd.bits(size)
+                    if bits is None:
+                        return None
+                    preds[ci] += _extend(bits, size) if size else 0
+                    carr[by, bx, 0] = preds[ci] << al
+                else:  # DC refine: one raw bit
+                    bit = rd.bits(1)
+                    if bit is None:
+                        return None
+                    if bit:
+                        carr[by, bx, 0] = int(carr[by, bx, 0]) | (1 << al)
+            elif ah == 0:  # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.huff(luts[ci])
+                    if sym is None:
+                        return None
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        extra = rd.bits(r)
+                        if extra is None:
+                            return None
+                        eobrun = (1 << r) - 1 + extra
+                        break
+                    k += r
+                    if k > se or s > 10:
+                        return None
+                    bits = rd.bits(s)
+                    if bits is None:
+                        return None
+                    carr[by, bx, k] = _extend(bits, s) << al
+                    k += 1
+            else:  # AC refine (T.81 G.1.2.3)
+                blk = carr[by, bx]
+                if eobrun:
+                    eobrun -= 1
+                    if _refine_existing(carr, by, bx, ss) is None:
+                        return None
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.huff(luts[ci])
+                    if sym is None:
+                        return None
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r < 15:
+                            extra = rd.bits(r)
+                            if extra is None:
+                                return None
+                            # the run includes THIS block, which the
+                            # shared tail below decrements after its
+                            # remaining band is refined
+                            eobrun = (1 << r) + extra
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            return None
+                        bit = rd.bits(1)
+                        if bit is None:
+                            return None
+                        newval = (1 << al) if bit else -(1 << al)
+                    # advance past r zero-history coefficients, emitting
+                    # correction bits for nonzero-history ones en route
+                    while k <= se:
+                        v = int(blk[k])
+                        if v:
+                            bit = rd.bits(1)
+                            if bit is None:
+                                return None
+                            if bit and not (abs(v) >> al) & 1:
+                                blk[k] = (
+                                    v + (1 << al) if v > 0 else v - (1 << al)
+                                )
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+                if eobrun:
+                    # finish this block's remaining band, then count it
+                    if _refine_existing(carr, by, bx, k) is None:
+                        return None
+                    eobrun -= 1
+    return endpos
 
 
 def _decode_scan_scalar(b, pos, sos, frame, qtables, htables, restart_interval):

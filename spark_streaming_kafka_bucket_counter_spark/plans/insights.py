@@ -1060,6 +1060,40 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_progressive",
+    """
+    SELECT doc_id,
+           CAST(9 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CASE WHEN doc_id % 3 = 1 THEN '420' ELSE '444' END AS subsampling,
+           CAST(11 AS BIGINT) AS n_scans,
+           CAST(1 AS BIGINT) AS pixels_match
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG decode under the oracle gate (round 7, r6
+    VERDICT ask #4): every doc's textured image ships as BOTH a
+    baseline (SOF0) and a progressive (SOF2) stream — 11 scans:
+    interleaved DC first at Al=1, DC refinement, and per component two
+    spectral AC bands plus an AC successive-approximation refinement —
+    and the decoder must produce BIT-IDENTICAL pixels from both, since
+    progressive only reorders transmission of the same quantized
+    coefficients. ``pixels_match`` must hash to 1 for every document
+    and ``n_scans`` pins the multi-scan structure, so the whole SOF2
+    machinery (multi-scan parsing, EOB runs, correction bits, spectral
+    bands, refinement bit order) sits under one integer-exact check.
+    Reference scope: the reference has no media path; this extends the
+    §2.13 training-data surface. Scale: one Arrow stage fanned to
+    session cores (`_fanout`), no shuffle."""
+    from ..operators.multimodal import jpeg_progressive_parity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_progressive_parity(docs)
+
+
+@query(
     "multimodal_jpeg_stats",
     """
     SELECT doc_id,

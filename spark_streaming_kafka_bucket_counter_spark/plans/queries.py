@@ -742,6 +742,7 @@ _DRIVER_PRIORITY: list[str] = [
     # whole 175-query catalog). Round-7 entries below need their first
     # green driver row:
     "multimodal_jpeg_stats",  # r7: grew its integer-exact partial oracle
+    "multimodal_jpeg_progressive",  # r7: new SOF2 parity query
 ]
 
 

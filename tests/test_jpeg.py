@@ -174,6 +174,77 @@ def test_jpeg_fast_decode_throughput_pinned():
     assert speedup >= 3.0, f"fast decoder only {speedup:.1f}x scalar"
 
 
+def test_progressive_equals_baseline_pixels():
+    """THE progressive contract: SOF2 only reorders transmission of the
+    same quantized coefficients, so decoding the progressive stream
+    must reproduce the baseline stream's pixels BIT-FOR-BIT — gradient
+    and structural shapes, every subsampling mode, gray, 1x1, and
+    non-8-multiple geometries."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for w, h, ch, q, sub in (
+        (24, 17, 3, 90, False),
+        (24, 18, 3, 85, True),
+        (16, 16, 1, 75, False),
+        (9, 8, 3, 90, True),
+        (33, 31, 3, 50, False),
+        (1, 1, 1, 75, False),
+        (64, 48, 3, 75, True),
+    ):
+        px = _gradient(w, h, ch)
+        base = decode_jpeg(encode_jpeg_baseline(px, w, h, ch, quality=q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(px, w, h, ch, quality=q, subsample=sub))
+        assert prog is not None and prog == base, (w, h, ch, q, sub)
+
+
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=30, deadline=None)
+def test_progressive_parity_on_noise(rnd):
+    """Noise images maximize coefficient density — the hardest case for
+    the AC refinement correction-bit bookkeeping (ZRL spans interleaved
+    with history-nonzero coefficients)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    w, h = rnd.randrange(1, 50), rnd.randrange(1, 50)
+    ch = rnd.choice([1, 3])
+    sub = ch == 3 and rnd.random() < 0.5
+    q = rnd.choice([10, 40, 75, 95])
+    px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    base = decode_jpeg(encode_jpeg_baseline(px, w, h, ch, quality=q, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(px, w, h, ch, quality=q, subsample=sub))
+    assert prog is not None and prog == base
+
+
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=30, deadline=None)
+def test_progressive_decoder_never_crashes_on_mutations(rnd):
+    """Corrupted/truncated progressive streams must yield None or a
+    well-formed tuple — never throw (untrusted crawl bytes)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    base = encode_jpeg_progressive(
+        _gradient(24, 18, 3), 24, 18, 3,
+        quality=rnd.choice([50, 90]), subsample=rnd.random() < 0.5,
+    )
+    mut = bytearray(base)
+    for _ in range(rnd.randrange(1, 6)):
+        mut[rnd.randrange(len(mut))] = rnd.randrange(256)
+    payload = bytes(mut[: rnd.randrange(len(mut) + 1)])
+    out = decode_jpeg(payload)
+    if out is not None:
+        w, h, ch, px = out
+        assert len(px) == w * h * ch
+
+
 def test_jpeg_structure_reads_sampling_and_dri():
     from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
         jpeg_structure,
