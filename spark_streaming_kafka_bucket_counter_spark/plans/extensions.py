@@ -1104,6 +1104,62 @@ def q_ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ingest_warc_record_types",
+    """
+    WITH d AS (SELECT doc_id, length(COALESCE(text, '')) AS L FROM documents)
+    SELECT 'response' AS record_type,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(L) AS BIGINT) AS sum_body_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_status,
+           CAST(0 AS BIGINT) AS n_refers,
+           CAST(0 AS BIGINT) AS max_malformed
+    FROM d
+    UNION ALL
+    SELECT 'request', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'revisit', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM d WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 'metadata', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(19 + length(CAST(doc_id % 1000 AS VARCHAR))) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM d WHERE doc_id % 7 = 0
+    """,
+)
+def q_ingest_warc_record_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC full-fidelity census (round 7, r6 VERDICT ask #6): the
+    export now interleaves the record types real Common Crawl segments
+    carry — request records for ``id%3==0`` fetches, revisit records
+    (crawl-time dedup breadcrumbs with ``WARC-Refers-To``) for
+    ``id%5==0``, warc-fields metadata for ``id%7==0`` — and every
+    fourth response stores its HTTP body in CHUNKED transfer framing.
+    ``read_warc_records`` (splittable byte-range path) must surface all
+    of them as uniform rows with zero malformed: counts per type, body
+    chars (chunk framing stripped — the de-chunker under the hash
+    gate), status/refers_to presence, all replayed by the oracle from
+    id arithmetic. The response sums double-check that mixed-type
+    interleaving and chunked bodies change NOTHING for the documents
+    contract."""
+    from ..sources.files import export_documents_files, read_warc_records
+
+    path = export_documents_files(spark, sf_dir, "warc")
+    df = read_warc_records(spark, path, split_bytes=16 * 1024)
+    return df.groupBy("record_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum(F.coalesce(F.col("body_chars"), F.lit(0)))
+        .cast("long")
+        .alias("sum_body_chars"),
+        F.count("status").cast("long").alias("n_status"),
+        F.count("refers_to").cast("long").alias("n_refers"),
+        F.max("n_malformed").cast("long").alias("max_malformed"),
+    )
+
+
 @query("ingest_orc_roundtrip", _INGEST_ORACLE)
 def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-corpus ingest parity, ORC — the other columnar warehouse

@@ -743,6 +743,7 @@ _DRIVER_PRIORITY: list[str] = [
     # green driver row:
     "multimodal_jpeg_stats",  # r7: grew its integer-exact partial oracle
     "multimodal_jpeg_progressive",  # r7: new SOF2 parity query
+    "ingest_warc_record_types",  # r7: mixed-record-type WARC census
 ]
 
 

@@ -480,7 +480,11 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 w = w.option(k, v)
             w.csv(path)
 
-    return cached_index_dir(f"{fmt}-export", sf_dir, "documents-v1", build)
+    # warc bumped to v2 in round 7: the fixture gained mixed record
+    # types + chunked responses; a stale v1 export would fail the new
+    # census oracle
+    ver = "documents-v2" if fmt == "warc" else "documents-v1"
+    return cached_index_dir(f"{fmt}-export", sf_dir, ver, build)
 
 
 def _write_documents_ocf(df: DataFrame, path: str) -> None:
@@ -650,16 +654,30 @@ def read_documents_files(spark: SparkSession, path: str, fmt: str) -> DataFrame:
 
 def _write_documents_warc(df: DataFrame, path: str) -> None:
     """Executor-side Common-Crawl-style export: each Arrow batch becomes
-    one ``.warc.gz`` of member-gzipped response records. doc_id rides in
+    one ``.warc.gz`` of member-gzipped records. doc_id rides in
     WARC-Record-ID (``urn:ssbc:<id>``) and source in the target URI path
     (percent-encoded, so any source string round-trips); a NULL text is
     an empty fetch body — WARC has no NULL, so the ingest contract is
-    COALESCE(text, '') on both engines."""
+    COALESCE(text, '') on both engines.
+
+    Round 7 — the fixture interleaves the record types real Common
+    Crawl segments carry, on id-arithmetic rules a SQL oracle can
+    replay: every doc gets a response (CHUNKED transfer framing for
+    ``id%4==2``), ``id%3==0`` adds the request record that produced it,
+    ``id%5==0`` adds a revisit record pointing back at the response
+    (crawl-time dedup breadcrumb), ``id%7==0`` adds a warc-fields
+    metadata record."""
     import hashlib
     import os as _os
     from urllib.parse import quote
 
-    from .warc import build_warc_response, encode_warc
+    from .warc import (
+        build_warc_metadata,
+        build_warc_request,
+        build_warc_response,
+        build_warc_revisit,
+        encode_warc,
+    )
 
     _os.makedirs(path, exist_ok=True)
 
@@ -683,7 +701,25 @@ def _write_documents_warc(df: DataFrame, path: str) -> None:
                     if src_seg is not None
                     else f"http://corpus.invalid/doc/{did}"
                 )
-                recs.append(build_warc_response(f"urn:ssbc:{did}", uri, body))
+                rid = f"urn:ssbc:{did}"
+                if did % 3 == 0:
+                    recs.append(
+                        build_warc_request(f"urn:ssbc:req:{did}", uri)
+                    )
+                recs.append(
+                    build_warc_response(rid, uri, body, chunked=did % 4 == 2)
+                )
+                if did % 5 == 0:
+                    recs.append(
+                        build_warc_revisit(f"urn:ssbc:rev:{did}", uri, rid)
+                    )
+                if did % 7 == 0:
+                    recs.append(
+                        build_warc_metadata(
+                            f"urn:ssbc:meta:{did}", uri,
+                            {"fetchDurationMs": str(did % 1000)},
+                        )
+                    )
             if not recs:
                 continue
             blob = encode_warc(recs, member_gzip=True)
@@ -715,22 +751,44 @@ def _warc_rows_from_records(recs: list[dict], bad: int) -> list[tuple]:
 
 
 _WARC_READ_SCHEMA = "doc_id long, text string, source string, n_malformed long"
+_WARC_READ_COLS = ["doc_id", "text", "source", "n_malformed"]
+_WARC_READ_TYPES = {"doc_id": "int64", "n_malformed": "int64"}
+
+_WARC_CENSUS_SCHEMA = (
+    "record_type string, record_id string, status long, method string, "
+    "refers_to string, body_chars long, n_malformed long"
+)
+_WARC_CENSUS_COLS = [
+    "record_type", "record_id", "status", "method", "refers_to",
+    "body_chars", "n_malformed",
+]
+_WARC_CENSUS_TYPES = {
+    "status": "Int64", "body_chars": "Int64", "n_malformed": "int64"
+}
 
 
-def read_documents_warc(
-    spark: SparkSession, path: str, split_bytes: int | None = None
+def _warc_census_rows(recs: list[dict], bad: int) -> list[tuple]:
+    rows = []
+    for r in recs:
+        body = r.get("body")
+        rows.append(
+            (
+                r.get("type", ""),
+                r.get("record_id", ""),
+                r.get("status"),
+                r.get("method"),
+                r.get("refers_to"),
+                len(body) if body is not None else None,
+                bad,
+            )
+        )
+    return rows
+
+
+def _read_warc(
+    spark: SparkSession, path: str, split_bytes: int | None,
+    row_fn, cols: list[str], types: dict, schema: str,
 ) -> DataFrame:
-    """Read a .warc.gz tree back to ``(doc_id, text, source,
-    n_malformed)``.
-
-    Default: whole files via binaryFile + the tolerant WARC parser (one
-    file = one task). ``split_bytes`` switches to the SPLITTABLE read —
-    the member-gzip property exercised for real: the driver plans
-    ``(file, start, end)`` byte ranges, and each task resynchronizes on
-    a gzip magic inside its range (``warc.read_member_range``) so a
-    multi-GB .warc.gz fans out across executors exactly once per
-    record. Parity between the two paths is pytest-pinned and the
-    catalog query runs the split path under the oracle gate."""
     from .warc import parse_warc
 
     if split_bytes is not None:
@@ -758,12 +816,10 @@ def read_documents_warc(
                     members, bad = read_member_range(str(f), int(s), int(e))
                     for m in members:
                         recs, b2 = parse_warc(m)
-                        rows += _warc_rows_from_records(recs, bad + b2)
-                yield pd.DataFrame(
-                    rows, columns=["doc_id", "text", "source", "n_malformed"]
-                ).astype({"doc_id": "int64", "n_malformed": "int64"})
+                        rows += row_fn(recs, bad + b2)
+                yield pd.DataFrame(rows, columns=cols).astype(types)
 
-        return plan.mapInPandas(_read_ranges, _WARC_READ_SCHEMA)
+        return plan.mapInPandas(_read_ranges, schema)
 
     raw = (
         spark.read.format("binaryFile")
@@ -778,9 +834,44 @@ def read_documents_warc(
             rows = []
             for blob in pdf["content"]:
                 recs, bad = parse_warc(bytes(blob))
-                rows += _warc_rows_from_records(recs, bad)
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "text", "source", "n_malformed"]
-            ).astype({"doc_id": "int64", "n_malformed": "int64"})
+                rows += row_fn(recs, bad)
+            yield pd.DataFrame(rows, columns=cols).astype(types)
 
-    return raw.select("content").mapInPandas(_decode, _WARC_READ_SCHEMA)
+    return raw.select("content").mapInPandas(_decode, schema)
+
+
+def read_documents_warc(
+    spark: SparkSession, path: str, split_bytes: int | None = None
+) -> DataFrame:
+    """Read a .warc.gz tree back to ``(doc_id, text, source,
+    n_malformed)`` — response records only (the documents contract).
+
+    Default: whole files via binaryFile + the tolerant WARC parser (one
+    file = one task). ``split_bytes`` switches to the SPLITTABLE read —
+    the member-gzip property exercised for real: the driver plans
+    ``(file, start, end)`` byte ranges, and each task resynchronizes on
+    a gzip magic inside its range (``warc.read_member_range``) so a
+    multi-GB .warc.gz fans out across executors exactly once per
+    record. Parity between the two paths is pytest-pinned and the
+    catalog query runs the split path under the oracle gate."""
+    return _read_warc(
+        spark, path, split_bytes, _warc_rows_from_records,
+        _WARC_READ_COLS, _WARC_READ_TYPES, _WARC_READ_SCHEMA,
+    )
+
+
+def read_warc_records(
+    spark: SparkSession, path: str, split_bytes: int | None = None
+) -> DataFrame:
+    """Full-fidelity record census of a .warc.gz tree (round 7): EVERY
+    record type — response / request / revisit / metadata / warcinfo /
+    resource / conversion — as a uniform row ``(record_type, record_id,
+    status, method, refers_to, body_chars, n_malformed)``. Real Common
+    Crawl segments interleave these; a reader that only surfaces
+    responses silently undercounts the segment and loses the
+    crawl-time-dedup (revisit) and provenance (metadata) signals. Same
+    whole-file / splittable-byte-range paths as the documents read."""
+    return _read_warc(
+        spark, path, split_bytes, _warc_census_rows,
+        _WARC_CENSUS_COLS, _WARC_CENSUS_TYPES, _WARC_CENSUS_SCHEMA,
+    )

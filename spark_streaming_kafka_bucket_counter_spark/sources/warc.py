@@ -13,7 +13,18 @@ Layout implemented (the subset every WARC consumer relies on):
   ``Content-Length`` in BYTES), blank line, a block of exactly
   Content-Length bytes, then CRLF CRLF.
 - response records carry an HTTP/1.1 response inside the block: status
-  line + headers, blank line, body.
+  line + headers, blank line, body. ``Transfer-Encoding: chunked``
+  bodies are de-chunked (round 7 — real crawls store the wire bytes,
+  so chunk framing is common and a reader that returns the framing as
+  text silently corrupts the corpus).
+- request records carry the HTTP/1.1 request (method + target
+  surfaced); metadata/warcinfo records carry ``application/
+  warc-fields`` text; revisit records carry ``WARC-Refers-To`` +
+  ``WARC-Profile`` (the dedup breadcrumb crawls write instead of
+  refetching identical payloads); resource/conversion records carry
+  their block verbatim. Round 7: all of these parse into uniform rows
+  instead of type-and-URI-only stubs — real Common Crawl segments
+  interleave them with responses.
 - Common-Crawl-style ``.warc.gz``: every record is its OWN gzip member
   and members are concatenated — which is exactly what makes the format
   splittable at member boundaries (a reader can seek to any gzip magic
@@ -35,28 +46,122 @@ import zlib
 CRLF = b"\r\n"
 
 
-def build_warc_response(
-    record_id: str, target_uri: str, body: bytes, date: str = "2026-01-01T00:00:00Z"
+def _warc_record(
+    wtype: str, record_id: str, target_uri: str | None, block: bytes,
+    content_type: str, date: str, extra: list[bytes] | None = None,
 ) -> bytes:
-    """One conformant WARC/1.0 response record (uncompressed)."""
-    http = (
-        b"HTTP/1.1 200 OK" + CRLF
-        + b"Content-Type: text/plain; charset=utf-8" + CRLF
-        + b"Content-Length: " + str(len(body)).encode() + CRLF
-        + CRLF
-        + body
-    )
     hdr = (
         b"WARC/1.0" + CRLF
-        + b"WARC-Type: response" + CRLF
+        + b"WARC-Type: " + wtype.encode() + CRLF
         + b"WARC-Record-ID: <" + record_id.encode() + b">" + CRLF
         + b"WARC-Date: " + date.encode() + CRLF
-        + b"WARC-Target-URI: " + target_uri.encode() + CRLF
-        + b"Content-Type: application/http;msgtype=response" + CRLF
-        + b"Content-Length: " + str(len(http)).encode() + CRLF
+    )
+    if target_uri is not None:
+        hdr += b"WARC-Target-URI: " + target_uri.encode() + CRLF
+    for line in extra or ():
+        hdr += line + CRLF
+    hdr += (
+        b"Content-Type: " + content_type.encode() + CRLF
+        + b"Content-Length: " + str(len(block)).encode() + CRLF
         + CRLF
     )
-    return hdr + http + CRLF + CRLF
+    return hdr + block + CRLF + CRLF
+
+
+def _chunk_body(body: bytes, chunk_size: int = 13) -> bytes:
+    """HTTP/1.1 chunked transfer framing: hex size line + chunk per
+    piece, zero-size terminator."""
+    out = bytearray()
+    for i in range(0, len(body), chunk_size):
+        piece = body[i : i + chunk_size]
+        out += f"{len(piece):x}".encode() + CRLF + piece + CRLF
+    out += b"0" + CRLF + CRLF
+    return bytes(out)
+
+
+def build_warc_response(
+    record_id: str, target_uri: str, body: bytes,
+    date: str = "2026-01-01T00:00:00Z", chunked: bool = False,
+) -> bytes:
+    """One conformant WARC/1.0 response record (uncompressed).
+    ``chunked=True`` stores the HTTP body in chunked transfer framing —
+    the wire shape crawls capture verbatim."""
+    if chunked:
+        payload = _chunk_body(body)
+        http = (
+            b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Type: text/plain; charset=utf-8" + CRLF
+            + b"Transfer-Encoding: chunked" + CRLF
+            + CRLF
+            + payload
+        )
+    else:
+        http = (
+            b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Type: text/plain; charset=utf-8" + CRLF
+            + b"Content-Length: " + str(len(body)).encode() + CRLF
+            + CRLF
+            + body
+        )
+    return _warc_record(
+        "response", record_id, target_uri, http,
+        "application/http;msgtype=response", date,
+    )
+
+
+def build_warc_request(
+    record_id: str, target_uri: str, method: str = "GET",
+    date: str = "2026-01-01T00:00:00Z",
+) -> bytes:
+    """One WARC/1.0 request record (the fetch that produced a response)."""
+    http = (
+        method.encode() + b" " + target_uri.encode() + b" HTTP/1.1" + CRLF
+        + b"Host: corpus.invalid" + CRLF
+        + b"User-Agent: ssbc-crawler/1.0" + CRLF
+        + CRLF
+    )
+    return _warc_record(
+        "request", record_id, target_uri, http,
+        "application/http;msgtype=request", date,
+    )
+
+
+def build_warc_metadata(
+    record_id: str, target_uri: str, fields: dict[str, str],
+    date: str = "2026-01-01T00:00:00Z",
+) -> bytes:
+    """One WARC/1.0 metadata record (``application/warc-fields`` block —
+    fetch duration, hop path, detected charset, ... in real crawls)."""
+    block = b"".join(
+        k.encode() + b": " + v.encode() + CRLF for k, v in fields.items()
+    )
+    return _warc_record(
+        "metadata", record_id, target_uri, block,
+        "application/warc-fields", date,
+    )
+
+
+def build_warc_revisit(
+    record_id: str, target_uri: str, refers_to: str,
+    date: str = "2026-01-01T00:00:00Z",
+) -> bytes:
+    """One WARC/1.0 revisit record — what a crawler writes instead of a
+    duplicate payload when a refetch hashed identical (URL-level dedup
+    at crawl time). Carries the response headers only."""
+    http = (
+        b"HTTP/1.1 304 Not Modified" + CRLF
+        + b"Content-Type: text/plain; charset=utf-8" + CRLF
+        + CRLF
+    )
+    return _warc_record(
+        "revisit", record_id, target_uri, http,
+        "application/http;msgtype=response", date,
+        extra=[
+            b"WARC-Refers-To: <" + refers_to.encode() + b">",
+            b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+            b"identical-payload-digest",
+        ],
+    )
 
 
 def encode_warc(records: list[bytes], member_gzip: bool = True) -> bytes:
@@ -89,14 +194,47 @@ def _gunzip_members(data: bytes) -> list[bytes]:
     return members
 
 
+def _dechunk(data: bytes) -> bytes | None:
+    """Decode an HTTP/1.1 chunked transfer body, ``None`` on bad
+    framing (fail closed — framing returned as text would silently
+    corrupt the corpus)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = data.find(CRLF, pos)
+        if eol < 0:
+            return None
+        size_tok = data[pos:eol].split(b";", 1)[0].strip()  # drop extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are ignored
+        chunk = data[pos : pos + size]
+        if len(chunk) < size:
+            return None
+        out += chunk
+        pos += size
+        if data[pos : pos + 2] != CRLF:
+            return None
+        pos += 2
+
+
 def parse_warc(data: bytes) -> tuple[list[dict], int]:
     """WARC bytes (plain or member-gzip) -> ``(records, n_malformed)``.
 
-    Each record dict carries ``type``, ``record_id``, ``target_uri``,
-    and — for response records — ``status`` plus the decoded ``body``
-    (UTF-8, replacement on bad bytes: crawl text is dirty by nature).
-    Content-Length is in BYTES and is trusted over delimiters, per
-    spec. Malformed records are skipped and counted."""
+    Every record yields a UNIFORM dict: ``type``, ``record_id``,
+    ``target_uri``, plus type-specific fields left ``None`` where not
+    applicable — ``status``/``body`` for response records (chunked
+    transfer bodies de-chunked), ``method`` for request records,
+    ``refers_to``/``status`` for revisit records, and the raw
+    warc-fields/block text as ``body`` for metadata / warcinfo /
+    resource / conversion records. Bodies decode UTF-8 with
+    replacement (crawl text is dirty by nature). Content-Length is in
+    BYTES and is trusted over delimiters, per spec. Malformed records
+    are skipped and counted."""
     if data[:2] == b"\x1f\x8b":
         try:
             chunks = _gunzip_members(data)
@@ -143,20 +281,51 @@ def parse_warc(data: bytes) -> tuple[list[dict], int]:
                 "type": headers.get("warc-type", ""),
                 "record_id": headers.get("warc-record-id", "").strip("<>"),
                 "target_uri": headers.get("warc-target-uri", ""),
+                "status": None,
+                "body": None,
+                "method": None,
+                "refers_to": None,
             }
-            if rec["type"] == "response" and block[:5] == b"HTTP/":
+            wtype = rec["type"]
+            if wtype in ("response", "revisit") and block[:5] == b"HTTP/":
                 http_end = block.find(CRLF + CRLF)
                 if http_end < 0:
                     bad += 1
                     continue
-                status_line = block[: block.find(CRLF)]
+                head = block[:http_end]
+                status_line = head[: (head + CRLF).find(CRLF)]
                 parts = status_line.split(None, 2)
                 try:
                     rec["status"] = int(parts[1])
                 except (IndexError, ValueError):
                     bad += 1
                     continue
-                rec["body"] = block[http_end + 4 :].decode("utf-8", "replace")
+                if wtype == "revisit":
+                    # no payload by definition; surface the dedup pointer
+                    rec["refers_to"] = headers.get(
+                        "warc-refers-to", ""
+                    ).strip("<>") or None
+                else:
+                    body = block[http_end + 4 :]
+                    hl = {}
+                    for line in head.split(CRLF)[1:]:
+                        k, sep, v = line.partition(b":")
+                        if sep:
+                            hl[k.strip().lower()] = v.strip().lower()
+                    if b"chunked" in hl.get(b"transfer-encoding", b""):
+                        body = _dechunk(body)
+                        if body is None:
+                            bad += 1
+                            continue
+                    rec["body"] = body.decode("utf-8", "replace")
+            elif wtype == "request" and block.find(b" HTTP/") > 0:
+                req_line = block[: (block + CRLF).find(CRLF)]
+                parts = req_line.split(None, 2)
+                if parts:
+                    rec["method"] = parts[0].decode("ascii", "replace")
+            elif wtype in ("metadata", "warcinfo", "resource", "conversion"):
+                # warc-fields / payload block verbatim
+                rec["body"] = block.decode("utf-8", "replace")
             records.append(rec)
     return records, bad
 

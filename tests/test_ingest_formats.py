@@ -217,6 +217,85 @@ def test_warc_codec_roundtrip_and_tolerance():
     assert parse_warc(b"HTTP nonsense")[0] == []
 
 
+def test_warc_mixed_record_types_and_chunked_bodies():
+    """Round-7 fidelity: request / metadata / revisit records parse into
+    uniform rows (method, warc-fields body, refers_to + status) instead
+    of type-only stubs, and chunked transfer-encoded response bodies are
+    de-chunked — with bad chunk framing counted malformed, never
+    returned as framing-polluted text."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.warc import (
+        _dechunk,
+        build_warc_metadata,
+        build_warc_request,
+        build_warc_response,
+        build_warc_revisit,
+        encode_warc,
+        parse_warc,
+    )
+
+    body = "chunked body with a long tail " * 4
+    recs = [
+        build_warc_request("urn:r:1", "http://c/1", method="GET"),
+        build_warc_response("urn:ssbc:1", "http://c/1", body.encode(), chunked=True),
+        build_warc_revisit("urn:rev:1", "http://c/1", "urn:ssbc:1"),
+        build_warc_metadata("urn:m:1", "http://c/1", {"fetchDurationMs": "42"}),
+        build_warc_response("urn:ssbc:2", "http://c/2", b"plain"),
+    ]
+    for gz in (True, False):
+        out, bad = parse_warc(encode_warc(recs, member_gzip=gz))
+        assert bad == 0 and len(out) == 5
+        req, resp1, rev, meta, resp2 = out
+        assert req["type"] == "request" and req["method"] == "GET"
+        assert req["status"] is None and req["refers_to"] is None
+        assert resp1["body"] == body  # framing stripped
+        assert resp1["status"] == 200
+        assert rev["type"] == "revisit" and rev["status"] == 304
+        assert rev["refers_to"] == "urn:ssbc:1" and rev["body"] is None
+        assert meta["body"] == "fetchDurationMs: 42\r\n"
+        assert resp2["body"] == "plain"
+    # de-chunker edges: empty body, exact boundary, bad framing
+    assert _dechunk(b"0\r\n\r\n") == b""
+    assert _dechunk(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+    assert _dechunk(b"3;ext=1\r\nabc\r\n0\r\n\r\n") == b"abc"  # extensions
+    assert _dechunk(b"zz\r\nabc\r\n0\r\n\r\n") is None  # bad hex
+    assert _dechunk(b"5\r\nabc\r\n0\r\n\r\n") is None  # short chunk
+    assert _dechunk(b"3\r\nabcXX0\r\n\r\n") is None  # missing CRLF
+    # a response with corrupt chunk framing is malformed, not text
+    bad_resp = build_warc_response("urn:x", "http://c/x", b"zzz", chunked=True)
+    bad_resp = bad_resp.replace(b"3\r\nzzz", b"9\r\nzzz", 1)
+    out, bad = parse_warc(bad_resp)
+    assert bad == 1 and out == []
+
+
+def test_warc_census_split_path_equals_whole_file(spark, tmp_path):
+    """read_warc_records surfaces every record type through BOTH read
+    paths (whole-file and splittable byte-range) identically."""
+    import os as _os
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        read_warc_records,
+    )
+
+    sf = _os.path.join(str(tmp_path), "sf")
+    _os.makedirs(sf)
+    rows = [(i, f"text {i} " * (i % 7), "en", "src", i) for i in range(60)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(_os.path.join(sf, "documents.parquet"))
+    out = export_documents_files(spark, sf, "warc")
+    whole = sorted(map(tuple, read_warc_records(spark, out).collect()))
+    split = sorted(map(tuple, read_warc_records(spark, out, split_bytes=512).collect()))
+    assert whole == split
+    types = {}
+    for r in whole:
+        types[r[0]] = types.get(r[0], 0) + 1
+    assert types["response"] == 60
+    assert types["request"] == len([i for i in range(60) if i % 3 == 0])
+    assert types["revisit"] == len([i for i in range(60) if i % 5 == 0])
+    assert types["metadata"] == len([i for i in range(60) if i % 7 == 0])
+    assert all(r[-1] == 0 for r in whole)  # zero malformed
+
+
 def test_warc_spark_roundtrip_with_nulls_and_weird_sources(spark, tmp_path):
     """End-to-end Spark WARC export/read: NULL text becomes an empty
     fetch body (the pinned COALESCE contract), NULL source survives as
