@@ -1,0 +1,253 @@
+"""Streaming-ingest triad SOAK (r6 VERDICT ask #7): the three loops —
+near-dup LSH, semantic IVF, BM25 segments — run TOGETHER in one session
+over dozens of micro-batches with compaction enabled at three different
+cadences, concurrent serving-store queries hammering each live index
+from reader threads, a mid-run simulated crash (checkpoint commit
+removed on every loop at once), and a restart that must replay
+idempotently. Each loop's behavior is individually pytest-pinned
+elsewhere; this exercises the COMPOSITION — shared session, three
+checkpoints, index compaction under read load — which is where
+production breaks.
+
+Long-running and env-gated like the sweep:
+
+    SSBC_SOAK=1 python -m pytest tests/test_soak.py -q     # ~5-10 min
+
+Writes SOAK.json at the repo root (batch counts, reader stats, transient
+read errors — readers may legitimately observe a leaf mid-swap per
+compact_parquet_tree's external-reader contract, so the pin is
+"eventually consistent + final answers exact", not "no transient
+errors").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from pathlib import Path
+
+import pytest
+
+SOAK = os.environ.get("SSBC_SOAK", "")
+
+pytestmark = pytest.mark.skipif(
+    not SOAK, reason="set SSBC_SOAK=1 to run the streaming soak (~5-10 min)"
+)
+
+N_BATCHES = 24  # per phase half: 12 before the crash, 12 after
+DOCS_PER_BATCH = 4
+DIM = 8
+
+
+def _doc_text(i: int) -> str:
+    # fully disjoint token sets -> Jaccard 0 across docs: the soak wants
+    # every doc to SURVIVE dedup so the invariant is exact-count
+    return " ".join(f"tok{i}x{j}" for j in range(8))
+
+
+def _vec(i: int) -> list[float]:
+    import random
+
+    r = random.Random(1000 + i)
+    return [r.uniform(-1.0, 1.0) for _ in range(DIM)]
+
+
+def _write_batches(
+    src: Path, rows_per_file: list[list[dict]], start: int = 0
+) -> None:
+    src.mkdir(parents=True, exist_ok=True)
+    now = time.time()
+    for k, rows in enumerate(rows_per_file, start=start):
+        f = src / f"b{k:03d}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(f, (now - (len(rows_per_file) + start - k) * 10,) * 2)
+
+
+def _kill_last_commit(ck: str) -> None:
+    commits = sorted(
+        int(p.name) for p in (Path(ck) / "commits").iterdir() if p.name.isdigit()
+    )
+    last = str(commits[-1])
+    os.remove(os.path.join(ck, "commits", last))
+    crc = os.path.join(ck, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+class _Reader(threading.Thread):
+    """Poll a serving query against a live index until stopped; count
+    successes and transient failures, keep the last error."""
+
+    def __init__(self, name: str, fn) -> None:
+        super().__init__(name=name, daemon=True)
+        self.fn = fn
+        self.ok = 0
+        self.transient = 0
+        self.last_err: str | None = None
+        self._halt = threading.Event()
+
+    def run(self) -> None:
+        while not self._halt.is_set():
+            try:
+                self.fn()
+                self.ok += 1
+            except Exception as exc:  # mid-swap leaf reads are legal
+                self.transient += 1
+                self.last_err = f"{type(exc).__name__}: {exc}"[:200]
+            time.sleep(0.2)
+
+    def stop(self) -> None:
+        self._halt.set()
+
+
+def test_streaming_triad_soak(spark, tmp_path):
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import lsh_query_index
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import bm25_query_index
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import ivf_query_index
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_near_dup_ingest,
+        start_search_index_ingest,
+        start_semantic_dedup_ingest,
+    )
+
+    t_start = time.time()
+    doc_src = tmp_path / "docs"
+    vec_src = tmp_path / "vecs"
+    all_doc_rows = [
+        [
+            {"doc_id": b * DOCS_PER_BATCH + j, "text": _doc_text(b * DOCS_PER_BATCH + j)}
+            for j in range(DOCS_PER_BATCH)
+        ]
+        for b in range(N_BATCHES)
+    ]
+    all_vec_rows = [
+        [
+            {"vec_id": b * DOCS_PER_BATCH + j, "embedding": _vec(b * DOCS_PER_BATCH + j)}
+            for j in range(DOCS_PER_BATCH)
+        ]
+        for b in range(N_BATCHES)
+    ]
+    half = N_BATCHES // 2
+    _write_batches(doc_src, all_doc_rows[:half])
+    _write_batches(vec_src, all_vec_rows[:half])
+
+    lsh_idx = str(tmp_path / "lsh_idx")
+    lsh_out = str(tmp_path / "lsh_out")
+    lsh_ck = str(tmp_path / "lsh_ck")
+    ivf_idx = str(tmp_path / "ivf_idx")
+    ivf_out = str(tmp_path / "ivf_out")
+    ivf_ck = str(tmp_path / "ivf_ck")
+    bm_idx = str(tmp_path / "bm_idx")
+    bm_ck = str(tmp_path / "bm_ck")
+
+    def _doc_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(doc_src))
+        )
+
+    def _vec_stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(vec_src))
+        )
+
+    def _start_all():
+        # three loops, three checkpoints, one session; compaction at
+        # three DIFFERENT cadences so swaps interleave with queries
+        q1 = start_near_dup_ingest(
+            _doc_stream(), "doc_id", "text", lsh_idx, lsh_out, lsh_ck,
+            compact_every=3,
+        )
+        q2 = start_semantic_dedup_ingest(
+            _vec_stream(), "vec_id", "embedding", ivf_idx, ivf_out, ivf_ck,
+            compact_every=4,
+        )
+        q3 = start_search_index_ingest(
+            _doc_stream(), "doc_id", "text", bm_idx, bm_ck, compact_every=5
+        )
+        return [q1, q2, q3]
+
+    # ---- phase 1: first half, all three live, readers hammering ----
+    queries = _start_all()
+    probe_doc = spark.createDataFrame(
+        [(9_000_000, _doc_text(1))], "doc_id long, text string"
+    )
+    probe_vec = spark.createDataFrame(
+        [(9_000_000, _vec(2))], "vec_id long, embedding array<float>"
+    )
+    readers = [
+        _Reader("lsh", lambda: lsh_query_index(spark, lsh_idx, probe_doc, "doc_id", "text").collect()),
+        _Reader("ivf", lambda: ivf_query_index(spark, ivf_idx, probe_vec, "vec_id", "embedding", top_k=1).collect()),
+        _Reader("bm25", lambda: bm25_query_index(spark, bm_idx, ["tok5x0", "tok5x1"], top_k=1).collect()),
+    ]
+    # give each loop a head start so the indexes exist before readers poll
+    time.sleep(5)
+    for r in readers:
+        r.start()
+    for q in queries:
+        assert q.awaitTermination(1200)
+
+    # ---- simulated crash on ALL THREE checkpoints at once ----
+    for ck in (lsh_ck, ivf_ck, bm_ck):
+        _kill_last_commit(ck)
+
+    # ---- phase 2: second half lands, restart replays + continues ----
+    _write_batches(doc_src, all_doc_rows[half:], start=half)
+    _write_batches(vec_src, all_vec_rows[half:], start=half)
+    queries = _start_all()
+    for q in queries:
+        assert q.awaitTermination(1200)
+    for r in readers:
+        r.stop()
+    for r in readers:
+        r.join(30)
+
+    # ---- invariants ----
+    n_ids = N_BATCHES * DOCS_PER_BATCH
+    curated = spark.read.parquet(lsh_out).collect()
+    got_docs = sorted(r["doc_id"] for r in curated)
+    assert got_docs == list(range(n_ids)), "LSH curated rows: exactly-once"
+    curated_v = spark.read.parquet(ivf_out).collect()
+    got_vecs = sorted(r["vec_id"] for r in curated_v)
+    assert got_vecs == list(range(n_ids)), "IVF curated rows: exactly-once"
+
+    # serving answers are exact after the dust settles
+    hits = lsh_query_index(spark, lsh_idx, probe_doc, "doc_id", "text").collect()
+    assert {r["snap_doc"] for r in hits} == {1}
+    top = ivf_query_index(spark, ivf_idx, probe_vec, "vec_id", "embedding", top_k=1).collect()[0]
+    assert top["cand_id"] == 2 and top["cosine"] >= 0.999999
+    bm_top = bm25_query_index(spark, bm_idx, ["tok5x0", "tok5x1"], top_k=1).collect()
+    assert bm_top and bm_top[0]["doc_id"] == 5
+
+    # BM25 segments: replay REPLACED (not duplicated) the killed batch —
+    # additive stats would be silently corrupted otherwise. Every doc
+    # indexed exactly once => its unique token hits exactly one doc.
+    for probe_id in (0, 7, n_ids - 1):
+        rows = bm25_query_index(spark, bm_idx, [f"tok{probe_id}x3"], top_k=5).collect()
+        assert [r["doc_id"] for r in rows] == [probe_id]
+
+    # readers made real progress; transient mid-swap failures are legal
+    # but must not dominate
+    report = {
+        "n_batches": N_BATCHES,
+        "docs": n_ids,
+        "elapsed_sec": round(time.time() - t_start, 1),
+        "readers": {
+            r.name: {"ok": r.ok, "transient": r.transient, "last_err": r.last_err}
+            for r in readers
+        },
+    }
+    Path(__file__).resolve().parent.parent.joinpath("SOAK.json").write_text(
+        json.dumps(report, indent=1) + "\n"
+    )
+    for r in readers:
+        assert r.ok >= 5, f"reader {r.name} starved: {r.last_err}"
+        assert r.ok > r.transient, (
+            f"reader {r.name} mostly failing: ok={r.ok} transient={r.transient} "
+            f"last={r.last_err}"
+        )

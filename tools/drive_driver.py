@@ -48,6 +48,58 @@ TABLES = (
 ).split()
 
 
+def _vm_hwm_kb(pid: int) -> int:
+    """Peak resident set (VmHWM) of one process, in KiB; 0 if unreadable."""
+    try:
+        with open(f"/proc/{pid}/status") as fh:
+            for line in fh:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+def _session_memory_mb() -> dict[str, int]:
+    """Peak RSS of the driver python process and its JVM child — the
+    catalog-scale session memory audit (r6 VERDICT ask #8): every round
+    adds session-lifetime caches (LRU memo frames, the 5000-entry
+    codegen class cache, persisted index caches), and the codegen-cache
+    lesson says those only bite at full-catalog scale, so a full
+    drive_driver pass measures and guards them."""
+    me = os.getpid()
+    jvm_kb = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().split()
+                if parts[1] == "(java)" and int(parts[3]) == me:
+                    jvm_kb = max(jvm_kb, _vm_hwm_kb(int(pid)))
+            except (OSError, IndexError, ValueError):
+                continue
+    except OSError:
+        pass
+    return {
+        "python_peak_mb": _vm_hwm_kb(me) // 1024,
+        "jvm_peak_mb": jvm_kb // 1024,
+    }
+
+
+# committed high-water marks for a FULL catalog pass (MiB); regenerate by
+# running the full pass and copying the printed numbers when a round
+# legitimately grows the session (say why in SCALE.md). The guard trips
+# at +25% — the "session caches grew past what the catalog budgeted"
+# signal, enforced only on full runs over the standard driver dataset.
+# Recorded r7 (177-query catalog, 0 mismatches, 251s): python 685 MiB,
+# jvm 3181 MiB.
+_MEM_HWM_MB = {
+    "/root/testdata/sf0.01": {"python_peak_mb": 685, "jvm_peak_mb": 3181}
+}
+
+
 def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -91,6 +143,24 @@ def main() -> int:
             print(name, "ERROR", f"{type(exc).__name__}: {msg}", flush=True)
     n = len(subset or qs)
     print(f"done {n} queries, {bad} mismatches, {int(time.time() - t0)}s vs {SF}")
+    mem = _session_memory_mb()
+    print(
+        f"session memory peak: python {mem['python_peak_mb']} MiB, "
+        f"jvm {mem['jvm_peak_mb']} MiB",
+        flush=True,
+    )
+    if not subset:
+        hwm = _MEM_HWM_MB.get(SF)
+        if hwm and min(hwm.values()) > 0:
+            for k, limit in hwm.items():
+                if mem[k] > limit * 1.25:
+                    bad += 1
+                    print(
+                        f"MEMORY REGRESSION: {k} {mem[k]} MiB > {limit} MiB "
+                        "+25% — a session-lifetime cache grew past the "
+                        "catalog budget (see SCALE.md memory audit)",
+                        flush=True,
+                    )
     return bad
 
 

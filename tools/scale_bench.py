@@ -44,6 +44,16 @@ QUERIES = [
     "streaming_click_purchase_join",
     "graph_pagerank",
     "curation_report",
+    # round 7 (VERDICT r6 ask #5): the media-codec and ingest paths —
+    # Python-heavy Arrow stages whose scale behavior (the _fanout width
+    # fix, splittable WARC byte-range reads, gzip-member parallelism)
+    # only a 10x media run proves
+    "multimodal_jpeg_stats",
+    "multimodal_jpeg_progressive",
+    "multimodal_gif_frames",
+    "audio_frame_features",
+    "ingest_warc_roundtrip",
+    "ingest_warc_record_types",
 ]
 
 SCALES = {
