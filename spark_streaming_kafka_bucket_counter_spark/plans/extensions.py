@@ -1160,6 +1160,53 @@ def q_ingest_warc_record_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ingest_warc_charsets",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             length(COALESCE(text, '')) AS L,
+             strlen(COALESCE(text, '')) = length(COALESCE(text, ''))
+               AS is_ascii
+      FROM documents
+    )
+    SELECT CASE WHEN doc_id % 9 = 4 THEN 'utf-16'
+                WHEN doc_id % 9 = 7 AND is_ascii THEN 'cp1252'
+                ELSE 'utf-8' END AS charset,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(L) AS BIGINT) AS sum_chars
+    FROM d
+    GROUP BY 1
+    """,
+)
+def q_ingest_warc_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection under the hash gate (round 7): the WARC fixture
+    ships three encoding families — BOM'd UTF-16 with NO declaration
+    (``id%9==4``, the BOM-sniff path), ASCII bodies declared
+    ``windows-1252`` (``id%9==7``, the declared path; ASCII-ness is
+    ``strlen==length`` in BOTH engines so the rule is replayable), and
+    declared UTF-8 — and ``read_warc_records``'s detection ladder
+    (functions/charset.py: BOM > valid declaration > strict UTF-8 >
+    cp1252) must label every response correctly AND transcode the body
+    back to the exact original text (sum_chars per charset catches a
+    single mojibaked character anywhere, including inside chunked
+    UTF-16 bodies). Real crawls are ~5-10% legacy encodings; a
+    hard-coded UTF-8 reader silently corrupts all of them — this is the
+    gate that prevents that."""
+    from ..sources.files import export_documents_files, read_warc_records
+
+    path = export_documents_files(spark, sf_dir, "warc")
+    df = read_warc_records(spark, path, split_bytes=16 * 1024)
+    return (
+        df.filter(F.col("record_type") == "response")
+        .groupBy("charset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("body_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 @query("ingest_orc_roundtrip", _INGEST_ORACLE)
 def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-corpus ingest parity, ORC — the other columnar warehouse

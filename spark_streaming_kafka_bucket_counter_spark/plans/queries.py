@@ -744,6 +744,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_jpeg_stats",  # r7: grew its integer-exact partial oracle
     "multimodal_jpeg_progressive",  # r7: new SOF2 parity query
     "ingest_warc_record_types",  # r7: mixed-record-type WARC census
+    "ingest_warc_charsets",  # r7: charset detection ladder under the oracle
 ]
 
 

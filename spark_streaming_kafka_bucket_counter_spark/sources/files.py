@@ -480,10 +480,10 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 w = w.option(k, v)
             w.csv(path)
 
-    # warc bumped to v2 in round 7: the fixture gained mixed record
-    # types + chunked responses; a stale v1 export would fail the new
-    # census oracle
-    ver = "documents-v2" if fmt == "warc" else "documents-v1"
+    # warc bumped in round 7: v2 added mixed record types + chunked
+    # responses, v3 the charset families; a stale export would fail the
+    # census oracles
+    ver = "documents-v3" if fmt == "warc" else "documents-v1"
     return cached_index_dir(f"{fmt}-export", sf_dir, ver, build)
 
 
@@ -666,7 +666,12 @@ def _write_documents_warc(df: DataFrame, path: str) -> None:
     ``id%4==2``), ``id%3==0`` adds the request record that produced it,
     ``id%5==0`` adds a revisit record pointing back at the response
     (crawl-time dedup breadcrumb), ``id%7==0`` adds a warc-fields
-    metadata record."""
+    metadata record. Charset families exercise the reader's detection
+    ladder: ``id%9==4`` bodies ship as BOM'd UTF-16 with NO charset
+    declaration (BOM sniff), ``id%9==7`` ASCII-only bodies ship with a
+    ``charset=windows-1252`` declaration (declared path; ASCII is
+    deterministic from the text so the oracle can replay the rule),
+    everything else is declared UTF-8."""
     import hashlib
     import os as _os
     from urllib.parse import quote
@@ -686,11 +691,22 @@ def _write_documents_warc(df: DataFrame, path: str) -> None:
 
         for pdf in batches:
             recs = []
+            import codecs
+
             for did, text, src in zip(
                 pdf["doc_id"], pdf["text"], pdf["source"]
             ):
                 did = int(did)
-                body = ("" if text is None or text is pd.NA else str(text)).encode()
+                t = "" if text is None or text is pd.NA else str(text)
+                if did % 9 == 4:  # BOM'd UTF-16, charset NOT declared
+                    body = codecs.BOM_UTF16_LE + t.encode("utf-16-le")
+                    ctype = "text/plain"
+                elif did % 9 == 7 and t.isascii():  # declared legacy 8-bit
+                    body = t.encode("cp1252")
+                    ctype = "text/plain; charset=windows-1252"
+                else:
+                    body = t.encode()
+                    ctype = "text/plain; charset=utf-8"
                 src_seg = (
                     quote(str(src), safe="")
                     if src is not None and src is not pd.NA
@@ -707,7 +723,10 @@ def _write_documents_warc(df: DataFrame, path: str) -> None:
                         build_warc_request(f"urn:ssbc:req:{did}", uri)
                     )
                 recs.append(
-                    build_warc_response(rid, uri, body, chunked=did % 4 == 2)
+                    build_warc_response(
+                        rid, uri, body, chunked=did % 4 == 2,
+                        content_type=ctype,
+                    )
                 )
                 if did % 5 == 0:
                     recs.append(
@@ -756,11 +775,11 @@ _WARC_READ_TYPES = {"doc_id": "int64", "n_malformed": "int64"}
 
 _WARC_CENSUS_SCHEMA = (
     "record_type string, record_id string, status long, method string, "
-    "refers_to string, body_chars long, n_malformed long"
+    "refers_to string, charset string, body_chars long, n_malformed long"
 )
 _WARC_CENSUS_COLS = [
     "record_type", "record_id", "status", "method", "refers_to",
-    "body_chars", "n_malformed",
+    "charset", "body_chars", "n_malformed",
 ]
 _WARC_CENSUS_TYPES = {
     "status": "Int64", "body_chars": "Int64", "n_malformed": "int64"
@@ -778,6 +797,7 @@ def _warc_census_rows(recs: list[dict], bad: int) -> list[tuple]:
                 r.get("status"),
                 r.get("method"),
                 r.get("refers_to"),
+                r.get("charset"),
                 len(body) if body is not None else None,
                 bad,
             )

@@ -43,6 +43,8 @@ import gzip
 import io
 import zlib
 
+from ..functions.charset import charset_from_content_type, detect_and_decode
+
 CRLF = b"\r\n"
 
 
@@ -82,15 +84,17 @@ def _chunk_body(body: bytes, chunk_size: int = 13) -> bytes:
 def build_warc_response(
     record_id: str, target_uri: str, body: bytes,
     date: str = "2026-01-01T00:00:00Z", chunked: bool = False,
+    content_type: str = "text/plain; charset=utf-8",
 ) -> bytes:
     """One conformant WARC/1.0 response record (uncompressed).
     ``chunked=True`` stores the HTTP body in chunked transfer framing —
-    the wire shape crawls capture verbatim."""
+    the wire shape crawls capture verbatim. ``content_type`` carries
+    the charset declaration (or lack of one) the reader must honor."""
     if chunked:
         payload = _chunk_body(body)
         http = (
             b"HTTP/1.1 200 OK" + CRLF
-            + b"Content-Type: text/plain; charset=utf-8" + CRLF
+            + b"Content-Type: " + content_type.encode() + CRLF
             + b"Transfer-Encoding: chunked" + CRLF
             + CRLF
             + payload
@@ -98,7 +102,7 @@ def build_warc_response(
     else:
         http = (
             b"HTTP/1.1 200 OK" + CRLF
-            + b"Content-Type: text/plain; charset=utf-8" + CRLF
+            + b"Content-Type: " + content_type.encode() + CRLF
             + b"Content-Length: " + str(len(body)).encode() + CRLF
             + CRLF
             + body
@@ -285,6 +289,7 @@ def parse_warc(data: bytes) -> tuple[list[dict], int]:
                 "body": None,
                 "method": None,
                 "refers_to": None,
+                "charset": None,
             }
             wtype = rec["type"]
             if wtype in ("response", "revisit") and block[:5] == b"HTTP/":
@@ -317,7 +322,16 @@ def parse_warc(data: bytes) -> tuple[list[dict], int]:
                         if body is None:
                             bad += 1
                             continue
-                    rec["body"] = body.decode("utf-8", "replace")
+                    # charset ladder: BOM > declared (when it strictly
+                    # decodes) > strict UTF-8 > cp1252 — crawl text is
+                    # ~5-10% legacy encodings; hard-coded UTF-8 would
+                    # silently mojibake every such document
+                    declared = charset_from_content_type(
+                        hl.get(b"content-type", b"").decode("ascii", "replace")
+                    )
+                    rec["body"], rec["charset"] = detect_and_decode(
+                        body, declared
+                    )
             elif wtype == "request" and block.find(b" HTTP/") > 0:
                 req_line = block[: (block + CRLF).find(CRLF)]
                 parts = req_line.split(None, 2)

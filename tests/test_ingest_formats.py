@@ -267,6 +267,90 @@ def test_warc_mixed_record_types_and_chunked_bodies():
     assert bad == 1 and out == []
 
 
+def test_charset_detection_ladder():
+    """functions/charset.py: BOM beats declaration beats content
+    sniffing; a lying declaration falls through instead of mojibaking;
+    cp1252 terminates the ladder on any byte string."""
+    import codecs
+
+    from spark_streaming_kafka_bucket_counter_spark.functions.charset import (
+        charset_from_content_type,
+        detect_and_decode,
+    )
+
+    t = "héllo wörld — ünïcode"
+    # BOMs are definitive, regardless of declaration
+    assert detect_and_decode(codecs.BOM_UTF8 + t.encode("utf-8")) == (t, "utf-8")
+    assert detect_and_decode(
+        codecs.BOM_UTF16_LE + t.encode("utf-16-le"), "utf-8"
+    ) == (t, "utf-16")
+    assert detect_and_decode(
+        codecs.BOM_UTF16_BE + t.encode("utf-16-be")
+    ) == (t, "utf-16")
+    # declared charset wins when the bytes really decode under it
+    assert detect_and_decode(t.encode("cp1252"), "windows-1252") == (t, "cp1252")
+    assert detect_and_decode(t.encode("cp1252"), "ISO-8859-1")[1] == "cp1252"
+    # lying declaration: bytes are valid UTF-8 multibyte, declared
+    # cp1252 decodes them too (cp1252 rarely fails) — but a declared
+    # utf-8 over cp1252 bytes MUST fall through, not mojibake
+    legacy = t.encode("cp1252")
+    text, label = detect_and_decode(legacy, "utf-8")
+    assert (text, label) == (t, "cp1252")
+    # strict UTF-8 self-validation without any declaration
+    assert detect_and_decode(t.encode("utf-8")) == (t, "utf-8")
+    # undeclared legacy bytes land on the web default
+    assert detect_and_decode(legacy) == (t, "cp1252")
+    # empty and ASCII
+    assert detect_and_decode(b"") == ("", "utf-8")
+    assert detect_and_decode(b"plain ascii", "us-ascii") == ("plain ascii", "utf-8")
+    # every byte string terminates (cp1252's 5 unmapped bytes included)
+    text, label = detect_and_decode(bytes(range(256)))
+    assert label == "cp1252" and len(text) == 256
+    # Content-Type parsing
+    assert charset_from_content_type("text/html; charset=UTF-8") == "UTF-8"
+    assert charset_from_content_type('text/html; charset="utf-8"') == '"utf-8"'
+    assert charset_from_content_type("text/plain") is None
+    assert charset_from_content_type(None) is None
+
+
+def test_warc_charset_families_roundtrip():
+    """WARC responses in UTF-16 (BOM, undeclared) and declared cp1252
+    transcode back to the exact original text with the charset
+    surfaced — including a CHUNKED UTF-16 body (dechunk before
+    decode)."""
+    import codecs
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.warc import (
+        build_warc_response,
+        encode_warc,
+        parse_warc,
+    )
+
+    t16 = "utf-sixteen — émojis 🎉 and\nnewlines"
+    t1252 = "ascii only body"
+    recs = [
+        build_warc_response(
+            "urn:a", "http://c/a",
+            codecs.BOM_UTF16_LE + t16.encode("utf-16-le"),
+            content_type="text/plain",
+        ),
+        build_warc_response(
+            "urn:b", "http://c/b", t1252.encode("cp1252"),
+            content_type="text/plain; charset=windows-1252",
+        ),
+        build_warc_response(
+            "urn:c", "http://c/c",
+            codecs.BOM_UTF16_LE + t16.encode("utf-16-le"),
+            content_type="text/plain", chunked=True,
+        ),
+    ]
+    out, bad = parse_warc(encode_warc(recs))
+    assert bad == 0
+    assert (out[0]["body"], out[0]["charset"]) == (t16, "utf-16")
+    assert (out[1]["body"], out[1]["charset"]) == (t1252, "cp1252")
+    assert (out[2]["body"], out[2]["charset"]) == (t16, "utf-16")
+
+
 def test_warc_census_split_path_equals_whole_file(spark, tmp_path):
     """read_warc_records surfaces every record type through BOTH read
     paths (whole-file and splittable byte-range) identically."""
