@@ -69,6 +69,74 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def drop_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 12,
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """LINE-level global dedup (round 7) — the RefinedWeb/C4 boilerplate
+    cut that document-level dedup cannot make: cookie banners,
+    subscribe prompts, nav footers and license blocks repeat across
+    MILLIONS of otherwise-unique pages, and they survive page-level
+    near-dup while poisoning the training mix. Rule: a line of at least
+    ``min_chars`` characters occurring more than ``max_occurrences``
+    times across the corpus is removed from EVERY document; short lines
+    are exempt (list bullets and headings legitimately repeat).
+
+    Output per document: ``n_lines``, ``n_removed``, and ``text_clean``
+    (surviving lines rejoined in original order; empty when everything
+    was boilerplate). NULL text counts as one empty line and passes
+    through unchanged.
+
+    Scale shape: one groupBy shuffle on the line value builds the
+    corpus frequency table; the hot-line set that survives the HAVING
+    is boilerplate by definition — tiny relative to the corpus — so AQE
+    turns the exclusion join into a broadcast (not forced here: a
+    pathological corpus where most lines repeat must not OOM the
+    driver); reconstruction is one groupBy on the document id with an
+    ``array_sort`` on (position, line) structs restoring original
+    order. No Python anywhere."""
+    lines = df.select(
+        id_col,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    hot = (
+        lines.filter(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_n_occ"))
+        .filter(F.col("_n_occ") > max_occurrences)
+        .select("line", F.lit(1).alias("_hot"))
+    )
+    kept = (
+        lines.join(hot, "line", "left")
+        .filter(F.col("_hot").isNull())
+        .drop("_hot", "_n_occ")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def drop_duplicates_keep_best(
     df: DataFrame, id_col: str, text_col: str, score_col: str
 ) -> DataFrame:

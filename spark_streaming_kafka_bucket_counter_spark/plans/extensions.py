@@ -1207,6 +1207,82 @@ def q_ingest_warc_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_line_dedup",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+               || chr(10) || 'please accept our cookie policy to continue'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || 'subscribe to our newsletter for daily updates'
+                       ELSE '' END
+               || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+               || ' retains its own unique trailing line'
+               || chr(10) || 'ok' AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) AS pos
+      FROM src
+    ),
+    hot AS (
+      SELECT line FROM l WHERE length(line) >= 12
+      GROUP BY line HAVING COUNT(*) > 2
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM l LEFT JOIN hot USING (line) WHERE hot.line IS NULL
+    )
+    SELECT nl.doc_id,
+           CAST(nl.n_lines AS BIGINT) AS n_lines,
+           CAST(nl.n_lines - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.text_clean, '') AS text_clean
+    FROM (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id) nl
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
+                      string_agg(line, chr(10) ORDER BY pos) AS text_clean
+               FROM kept GROUP BY doc_id) k USING (doc_id)
+    """,
+)
+def q_curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level global dedup (round 7) — the RefinedWeb/C4 boilerplate
+    cut document-level dedup cannot make. Every doc gets a shared
+    cookie-banner line, half get a shared subscribe prompt, every doc
+    gets a unique long trailing line and a short shared 'ok' line; the
+    operator must remove exactly the corpus-hot long lines (>2
+    occurrences, >=12 chars) from every document while keeping unique
+    lines, short repeats, and ANY naturally repeated lines the corpus
+    itself contains — the oracle replays the full frequency
+    computation, not a formula, so nothing about the source text is
+    assumed. ``text_clean`` puts the exact reconstructed text (original
+    line order) under the hash gate. One line-frequency shuffle + one
+    AQE-broadcast exclusion join + one per-doc rebuild groupBy:
+    scale-safe at crawl size (see
+    :func:`operators.dedup.drop_repeated_lines`)."""
+    from ..operators.dedup import drop_repeated_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nplease accept our cookie policy to continue"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nsubscribe to our newsletter for daily updates"),
+            ).otherwise(F.lit("")),
+            F.lit("\ndoc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" retains its own unique trailing line"),
+            F.lit("\nok"),
+        ).alias("text"),
+    )
+    return drop_repeated_lines(
+        docs, "doc_id", "text", min_chars=12, max_occurrences=2
+    )
+
+
 @query("ingest_orc_roundtrip", _INGEST_ORACLE)
 def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-corpus ingest parity, ORC — the other columnar warehouse

@@ -745,6 +745,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_jpeg_progressive",  # r7: new SOF2 parity query
     "ingest_warc_record_types",  # r7: mixed-record-type WARC census
     "ingest_warc_charsets",  # r7: charset detection ladder under the oracle
+    "curation_line_dedup",  # r7: RefinedWeb-style line-level global dedup
 ]
 
 

@@ -91,6 +91,33 @@ def test_drop_contained_keeps_containers_and_clones_min_id(spark):
     assert kept == [2, 3]
 
 
+def test_drop_repeated_lines_rules(spark):
+    """Line-level global dedup edge rules: hot long lines removed from
+    every doc, short repeats exempt, unique lines and original order
+    preserved, all-boilerplate docs collapse to '', NULL text passes
+    through as one kept empty line."""
+    banner = "please accept our cookie policy right now"
+    rows = [
+        (1, f"alpha first\n{banner}\nalpha last"),
+        (2, f"{banner}\nbeta only line"),
+        (3, f"gamma one\ngamma two\n{banner}"),
+        (4, banner),  # all-boilerplate doc -> empty text_clean
+        (5, None),  # NULL -> one empty line, kept
+        (6, "ok\nok\nok\ndelta"),  # short repeats are exempt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["text_clean"])
+        for r in D.drop_repeated_lines(df, max_occurrences=2).collect()
+    }
+    assert out[1] == (3, 1, "alpha first\nalpha last")
+    assert out[2] == (2, 1, "beta only line")
+    assert out[3] == (3, 1, "gamma one\ngamma two")
+    assert out[4] == (1, 1, "")
+    assert out[5] == (1, 0, "")
+    assert out[6] == (4, 0, "ok\nok\nok\ndelta")
+
+
 def test_semantic_dedup_pairs_blocks_by_cell(spark):
     """Pairs only materialize within a centroid cell; near-identical
     vectors in the same cell score cosine ~1, cross-cell pairs never
