@@ -442,6 +442,86 @@ def adjacent_pair_counts_sql(table: str, text_col: str, top_n: int = 50) -> str:
 NFC_STATS_SCHEMA = "doc_id long, changed long, len_raw long, len_nfc long"
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style WITHIN-document repetition signals (round 7) — the
+    filter family the Gopher rules' length/stopword checks don't carry:
+    machine-generated and templated pages repeat themselves (the same
+    line pasted 50 times, one bigram dominating the text), and Gopher
+    (Rae et al., table A1) cuts on exactly these fractions. Emitted as
+    exact INTEGER numerators/denominators (engine-exact; consumers
+    divide):
+
+    - ``n_lines`` / ``dup_line_occ`` / ``dup_line_chars`` — line count,
+      occurrences beyond each line's first, and the characters those
+      duplicate occurrences cover ("duplicate line fraction" and
+      "duplicate line character fraction").
+    - ``n_bigrams`` / ``top_bigram_occ`` — word-bigram count and the
+      occurrence count of the most frequent bigram ("top 2-gram
+      fraction").
+
+    Scale shape: two groupBy ladders, each keyed (doc, unit) then doc —
+    partial aggregation does the heavy lifting map-side; no Python.
+    NULL text is one empty line and zero bigrams."""
+    from ..functions.text import tokens
+
+    lines = df.select(
+        id_col,
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("_c"), F.length("line").alias("_len")
+    )
+    line_agg = per_line.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_lines"),
+        F.sum(F.col("_c") - 1).cast("long").alias("dup_line_occ"),
+        F.sum((F.col("_c") - 1) * F.col("_len"))
+        .cast("long")
+        .alias("dup_line_chars"),
+    )
+    # materialize the token array once: an inline tokens() expression
+    # re-tokenizes per element_at reference (see rolling_fingerprint)
+    with_tok = df.select(
+        id_col, tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_tok")
+    )
+    tok = F.col("_tok")
+    # NB sequence(1, 0) would DESCEND ([1, 0]) — guard short docs explicitly
+    bigrams = with_tok.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(tok) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(tok, i.cast("int")),
+                        F.element_at(tok, (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("_c"))
+    bg_agg = per_bg.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_bigrams"),
+        F.max("_c").cast("long").alias("top_bigram_occ"),
+    )
+    return line_agg.join(bg_agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_occ",
+        "dup_line_chars",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_occ"), F.lit(0))
+        .cast("long")
+        .alias("top_bigram_occ"),
+    )
+
+
 def nfc_normalize_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Unicode NFC normalization audit — the curation step that catches
     canonically-equivalent duplicate text exact dedup misses: the same

@@ -1283,6 +1283,80 @@ def q_curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_repetition_signals",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+               || CASE WHEN doc_id % 6 = 3
+                       THEN repeat(chr(10) || 'repeated filler line for spam', 4)
+                       ELSE '' END AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM src
+    ),
+    pl AS (
+      SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+      FROM l GROUP BY doc_id, line
+    ),
+    la AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+             CAST(SUM(c - 1) AS BIGINT) AS dup_line_occ,
+             CAST(SUM((c - 1) * len) AS BIGINT) AS dup_line_chars
+      FROM pl GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(ls) >= 2
+                    THEN list_transform(generate_series(1, len(ls) - 1),
+                                        i -> ls[i] || ' ' || ls[i + 1])
+                    ELSE [] END) AS b
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(t), '\\s+'),
+                               x -> x <> '') AS ls
+            FROM src)
+    ),
+    pb AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    ba AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_occ
+      FROM pb GROUP BY doc_id
+    )
+    SELECT la.doc_id, la.n_lines, la.dup_line_occ, la.dup_line_chars,
+           CAST(COALESCE(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(ba.top_bigram_occ, 0) AS BIGINT) AS top_bigram_occ
+    FROM la LEFT JOIN ba USING (doc_id)
+    """,
+)
+def q_quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (round 7):
+    duplicate-line occurrence/character counts and top-bigram dominance
+    — the filters that catch machine-generated and templated spam pages
+    the length/stopword rules miss. Every sixth doc gets four copies of
+    a filler line appended so the duplicate-line path provably fires;
+    everything else measures the corpus text as-is, and the oracle
+    REPLAYS the full per-doc frequency computation (lines and word
+    bigrams) rather than assuming anything about the text. Exact
+    integer numerators/denominators only — no float ratio crosses the
+    engine boundary. Two (doc, unit)->doc groupBy ladders with map-side
+    partial aggregation; no Python."""
+    from ..operators.curation import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 3,
+                F.expr("repeat('\nrepeated filler line for spam', 4)"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return repetition_signals(docs)
+
+
 @query("ingest_orc_roundtrip", _INGEST_ORACLE)
 def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-corpus ingest parity, ORC — the other columnar warehouse

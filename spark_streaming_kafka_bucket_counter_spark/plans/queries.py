@@ -746,6 +746,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ingest_warc_record_types",  # r7: mixed-record-type WARC census
     "ingest_warc_charsets",  # r7: charset detection ladder under the oracle
     "curation_line_dedup",  # r7: RefinedWeb-style line-level global dedup
+    "quality_repetition_signals",  # r7: Gopher within-doc repetition filters
 ]
 
 

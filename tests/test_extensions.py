@@ -118,6 +118,35 @@ def test_drop_repeated_lines_rules(spark):
     assert out[6] == (4, 0, "ok\nok\nok\ndelta")
 
 
+def test_repetition_signals_rules(spark):
+    """Gopher repetition counters: duplicate-line occurrences/chars,
+    bigram totals + top frequency, short/NULL edge rows."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.curation import (
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "spam line\nspam line\nspam line\nunique"),
+        (2, "go go go go"),  # top bigram 'go go' x3
+        (3, "one"),  # single token: zero bigrams
+        (4, None),
+        (5, "a b\nc d"),  # newline separates tokens too (\\s+)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["n_lines"], r["dup_line_occ"], r["dup_line_chars"],
+            r["n_bigrams"], r["top_bigram_occ"],
+        )
+        for r in repetition_signals(df).collect()
+    }
+    assert out[1] == (4, 2, 18, 6, 3)  # 7 tokens -> 6 bigrams, 'spam line' x3
+    assert out[2] == (1, 0, 0, 3, 3)
+    assert out[3] == (1, 0, 0, 0, 0)
+    assert out[4] == (1, 0, 0, 0, 0)
+    assert out[5] == (2, 0, 0, 3, 1)  # 'b c' spans the newline
+
+
 def test_semantic_dedup_pairs_blocks_by_cell(spark):
     """Pairs only materialize within a centroid cell; near-identical
     vectors in the same cell score cosine ~1, cross-cell pairs never
