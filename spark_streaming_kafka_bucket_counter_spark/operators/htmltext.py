@@ -87,8 +87,97 @@ def synthesize_html(doc_id: int, text: str | None) -> str:
         f"<h1><b>Doc</b> {doc_id}</h1>"
         f"{paras}"
         "<!-- build marker <p>not content</p> -->"
-        f"<div class=\"nav\">menu item {doc_id} &copy;</div>"
+        # links live OUTSIDE content tags: the text extractor must drop
+        # them (nav boilerplate) while the link extractor reads them —
+        # one relative messy href (urljoin + canonicalization under
+        # test) and one absolute cross-host href
+        f"<div class=\"nav\">menu item {doc_id} &copy;"
+        f"<a href=\"/doc/{(doc_id * 3 + 1) % 1000}?utm_source=track&amp;b=2#frag\">"
+        f"next {doc_id}</a>"
+        f"<a href=\"HTTP://Other.EXAMPLE:80/doc/{doc_id % 50}/\">other</a>"
+        "</div>"
         "</body></html>"
+    )
+
+
+class _LinkExtractor(HTMLParser):
+    """Collect ``(href, anchor_text)`` pairs; anchor text merges nested
+    inline children, script/style subtrees contribute nothing."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+        elif tag == "a" and self._skip == 0:
+            href = dict(attrs).get("href")
+            if href:
+                self._href = href
+                self._buf = []
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag == "a" and self._href is not None:
+            self.links.append((self._href, "".join(self._buf)))
+            self._href = None
+
+    def handle_data(self, data):
+        if self._href is not None and self._skip == 0:
+            self._buf.append(data)
+
+
+def extract_links(html_doc: str, base_url: str) -> list[tuple[str, str]]:
+    """One page -> ``[(absolute_url, anchor_text)]``: hrefs resolved
+    against ``base_url`` (crawl pages link relatively far more often
+    than absolutely), in document order."""
+    from urllib.parse import urljoin
+
+    ex = _LinkExtractor()
+    try:
+        ex.feed(html_doc)
+        ex.close()
+    except Exception:
+        pass  # dirty crawl HTML: keep whatever parsed
+    out = []
+    for href, anchor in ex.links:
+        try:
+            out.append((urljoin(base_url, href), anchor))
+        except ValueError:
+            continue  # unresolvable href: not an edge
+    return out
+
+
+def html_links(df: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> raw outlink edges ``(doc_id, href,
+    anchor)`` by synthesizing each page and running the link extractor
+    over it — the crawl-frontier/link-graph feed (every doc's page URL
+    is its base for relative resolution). Raw hrefs only: URL
+    canonicalization happens downstream in whole-stage codegen
+    (:func:`functions.text.canonicalize_url`), keeping the Python stage
+    minimal. One Arrow stage, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                txt = None if txt is None or txt is pd.NA else str(txt)
+                page = synthesize_html(did, txt)
+                base = f"http://corpus.invalid/doc/{did}"
+                for url, anchor in extract_links(page, base):
+                    rows.append((did, url, anchor))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "href", "anchor"]
+            ).astype({"doc_id": "int64"})
+
+    return df.select("doc_id", "text").mapInPandas(
+        _run, "doc_id long, href string, anchor string"
     )
 
 

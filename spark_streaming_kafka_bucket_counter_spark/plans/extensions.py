@@ -1357,6 +1357,56 @@ def q_quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs)
 
 
+@query(
+    "web_link_graph",
+    """
+    SELECT doc_id AS src,
+           'http://corpus.invalid/doc/' || CAST((doc_id * 3 + 1) % 1000 AS VARCHAR)
+             || '?b=2' AS dst,
+           'next ' || CAST(doc_id AS VARCHAR) AS anchor,
+           CAST(1 AS BIGINT) AS is_internal
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'http://other.example/doc/' || CAST(doc_id % 50 AS VARCHAR),
+           'other',
+           CAST(0 AS BIGINT)
+    FROM documents
+    """,
+)
+def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction -> canonical link graph (round 7): every
+    document's synthesized page carries one RELATIVE messy link
+    (query junk + utm + fragment, resolved against the page's own URL
+    via urljoin) and one absolute cross-host link (case-shifted scheme/
+    host, explicit default port, trailing slash); the extractor must
+    recover href + anchor text from the nav markup the TEXT extractor
+    drops, and the canonicalizer (whole-stage codegen, shared with
+    ``web_url_dedup``) must normalize both into the exact canonical
+    URLs the oracle replays from id arithmetic. ``is_internal``
+    (same-host flag — the crawl-frontier routing decision) comes from
+    ``parse_url(HOST)`` on both sides of the edge. This is the feed the
+    PageRank/CC/LPA graph family consumes — closing the loop from raw
+    HTML to link graph. One Arrow extract stage + codegen
+    normalization, no shuffle."""
+    from ..functions.text import canonicalize_url
+    from ..operators.htmltext import html_links
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = html_links(docs)
+    base_host = F.lit("corpus.invalid")
+    return edges.select(
+        F.col("doc_id").alias("src"),
+        canonicalize_url(F.col("href")).alias("dst"),
+        F.col("anchor"),
+        (
+            F.lower(F.try_parse_url(F.col("href"), F.lit("HOST"))) == base_host
+        )
+        .cast("long")
+        .alias("is_internal"),
+    )
+
+
 @query("ingest_orc_roundtrip", _INGEST_ORACLE)
 def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-corpus ingest parity, ORC — the other columnar warehouse

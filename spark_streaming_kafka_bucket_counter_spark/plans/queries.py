@@ -747,6 +747,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ingest_warc_charsets",  # r7: charset detection ladder under the oracle
     "curation_line_dedup",  # r7: RefinedWeb-style line-level global dedup
     "quality_repetition_signals",  # r7: Gopher within-doc repetition filters
+    "web_link_graph",  # r7: HTML outlink extraction -> canonical link graph
 ]
 
 

@@ -515,6 +515,42 @@ def test_html_extraction_contract_property():
     check()
 
 
+def test_html_link_extraction_rules():
+    """Outlink extraction: relative hrefs resolve against the base,
+    anchor text merges nested inline tags, script-subtree links are
+    dropped, href-less anchors skipped, dirty HTML never raises."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.htmltext import (
+        extract_links,
+        synthesize_html,
+    )
+
+    page = (
+        "<html><body>"
+        '<a href="/rel/path?q=1#f">go <b>deep</b> now</a>'
+        '<a href="http://abs.example/x">abs</a>'
+        "<a>no href</a>"
+        '<script>var s = \'<a href="/fake">js</a>\';</script>'
+        '<a href="../up">up</a>'
+        "</body></html>"
+    )
+    got = extract_links(page, "http://host.example/dir/page")
+    assert got == [
+        ("http://host.example/rel/path?q=1#f", "go deep now"),
+        ("http://abs.example/x", "abs"),
+        ("http://host.example/up", "up"),
+    ]
+    # the synthesized page exposes exactly the two formula links
+    links = extract_links(synthesize_html(7, "body"), "http://corpus.invalid/doc/7")
+    assert links == [
+        ("http://corpus.invalid/doc/22?utm_source=track&b=2#frag", "next 7"),
+        # urljoin lowercases the scheme of absolute hrefs; the host case
+        # and default port survive for the canonicalizer to normalize
+        ("http://Other.EXAMPLE:80/doc/7/", "other"),
+    ]
+    # dirty input: no exception, list result
+    assert isinstance(extract_links("<a href=" , "http://h/"), list)
+
+
 def test_html_extractor_drops_boilerplate_and_survives_dirt():
     from spark_streaming_kafka_bucket_counter_spark.operators.htmltext import (
         extract_main_text,
