@@ -93,10 +93,10 @@ def _session_memory_mb() -> dict[str, int]:
 # legitimately grows the session (say why in SCALE.md). The guard trips
 # at +25% — the "session caches grew past what the catalog budgeted"
 # signal, enforced only on full runs over the standard driver dataset.
-# Recorded r7 (177-query catalog, 0 mismatches, 251s): python 685 MiB,
-# jvm 3181 MiB.
+# Recorded r7 (181-query catalog, 0 mismatches, 313s): python 677-685
+# MiB, jvm 3181-3233 MiB over two full passes; the larger of each kept.
 _MEM_HWM_MB = {
-    "/root/testdata/sf0.01": {"python_peak_mb": 685, "jvm_peak_mb": 3181}
+    "/root/testdata/sf0.01": {"python_peak_mb": 685, "jvm_peak_mb": 3233}
 }
 
 
