@@ -98,23 +98,39 @@ def drop_repeated_lines(
     driver); reconstruction is one groupBy on the document id with an
     ``array_sort`` on (position, line) structs restoring original
     order. No Python anywhere."""
-    lines = df.select(
-        id_col,
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-        ).alias("pos", "line"),
-    )
+    lines = doc_lines(df, id_col, text_col)
     hot = (
         lines.filter(F.length("line") >= min_chars)
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("_n_occ"))
         .filter(F.col("_n_occ") > max_occurrences)
-        .select("line", F.lit(1).alias("_hot"))
+        .select("line")
     )
+    return rebuild_without_lines(lines, hot, id_col)
+
+
+def doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, pos, line)`` rows — NULL text is one empty line."""
+    return df.select(
+        id_col,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+
+
+def rebuild_without_lines(
+    lines: DataFrame, hot: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every occurrence of the ``hot`` line set from the exploded
+    ``(id, pos, line)`` rows and rebuild per-doc text in original order
+    (shared by the batch operator and the streaming ingest loop, whose
+    hot set comes from the cumulative persisted segments instead of the
+    input itself)."""
     kept = (
-        lines.join(hot, "line", "left")
+        lines.join(hot.select("line", F.lit(1).alias("_hot")), "line", "left")
         .filter(F.col("_hot").isNull())
-        .drop("_hot", "_n_occ")
+        .drop("_hot")
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n_kept"),

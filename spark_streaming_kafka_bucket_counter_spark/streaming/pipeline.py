@@ -490,6 +490,94 @@ def start_search_index_ingest(
     return writer.start()
 
 
+def start_line_dedup_ingest(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    min_chars: int = 12,
+    max_occurrences: int = 2,
+    available_now: bool = True,
+    compact_every: int = 0,
+) -> StreamingQuery:
+    """The fourth streaming ingest loop (round 7): LINE-level global
+    dedup — the RefinedWeb/C4 boilerplate cut — as a continuous
+    pipeline. Per micro-batch: (1) the batch's line-frequency table
+    lands as its own ``batch_id=`` SEGMENT (dynamic partition
+    overwrite, so a crash-replayed batch REPLACES its counts —
+    frequencies are additive like BM25 stats, so a duplicated segment
+    would silently over-trigger removals; replace-on-replay closes
+    that, same discipline as ``start_search_index_ingest``); (2) the
+    corpus-hot line set is the additive total over ALL segments
+    INCLUDING this one; (3) the batch's documents are rebuilt without
+    the hot lines and appended to the curated table under their batch
+    partition (idempotent under replay, since the hot set derives from
+    the already-replaced segment).
+
+    Streaming semantics, stated honestly: a line is removed from
+    documents arriving in or after the micro-batch where its cumulative
+    count crossed ``max_occurrences``; earlier documents already landed
+    with it (re-cleaning history is a batch backfill with
+    ``drop_repeated_lines``, not a streaming concern). The first batch
+    therefore behaves exactly like the batch operator.
+
+    Scale shape per batch: one groupBy on the batch's lines, one
+    additive aggregate over the segment tree (term-partitioned growth —
+    segment count equals batch count, same growth honesty note as the
+    BM25 loop), one exclusion join whose hot side is boilerplate-sized
+    (AQE broadcasts it), one per-doc rebuild. ``compact_every=N``
+    compacts segment leaves every N batches."""
+    import os as _os
+
+    from ..operators.dedup import doc_lines, rebuild_without_lines
+
+    counts_path = _os.path.join(index_path, "line_counts")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # footerless-write guard, as in the peers
+            return
+        spark = batch_df.sparkSession
+        lines = doc_lines(batch_df, id_col, text_col)
+        (
+            lines.filter(F.length("line") >= min_chars)
+            .groupBy("line")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counts_path)
+        )
+        hot = (
+            spark.read.parquet(counts_path)
+            .groupBy("line")
+            .agg(F.sum("n_occ").alias("_total"))
+            .filter(F.col("_total") > max_occurrences)
+            .select("line")
+        )
+        cleaned = rebuild_without_lines(lines, hot, id_col)
+        (
+            cleaned.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+            from ..sources.files import compact_parquet_tree
+
+            compact_parquet_tree(spark, counts_path)
+
+    writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

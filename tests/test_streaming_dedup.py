@@ -602,3 +602,82 @@ def test_search_index_ingest_replay_is_idempotent(spark, tmp_path):
 
     n = spark.read.parquet(f"{idx}/stats").agg(F2.sum("_N")).collect()[0][0]
     assert n == 2
+
+
+def test_line_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    """The fourth ingest loop: batch 1's within-batch hot line (3
+    copies) is removed immediately; a line at exactly the threshold (2
+    copies) survives batch 1 but is removed from the batch-2 doc whose
+    arrival pushes the cumulative count over it — while the already-
+    landed batch-1 docs keep it (stream semantics, stated in the
+    docstring)."""
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_line_dedup_ingest,
+    )
+
+    banner = "please accept our cookie policy today"  # >= 12 chars
+    spam = "repeated spam filler line for batch one"
+    b1 = [
+        {"doc_id": 1, "text": f"alpha body\n{banner}\n{spam}"},
+        {"doc_id": 2, "text": f"{banner}\nbeta body\n{spam}"},
+        {"doc_id": 3, "text": f"gamma body\n{spam}"},
+    ]
+    # banner count after batch 1 = 2 (== max_occurrences: NOT hot yet);
+    # spam count = 3 (> 2: hot within its own batch)
+    b2 = [
+        {"doc_id": 10, "text": f"{banner}\ndelta body"},  # pushes banner to 3
+        {"doc_id": 11, "text": "epsilon body only"},
+    ]
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    f1, f2 = src / "a.json", src / "b.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    idx = str(tmp_path / "lidx")
+    out = str(tmp_path / "lout")
+    ck = str(tmp_path / "lck")
+    q = start_line_dedup_ingest(_stream(), "doc_id", "text", idx, out, ck)
+    assert q.awaitTermination(300)
+
+    got = {
+        r["doc_id"]: (r["batch_id"], r["n_removed"], r["text_clean"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1] == (0, 1, f"alpha body\n{banner}")
+    assert got[2] == (0, 1, f"{banner}\nbeta body")
+    assert got[3] == (0, 1, "gamma body")
+    assert got[10] == (1, 1, "delta body")  # banner turned hot on arrival
+    assert got[11] == (1, 0, "epsilon body only")
+
+    # replay idempotence: crash after batch 1's writes, before commit
+    os.remove(os.path.join(ck, "commits", "1"))
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start_line_dedup_ingest(_stream(), "doc_id", "text", idx, out, ck)
+    assert q2.awaitTermination(300)
+    replayed = {
+        r["doc_id"]: (r["batch_id"], r["n_removed"], r["text_clean"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert replayed == got  # segment + output both replaced, not doubled
+    # and the counts table holds each batch's segment exactly once
+    counts = (
+        spark.read.parquet(os.path.join(idx, "line_counts"))
+        .groupBy("line")
+        .sum("n_occ")
+        .collect()
+    )
+    totals = {r["line"]: r["sum(n_occ)"] for r in counts}
+    assert totals[banner] == 3 and totals[spam] == 3
