@@ -1,11 +1,12 @@
-"""Streaming-ingest triad SOAK (r6 VERDICT ask #7): the three loops —
-near-dup LSH, semantic IVF, BM25 segments — run TOGETHER in one session
-over dozens of micro-batches with compaction enabled at three different
+"""Streaming-ingest SOAK (r6 VERDICT ask #7): the four loops —
+near-dup LSH, semantic IVF, BM25 segments, line-level dedup — run
+TOGETHER in one session
+over dozens of micro-batches with compaction enabled at four different
 cadences, concurrent serving-store queries hammering each live index
 from reader threads, a mid-run simulated crash (checkpoint commit
 removed on every loop at once), and a restart that must replay
 idempotently. Each loop's behavior is individually pytest-pinned
-elsewhere; this exercises the COMPOSITION — shared session, three
+elsewhere; this exercises the COMPOSITION — shared session, four
 checkpoints, index compaction under read load — which is where
 production breaks.
 
@@ -107,6 +108,7 @@ def test_streaming_triad_soak(spark, tmp_path):
     from spark_streaming_kafka_bucket_counter_spark.operators.search import bm25_query_index
     from spark_streaming_kafka_bucket_counter_spark.operators.similarity import ivf_query_index
     from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_line_dedup_ingest,
         start_near_dup_ingest,
         start_search_index_ingest,
         start_semantic_dedup_ingest,
@@ -141,6 +143,9 @@ def test_streaming_triad_soak(spark, tmp_path):
     ivf_ck = str(tmp_path / "ivf_ck")
     bm_idx = str(tmp_path / "bm_idx")
     bm_ck = str(tmp_path / "bm_ck")
+    ld_idx = str(tmp_path / "ld_idx")
+    ld_out = str(tmp_path / "ld_out")
+    ld_ck = str(tmp_path / "ld_ck")
 
     def _doc_stream():
         return (
@@ -157,8 +162,8 @@ def test_streaming_triad_soak(spark, tmp_path):
         )
 
     def _start_all():
-        # three loops, three checkpoints, one session; compaction at
-        # three DIFFERENT cadences so swaps interleave with queries
+        # four loops, four checkpoints, one session; compaction at
+        # four DIFFERENT cadences so swaps interleave with queries
         q1 = start_near_dup_ingest(
             _doc_stream(), "doc_id", "text", lsh_idx, lsh_out, lsh_ck,
             compact_every=3,
@@ -170,9 +175,13 @@ def test_streaming_triad_soak(spark, tmp_path):
         q3 = start_search_index_ingest(
             _doc_stream(), "doc_id", "text", bm_idx, bm_ck, compact_every=5
         )
-        return [q1, q2, q3]
+        q4 = start_line_dedup_ingest(
+            _doc_stream(), "doc_id", "text", ld_idx, ld_out, ld_ck,
+            compact_every=6,
+        )
+        return [q1, q2, q3, q4]
 
-    # ---- phase 1: first half, all three live, readers hammering ----
+    # ---- phase 1: first half, all four live, readers hammering ----
     queries = _start_all()
     probe_doc = spark.createDataFrame(
         [(9_000_000, _doc_text(1))], "doc_id long, text string"
@@ -184,6 +193,9 @@ def test_streaming_triad_soak(spark, tmp_path):
         _Reader("lsh", lambda: lsh_query_index(spark, lsh_idx, probe_doc, "doc_id", "text").collect()),
         _Reader("ivf", lambda: ivf_query_index(spark, ivf_idx, probe_vec, "vec_id", "embedding", top_k=1).collect()),
         _Reader("bm25", lambda: bm25_query_index(spark, bm_idx, ["tok5x0", "tok5x1"], top_k=1).collect()),
+        _Reader("linecounts", lambda: spark.read.parquet(
+            os.path.join(ld_idx, "line_counts")
+        ).groupBy().sum("n_occ").collect()),
     ]
     # give each loop a head start so the indexes exist before readers poll
     time.sleep(5)
@@ -192,8 +204,8 @@ def test_streaming_triad_soak(spark, tmp_path):
     for q in queries:
         assert q.awaitTermination(1200)
 
-    # ---- simulated crash on ALL THREE checkpoints at once ----
-    for ck in (lsh_ck, ivf_ck, bm_ck):
+    # ---- simulated crash on ALL FOUR checkpoints at once ----
+    for ck in (lsh_ck, ivf_ck, bm_ck, ld_ck):
         _kill_last_commit(ck)
 
     # ---- phase 2: second half lands, restart replays + continues ----
@@ -215,6 +227,17 @@ def test_streaming_triad_soak(spark, tmp_path):
     curated_v = spark.read.parquet(ivf_out).collect()
     got_vecs = sorted(r["vec_id"] for r in curated_v)
     assert got_vecs == list(range(n_ids)), "IVF curated rows: exactly-once"
+    cleaned = spark.read.parquet(ld_out).collect()
+    got_ld = sorted(r["doc_id"] for r in cleaned)
+    assert got_ld == list(range(n_ids)), "line-dedup rows: exactly-once"
+    # all lines are doc-unique here: nothing may be removed, and the
+    # replayed batch's count segment must have been REPLACED not doubled
+    assert all(r["n_removed"] == 0 for r in cleaned)
+    seg_tot = (
+        spark.read.parquet(os.path.join(ld_idx, "line_counts"))
+        .groupBy("line").sum("n_occ").collect()
+    )
+    assert all(r["sum(n_occ)"] == 1 for r in seg_tot)
 
     # serving answers are exact after the dust settles
     hits = lsh_query_index(spark, lsh_idx, probe_doc, "doc_id", "text").collect()
