@@ -737,17 +737,10 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green driver row; recompute the diff each round
 # (tests/test_bench_contract.py pins the list against going stale).
 _DRIVER_PRIORITY: list[str] = [
-    # emptied after the r06 driver run landed (every round-6 addition got
-    # its green row in CORRECTNESS_r06.json; union r01..r06 covers the
-    # whole 175-query catalog). Round-7 entries below need their first
-    # green driver row:
-    "multimodal_jpeg_stats",  # r7: grew its integer-exact partial oracle
-    "multimodal_jpeg_progressive",  # r7: new SOF2 parity query
-    "ingest_warc_record_types",  # r7: mixed-record-type WARC census
-    "ingest_warc_charsets",  # r7: charset detection ladder under the oracle
-    "curation_line_dedup",  # r7: RefinedWeb-style line-level global dedup
-    "quality_repetition_signals",  # r7: Gopher within-doc repetition filters
-    "web_link_graph",  # r7: HTML outlink extraction -> canonical link graph
+    # emptied after the r07 driver run landed (every round-7 addition got
+    # its green row in CORRECTNESS_r07.json; union r01..r07 covers the
+    # whole 181-query catalog). Round-8 additions go here until their
+    # first green driver row.
 ]
 
 
