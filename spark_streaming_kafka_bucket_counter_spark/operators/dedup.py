@@ -916,16 +916,19 @@ def lsh_build_index(
     banded = _minhash_banded(sh, num_hashes, bands)
     from pathlib import Path
 
+    from ..sources.manifest import manifest_txn
+
     bkb = (F.conv(F.substring("bk", 1, 2), 16, 10) % F.lit(LSH_INDEX_BUCKETS)).cast(
         "int"
     )
-    (
-        banded.withColumn("bkb", bkb)
-        .write.mode("overwrite")
-        .partitionBy("band", "bkb")
-        .parquet(str(Path(path) / "bands"))
-    )
-    sh.write.mode("overwrite").parquet(str(Path(path) / "shingles"))
+    with manifest_txn(path):
+        (
+            banded.withColumn("bkb", bkb)
+            .write.mode("overwrite")
+            .partitionBy("band", "bkb")
+            .parquet(str(Path(path) / "bands"))
+        )
+        sh.write.mode("overwrite").parquet(str(Path(path) / "shingles"))
     sh.unpersist()
 
 
@@ -949,15 +952,19 @@ def lsh_query_index(
     only matching partitions are read; the snapshot shingle file is
     touched only for docs that banded with the batch.
     """
-    from pathlib import Path
+    from ..sources.manifest import latest_manifest, manifest_read
 
     sh_inc = doc_shingles(incoming, id_col, text_col, k, max_shingle_freq).persist()
     b_inc = _minhash_banded(sh_inc, num_hashes, bands).withColumn(
         "bkb",
         (F.conv(F.substring("bk", 1, 2), 16, 10) % F.lit(LSH_INDEX_BUCKETS)).cast("int"),
     )
-    b_snap = spark.read.parquet(str(Path(path) / "bands"))
-    sh_snap = spark.read.parquet(str(Path(path) / "shingles"))
+    # one snapshot pins BOTH subtrees: bands and shingles from the same
+    # manifest generation, and a concurrent compaction/append can't
+    # yank a planned file (retired files outlive readers' grace window)
+    snap = latest_manifest(path)
+    b_snap = manifest_read(spark, path, "bands", snapshot=snap)
+    sh_snap = manifest_read(spark, path, "shingles", snapshot=snap)
     candidates = (
         b_inc.select(F.col("doc").alias("inc_doc"), "band", "bkb", "bk")
         .join(
@@ -1092,11 +1099,14 @@ def lsh_append_index(
     bkb = (F.conv(F.substring("bk", 1, 2), 16, 10) % F.lit(LSH_INDEX_BUCKETS)).cast(
         "int"
     )
-    (
-        banded.withColumn("bkb", bkb)
-        .write.mode("append")
-        .partitionBy("band", "bkb")
-        .parquet(str(Path(path) / "bands"))
-    )
-    sh.write.mode("append").parquet(str(Path(path) / "shingles"))
+    from ..sources.manifest import manifest_txn
+
+    with manifest_txn(path):
+        (
+            banded.withColumn("bkb", bkb)
+            .write.mode("append")
+            .partitionBy("band", "bkb")
+            .parquet(str(Path(path) / "bands"))
+        )
+        sh.write.mode("append").parquet(str(Path(path) / "shingles"))
     sh.unpersist()

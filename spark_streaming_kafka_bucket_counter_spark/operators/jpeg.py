@@ -354,7 +354,7 @@ def encode_jpeg_baseline(
 # ---------------------------------------------------------------------------
 
 
-def _enc_scan_dc_first(comps, sampling, mcux, mcuy, al) -> bytes:
+def _enc_scan_dc_first_scalar(comps, sampling, mcux, mcuy, al) -> bytes:
     bw = _BitWriter()
     preds = [0] * len(comps)
     for my in range(mcuy):
@@ -379,7 +379,7 @@ def _enc_scan_dc_first(comps, sampling, mcux, mcuy, al) -> bytes:
     return bytes(bw.out)
 
 
-def _enc_scan_dc_refine(comps, sampling, mcux, mcuy, al) -> bytes:
+def _enc_scan_dc_refine_scalar(comps, sampling, mcux, mcuy, al) -> bytes:
     bw = _BitWriter()
     for my in range(mcuy):
         for mx in range(mcux):
@@ -393,7 +393,7 @@ def _enc_scan_dc_refine(comps, sampling, mcux, mcuy, al) -> bytes:
     return bytes(bw.out)
 
 
-def _enc_scan_ac_first(carr, gw, gh, ss, se, al) -> bytes:
+def _enc_scan_ac_first_scalar(carr, gw, gh, ss, se, al) -> bytes:
     bw = _BitWriter()
     for by in range(gh):
         for bx in range(gw):
@@ -423,7 +423,7 @@ def _enc_scan_ac_first(carr, gw, gh, ss, se, al) -> bytes:
     return bytes(bw.out)
 
 
-def _enc_scan_ac_refine(carr, gw, gh, ss, se, al) -> bytes:
+def _enc_scan_ac_refine_scalar(carr, gw, gh, ss, se, al) -> bytes:
     bw = _BitWriter()
     for by in range(gh):
         for bx in range(gw):
@@ -473,9 +473,248 @@ def _enc_scan_ac_refine(carr, gw, gh, ss, se, al) -> bytes:
     return bytes(bw.out)
 
 
+# -- vectorized progressive scan encoders (r8) ------------------------------
+#
+# Same LUT/batched recipe that vectorized the r7 entropy DECODE: the
+# per-block/per-coefficient Python loops above are retained as the
+# scalar reference (``*_scalar``) and pinned byte-exact against these;
+# the fast path builds (value, nbits) FIELD ARRAYS with numpy and packs
+# them in one shot (broadcasted bit expansion -> np.packbits -> C-speed
+# FF00 stuffing). Emission order is reproduced exactly — interleaved
+# MCU order for DC scans, block-raster nonzero walk for AC — so the
+# output stream is bit-identical, not just decode-equivalent.
+
+_BITLEN_POW2 = np.array([1 << i for i in range(32)], dtype=np.int64)
+
+
+def _enc_luts():
+    """(code, length) dict tables -> dense numpy LUTs, built lazily so
+    table edits stay single-sourced."""
+    global _DC_CODE_LUT, _DC_LEN_LUT, _AC_CODE_LUT, _AC_LEN_LUT
+    try:
+        return _DC_CODE_LUT, _DC_LEN_LUT, _AC_CODE_LUT, _AC_LEN_LUT
+    except NameError:
+        pass
+    _DC_CODE_LUT = np.zeros(16, dtype=np.int64)
+    _DC_LEN_LUT = np.zeros(16, dtype=np.int64)
+    for sym, (code, ln) in _DC_ENC.items():
+        _DC_CODE_LUT[sym], _DC_LEN_LUT[sym] = code, ln
+    _AC_CODE_LUT = np.zeros(256, dtype=np.int64)
+    _AC_LEN_LUT = np.zeros(256, dtype=np.int64)
+    for sym, (code, ln) in _AC_ENC.items():
+        _AC_CODE_LUT[sym], _AC_LEN_LUT[sym] = code, ln
+    return _DC_CODE_LUT, _DC_LEN_LUT, _AC_CODE_LUT, _AC_LEN_LUT
+
+
+def _bitlen_arr(v: np.ndarray) -> np.ndarray:
+    """Elementwise int.bit_length for nonnegative int64 (values are
+    bounded by the 15-bit JPEG coefficient range)."""
+    return np.searchsorted(_BITLEN_POW2, v, side="right").astype(np.int64)
+
+
+def _pack_fields(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Pack (value, nbits) fields MSB-first into the entropy segment:
+    1-pad to a byte boundary, FF00 byte stuffing. Zero-length fields
+    contribute nothing (callers emit them freely instead of filtering).
+    """
+    if vals.size == 0:
+        return b""
+    lmax = int(lens.max())
+    if lmax == 0:
+        return b""
+    shifts = lens[:, None] - 1 - np.arange(lmax, dtype=np.int64)[None, :]
+    keep = shifts >= 0
+    bits = (vals[:, None] >> np.maximum(shifts, 0)) & 1
+    stream = bits[keep].astype(np.uint8)  # row-major: field order kept
+    pad = (-stream.size) % 8
+    if pad:
+        stream = np.concatenate([stream, np.ones(pad, dtype=np.uint8)])
+    return np.packbits(stream).tobytes().replace(b"\xff", b"\xff\x00")
+
+
+def _dc_visit_order(comps, sampling, mcux, mcuy):
+    """Per component: its blocks' DC coefficients in interleaved-MCU
+    visit order, plus each block's GLOBAL field-slot position so the
+    per-component streams merge into the exact scalar emission order."""
+    bpm = [hs * vs for hs, vs in sampling]
+    total_bpm = sum(bpm)
+    comp_off = np.cumsum([0] + bpm[:-1])
+    seqs, gpos = [], []
+    for ci, (hs, vs) in enumerate(sampling):
+        dc = comps[ci][: mcuy * vs, : mcux * hs, 0]
+        # (mcuy, vs, mcux, hs) -> MCU-major traversal
+        seq = (
+            dc.reshape(mcuy, vs, mcux, hs)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+            .astype(np.int64)
+        )
+        i = np.arange(seq.size, dtype=np.int64)
+        m, j = i // bpm[ci], i % bpm[ci]
+        seqs.append(seq)
+        gpos.append(m * total_bpm + comp_off[ci] + j)
+    return seqs, gpos
+
+
+def _enc_scan_dc_first(comps, sampling, mcux, mcuy, al) -> bytes:
+    dc_code, dc_len, _, _ = _enc_luts()
+    seqs, gpos = _dc_visit_order(comps, sampling, mcux, mcuy)
+    vals_parts, sizes_parts, pos_parts = [], [], []
+    for seq, pos in zip(seqs, gpos):
+        v = seq >> al  # arithmetic shift, T.81 G.1.2.1
+        diff = np.diff(v, prepend=np.int64(0))
+        size = _bitlen_arr(np.abs(diff))
+        mapped = np.where(diff >= 0, diff, diff + (_BITLEN_POW2[size] - 1))
+        vals_parts.append(mapped)
+        sizes_parts.append(size)
+        pos_parts.append(pos)
+    order = np.argsort(np.concatenate(pos_parts), kind="stable")
+    mapped = np.concatenate(vals_parts)[order]
+    size = np.concatenate(sizes_parts)[order]
+    n = mapped.size
+    fv = np.empty(2 * n, dtype=np.int64)
+    fl = np.empty(2 * n, dtype=np.int64)
+    fv[0::2] = dc_code[size]
+    fl[0::2] = dc_len[size]
+    fv[1::2] = mapped
+    fl[1::2] = size  # size 0 -> empty field, exactly the scalar's skip
+    return _pack_fields(fv, fl)
+
+
+def _enc_scan_dc_refine(comps, sampling, mcux, mcuy, al) -> bytes:
+    seqs, gpos = _dc_visit_order(comps, sampling, mcux, mcuy)
+    order = np.argsort(np.concatenate(gpos), kind="stable")
+    bits = (np.concatenate(seqs)[order] >> al) & 1
+    return _pack_fields(bits, np.ones_like(bits))
+
+
+def _enc_scan_ac_first(carr, gw, gh, ss, se, al) -> bytes:
+    _, _, ac_code, ac_len = _enc_luts()
+    band = carr[:gh, :gw, ss : se + 1].reshape(-1, se - ss + 1).astype(np.int64)
+    nblocks = band.shape[0]
+    mag = np.abs(band) >> al  # T.81 G.1.2.2: magnitude shift, re-sign
+    bi, jj = np.nonzero(mag)  # row-major == block-raster emission order
+    m = mag[bi, jj]
+    neg = band[bi, jj] < 0
+    s = _bitlen_arr(m)
+    mapped = np.where(neg, (_BITLEN_POW2[s] - 1) - m, m)
+
+    first = np.ones(bi.size, dtype=bool)
+    first[1:] = bi[1:] != bi[:-1]
+    prev_j = np.empty_like(jj)
+    prev_j[1:] = jj[:-1]
+    run = np.where(first, jj, jj - prev_j - 1)
+    nzrl = run >> 4
+    rem = run & 15
+
+    # EOB for blocks whose band has trailing zeros (incl. all-zero ones)
+    last_j = np.full(nblocks, -1, dtype=np.int64)
+    last_j[bi] = jj  # last write per block wins (jj ascending per block)
+    eob_flag = last_j < (se - ss)
+
+    counts = nzrl + 2  # [ZRL * nzrl, (run|size) code, value]
+    nz_per_block = np.bincount(bi, weights=counts, minlength=nblocks).astype(
+        np.int64
+    )
+    blk_off = np.concatenate(([0], np.cumsum(nz_per_block + eob_flag)))
+    nz_start = np.concatenate(([0], np.cumsum(nz_per_block)))
+    grp_global = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    grp_start = blk_off[bi] + (grp_global - nz_start[bi])
+
+    total = int(blk_off[-1])
+    fv = np.empty(total, dtype=np.int64)
+    fl = np.empty(total, dtype=np.int64)
+    tot_zrl = int(nzrl.sum())
+    if tot_zrl:
+        rep = np.repeat(grp_start, nzrl)
+        intra = np.arange(tot_zrl, dtype=np.int64) - np.repeat(
+            np.cumsum(nzrl) - nzrl, nzrl
+        )
+        zpos = rep + intra
+        fv[zpos] = ac_code[0xF0]
+        fl[zpos] = ac_len[0xF0]
+    code_pos = grp_start + nzrl
+    fv[code_pos] = ac_code[(rem << 4) | s]
+    fl[code_pos] = ac_len[(rem << 4) | s]
+    fv[code_pos + 1] = mapped
+    fl[code_pos + 1] = s
+    epos = blk_off[:-1][eob_flag] + nz_per_block[eob_flag]
+    fv[epos] = ac_code[0x00]
+    fl[epos] = ac_len[0x00]
+    return _pack_fields(fv, fl)
+
+
+def _enc_scan_ac_refine(carr, gw, gh, ss, se, al) -> bytes:
+    """Refinement's correction-bit buffering and ZRL/EOB interplay are
+    serial per block, but only NONZERO coefficients participate — so the
+    Python walk here visits events (numpy-extracted nonzeros, typically
+    a handful per block) instead of all 63 band slots, and the fields
+    still pack in one vector shot."""
+    _, _, ac_code, ac_len = _enc_luts()
+    bandlen = se - ss + 1
+    band = carr[:gh, :gw, ss : se + 1].reshape(-1, bandlen).astype(np.int64)
+    nblocks = band.shape[0]
+    mag = np.abs(band) >> al
+    bi, jj = np.nonzero(mag)
+    mm = mag[bi, jj].tolist()
+    sign_pos = (band[bi, jj] > 0).tolist()
+    jl = jj.tolist()
+    starts = np.searchsorted(bi, np.arange(nblocks + 1)).tolist()
+
+    zrl_c, zrl_l = int(ac_code[0xF0]), int(ac_len[0xF0])
+    eob_c, eob_l = int(ac_code[0x00]), int(ac_len[0x00])
+    one_c = [(int(ac_code[(r << 4) | 1]), int(ac_len[(r << 4) | 1])) for r in range(16)]
+    fv: list[int] = []
+    fl: list[int] = []
+    for b in range(nblocks):
+        lo, hi = starts[b], starts[b + 1]
+        eob = -1
+        for e in range(lo, hi):
+            if mm[e] == 1:
+                eob = jl[e]
+        r = 0
+        corr: list[int] = []
+        prev = -1
+        for e in range(lo, hi):
+            j = jl[e]
+            r += j - prev - 1  # zeros in the gap
+            prev = j
+            while r > 15 and j <= eob:
+                fv.append(zrl_c)
+                fl.append(zrl_l)
+                r -= 16
+                for bit in corr:
+                    fv.append(bit)
+                    fl.append(1)
+                corr = []
+            if mm[e] > 1:  # history-nonzero: buffer, run untouched
+                corr.append(mm[e] & 1)
+                continue
+            c, ln = one_c[r]
+            fv.append(c)
+            fl.append(ln)
+            fv.append(1 if sign_pos[e] else 0)
+            fl.append(1)
+            for bit in corr:
+                fv.append(bit)
+                fl.append(1)
+            corr = []
+            r = 0
+        r += bandlen - 1 - prev  # trailing zeros
+        if r > 0 or corr:
+            fv.append(eob_c)
+            fl.append(eob_l)
+            for bit in corr:
+                fv.append(bit)
+                fl.append(1)
+    return _pack_fields(
+        np.asarray(fv, dtype=np.int64), np.asarray(fl, dtype=np.int64)
+    )
+
+
 def encode_jpeg_progressive(
     pixels: bytes, width: int, height: int, channels: int = 3,
-    quality: int = 90, subsample: bool = False,
+    quality: int = 90, subsample: bool = False, scalar: bool = False,
 ) -> bytes:
     """Conformant progressive JFIF (SOF2) encoder over the SAME
     quantized coefficients as :func:`encode_jpeg_baseline` — progressive
@@ -485,7 +724,15 @@ def encode_jpeg_progressive(
     kinds: interleaved DC first at Al=1, DC refinement to Al=0, then per
     component AC spectral bands (1-5, 6-63) at Al=1 and one AC
     refinement sweep (1-63, Ah=1->Al=0) — spectral selection AND
-    successive approximation, the shapes real crawl JPEGs use."""
+    successive approximation, the shapes real crawl JPEGs use.
+
+    ``scalar=True`` routes through the per-coefficient reference scan
+    encoders; the default vectorized path is pinned bit-identical to it
+    (r8 — the r7 sf1 curve's one super-linear row was this encoder)."""
+    enc_dc_first = _enc_scan_dc_first_scalar if scalar else _enc_scan_dc_first
+    enc_dc_refine = _enc_scan_dc_refine_scalar if scalar else _enc_scan_dc_refine
+    enc_ac_first = _enc_scan_ac_first_scalar if scalar else _enc_scan_ac_first
+    enc_ac_refine = _enc_scan_ac_refine_scalar if scalar else _enc_scan_ac_refine
     comps, sampling, qtbls, mcux, mcuy = _prepare_components(
         pixels, width, height, channels, quality, subsample
     )
@@ -516,11 +763,11 @@ def encode_jpeg_progressive(
     all_comps = [(ci + 1, (0x00 if ci == 0 else 0x11)) for ci in range(channels)]
     out += _sos(
         all_comps, 0, 0, 0, 1,
-        _enc_scan_dc_first(comps, sampling, mcux, mcuy, 1),
+        enc_dc_first(comps, sampling, mcux, mcuy, 1),
     )
     out += _sos(
         all_comps, 0, 0, 1, 0,
-        _enc_scan_dc_refine(comps, sampling, mcux, mcuy, 0),
+        enc_dc_refine(comps, sampling, mcux, mcuy, 0),
     )
     for ci in range(channels):
         hs, vs = sampling[ci]
@@ -530,15 +777,15 @@ def encode_jpeg_progressive(
         ta = 0x00 if ci == 0 else 0x01
         out += _sos(
             [(ci + 1, ta)], 1, 5, 0, 1,
-            _enc_scan_ac_first(comps[ci], gw, gh, 1, 5, 1),
+            enc_ac_first(comps[ci], gw, gh, 1, 5, 1),
         )
         out += _sos(
             [(ci + 1, ta)], 6, 63, 0, 1,
-            _enc_scan_ac_first(comps[ci], gw, gh, 6, 63, 1),
+            enc_ac_first(comps[ci], gw, gh, 6, 63, 1),
         )
         out += _sos(
             [(ci + 1, ta)], 1, 63, 1, 0,
-            _enc_scan_ac_refine(comps[ci], gw, gh, 1, 63, 0),
+            enc_ac_refine(comps[ci], gw, gh, 1, 63, 0),
         )
     out += b"\xff\xd9"
     return bytes(out)

@@ -246,25 +246,28 @@ def _bm25_write(
 ) -> None:
     from pathlib import Path
 
+    from ..sources.manifest import manifest_txn
+
     docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).select(
         F.col(id_col), F.col("_tok"), F.size("_tok").alias("_dl")
     )
     stats = docs.agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
-    stats.coalesce(1).write.mode(mode).parquet(str(Path(path) / "stats"))
-    tf = (
-        docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("term"))
-        .groupBy(id_col, "_dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("tb", _term_bucket(F.col("term"), buckets))
-    )
-    tf.write.mode(mode).partitionBy("tb").parquet(str(Path(path) / "postings"))
-    (
-        tf.groupBy("tb", "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .write.mode(mode)
-        .partitionBy("tb")
-        .parquet(str(Path(path) / "dfreq"))
-    )
+    with manifest_txn(path):
+        stats.coalesce(1).write.mode(mode).parquet(str(Path(path) / "stats"))
+        tf = (
+            docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("term"))
+            .groupBy(id_col, "_dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("tb", _term_bucket(F.col("term"), buckets))
+        )
+        tf.write.mode(mode).partitionBy("tb").parquet(str(Path(path) / "postings"))
+        (
+            tf.groupBy("tb", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.mode(mode)
+            .partitionBy("tb")
+            .parquet(str(Path(path) / "dfreq"))
+        )
 
 
 def bm25_write_segment(
@@ -277,13 +280,24 @@ def bm25_write_segment(
 ) -> None:
     """Write one micro-batch's BM25 segment REPLAY-IDEMPOTENTLY: all
     three tables (postings / dfreq / stats) land under a ``batch_id=``
-    partition with dynamic partition overwrite, so an at-least-once
-    replay of the batch REPLACES its own segment instead of appending a
-    duplicate. This is the streaming-loop variant of
-    :func:`bm25_append_index`, whose blind append is fine for a batch
-    daily-crawl job but would double tf/df/N under replay — BM25's
-    segments are ADDITIVE, so a duplicate segment silently corrupts
-    every score, unlike the LSH/IVF indexes whose query paths dedup.
+    partition, and an at-least-once replay of the batch REPLACES its own
+    segment instead of appending a duplicate. This is the streaming-loop
+    variant of :func:`bm25_append_index`, whose blind append is fine for
+    a batch daily-crawl job but would double tf/df/N under replay —
+    BM25's segments are ADDITIVE, so a duplicate segment silently
+    corrupts every score, unlike the LSH/IVF indexes whose query paths
+    dedup.
+
+    The replace is MANIFEST-LEVEL (r7 VERDICT ask #2): files land in
+    append mode inside a scoped :func:`~..sources.manifest.
+    manifest_txn`, which retires the partition's previous files instead
+    of letting Spark delete them mid-read — a concurrent external
+    reader pinned to the prior snapshot keeps resolving every file it
+    planned until GC's grace window expires. Dynamic partition
+    overwrite (the pre-r8 spelling) had exactly-once stats but deleted
+    the replaced files out from under pinned readers. A prior attempt
+    that crashed before its commit left only orphans, which no snapshot
+    references and GC sweeps — replay never double-counts.
 
     The query path is unchanged: ``batch_id`` is just an outer partition
     level; ``tb`` pruning still applies inside every segment, and the
@@ -297,41 +311,46 @@ def bm25_write_segment(
     """
     from pathlib import Path
 
+    from ..sources.manifest import manifest_txn
+
+    scope = [
+        f"stats/batch_id={int(batch_id)}",
+        f"postings/batch_id={int(batch_id)}",
+        f"dfreq/batch_id={int(batch_id)}",
+    ]
     docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).select(
         F.col(id_col), F.col("_tok"), F.size("_tok").alias("_dl")
     )
     bid = F.lit(int(batch_id)).cast("long")
-    (
-        docs.agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
-        .withColumn("batch_id", bid)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(str(Path(path) / "stats"))
-    )
-    tf = (
-        docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("term"))
-        .groupBy(id_col, "_dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("tb", _term_bucket(F.col("term"), buckets))
-        .withColumn("batch_id", bid)
-    )
-    (
-        tf.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "tb")
-        .parquet(str(Path(path) / "postings"))
-    )
-    (
-        tf.groupBy("tb", "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("batch_id", bid)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "tb")
-        .parquet(str(Path(path) / "dfreq"))
-    )
+    with manifest_txn(path, replace_prefixes=scope):
+        (
+            docs.agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
+            .withColumn("batch_id", bid)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(str(Path(path) / "stats"))
+        )
+        tf = (
+            docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("term"))
+            .groupBy(id_col, "_dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("tb", _term_bucket(F.col("term"), buckets))
+            .withColumn("batch_id", bid)
+        )
+        (
+            tf.write.mode("append")
+            .partitionBy("batch_id", "tb")
+            .parquet(str(Path(path) / "postings"))
+        )
+        (
+            tf.groupBy("tb", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("batch_id", bid)
+            .write.mode("append")
+            .partitionBy("batch_id", "tb")
+            .parquet(str(Path(path) / "dfreq"))
+        )
 
 
 def bm25_query_index(
@@ -347,9 +366,14 @@ def bm25_query_index(
     """Query a persisted BM25 index: same scoring contract as
     :func:`bm25_topk` (nano-unit fixed-point contributions, Robertson
     idf, (score desc, id) ties) but reading ONLY the query terms'
-    hash-bucket partitions + term-filtered row groups."""
-    from pathlib import Path
+    hash-bucket partitions + term-filtered row groups. All three tables
+    resolve through the index's latest manifest snapshot
+    (:func:`~..sources.manifest.manifest_read`), so a concurrent
+    compaction or segment replay never yanks a planned file — and the
+    three reads see ONE consistent snapshot generation."""
+    from ..sources.manifest import latest_manifest, manifest_read
 
+    snap = latest_manifest(path)
     terms = sorted({t.lower() for t in query_terms})
     # compute the exact partition set driver-side so the scan carries a
     # literal tb IN (...) partition filter; pure-Python replication of
@@ -357,7 +381,7 @@ def bm25_query_index(
     # handful of query terms must not launch a Spark job per serving call
     tbs = sorted({_term_bucket_py(t, buckets) for t in terms})
     postings = (
-        spark.read.parquet(str(Path(path) / "postings"))
+        manifest_read(spark, path, "postings", snapshot=snap)
         .filter(F.col("tb").isin([int(x) for x in tbs]))
         .filter(F.col("term").isin(terms))
     )
@@ -366,13 +390,13 @@ def bm25_query_index(
     # and corpus totals are additive over disjoint doc sets, so summing
     # the segments reproduces the single-build values exactly.
     dfreq = (
-        spark.read.parquet(str(Path(path) / "dfreq"))
+        manifest_read(spark, path, "dfreq", snapshot=snap)
         .filter(F.col("tb").isin([int(x) for x in tbs]))
         .filter(F.col("term").isin(terms))
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
-    stats = spark.read.parquet(str(Path(path) / "stats")).agg(
+    stats = manifest_read(spark, path, "stats", snapshot=snap).agg(
         F.sum("_N").alias("_N"), F.sum("_sumdl").alias("_sumdl")
     )
     idf = F.log((F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
@@ -424,10 +448,12 @@ def bm25_query_index_many(
     partition + term pushdown filters; the per-(query, term) fanout then
     joins the pruned postings once, and one (query, doc) aggregation +
     per-query window produce all rankings. Postings are read ONCE for
-    the whole batch regardless of batch size.
+    the whole batch regardless of batch size. Reads resolve one
+    manifest snapshot, same as :func:`bm25_query_index`.
     """
-    from pathlib import Path
+    from ..sources.manifest import latest_manifest, manifest_read
 
+    snap = latest_manifest(path)
     qt = queries_df.select(
         F.col(query_id_col).alias("_qid"),
         F.explode(
@@ -443,18 +469,18 @@ def bm25_query_index_many(
         )
     tbs = sorted({_term_bucket_py(t, buckets) for t in terms})
     postings = (
-        spark.read.parquet(str(Path(path) / "postings"))
+        manifest_read(spark, path, "postings", snapshot=snap)
         .filter(F.col("tb").isin([int(x) for x in tbs]))
         .filter(F.col("term").isin(terms))
     )
     dfreq = (
-        spark.read.parquet(str(Path(path) / "dfreq"))
+        manifest_read(spark, path, "dfreq", snapshot=snap)
         .filter(F.col("tb").isin([int(x) for x in tbs]))
         .filter(F.col("term").isin(terms))
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
-    stats = spark.read.parquet(str(Path(path) / "stats")).agg(
+    stats = manifest_read(spark, path, "stats", snapshot=snap).agg(
         F.sum("_N").alias("_N"), F.sum("_sumdl").alias("_sumdl")
     )
     idf = F.log((F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

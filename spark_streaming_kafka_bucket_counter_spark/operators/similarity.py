@@ -963,16 +963,23 @@ def ivf_build_index(
         df.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(str(Path(path) / "centroids"))
-    assigned = assign_to_centroids(df, id_col, vec_col, cents.collect(), max_rank=1)
-    (
-        assigned.select(
-            F.col("_id").alias(id_col), F.col("_vec").alias(vec_col), "cid"
+    from ..sources.manifest import manifest_txn
+
+    with manifest_txn(path):
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            str(Path(path) / "centroids")
         )
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(str(Path(path) / "cells"))
-    )
+        assigned = assign_to_centroids(
+            df, id_col, vec_col, cents.collect(), max_rank=1
+        )
+        (
+            assigned.select(
+                F.col("_id").alias(id_col), F.col("_vec").alias(vec_col), "cid"
+            )
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(str(Path(path) / "cells"))
+        )
 
 
 def ivf_query_index(
@@ -990,17 +997,20 @@ def ivf_query_index(
     rank candidates by cosine. Output: (query_id, neighbor id, cosine,
     rank) — same contract as :func:`ivf_topk`.
     """
-    from pathlib import Path
-
     from pyspark.sql import Window
 
-    cents = spark.read.parquet(str(Path(path) / "centroids")).collect()
+    from ..sources.manifest import latest_manifest, manifest_read
+
+    # centroids + cells pinned to ONE manifest generation (reader-atomic
+    # under concurrent append/compaction — r7 soak's FILE_NOT_EXIST fix)
+    snap = latest_manifest(path)
+    cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
     probes = assign_to_centroids(
         nonzero_vectors(query_df, vec_col), id_col, vec_col, cents, max_rank=nprobe
     ).select(
         F.col("_id").alias("query_id"), F.col("_vec").alias("qvec"), "cid"
     )
-    cells = spark.read.parquet(str(Path(path) / "cells"))
+    cells = manifest_read(spark, path, "cells", snapshot=snap)
     cand = cells.join(F.broadcast(probes), "cid").filter(
         F.col(id_col) != F.col("query_id")
     )
@@ -1050,18 +1060,21 @@ def ivf_append_index(
     blind by design; a membership check would re-scan the corpus)."""
     from pathlib import Path
 
-    cents = spark.read.parquet(str(Path(path) / "centroids")).collect()
+    from ..sources.manifest import manifest_read, manifest_txn
+
+    cents = manifest_read(spark, path, "centroids").collect()
     assigned = assign_to_centroids(
         nonzero_vectors(df, vec_col), id_col, vec_col, cents, max_rank=1
     )
-    (
-        assigned.select(
-            F.col("_id").alias(id_col), F.col("_vec").alias(vec_col), "cid"
+    with manifest_txn(path):
+        (
+            assigned.select(
+                F.col("_id").alias(id_col), F.col("_vec").alias(vec_col), "cid"
+            )
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(str(Path(path) / "cells"))
         )
-        .write.mode("append")
-        .partitionBy("cid")
-        .parquet(str(Path(path) / "cells"))
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,334 @@
+"""Snapshot manifests for the on-disk serving indexes (LSH / IVF / BM25).
+
+Why this exists: Spark plans a parquet read by LISTING the directory
+tree, then executes against the listed file paths. Any maintenance that
+deletes or renames a listed file between those two moments — compaction
+swaps, partition-overwrite replays — surfaces to a concurrent reader as
+``FAILED_READ_FILE.FILE_NOT_EXIST`` (the r7 soak measured 6–31 such
+transients per reader thread on the LSH/IVF/BM25 indexes, while the
+line-count tree's never-rewritten partitions measured 0). Pushing a
+retry loop onto every consumer does not survive 100× scale.
+
+The manifest inverts the contract — the same shape the table formats
+(Iceberg's snapshot + manifest list, Delta's transaction log) use:
+
+* every index mutation runs inside :func:`manifest_txn`, which records
+  exactly the files that write produced and publishes them as the next
+  ``_manifest/v{N}.json`` snapshot — an atomic tmp + rename, so any
+  snapshot a reader resolves is complete;
+* readers resolve the LATEST snapshot once and plan directly over those
+  explicit file paths (``basePath`` preserves the partition columns, so
+  ``tb``/``band``/``cid`` pruning is unchanged);
+* a logical overwrite (segment replay, compaction) RETIRES the
+  displaced files in the manifest instead of deleting them; GC removes
+  retired files only after a grace window, so a reader pinned to any
+  recent snapshot never observes a missing file — no reader-side retry,
+  no coordination;
+* files never published (a write that crashed before its commit, a
+  compaction that crashed before its publish) are ORPHANS: invisible to
+  readers, never adopted into a snapshot — scan-diff adoption would
+  silently double additive stats like BM25 tf/df/N — and deleted by GC
+  once older than the grace window. Replay regenerates their content.
+
+Single-MAINTAINER contract (same as ``compact_parquet_tree``): one
+writer/compactor at a time per index root — the streaming ingest loops
+serialize maintenance inside ``foreachBatch``. Readers need nothing.
+
+Trees NOT managed here (serving store, line-count segments) keep their
+existing partition-replace / symlink-swap schemes; this module is the
+generalization of the line-count tree's 0-transient shape to indexes
+whose leaves must be rewritten in place.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifest"
+#: manifest generations to retain beyond the grace window (debugging
+#: trail; readers only ever resolve the latest)
+KEEP_GENERATIONS = 4
+
+
+def _mdir(root: str | Path) -> Path:
+    return Path(root) / MANIFEST_DIR
+
+
+def _is_hidden(rel_parts: tuple[str, ...]) -> bool:
+    return any(p.startswith(("_", ".")) for p in rel_parts)
+
+
+def latest_manifest(root: str | Path) -> dict | None:
+    """The newest complete snapshot, or None for an unmanaged tree.
+    Generations are monotonically named ``v{N:012d}.json``; the write
+    path is tmp + rename, so any ``v*.json`` present is complete."""
+    mdir = _mdir(root)
+    try:
+        names = [n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")]
+    except OSError:
+        return None
+    if not names:
+        return None
+    with open(mdir / max(names)) as fh:
+        return json.load(fh)
+
+
+def scan_parquet_files(root: str | Path) -> set[str]:
+    """Relative POSIX paths of every VISIBLE ``*.parquet`` under root
+    (hidden ``_``/``.`` components excluded — staging dirs, the manifest
+    dir itself, ``_SUCCESS`` debris). Follows symlinks so legacy
+    compaction leaves are seen through their live slot."""
+    rootp = Path(root)
+    out: set[str] = set()
+    for dirpath, dirnames, filenames in os.walk(rootp, followlinks=True):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        rel = Path(dirpath).relative_to(rootp).parts
+        if _is_hidden(rel):
+            continue
+        prefix = "/".join(rel)
+        for f in filenames:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.add(f"{prefix}/{f}" if prefix else f)
+    return out
+
+
+def _publish(root: str | Path, files: Sequence[str], retired: dict[str, float],
+             generation: int) -> dict:
+    mdir = _mdir(root)
+    mdir.mkdir(parents=True, exist_ok=True)
+    m = {
+        "generation": generation,
+        "created_unix": time.time(),
+        "files": sorted(files),
+        "retired": dict(sorted(retired.items())),
+    }
+    tmp = mdir / f"_tmp_{uuid.uuid4().hex[:8]}.json"
+    tmp.write_text(json.dumps(m))
+    os.replace(tmp, mdir / f"v{generation:012d}.json")
+    return m
+
+
+def _commit(root: str | Path, added: set[str],
+            replace_prefixes: Sequence[str] = ()) -> dict:
+    """Publish the next snapshot: ``added`` files become live; live
+    files under ``replace_prefixes`` that predate this write are
+    RETIRED (kept on disk for pinned readers until GC's grace window
+    expires) — append-mode writes + a scoped commit is the reader-safe
+    spelling of a partition overwrite. Live files the writer itself
+    hard-deleted (a full ``mode("overwrite")`` rebuild) drop out; a
+    rebuild is not reader-atomic under any scheme — build into a fresh
+    directory and swap paths instead. On-disk files that are neither
+    live, retired, nor in ``added`` stay orphans by design."""
+    rootp = Path(root)
+    prev = latest_manifest(rootp)
+    prev_files = list(prev["files"]) if prev else []
+    retired = dict(prev["retired"]) if prev else {}
+    now = time.time()
+
+    def _in_scope(f: str) -> bool:
+        return any(f == p or f.startswith(p.rstrip("/") + "/")
+                   for p in replace_prefixes)
+
+    kept: list[str] = []
+    for f in prev_files:
+        if f in added:
+            continue
+        if not (rootp / f).exists():
+            continue  # hard-deleted by the writer; nothing to protect
+        if _in_scope(f):
+            retired[f] = now
+        else:
+            kept.append(f)
+    retired = {f: t for f, t in retired.items()
+               if f not in added and (rootp / f).exists()}
+    gen = (prev["generation"] + 1) if prev else 1
+    return _publish(rootp, kept + sorted(added), retired, gen)
+
+
+@contextlib.contextmanager
+def manifest_txn(root: str | Path,
+                 replace_prefixes: Sequence[str] = ()) -> Iterator[None]:
+    """Wrap one logical index mutation (any number of Spark writes):
+
+        with manifest_txn(path):                         # append
+            df.write.mode("append").parquet(...)
+        with manifest_txn(path, replace_prefixes=[...]): # replace scope
+            df.write.mode("append").parquet(...)
+
+    The files that appear between entry and exit — and ONLY those —
+    become live in the next snapshot; with ``replace_prefixes`` the
+    scope's previous files retire. If the body raises, nothing is
+    published and the partial files are orphans for GC — a reader can
+    never observe a half-written mutation."""
+    rootp = Path(root)
+    pre = scan_parquet_files(rootp)
+    yield
+    _commit(rootp, scan_parquet_files(rootp) - pre, replace_prefixes)
+
+
+def manifest_read(spark: SparkSession, root: str | Path, sub: str = "",
+                  snapshot: dict | None = None) -> DataFrame:
+    """Plan a parquet read over the latest snapshot's files under
+    ``sub`` (a relative subtree, e.g. ``"postings"``). ``basePath``
+    anchors partition-column discovery, so partition pruning and DPP
+    behave exactly as a directory read. Unmanaged trees (no manifest —
+    built by older code or external writers) fall back to the plain
+    directory read. A query spanning several subtrees resolves
+    :func:`latest_manifest` ONCE and passes it as ``snapshot`` so all
+    its reads pin the same generation."""
+    rootp = Path(root)
+    m = snapshot if snapshot is not None else latest_manifest(rootp)
+    base = rootp / sub if sub else rootp
+    if m is None:
+        return spark.read.parquet(str(base))
+    want = sub.rstrip("/") + "/" if sub else ""
+    paths = [str(rootp / f) for f in m["files"] if f.startswith(want)]
+    if not paths:
+        # empty subtree: fall through to the directory read for the
+        # same PATH_NOT_FOUND contract callers already handle
+        return spark.read.parquet(str(base))
+    return spark.read.option("basePath", str(base)).parquet(*paths)
+
+
+def _unlink_with_crc(rootp: Path, rel: str) -> None:
+    p = rootp / rel
+    try:
+        os.unlink(p)
+    except OSError:
+        pass
+    crc = p.parent / f".{p.name}.crc"
+    try:
+        os.unlink(crc)
+    except OSError:
+        pass
+
+
+def gc_index_tree(root: str | Path, grace_sec: float = 300.0) -> int:
+    """Delete (a) retired files whose grace window expired and (b)
+    orphans — on-disk files no snapshot references, debris of writes
+    that crashed before their commit — older than the grace window (by
+    mtime; they were never reader-visible, the grace only avoids racing
+    an in-flight sibling writer under a misused multi-writer setup).
+    Prunes emptied leaf dirs and stale manifest generations. Returns
+    files deleted. Readers pin a snapshot at plan time; any snapshot
+    published within the last ``grace_sec`` still resolves every file
+    it lists."""
+    rootp = Path(root)
+    m = latest_manifest(rootp)
+    if m is None:
+        return 0
+    now = time.time()
+    cutoff = now - grace_sec
+    live = set(m["files"])
+    drop = [f for f, t in m["retired"].items() if t < cutoff and f not in live]
+    known = live | set(m["retired"])
+    for f in scan_parquet_files(rootp) - known:
+        try:
+            if (rootp / f).stat().st_mtime <= cutoff:
+                drop.append(f)
+        except OSError:
+            pass
+    for f in drop:
+        _unlink_with_crc(rootp, f)
+    if drop:
+        retired = {f: t for f, t in m["retired"].items() if f not in drop}
+        m = _publish(rootp, m["files"], retired, m["generation"] + 1)
+        # prune dirs the deletions emptied (bottom-up; never the root)
+        for dirpath, dirnames, filenames in os.walk(rootp, topdown=False):
+            d = Path(dirpath)
+            if d == rootp or _is_hidden(d.relative_to(rootp).parts):
+                continue
+            try:
+                d.rmdir()  # fails (kept) unless truly empty
+            except OSError:
+                pass
+    # staging debris from a compaction that crashed before its publish
+    # (hidden from readers and scans; safe to sweep once aged)
+    import shutil
+
+    for name in os.listdir(rootp):
+        p = rootp / name
+        if name.startswith("_compactstage_") and p.is_dir():
+            try:
+                if p.stat().st_mtime <= cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    # manifest history: keep the latest KEEP_GENERATIONS plus anything
+    # still inside the grace window
+    mdir = _mdir(rootp)
+    names = sorted(n for n in os.listdir(mdir)
+                   if n.startswith("v") and n.endswith(".json"))
+    for n in names[:-KEEP_GENERATIONS] if len(names) > KEEP_GENERATIONS else []:
+        p = mdir / n
+        try:
+            if p.stat().st_mtime < cutoff:
+                os.unlink(p)
+        except OSError:
+            pass
+    return len(drop)
+
+
+def compact_index_tree(spark: SparkSession, root: str | Path,
+                       target_files: int = 1, grace_sec: float = 300.0) -> int:
+    """Small-files maintenance for a manifest-managed index: rewrite
+    every leaf holding more than ``target_files`` live data files down
+    to ``target_files``, publish the snapshot that swaps them in, then
+    GC. Readers never coordinate: until the new snapshot lands they
+    plan over the old files (which stay on disk through the grace
+    window); after it, over the compacted ones. A crash at any point
+    leaves either the old snapshot fully intact (moved-but-unpublished
+    files are orphans GC removes) or the new one. File contents merge
+    verbatim — partition values live in directory names — so query
+    results are bit-identical (pytest-pinned). Returns leaves rewritten.
+    """
+    rootp = Path(root)
+    m = latest_manifest(rootp)
+    if m is None:
+        # adopt an unmanaged tree: first snapshot = what a directory
+        # reader sees today
+        m = _commit(rootp, scan_parquet_files(rootp))
+    files = list(m["files"])
+    retired = dict(m["retired"])
+    by_leaf: dict[str, list[str]] = {}
+    for f in files:
+        by_leaf.setdefault(os.path.dirname(f), []).append(f)
+
+    rewritten = 0
+    now = time.time()
+    for leaf, leaf_files in sorted(by_leaf.items()):
+        if len(leaf_files) <= target_files:
+            continue
+        df = spark.read.parquet(*[str(rootp / f) for f in leaf_files])
+        staged = rootp / f"_compactstage_{uuid.uuid4().hex[:8]}"
+        df.coalesce(target_files).write.mode("overwrite").parquet(str(staged))
+        leaf_dir = rootp / leaf if leaf else rootp
+        new_rels: list[str] = []
+        for pf in sorted(staged.glob("*.parquet")):
+            dest = leaf_dir / pf.name  # part-...-<uuid> names never collide
+            crc = staged / f".{pf.name}.crc"
+            if crc.exists():
+                os.replace(crc, leaf_dir / crc.name)
+            os.replace(pf, dest)
+            new_rels.append(f"{leaf}/{pf.name}" if leaf else pf.name)
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        for f in leaf_files:
+            files.remove(f)
+            retired[f] = now
+        files.extend(new_rels)
+        rewritten += 1
+
+    if rewritten:
+        _publish(rootp, files, retired, m["generation"] + 1)
+    gc_index_tree(rootp, grace_sec)
+    return rewritten

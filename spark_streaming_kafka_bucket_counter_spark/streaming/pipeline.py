@@ -200,6 +200,7 @@ def start_near_dup_ingest(
     threshold: float = 0.5,
     available_now: bool = True,
     compact_every: int = 0,
+    gc_grace_sec: float = 300.0,
 ) -> StreamingQuery:
     """The daily-crawl NEAR-dup ingestion loop as one streaming query:
     per micro-batch, (1) drop within-batch near-duplicates (LSH pairs ->
@@ -225,11 +226,13 @@ def start_near_dup_ingest(
     partition pruning; the append only writes the deduped increment.
 
     ``compact_every=N`` pays down the per-append small-files debt every
-    N-th batch with :func:`~..sources.files.compact_parquet_tree`
-    (crash-safe swap; safe here because this loop is the index's only
-    reader and ``_process`` serializes compaction against queries — an
-    EXTERNAL concurrent reader could observe a leaf mid-swap, see
-    ``compact_parquet_tree``'s contract).
+    N-th batch with :func:`~..sources.manifest.compact_index_tree`:
+    the rewrite publishes a new manifest snapshot and RETIRES the
+    replaced files for ``gc_grace_sec`` before GC deletes them, so an
+    EXTERNAL concurrent reader (pinned to whatever snapshot it planned
+    from) never observes a missing file — the r7 soak's
+    FILE_NOT_EXIST transients came from the prior symlink-swap scheme,
+    whose leaf retarget invalidated already-planned paths.
     """
     import os as _os
 
@@ -302,9 +305,9 @@ def start_near_dup_ingest(
                     num_hashes=num_hashes, bands=bands, k=k,
                 )
             if compact_every > 0 and (batch_id + 1) % compact_every == 0:
-                from ..sources.files import compact_parquet_tree
+                from ..sources.manifest import compact_index_tree
 
-                compact_parquet_tree(spark, index_path)
+                compact_index_tree(spark, index_path, grace_sec=gc_grace_sec)
         finally:
             for df in cached:
                 df.unpersist()
@@ -329,6 +332,7 @@ def start_semantic_dedup_ingest(
     n_centroids: int = 16,
     available_now: bool = True,
     compact_every: int = 0,
+    gc_grace_sec: float = 300.0,
 ) -> StreamingQuery:
     """The embedding-space counterpart of :func:`start_near_dup_ingest`:
     per micro-batch of ``(id, vector)`` rows, drop vectors whose cosine
@@ -405,9 +409,9 @@ def start_semantic_dedup_ingest(
             else:
                 ivf_append_index(spark, landed, id_col, vec_col, index_path)
             if compact_every > 0 and (batch_id + 1) % compact_every == 0:
-                from ..sources.files import compact_parquet_tree
+                from ..sources.manifest import compact_index_tree
 
-                compact_parquet_tree(spark, index_path)
+                compact_index_tree(spark, index_path, grace_sec=gc_grace_sec)
         finally:
             batch_df.unpersist()
 
@@ -430,6 +434,7 @@ def start_search_index_ingest(
     ts_col: str | None = None,
     available_now: bool = True,
     compact_every: int = 0,
+    gc_grace_sec: float = 300.0,
 ) -> StreamingQuery:
     """The lexical-search leg of the streaming ingest triad (near-dup
     LSH, semantic IVF, and now BM25): per micro-batch of documents,
@@ -442,7 +447,9 @@ def start_search_index_ingest(
     Replay story — STRONGER than the other two loops by construction:
     segments are written with :func:`~..operators.search.
     bm25_write_segment`, which lands all three tables under the
-    micro-batch's own ``batch_id=`` partition with dynamic overwrite. A
+    micro-batch's own ``batch_id=`` partition and replaces any prior
+    attempt at MANIFEST level (displaced files stay on disk through the
+    GC grace window for pinned readers). A
     crash-replayed batch REPLACES its segment bit-for-bit instead of
     appending a duplicate — necessary because BM25 stats are additive
     (a duplicated segment would double tf/df/N and silently corrupt
@@ -478,9 +485,11 @@ def start_search_index_ingest(
             batch_df, id_col, text_col, index_path, batch_id, buckets=buckets
         )
         if compact_every > 0 and (batch_id + 1) % compact_every == 0:
-            from ..sources.files import compact_parquet_tree
+            from ..sources.manifest import compact_index_tree
 
-            compact_parquet_tree(batch_df.sparkSession, index_path)
+            compact_index_tree(
+                batch_df.sparkSession, index_path, grace_sec=gc_grace_sec
+            )
 
     writer = docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,180 @@
+"""Unit pins for the index manifest layer (r7 VERDICT ask #2 + #6):
+txn atomicity, scoped replace, orphan non-adoption, GC convergence and
+manifest-history pruning. The integration stories (compaction under a
+racing reader, streaming replay, crash debris on a real index) live in
+test_sampling_ivf.py / test_streaming_dedup.py / the soak."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import pytest
+
+from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+    KEEP_GENERATIONS,
+    gc_index_tree,
+    latest_manifest,
+    manifest_read,
+    manifest_txn,
+    scan_parquet_files,
+)
+
+
+def _touch(root: Path, rel: str, data: bytes = b"x") -> None:
+    p = root / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(data)
+
+
+def test_txn_publishes_exactly_the_writes(tmp_path):
+    root = tmp_path / "idx"
+    root.mkdir()
+    _touch(root, "pre-existing-unmanaged.parquet")  # never in a txn
+    with manifest_txn(root):
+        _touch(root, "a/part-1.parquet")
+        _touch(root, "a/part-2.parquet")
+    m = latest_manifest(root)
+    assert m["generation"] == 1
+    # the unmanaged straggler is NOT adopted (scan-diff adoption would
+    # double additive stats after a crashed-then-replayed write)
+    assert m["files"] == ["a/part-1.parquet", "a/part-2.parquet"]
+    assert m["retired"] == {}
+
+    with manifest_txn(root):
+        _touch(root, "a/part-3.parquet")
+    m = latest_manifest(root)
+    assert m["generation"] == 2
+    assert "a/part-3.parquet" in m["files"] and len(m["files"]) == 3
+
+
+def test_txn_failure_publishes_nothing(tmp_path):
+    root = tmp_path / "idx"
+    root.mkdir()
+    with manifest_txn(root):
+        _touch(root, "a/part-1.parquet")
+    with pytest.raises(RuntimeError):
+        with manifest_txn(root):
+            _touch(root, "a/part-2.parquet")
+            raise RuntimeError("writer died")
+    m = latest_manifest(root)
+    assert m["generation"] == 1
+    assert m["files"] == ["a/part-1.parquet"]  # part-2 is an orphan
+
+
+def test_scoped_replace_retires_not_deletes(tmp_path):
+    root = tmp_path / "idx"
+    root.mkdir()
+    with manifest_txn(root):
+        _touch(root, "seg/batch_id=0/part-1.parquet")
+        _touch(root, "other/part-9.parquet")
+    with manifest_txn(root, replace_prefixes=["seg/batch_id=0"]):
+        _touch(root, "seg/batch_id=0/part-2.parquet")
+    m = latest_manifest(root)
+    assert m["files"] == ["other/part-9.parquet", "seg/batch_id=0/part-2.parquet"]
+    assert set(m["retired"]) == {"seg/batch_id=0/part-1.parquet"}
+    # retired file still on disk for pinned readers
+    assert (root / "seg/batch_id=0/part-1.parquet").exists()
+
+
+def test_gc_grace_window_and_orphans(tmp_path):
+    root = tmp_path / "idx"
+    root.mkdir()
+    with manifest_txn(root):
+        _touch(root, "seg/part-1.parquet")
+    with manifest_txn(root, replace_prefixes=["seg"]):
+        _touch(root, "seg/part-2.parquet")
+    _touch(root, "seg/part-orphan.parquet")  # crashed write, unpublished
+
+    # inside the grace window nothing is deleted
+    assert gc_index_tree(root, grace_sec=3600) == 0
+    assert (root / "seg/part-1.parquet").exists()
+    assert (root / "seg/part-orphan.parquet").exists()
+
+    # expired: retired + orphan go; live stays; disk == manifest
+    assert gc_index_tree(root, grace_sec=0) == 2
+    m = latest_manifest(root)
+    assert m["retired"] == {}
+    assert scan_parquet_files(root) == set(m["files"]) == {"seg/part-2.parquet"}
+
+
+def test_gc_prunes_emptied_dirs_and_manifest_history(tmp_path):
+    root = tmp_path / "idx"
+    root.mkdir()
+    with manifest_txn(root):
+        _touch(root, "seg/batch_id=0/part-1.parquet")
+        _touch(root, "keep/part-k.parquet")
+    for gen in range(1, KEEP_GENERATIONS + 4):
+        with manifest_txn(root, replace_prefixes=["seg"]):
+            _touch(root, f"seg/batch_id={gen}/part-1.parquet")
+    gc_index_tree(root, grace_sec=0)
+    m = latest_manifest(root)
+    # every superseded seg generation's dir was emptied and pruned
+    seg_dirs = sorted(p.name for p in (root / "seg").iterdir())
+    assert seg_dirs == [f"batch_id={KEEP_GENERATIONS + 3}"]
+    assert (root / "keep/part-k.parquet").exists()
+    # manifest history bounded (stale generations older than the grace
+    # window beyond the newest KEEP_GENERATIONS are dropped)
+    names = [n for n in os.listdir(root / "_manifest") if n.endswith(".json")]
+    assert len(names) <= KEEP_GENERATIONS
+    assert f"v{m['generation']:012d}.json" in names
+
+
+def test_manifest_read_pins_snapshot_and_falls_back(spark, tmp_path):
+    root = tmp_path / "idx"
+    root.mkdir()
+    df = spark.range(5).selectExpr("id", "id * 2 as v")
+    with manifest_txn(root):
+        df.write.mode("append").parquet(str(root / "t"))
+    got = {tuple(r) for r in manifest_read(spark, root, "t").collect()}
+    assert got == {(i, 2 * i) for i in range(5)}
+
+    # a snapshot resolved BEFORE a later write pins the old file set
+    snap = latest_manifest(root)
+    with manifest_txn(root):
+        spark.range(5, 10).selectExpr("id", "id * 2 as v").write.mode(
+            "append"
+        ).parquet(str(root / "t"))
+    old = {tuple(r) for r in manifest_read(spark, root, "t", snapshot=snap).collect()}
+    assert old == got
+    new = {tuple(r) for r in manifest_read(spark, root, "t").collect()}
+    assert new == {(i, 2 * i) for i in range(10)}
+
+    # unmanaged tree: plain directory read fallback
+    un = tmp_path / "plain"
+    df.write.parquet(str(un / "t"))
+    got2 = {tuple(r) for r in manifest_read(spark, un, "t").collect()}
+    assert got2 == got
+
+
+def test_manifest_read_preserves_partition_columns(spark, tmp_path):
+    root = tmp_path / "idx"
+    root.mkdir()
+    df = spark.range(8).selectExpr("id", "cast(id % 2 as int) as pb")
+    with manifest_txn(root):
+        df.write.mode("append").partitionBy("pb").parquet(str(root / "t"))
+    out = manifest_read(spark, root, "t").filter("pb = 1")
+    rows = out.collect()
+    assert sorted(r["id"] for r in rows) == [1, 3, 5, 7]
+    assert set(out.columns) == {"id", "pb"}
+    # partition pruning reached the scan: only pb=1 files are read
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "pb=0" not in plan
+
+
+def test_manifest_publish_is_atomic_tmp_rename(tmp_path):
+    root = tmp_path / "idx"
+    root.mkdir()
+    with manifest_txn(root):
+        _touch(root, "a/part-1.parquet")
+    mdir = root / "_manifest"
+    names = os.listdir(mdir)
+    assert all(n.startswith("v") and n.endswith(".json") for n in names)
+    # snapshots are valid JSON with the full schema (a torn write would
+    # have stayed a _tmp_ file, never a v*.json)
+    m = json.loads((mdir / max(names)).read_text())
+    for key in ("generation", "created_unix", "files", "retired"):
+        assert key in m
+    assert m["created_unix"] <= time.time()

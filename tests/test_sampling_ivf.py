@@ -237,18 +237,28 @@ def test_bm25_query_index_many_matches_single_query_loop(spark, tmp_path):
     assert 3 not in got  # unseen term -> empty result, not an error
 
 
-def test_compact_parquet_tree_preserves_index_answers(spark, tmp_path):
-    """After several appends, compaction must shrink every multi-file
-    leaf to one file, leave query results bit-identical (segment rows
-    survive — only files merge), and self-heal an interrupted swap."""
+def test_compact_index_tree_preserves_index_answers(spark, tmp_path):
+    """Manifest-aware compaction (r7 VERDICT ask #2): after several
+    appends, compaction shrinks every multi-file leaf to one LIVE file
+    in the snapshot while query results stay bit-identical; the
+    displaced files remain on disk (retired) through the grace window
+    and a zero-grace GC converges disk to exactly the manifest. Crash
+    debris — an unpublished orphan file and an interrupted staging dir
+    — is never adopted into a snapshot and is swept by GC."""
+    import os
+    import shutil
+
     from spark_streaming_kafka_bucket_counter_spark.operators.search import (
         bm25_append_index,
         bm25_build_index,
         bm25_query_index,
     )
-    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
-        compact_parquet_tree,
-        load_table,
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        compact_index_tree,
+        gc_index_tree,
+        latest_manifest,
+        scan_parquet_files,
     )
     from tests.conftest import SF_DIR
 
@@ -260,38 +270,47 @@ def test_compact_parquet_tree_preserves_index_answers(spark, tmp_path):
     terms = ["data", "model", "training"]
     before = [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()]
 
-    from pathlib import Path
+    m0 = latest_manifest(idx)
+    by_leaf: dict[str, int] = {}
+    for f in m0["files"]:
+        by_leaf[os.path.dirname(f)] = by_leaf.get(os.path.dirname(f), 0) + 1
+    assert any(n > 1 for n in by_leaf.values()), "appends -> multi-file leaves"
 
-    multi = [
-        p
-        for p in Path(idx).rglob("*")
-        if p.is_dir() and len(list(p.glob("*.parquet"))) > 1
-    ]
-    assert multi, "appends should have produced multi-file leaves"
-    n = compact_parquet_tree(spark, idx)
-    assert n >= len(multi)
-    assert all(len(list(p.glob("*.parquet"))) == 1 for p in multi)
+    n = compact_index_tree(spark, idx, grace_sec=3600)
+    assert n >= sum(1 for v in by_leaf.values() if v > 1)
+    m1 = latest_manifest(idx)
+    for f in m1["files"]:
+        assert (
+            sum(1 for g in m1["files"] if os.path.dirname(g) == os.path.dirname(f))
+            == 1
+        )
+    # displaced files retired, still on disk for pinned readers
+    assert m1["retired"] and set(m1["retired"]).issubset(scan_parquet_files(idx))
     after = [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()]
     assert after == before
 
-    # interrupted swap: live leaf gone, backup left behind -> restored
-    import shutil
+    # crash debris: (a) an unpublished orphan (a write that died before
+    # its commit) — copy a live file under a new name; (b) a staging
+    # dir from a compaction that died before its publish. Neither may
+    # change answers, and GC sweeps both.
+    live0 = m1["files"][0]
+    orphan = os.path.join(
+        os.path.dirname(live0), "part-99999-deadbeef.c000.snappy.parquet"
+    )
+    shutil.copyfile(os.path.join(idx, live0), os.path.join(idx, orphan))
+    os.makedirs(os.path.join(idx, "_compactstage_dead"), exist_ok=True)
+    assert [
+        tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()
+    ] == before
 
-    leaf = multi[0]
-    bak = leaf.parent / f"_old_{leaf.name}"
-    leaf.rename(bak)
-    assert not leaf.exists()
-    compact_parquet_tree(spark, idx)
-    assert leaf.exists() and not bak.exists()
-    healed = [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()]
-    assert healed == before
-
-    # interrupted swap the other way: staged copy orphaned -> promoted
-    tmp = leaf.parent / f"_compact_{leaf.name}"
-    leaf.rename(tmp)
-    compact_parquet_tree(spark, idx)
-    assert leaf.exists() and not tmp.exists()
-    assert [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()] == before
+    gc_index_tree(idx, grace_sec=0)
+    m2 = latest_manifest(idx)
+    assert not m2["retired"]
+    assert scan_parquet_files(idx) == set(m2["files"])  # orphan swept too
+    assert not os.path.isdir(os.path.join(idx, "_compactstage_dead"))
+    assert [
+        tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()
+    ] == before
 
 
 def test_term_bucket_python_matches_spark(spark):
@@ -476,15 +495,15 @@ def test_cached_index_dir_crash_safe_publish(tmp_path, monkeypatch):
     assert (p2 / "index.bin").exists() and not (p2 / "stale.bin").exists()
 
 
-def test_compact_parquet_tree_is_reader_atomic_and_revisits_links(spark, tmp_path):
-    """The symlink publish makes index-tree compaction reader-atomic
-    (VERDICT r5 ask #8, second half): a racing lister resolving every
-    leaf the way Spark's file index does must never see a missing or
-    empty leaf, and a leaf that became a symlink in one compaction must
-    still be found and re-compacted after later appends fragment it
-    again (os.walk follows links; pathlib's ** would not)."""
-    import glob
-    import os
+def test_compact_index_tree_is_reader_atomic(spark, tmp_path):
+    """The manifest snapshot makes index maintenance reader-atomic for
+    EXTERNAL readers (r7 VERDICT ask #2 — the soak's FILE_NOT_EXIST
+    fix): a query PLANNED before a compaction/append cycle must still
+    collect correctly afterwards (its pinned files are retired, not
+    deleted, through the grace window), a racing reader thread looping
+    plan+collect across two full append+compact cycles must see zero
+    errors and only complete snapshots, and fragmented leaves must be
+    re-compacted after later appends."""
     import threading
 
     from spark_streaming_kafka_bucket_counter_spark.operators.search import (
@@ -492,9 +511,9 @@ def test_compact_parquet_tree_is_reader_atomic_and_revisits_links(spark, tmp_pat
         bm25_build_index,
         bm25_query_index,
     )
-    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
-        compact_parquet_tree,
-        load_table,
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        compact_index_tree,
     )
     from tests.conftest import SF_DIR
 
@@ -506,52 +525,41 @@ def test_compact_parquet_tree_is_reader_atomic_and_revisits_links(spark, tmp_pat
     terms = ["data", "model", "training"]
     before = [tuple(r) for r in bm25_query_index(spark, idx, terms, top_k=10).collect()]
 
-    def leaves():
-        out = []
-        for dirpath, dirnames, filenames in os.walk(idx, followlinks=True):
-            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
-            if any(f.endswith(".parquet") for f in filenames):
-                out.append(dirpath)
-        return sorted(out)
+    # reader pinned BEFORE maintenance, collected AFTER it
+    pinned = bm25_query_index(spark, idx, terms, top_k=10)
+    assert compact_index_tree(spark, idx, grace_sec=3600) > 0
+    assert [tuple(r) for r in pinned.collect()] == before
 
-    # first compaction migrates real leaf dirs to the symlink layout —
-    # that one-time conversion has the documented two-syscall window, so
-    # it runs UNWATCHED; every subsequent swap is a pure atomic symlink
-    # replace, and that's what the racing lister verifies below
-    n1 = compact_parquet_tree(spark, idx)
-    assert n1 > 0
-
-    # fragment again THROUGH the symlinked leaves
-    bm25_append_index(docs.filter("doc_id % 5 = 0"), "doc_id", "text", idx)
-    expect = leaves()
-    assert expect
     stop = threading.Event()
     errors: list[str] = []
+    reads = [0]
 
-    def lister():
+    def reader():
         while not stop.is_set():
-            got = leaves()
-            if got != expect:
-                errors.append(f"lister saw {len(got)} leaves vs {len(expect)}")
+            try:
+                rows = bm25_query_index(spark, idx, terms, top_k=10).collect()
+            except Exception as exc:  # noqa: BLE001 - the pin IS "no errors"
+                errors.append(f"{type(exc).__name__}: {exc}"[:200])
                 return
-            for leaf in expect:
-                if not glob.glob(os.path.join(leaf, "*.parquet")):
-                    errors.append(f"empty leaf {leaf}")
-                    return
+            if len(rows) != len(before):
+                errors.append(f"partial snapshot: {len(rows)} rows")
+                return
+            reads[0] += 1
 
-    t = threading.Thread(target=lister)
+    t = threading.Thread(target=reader)
     t.start()
     try:
-        n2 = compact_parquet_tree(spark, idx)
-        assert n2 > 0, "symlinked leaves must be revisited after appends"
-        # once more under the lister: re-fragment + re-compact
+        # two full fragment+compact cycles under the racing reader; the
+        # corpus is large enough that top_k stays saturated, so every
+        # complete snapshot answers with exactly len(before) rows
+        bm25_append_index(docs.filter("doc_id % 5 = 0"), "doc_id", "text", idx)
+        assert compact_index_tree(spark, idx, grace_sec=3600) > 0
         bm25_append_index(docs.filter("doc_id % 7 = 0"), "doc_id", "text", idx)
-        assert compact_parquet_tree(spark, idx) > 0
+        assert compact_index_tree(spark, idx, grace_sec=3600) > 0
     finally:
         stop.set()
         t.join()
     assert not errors, errors[0]
-    # results reflect the extra append (superset corpus), and a clean
-    # rebuild-equivalent query still answers
+    assert reads[0] >= 1, "racing reader made no progress"
     after = bm25_query_index(spark, idx, terms, top_k=10).collect()
     assert len(after) == len(before)
