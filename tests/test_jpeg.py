@@ -353,3 +353,82 @@ def test_dispatching_decoder_handles_both_formats():
     assert decs[1] == (9, 8, 3, png_px)
     assert decs[2] is None and decs[3] is None
     assert _dhash_from_pixels_np(*decs[0]) is not None
+
+
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=25, deadline=None)
+def test_fast_progressive_encoder_equals_scalar(rnd):
+    """The vectorized progressive scan encoders (r8 — field-array
+    build + one-shot bit pack) are byte-exact against the per-
+    coefficient scalar reference on a mixed corpus: every scan kind
+    (DC first/refine, AC spectral bands, AC refinement with correction
+    bits), both subsampling modes, grayscale, degenerate 1-pixel-tall/
+    wide shapes, flat and noise content."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for _ in range(rnd.randrange(4, 9)):
+        ch = rnd.choice([1, 3])
+        w, h = rnd.randrange(1, 34), rnd.randrange(1, 34)
+        kind = rnd.choice(["noise", "flat", "grad"])
+        if kind == "noise":
+            px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        elif kind == "flat":
+            px = bytes([rnd.randrange(256)]) * (w * h * ch)
+        else:
+            px = _gradient(w, h, ch)
+        q = rnd.choice([30, 75, 90])
+        sub = ch == 3 and rnd.random() < 0.5
+        fast = encode_jpeg_progressive(px, w, h, ch, quality=q, subsample=sub)
+        ref = encode_jpeg_progressive(
+            px, w, h, ch, quality=q, subsample=sub, scalar=True
+        )
+        assert fast == ref, (w, h, ch, q, sub, kind)
+
+
+def test_jpeg_progressive_encode_throughput_pinned():
+    """The vectorized progressive encoder must hold >=3x the scalar
+    reference's throughput (r7 VERDICT ask #3: the per-block scan
+    encoders were the last scalar media kernel — the sf1 curve's one
+    super-linear row). Corpus: textured camera-ish frames plus one
+    noise frame — the sizes the vectorized path targets; thumbnails
+    below the ``_VEC_MIN_BLOCKS`` crossover dispatch to the scalar
+    path by design (pinned byte-equal in the parity test above) and
+    so carry no vectorization claim. Best-of-3 each side."""
+    import time
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rnd = random.Random(20260815)
+    corpus = [
+        (_gradient(160, 120, 3), 160, 120, 3, 85, True),
+        (_gradient(320, 240, 3), 320, 240, 3, 90, False),
+        (_gradient(240, 176, 3), 240, 176, 3, 75, True),
+        (_gradient(200, 150, 1), 200, 150, 1, 90, False),
+        (
+            bytes(rnd.randrange(256) for _ in range(96 * 96 * 3)),
+            96, 96, 3, 90, False,
+        ),
+    ]
+    encode_jpeg_progressive(*corpus[0][:4])  # warm LUT cache + numpy
+    best_scalar = best_fast = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ref = [
+            encode_jpeg_progressive(p, w, h, c, quality=q, subsample=s, scalar=True)
+            for p, w, h, c, q, s in corpus
+        ]
+        t1 = time.perf_counter()
+        fast = [
+            encode_jpeg_progressive(p, w, h, c, quality=q, subsample=s)
+            for p, w, h, c, q, s in corpus
+        ]
+        t2 = time.perf_counter()
+        assert ref == fast
+        best_scalar = min(best_scalar, t1 - t0)
+        best_fast = min(best_fast, t2 - t1)
+    speedup = best_scalar / best_fast
+    assert speedup >= 3.0, f"fast progressive encoder only {speedup:.1f}x scalar"
