@@ -1062,17 +1062,46 @@ def q_ingest_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ingest_roundtrip(spark, sf_dir, "jsonl_gz")
 
 
+# the r8 charset fixture appends fixed CJK phrases to the id%9∈{2,5,8}
+# ASCII bodies (sources/files.py: WARC_CJK_PHRASES) so the statistical
+# detection rungs have real script content; every WARC oracle that sums
+# body text mirrors that arithmetic with the phrases quoted literally —
+# the SQL stays self-evidently in sync with the exporter's bytes
+from ..sources.files import WARC_CJK_PHRASES as _CJK  # noqa: E402
+
+_CJK_SUFFIX_CHARS = (
+    f" CASE WHEN doc_id % 9 = 2 AND is_ascii AND L > 0"
+    f" THEN 1 + length('{_CJK['gb18030']}')"
+    f" WHEN doc_id % 9 = 5 AND is_ascii AND L > 0"
+    f" THEN 1 + length('{_CJK['shift_jis']}')"
+    f" WHEN doc_id % 9 = 8 AND is_ascii AND L > 0"
+    f" THEN 1 + length('{_CJK['euc-kr']}')"
+    f" ELSE 0 END "
+)
+_CJK_SUFFIX_NL = (
+    " CASE WHEN doc_id % 9 IN (2, 5, 8) AND is_ascii AND L > 0"
+    " THEN 1 ELSE 0 END "
+)
+
+
 @query(
     "ingest_warc_roundtrip",
-    """
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             length(COALESCE(text, '')) AS L,
+             COALESCE(text, '') AS t,
+             strlen(COALESCE(text, '')) = length(COALESCE(text, ''))
+               AS is_ascii
+      FROM documents
+    )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_chars,
-           CAST(SUM(length(COALESCE(text, ''))
-                  - length(replace(COALESCE(text, ''), chr(10), '')))
-             AS BIGINT) AS n_newlines,
+           CAST(SUM(L + {_CJK_SUFFIX_CHARS}) AS BIGINT) AS sum_chars,
+           CAST(SUM(L - length(replace(t, chr(10), ''))
+                  + {_CJK_SUFFIX_NL}) AS BIGINT) AS n_newlines,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
-    FROM documents
+    FROM d
     GROUP BY source
     """,
 )
@@ -1106,11 +1135,14 @@ def q_ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ingest_warc_record_types",
-    """
-    WITH d AS (SELECT doc_id, length(COALESCE(text, '')) AS L FROM documents)
+    f"""
+    WITH d AS (SELECT doc_id, length(COALESCE(text, '')) AS L,
+                      strlen(COALESCE(text, '')) = length(COALESCE(text, ''))
+                        AS is_ascii
+               FROM documents)
     SELECT 'response' AS record_type,
            CAST(COUNT(*) AS BIGINT) AS n_records,
-           CAST(SUM(L) AS BIGINT) AS sum_body_chars,
+           CAST(SUM(L + {_CJK_SUFFIX_CHARS}) AS BIGINT) AS sum_body_chars,
            CAST(COUNT(*) AS BIGINT) AS n_status,
            CAST(0 AS BIGINT) AS n_refers,
            CAST(0 AS BIGINT) AS max_malformed
@@ -1162,7 +1194,7 @@ def q_ingest_warc_record_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ingest_warc_charsets",
-    """
+    f"""
     WITH d AS (
       SELECT doc_id,
              length(COALESCE(text, '')) AS L,
@@ -1171,28 +1203,38 @@ def q_ingest_warc_record_types(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT CASE WHEN doc_id % 9 = 4 THEN 'utf-16'
+                WHEN doc_id % 9 = 1 AND is_ascii AND L >= 4 THEN 'utf-16'
+                WHEN doc_id % 9 = 2 AND is_ascii AND L > 0 THEN 'gb18030'
+                WHEN doc_id % 9 = 5 AND is_ascii AND L > 0 THEN 'shift_jis'
+                WHEN doc_id % 9 = 8 AND is_ascii AND L > 0 THEN 'euc-kr'
                 WHEN doc_id % 9 = 7 AND is_ascii THEN 'cp1252'
                 ELSE 'utf-8' END AS charset,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(L) AS BIGINT) AS sum_chars
+           CAST(SUM(L + {_CJK_SUFFIX_CHARS}) AS BIGINT) AS sum_chars
     FROM d
     GROUP BY 1
     """,
 )
 def q_ingest_warc_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Charset detection under the hash gate (round 7): the WARC fixture
-    ships three encoding families — BOM'd UTF-16 with NO declaration
-    (``id%9==4``, the BOM-sniff path), ASCII bodies declared
-    ``windows-1252`` (``id%9==7``, the declared path; ASCII-ness is
-    ``strlen==length`` in BOTH engines so the rule is replayable), and
-    declared UTF-8 — and ``read_warc_records``'s detection ladder
-    (functions/charset.py: BOM > valid declaration > strict UTF-8 >
-    cp1252) must label every response correctly AND transcode the body
-    back to the exact original text (sum_chars per charset catches a
-    single mojibaked character anywhere, including inside chunked
-    UTF-16 bodies). Real crawls are ~5-10% legacy encodings; a
-    hard-coded UTF-8 reader silently corrupts all of them — this is the
-    gate that prevents that."""
+    """Charset detection under the hash gate (round 7, extended round 8
+    with the statistical rungs — r7 VERDICT ask #4): the WARC fixture
+    ships SEVEN encoding families — BOM'd UTF-16 undeclared
+    (``id%9==4``), BOM-LESS UTF-16LE undeclared (``id%9==1``, the
+    NUL-parity rung), gb18030 / Shift_JIS undeclared (``id%9==2`` /
+    ``%9==5``, the East-Asian structural + frequency rung), cp949
+    behind a LYING ``charset=latin-1`` declaration (``id%9==8`` — the
+    classic mojibake page; the reader must distrust the declaration on
+    multi-byte structure), ASCII declared ``windows-1252`` (``%9==7``),
+    and declared UTF-8 — and ``read_warc_records``'s detection ladder
+    (functions/charset.py: BOM > trusted declaration > BOM-less UTF-16
+    > strict UTF-8 > East-Asian statistical > cp1252) must label every
+    response correctly AND transcode the body back to the exact
+    original text (sum_chars per charset catches a single mojibaked
+    character anywhere, including inside chunked bodies; the CJK
+    phrase lengths are quoted literally in the oracle). Real crawls
+    are ~5-10% legacy encodings with a long East-Asian tail; a
+    hard-coded UTF-8 reader silently corrupts all of them — this is
+    the gate that prevents that."""
     from ..sources.files import export_documents_files, read_warc_records
 
     path = export_documents_files(spark, sf_dir, "warc")

@@ -481,9 +481,10 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             w.csv(path)
 
     # warc bumped in round 7: v2 added mixed record types + chunked
-    # responses, v3 the charset families; a stale export would fail the
-    # census oracles
-    ver = "documents-v3" if fmt == "warc" else "documents-v1"
+    # responses, v3 the charset families, v4 the statistical-rung
+    # families (BOM-less UTF-16LE + CJK phrases, round 8); a stale
+    # export would fail the census oracles
+    ver = "documents-v4" if fmt == "warc" else "documents-v1"
     return cached_index_dir(f"{fmt}-export", sf_dir, ver, build)
 
 
@@ -652,6 +653,17 @@ def read_documents_files(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     return r.csv(path)
 
 
+#: fixed CJK payloads the WARC charset fixture appends so the East-Asian
+#: statistical rungs have real script content to detect (ASCII doc text
+#: is byte-identical under every EA codec — detection needs the script).
+#: Quoted literally in the oracle SQL's length('...') arithmetic.
+WARC_CJK_PHRASES = {
+    "gb18030": "的一是不了我们在用它这个句子很好",
+    "shift_jis": "これはテスト用のデータですましたする",
+    "euc-kr": "이것은 데이터 테스트를 위한 문장입니다",
+}
+
+
 def _write_documents_warc(df: DataFrame, path: str) -> None:
     """Executor-side Common-Crawl-style export: each Arrow batch becomes
     one ``.warc.gz`` of member-gzipped records. doc_id rides in
@@ -671,7 +683,20 @@ def _write_documents_warc(df: DataFrame, path: str) -> None:
     declaration (BOM sniff), ``id%9==7`` ASCII-only bodies ship with a
     ``charset=windows-1252`` declaration (declared path; ASCII is
     deterministic from the text so the oracle can replay the rule),
-    everything else is declared UTF-8."""
+    everything else is declared UTF-8.
+
+    Round 8 — the statistical rungs join the fixture on the same
+    id-arithmetic terms (ASCII-only gates keep every rule replayable in
+    SQL): ``id%9==1`` (len>=4) ships BOM-LESS UTF-16LE undeclared (the
+    NUL-parity rung); ``id%9==2`` appends a Chinese phrase and ships
+    gb18030 undeclared; ``id%9==5`` appends a Japanese phrase and ships
+    cp932 (Shift_JIS) undeclared; ``id%9==8`` appends a Korean phrase,
+    ships cp949 — and LIES ``charset=latin-1`` (the classic mojibake
+    page; the reader must distrust the declaration on multi-byte
+    structure and land on euc-kr). The phrases are module constants
+    (:data:`WARC_CJK_PHRASES`) quoted literally in the oracles'
+    ``length('...')`` arithmetic, so the SQL stays self-evidently in
+    sync with the bytes."""
     import hashlib
     import os as _os
     from urllib.parse import quote
@@ -704,6 +729,28 @@ def _write_documents_warc(df: DataFrame, path: str) -> None:
                 elif did % 9 == 7 and t.isascii():  # declared legacy 8-bit
                     body = t.encode("cp1252")
                     ctype = "text/plain; charset=windows-1252"
+                elif did % 9 == 1 and t.isascii() and len(t) >= 4:
+                    # BOM-less UTF-16LE, undeclared: NUL-parity rung
+                    body = t.encode("utf-16-le")
+                    ctype = "text/plain"
+                elif did % 9 == 2 and t and t.isascii():
+                    # undeclared gb18030 (statistical rung)
+                    body = (t + "\n" + WARC_CJK_PHRASES["gb18030"]).encode(
+                        "gb18030"
+                    )
+                    ctype = "text/plain"
+                elif did % 9 == 5 and t and t.isascii():
+                    # undeclared Shift_JIS (WHATWG: cp932)
+                    body = (t + "\n" + WARC_CJK_PHRASES["shift_jis"]).encode(
+                        "cp932"
+                    )
+                    ctype = "text/plain"
+                elif did % 9 == 8 and t and t.isascii():
+                    # cp949 bytes behind a LYING latin-1 declaration
+                    body = (t + "\n" + WARC_CJK_PHRASES["euc-kr"]).encode(
+                        "cp949"
+                    )
+                    ctype = "text/plain; charset=latin-1"
                 else:
                     body = t.encode()
                     ctype = "text/plain; charset=utf-8"
