@@ -1449,6 +1449,57 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.graph import pagerank_sql as _wg_pagerank_sql  # noqa: E402
+
+_WEB_PR_ITERS = 4
+# the oracle replays the fixture's internal-link arithmetic (the same
+# id rule web_link_graph's oracle pins: doc i links to (3i+1) % 1000)
+_WEB_PR_EDGES = "SELECT doc_id AS src, (doc_id * 3 + 1) % 1000 AS dst FROM documents"
+
+
+@query(
+    "web_graph_pagerank",
+    f"""
+    WITH RECURSIVE {_wg_pagerank_sql(_WEB_PR_EDGES, 'src', 'dst', _WEB_PR_ITERS)}
+    SELECT u AS node, r AS rank_e9 FROM pr WHERE it = {_WEB_PR_ITERS}
+    """,
+)
+def q_web_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the CRAWLED link graph (round 8, r7 VERDICT ask
+    #5): the edges come from the real raw-HTML pipeline — synthesized
+    pages -> ``html_links`` outlink extraction -> codegen URL
+    canonicalization -> internal-edge filter -> node id recovered from
+    the canonical URL path — and then the same exact-integer fixed-
+    point loop as ``graph_pagerank`` ranks them. The oracle replays
+    the fixture's id arithmetic through the shared recursive-CTE twin,
+    so a single mis-canonicalized href anywhere in the extraction path
+    shifts a rank and trips the hash. This closes the loop
+    ``q_web_link_graph``'s docstring promises: raw HTML to crawl
+    frontier to graph analytics, end to end. Scale shape: one Arrow
+    extract stage, then per-iteration one hash join + one groupBy-sum
+    on (node) — identical to the lineitem-graph query, just fed by the
+    crawler instead of the warehouse."""
+    from ..functions.text import canonicalize_url
+    from ..operators.graph import pagerank
+    from ..operators.htmltext import html_links
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = html_links(docs)
+    internal = edges.filter(
+        F.lower(F.try_parse_url(F.col("href"), F.lit("HOST")))
+        == F.lit("corpus.invalid")
+    )
+    e = internal.select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract(
+            canonicalize_url(F.col("href")), r"/doc/(\d+)", 1
+        )
+        .cast("long")
+        .alias("dst"),
+    )
+    return pagerank(e, "src", "dst", iterations=_WEB_PR_ITERS)
+
+
 @query("ingest_orc_roundtrip", _INGEST_ORACLE)
 def q_ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-corpus ingest parity, ORC — the other columnar warehouse

@@ -739,8 +739,9 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # emptied after the r07 driver run landed (every round-7 addition got
     # its green row in CORRECTNESS_r07.json; union r01..r07 covers the
-    # whole 181-query catalog). Round-8 additions go here until their
-    # first green driver row.
+    # whole 181-query catalog). Round-8 additions below need their first
+    # green driver row:
+    "web_graph_pagerank",  # r8: PageRank over the crawled link graph
 ]
 
 
