@@ -16,8 +16,11 @@ Coverage and honesty:
   scan kinds of T.81 G.2 (DC first/refine, AC first/refine with EOB
   runs and correction bits) — 8-bit, gray or YCbCr with any sampling
   factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals
-  (DRI/RSTn). Arithmetic coding, 12-bit, lossless/hierarchical and
-  CMYK return ``None`` rather than guessing. Progressive parity is
+  (DRI/RSTn); since round 8 also Adobe 4-component CMYK/YCCK (APP14
+  transform 0 or 2, inverted-ink convention, RGB output — 4-component
+  streams WITHOUT the Adobe declaration still return ``None``).
+  Arithmetic coding, 12-bit and lossless/hierarchical return ``None``
+  rather than guessing. Progressive parity is
   pinned the strong way: a progressive stream carries the SAME
   quantized coefficients as the baseline stream of the same image, so
   decoding both must be pixel-identical bit-for-bit.
@@ -350,6 +353,70 @@ def encode_jpeg_baseline(
     out += _marker(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(
+    pixels: bytes, width: int, height: int,
+    quality: int = 90, ycck: bool = False,
+) -> bytes:
+    """Conformant Adobe CMYK baseline JPEG (round 8): 4 interleaved
+    1x1-sampled components + the APP14 ``Adobe`` marker (transform 0 =
+    components as stored, or 2 = YCCK when ``ycck``). Ink channels are
+    stored INVERTED, the Adobe toolchain convention the decoder's CMYK
+    branch assumes; with ``ycck`` the inverted C/M/Y additionally pass
+    through the standard YCbCr matrix (K rides alongside untouched).
+    ``pixels`` is w*h*4 CMYK bytes (0 = no ink). Exists so tests and
+    synthesis exercise the decoder on REAL CMYK streams — the same
+    self-hosting discipline as the RGB encoder."""
+    if len(pixels) != width * height * 4:
+        raise ValueError("pixels length must be width*height*4 (CMYK)")
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, width, 4).astype(np.float64)
+    inv = 255.0 - arr
+    if ycck:
+        c, m, y, k = (inv[:, :, i] for i in range(4))
+        planes = [
+            0.299 * c + 0.587 * m + 0.114 * y,
+            -0.168736 * c - 0.331264 * m + 0.5 * y + 128.0,
+            0.5 * c - 0.418688 * m - 0.081312 * y + 128.0,
+            k,
+        ]
+    else:
+        planes = [inv[:, :, i] for i in range(4)]
+    qt = _scaled_quant(_QUANT_LUMA, quality)
+    mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    comps = [
+        _quantized_blocks(_pad_edge(p, mcuy * 8, mcux * 8), qt) for p in planes
+    ]
+    bw = _BitWriter()
+    preds = [0] * 4
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(4):
+                preds[ci] = _encode_block(bw, comps[ci][my, mx], preds[ci])
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _marker(
+        0xEE,
+        b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2 if ycck else 0]),
+    )
+    out += _marker(0xDB, bytes([0]) + bytes(int(qt[z]) for z in _ZIGZAG))
+    sof = (
+        bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([4])
+    )
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _marker(0xC0, sof)
+    out += _marker(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _marker(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = bytes([4])
+    for ci in range(4):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1001,8 +1068,9 @@ def _decode_jpeg_inner(
         return None
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
-    frame = None  # (w, h, comps) comps: list of (id, hs, vs, tq)
+    frame = None  # (w, h, comps, adobe) comps: list of (id, hs, vs, tq)
     restart_interval = 0
+    adobe_transform = None  # APP14 'Adobe' color transform byte
     progressive = False
     prog_coef = None  # per-component zigzag-order coefficient arrays
     prog_grid = None  # (mcux, mcuy)
@@ -1011,7 +1079,7 @@ def _decode_jpeg_inner(
     def _prog_assemble():
         if not scans_done:
             return None
-        w, h, comps = frame
+        w, h, comps, adobe = frame
         for _, hs, vs, tq in comps:
             if tq not in qtables:
                 return None
@@ -1022,7 +1090,7 @@ def _decode_jpeg_inner(
             bo = np.zeros_like(carr)
             bo[:, :, zig] = carr
             blockorder.append(bo)
-        return _assemble_planes(blockorder, comps, qtables, mcux, mcuy, w, h)
+        return _assemble_planes(blockorder, comps, qtables, mcux, mcuy, w, h, adobe)
 
     i = 2
     while i + 4 <= len(b):
@@ -1070,7 +1138,7 @@ def _decode_jpeg_inner(
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
-            if nc not in (1, 3) or len(seg) < 6 + 3 * nc or w == 0 or h == 0:
+            if nc not in (1, 3, 4) or len(seg) < 6 + 3 * nc or w == 0 or h == 0:
                 return None
             comps = []
             for c in range(nc):
@@ -1079,7 +1147,7 @@ def _decode_jpeg_inner(
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     return None
                 comps.append((cid, hs, vs, tq))
-            frame = (w, h, comps)
+            frame = (w, h, comps, adobe_transform)
             if tag == 0xC2:
                 progressive = True
                 hmax = max(hs for _, hs, _, _ in comps)
@@ -1093,6 +1161,13 @@ def _decode_jpeg_inner(
                 ]
         elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # arithmetic / lossless / hierarchical
+        elif tag == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: the Adobe color-transform declaration CMYK streams
+            # carry (0 = components as stored, 2 = YCCK). May precede
+            # or follow SOF; re-bind the frame if already parsed.
+            adobe_transform = seg[11]
+            if frame is not None:
+                frame = frame[:3] + (adobe_transform,)
         elif tag == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif tag == 0xDA:  # SOS
@@ -1190,7 +1265,7 @@ def _entropy_segments(b: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def _decode_scan_fast(b, pos, sos, frame, qtables, htables, restart_interval):
-    w, h, comps = frame
+    w, h, comps, adobe = frame
     nc = sos[0]
     if nc != len(comps) or len(sos) < 1 + 2 * nc + 3:
         return None
@@ -1317,10 +1392,10 @@ def _decode_scan_fast(b, pos, sos, frame, qtables, htables, restart_interval):
                             return None
                         carr[my * vs + by, mx * hs + bx] = block
             mcu_count += 1
-    return _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h)
+    return _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h, adobe)
 
 
-def _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h):
+def _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h, adobe=None):
     """Batched dequant + IDCT + upsample + color convert: one stacked
     matmul pair per component (same pairwise contraction order as the
     per-block reference, so float results are bit-identical).
@@ -1341,13 +1416,39 @@ def _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h):
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
         out_planes.append(plane[:h, :w])
-    return _planes_to_pixels(out_planes, w, h)
+    return _planes_to_pixels(out_planes, w, h, adobe)
 
 
-def _planes_to_pixels(out_planes, w, h):
+def _planes_to_pixels(out_planes, w, h, adobe=None):
     if len(out_planes) == 1:
         gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return (w, h, 1, gray.tobytes())
+    if len(out_planes) == 4:
+        # CMYK (round 8): only with an explicit Adobe APP14 transform —
+        # 4-component streams without one would need libjpeg-style
+        # guessing, and this codec never guesses. Adobe stores the ink
+        # channels INVERTED; transform 2 (YCCK) additionally runs the
+        # YCbCr matrix over the inverted C/M/Y. Output is converted to
+        # RGB (the downstream contract every consumer here wants):
+        # R = C_stored * K_stored / 255, the naive CMYK compose.
+        if adobe not in (0, 2):
+            return None
+        if adobe == 2:
+            yy, cb, cr, k = out_planes
+            cb = cb - 128.0
+            cr = cr - 128.0
+            c_s = yy + 1.402 * cr
+            m_s = yy - 0.344136 * cb - 0.714136 * cr
+            y_s = yy + 1.772 * cb
+        else:
+            c_s, m_s, y_s, k = out_planes
+        k = np.clip(k, 0.0, 255.0)
+        rgb = np.stack(
+            [np.clip(p, 0.0, 255.0) * k / 255.0 for p in (c_s, m_s, y_s)],
+            axis=-1,
+        )
+        rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return (w, h, 3, rgb.tobytes())
     y, cb, cr = out_planes
     cb = cb - 128.0
     cr = cr - 128.0
@@ -1408,7 +1509,7 @@ def _decode_prog_scan(
     all four scan kinds of T.81 G.2: DC first / DC refine (raw bits) /
     AC first (EOB runs) / AC refine (correction bits), with restart
     segments resetting DC predictors and the EOB run."""
-    w, h, comps = frame
+    w, h, comps, adobe = frame
     nc_scan = sos[0]
     if len(sos) < 1 + 2 * nc_scan + 3 or not 1 <= nc_scan <= len(comps):
         return None
@@ -1613,7 +1714,7 @@ def _decode_prog_scan(
 
 
 def _decode_scan_scalar(b, pos, sos, frame, qtables, htables, restart_interval):
-    w, h, comps = frame
+    w, h, comps, adobe = frame
     nc = sos[0]
     if nc != len(comps) or len(sos) < 1 + 2 * nc + 3:
         return None
@@ -1672,7 +1773,7 @@ def _decode_scan_scalar(b, pos, sos, frame, qtables, htables, restart_interval):
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out_planes.append(p[:h, :w])
-    return _planes_to_pixels(out_planes, w, h)
+    return _planes_to_pixels(out_planes, w, h, adobe)
 
 
 def _decode_block(br, dct, act):

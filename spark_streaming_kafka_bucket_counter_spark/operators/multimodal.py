@@ -1983,6 +1983,72 @@ def jpeg_progressive_parity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+JPEG_CMYK_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "transform string, decode_ok long, rgb_sum long"
+)
+
+
+def jpeg_cmyk_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Adobe CMYK decode under the oracle gate (round 8): each id ships
+    a REAL 4-component baseline JPEG with the APP14 marker — uniform
+    inks ``C=(7id)%256, M=(11id)%256, Y=(3id)%256, K=(13id)%256`` at
+    9x8, quality 75 (transform 0 for even ids, YCCK for odd). The luma
+    DC quantizer at q75 is exactly 8 and uniform blocks are DC-only, so
+    the transform-0 decode is INTEGER-EXACT: the decoder must return
+    ``R = round((255-C)(255-K)/255)`` (never a .5 case — 2ab is even,
+    255 odd, so banker's-vs-away rounding cannot diverge) and
+    ``rgb_sum = 72*(R+G+B)`` replays in SQL. YCCK rows pass through the
+    float YCbCr matrix whose quantization DuckDB cannot bit-replicate,
+    so they carry the structural columns with ``rgb_sum = -1`` on both
+    sides (pytest pins their pixel error instead) — the same partial-
+    oracle honesty as ``multimodal_jpeg_stats``."""
+    from .jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = DHASH_COLS, DHASH_ROWS
+                inks = (7 * did % 256, 11 * did % 256, 3 * did % 256,
+                        13 * did % 256)
+                img = np.empty((h, w, 4), np.uint8)
+                for i, v in enumerate(inks):
+                    img[:, :, i] = v
+                ycck = did % 2 == 1
+                b = encode_jpeg_cmyk(img.tobytes(), w, h, quality=75,
+                                     ycck=ycck)
+                dec = decode_jpeg(b)
+                if dec is None:
+                    rows.append((did, None, None, None,
+                                 "ycck" if ycck else "cmyk", 0, None))
+                    continue
+                dw, dh, ch, px = dec
+                if ycck:
+                    sum_rgb = -1
+                else:
+                    arr = np.frombuffer(px, np.uint8).astype(np.int64)
+                    sum_rgb = int(arr.sum())
+                rows.append((did, dw, dh, ch,
+                             "ycck" if ycck else "cmyk", 1, sum_rgb))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels",
+                         "transform", "decode_ok", "rgb_sum"],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "width", "height", "channels", "decode_ok", "rgb_sum",
+                )}
+            )
+
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _report, JPEG_CMYK_SCHEMA
+    )
+
+
 JPEG_STRUCTURE_SCHEMA = (
     "doc_id long, width long, height long, channels long, "
     "subsampling string, has_restart long, decode_ok long"

@@ -1094,6 +1094,47 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_jpeg_cmyk",
+    """
+    SELECT doc_id,
+           CAST(9 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CASE WHEN doc_id % 2 = 1 THEN 'ycck' ELSE 'cmyk' END AS transform,
+           CAST(1 AS BIGINT) AS decode_ok,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN -1 ELSE
+             72 * (
+               CAST(ROUND((255 - (7  * doc_id) % 256)
+                        * (255 - (13 * doc_id) % 256) / 255.0) AS BIGINT)
+             + CAST(ROUND((255 - (11 * doc_id) % 256)
+                        * (255 - (13 * doc_id) % 256) / 255.0) AS BIGINT)
+             + CAST(ROUND((255 - (3  * doc_id) % 256)
+                        * (255 - (13 * doc_id) % 256) / 255.0) AS BIGINT))
+           END AS BIGINT) AS rgb_sum
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adobe CMYK JPEG decode under the oracle gate (round 8 — shrinks
+    r7 'What's missing #3'): every doc ships a REAL 4-component
+    baseline stream with the APP14 transform declaration (plain
+    inverted-CMYK for even ids, YCCK for odd), and the decoder must
+    parse the marker, entropy-decode four interleaved components,
+    un-invert the Adobe ink convention, apply the YCCK inverse matrix
+    where declared, and compose RGB. Transform-0 rows are INTEGER-EXACT
+    (uniform inks + the q75 DC-quantizer-8 trick; the naive CMYK
+    compose (255-C)(255-K)/255 provably never lands on a .5, so both
+    engines round identically); YCCK rows carry the structural columns
+    with a -1 sentinel (float-matrix quantization is not SQL-
+    replicable) and their pixel error is pytest-bound instead. Streams
+    lacking the APP14 marker fail closed — this codec never guesses."""
+    from ..operators.multimodal import jpeg_cmyk_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_cmyk_report(docs)
+
+
+@query(
     "multimodal_jpeg_stats",
     """
     SELECT doc_id,

@@ -742,6 +742,7 @@ _DRIVER_PRIORITY: list[str] = [
     # whole 181-query catalog). Round-8 additions below need their first
     # green driver row:
     "web_graph_pagerank",  # r8: PageRank over the crawled link graph
+    "multimodal_jpeg_cmyk",  # r8: Adobe CMYK/YCCK decode, partial oracle
 ]
 
 

@@ -432,3 +432,59 @@ def test_jpeg_progressive_encode_throughput_pinned():
         best_fast = min(best_fast, t2 - t1)
     speedup = best_scalar / best_fast
     assert speedup >= 3.0, f"fast progressive encoder only {speedup:.1f}x scalar"
+
+
+def test_cmyk_adobe_roundtrip_both_transforms():
+    """Round 8: Adobe CMYK (APP14 transform 0) and YCCK (transform 2)
+    baseline streams decode to the naive CMYK->RGB compose within tight
+    lossy bounds; a 4-component stream WITHOUT the Adobe marker fails
+    closed (this codec never guesses); scalar and fast decoders agree
+    byte-exactly on CMYK streams too."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_baseline,
+        decode_jpeg_baseline_scalar,
+        encode_jpeg_cmyk,
+    )
+
+    w, h = 24, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    cmyk = np.stack(
+        [
+            np.clip(np.round(np.sin(xx / 9) * 40 + 100), 0, 255),
+            np.clip(np.round(np.cos(yy / 7) * 40 + 80), 0, 255),
+            np.clip(np.round((xx + yy) * 2), 0, 255),
+            np.clip(np.round(np.sin((xx + yy) / 11) * 30 + 60), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    px = cmyk.tobytes()
+    inv = 255.0 - cmyk.astype(np.float64)
+    want = np.stack(
+        [inv[:, :, i] * inv[:, :, 3] / 255.0 for i in range(3)], axis=-1
+    )
+    for ycck in (False, True):
+        b = encode_jpeg_cmyk(px, w, h, quality=97, ycck=ycck)
+        dec = decode_jpeg(b)
+        assert dec is not None and dec[:3] == (w, h, 3)
+        got = np.frombuffer(dec[3], np.uint8).reshape(h, w, 3).astype(np.float64)
+        err = np.abs(got - np.clip(np.round(want), 0, 255)).max()
+        assert err <= 12, (ycck, err)
+        assert decode_jpeg_baseline(b) == decode_jpeg_baseline_scalar(b)
+
+    # uniform inks at quality 75: transform-0 decode is INTEGER-EXACT
+    # (DC quantizer 8 divides 8*(p-128); the catalog oracle's claim)
+    flat = np.empty((h, w, 4), np.uint8)
+    for i, v in enumerate((40, 170, 200, 90)):
+        flat[:, :, i] = v
+    dec = decode_jpeg(encode_jpeg_cmyk(flat.tobytes(), w, h, quality=75))
+    got = np.frombuffer(dec[3], np.uint8).reshape(h, w, 3)
+    exact = [round((255 - v) * (255 - 90) / 255.0) for v in (40, 170, 200)]
+    assert [int(got[0, 0, i]) for i in range(3)] == exact
+
+    # no APP14 -> fail closed
+    b = bytearray(encode_jpeg_cmyk(px, w, h))
+    i = b.find(b"\xff\xee")
+    seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+    del b[i : i + 2 + seglen]
+    assert decode_jpeg(bytes(b)) is None

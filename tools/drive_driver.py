@@ -93,10 +93,12 @@ def _session_memory_mb() -> dict[str, int]:
 # legitimately grows the session (say why in SCALE.md). The guard trips
 # at +25% — the "session caches grew past what the catalog budgeted"
 # signal, enforced only on full runs over the standard driver dataset.
-# Recorded r7 (181-query catalog, 0 mismatches, 313s): python 677-685
-# MiB, jvm 3181-3233 MiB over two full passes; the larger of each kept.
+# Recorded r8 (182-query catalog, 0 mismatches, 218s): python 663 MiB,
+# jvm 3317 MiB — jvm +2.6% over the r7 guard (the web_graph_pagerank
+# addition + the manifest layer's snapshot bookkeeping; SCALE.md r8),
+# python under the r7 mark (685 kept as the high water).
 _MEM_HWM_MB = {
-    "/root/testdata/sf0.01": {"python_peak_mb": 685, "jvm_peak_mb": 3233}
+    "/root/testdata/sf0.01": {"python_peak_mb": 685, "jvm_peak_mb": 3317}
 }
 
 
