@@ -943,6 +943,7 @@ def lsh_query_index(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    snapshot: dict | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against a persisted LSH index: identical
     semantics to :func:`minhash_lsh_cross_pairs` (pytest-pinned parity)
@@ -961,8 +962,10 @@ def lsh_query_index(
     )
     # one snapshot pins BOTH subtrees: bands and shingles from the same
     # manifest generation, and a concurrent compaction/append can't
-    # yank a planned file (retired files outlive readers' grace window)
-    snap = latest_manifest(path)
+    # yank a planned file (retired files outlive readers' grace window).
+    # ``snapshot`` (from latest_manifest/manifest_at) time-travels the
+    # read to that generation instead.
+    snap = snapshot if snapshot is not None else latest_manifest(path)
     b_snap = manifest_read(spark, path, "bands", snapshot=snap)
     sh_snap = manifest_read(spark, path, "shingles", snapshot=snap)
     candidates = (

@@ -362,6 +362,7 @@ def bm25_query_index(
     top_k: int = 20,
     buckets: int = 64,
     id_col: str = "doc_id",
+    snapshot: dict | None = None,
 ) -> DataFrame:
     """Query a persisted BM25 index: same scoring contract as
     :func:`bm25_topk` (nano-unit fixed-point contributions, Robertson
@@ -373,7 +374,7 @@ def bm25_query_index(
     three reads see ONE consistent snapshot generation."""
     from ..sources.manifest import latest_manifest, manifest_read
 
-    snap = latest_manifest(path)
+    snap = snapshot if snapshot is not None else latest_manifest(path)
     terms = sorted({t.lower() for t in query_terms})
     # compute the exact partition set driver-side so the scan carries a
     # literal tb IN (...) partition filter; pure-Python replication of
@@ -432,6 +433,7 @@ def bm25_query_index_many(
     top_k: int = 20,
     buckets: int = 64,
     id_col: str = "doc_id",
+    snapshot: dict | None = None,
 ) -> DataFrame:
     """Batched serving over a persisted BM25 index: a whole DataFrame of
     ``(query_id, terms array<string>)`` answered in ONE plan — real
@@ -453,7 +455,7 @@ def bm25_query_index_many(
     """
     from ..sources.manifest import latest_manifest, manifest_read
 
-    snap = latest_manifest(path)
+    snap = snapshot if snapshot is not None else latest_manifest(path)
     qt = queries_df.select(
         F.col(query_id_col).alias("_qid"),
         F.explode(

@@ -990,6 +990,7 @@ def ivf_query_index(
     vec_col: str,
     nprobe: int = 2,
     top_k: int = 5,
+    snapshot: dict | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index: assign each query to its ``nprobe``
     nearest cells (broadcast centroid metadata, map-side), then join
@@ -1002,8 +1003,9 @@ def ivf_query_index(
     from ..sources.manifest import latest_manifest, manifest_read
 
     # centroids + cells pinned to ONE manifest generation (reader-atomic
-    # under concurrent append/compaction — r7 soak's FILE_NOT_EXIST fix)
-    snap = latest_manifest(path)
+    # under concurrent append/compaction — r7 soak's FILE_NOT_EXIST fix);
+    # ``snapshot`` (latest_manifest/manifest_at) time-travels the read
+    snap = snapshot if snapshot is not None else latest_manifest(path)
     cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
     probes = assign_to_centroids(
         nonzero_vectors(query_df, vec_col), id_col, vec_col, cents, max_rank=nprobe

@@ -81,6 +81,23 @@ def latest_manifest(root: str | Path) -> dict | None:
         return json.load(fh)
 
 
+def manifest_at(root: str | Path, generation: int) -> dict | None:
+    """A SPECIFIC snapshot generation, or None if that generation's
+    manifest has been pruned. Time travel for index reads: pass the
+    result as ``snapshot=`` to the index query functions and every read
+    resolves that generation's exact file list — valid for as long as
+    GC's grace window (plus :data:`KEEP_GENERATIONS`) keeps the files
+    and the manifest alive, which is precisely the contract a serving
+    consumer needs to run a multi-query analysis against ONE consistent
+    index state while ingestion keeps appending."""
+    path = _mdir(root) / f"v{generation:012d}.json"
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
 def scan_parquet_files(root: str | Path) -> set[str]:
     """Relative POSIX paths of every VISIBLE ``*.parquet`` under root
     (hidden ``_``/``.`` components excluded — staging dirs, the manifest

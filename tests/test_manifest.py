@@ -178,3 +178,47 @@ def test_manifest_publish_is_atomic_tmp_rename(tmp_path):
     for key in ("generation", "created_unix", "files", "retired"):
         assert key in m
     assert m["created_unix"] <= time.time()
+
+
+def test_snapshot_time_travel_on_bm25(spark, tmp_path):
+    """manifest_at + the query functions' ``snapshot=`` kwarg: a consumer
+    pins one generation and keeps getting THAT index state while
+    ingestion appends behind it — valid until GC ages the files out."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_query_index,
+        bm25_write_segment,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        gc_index_tree,
+        manifest_at,
+    )
+
+    idx = str(tmp_path / "bm")
+    docs1 = spark.createDataFrame(
+        [(i, f"shared tok{i}") for i in range(5)], "doc_id long, text string"
+    )
+    bm25_write_segment(docs1, "doc_id", "text", idx, 0)
+    gen1 = latest_manifest(idx)["generation"]
+    before = [tuple(r) for r in bm25_query_index(spark, idx, ["shared"], top_k=10).collect()]
+
+    docs2 = spark.createDataFrame(
+        [(i, f"shared tok{i}") for i in range(5, 9)], "doc_id long, text string"
+    )
+    bm25_write_segment(docs2, "doc_id", "text", idx, 1)
+
+    # latest sees 9 docs; the pinned snapshot still answers with 5
+    now = bm25_query_index(spark, idx, ["shared"], top_k=10).collect()
+    assert len(now) == 9
+    pinned = manifest_at(idx, gen1)
+    assert pinned is not None
+    old = [
+        tuple(r)
+        for r in bm25_query_index(
+            spark, idx, ["shared"], top_k=10, snapshot=pinned
+        ).collect()
+    ]
+    assert old == before
+
+    # a pruned generation returns None rather than a wrong answer
+    gc_index_tree(idx, grace_sec=0)
+    assert manifest_at(idx, 10_000) is None

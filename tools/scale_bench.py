@@ -54,6 +54,13 @@ QUERIES = [
     "audio_frame_features",
     "ingest_warc_roundtrip",
     "ingest_warc_record_types",
+    # round 8: the new charset rungs ride the WARC read; CMYK decode,
+    # the crawled-graph PageRank and the line-dedup batch operator join
+    # the curve (standing rule: new rows join the sf1 curve each round)
+    "ingest_warc_charsets",
+    "multimodal_jpeg_cmyk",
+    "web_graph_pagerank",
+    "curation_line_dedup",
 ]
 
 SCALES = {
