@@ -98,6 +98,47 @@ def manifest_at(root: str | Path, generation: int) -> dict | None:
         return None
 
 
+def manifest_added_since(root: str | Path, since_generation: int,
+                         snapshot: dict | None = None) -> list[str] | None:
+    """Relative paths of data files LIVE in the current (or given)
+    snapshot but absent from generation ``since_generation`` — the
+    incremental-consumer primitive: a downstream job records the
+    generation it last processed and, next run, reads only the files
+    new appends/segments landed since. Compaction rewrites are included
+    (their files are new) — consumers doing exactly-once row processing
+    should track row identity, or schedule incremental pulls between
+    compactions (the ingest loops' ``compact_every`` cadence makes that
+    a contract, not luck). Returns None when either generation's
+    manifest is gone (pruned history): the caller falls back to a full
+    read rather than silently missing data."""
+    base = manifest_at(root, since_generation)
+    cur = snapshot if snapshot is not None else latest_manifest(root)
+    if base is None or cur is None:
+        return None
+    return sorted(set(cur["files"]) - set(base["files"]))
+
+
+def manifest_diff_read(spark: SparkSession, root: str | Path,
+                       since_generation: int, sub: str = "",
+                       snapshot: dict | None = None) -> DataFrame | None:
+    """Plan a parquet read over ONLY the files added after
+    ``since_generation`` under ``sub`` (see :func:`manifest_added_since`
+    for the contract). Returns None when the baseline generation is
+    pruned or no new files exist under the subtree — both cases where
+    the caller must decide (full re-read vs no-op), not silently get an
+    empty or complete scan."""
+    rootp = Path(root)
+    added = manifest_added_since(rootp, since_generation, snapshot=snapshot)
+    if added is None:
+        return None
+    want = sub.rstrip("/") + "/" if sub else ""
+    paths = [str(rootp / f) for f in added if f.startswith(want)]
+    if not paths:
+        return None
+    base = rootp / sub if sub else rootp
+    return spark.read.option("basePath", str(base)).parquet(*paths)
+
+
 def scan_parquet_files(root: str | Path) -> set[str]:
     """Relative POSIX paths of every VISIBLE ``*.parquet`` under root
     (hidden ``_``/``.`` components excluded — staging dirs, the manifest
