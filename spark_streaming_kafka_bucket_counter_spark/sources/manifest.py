@@ -354,13 +354,14 @@ def compact_index_tree(spark: SparkSession, root: str | Path,
         # adopt an unmanaged tree: first snapshot = what a directory
         # reader sees today
         m = _commit(rootp, scan_parquet_files(rootp))
-    files = list(m["files"])
     retired = dict(m["retired"])
     by_leaf: dict[str, list[str]] = {}
-    for f in files:
+    for f in m["files"]:
         by_leaf.setdefault(os.path.dirname(f), []).append(f)
 
     rewritten = 0
+    displaced: set[str] = set()
+    added: list[str] = []
     now = time.time()
     for leaf, leaf_files in sorted(by_leaf.items()):
         if len(leaf_files) <= target_files:
@@ -369,24 +370,22 @@ def compact_index_tree(spark: SparkSession, root: str | Path,
         staged = rootp / f"_compactstage_{uuid.uuid4().hex[:8]}"
         df.coalesce(target_files).write.mode("overwrite").parquet(str(staged))
         leaf_dir = rootp / leaf if leaf else rootp
-        new_rels: list[str] = []
         for pf in sorted(staged.glob("*.parquet")):
             dest = leaf_dir / pf.name  # part-...-<uuid> names never collide
             crc = staged / f".{pf.name}.crc"
             if crc.exists():
                 os.replace(crc, leaf_dir / crc.name)
             os.replace(pf, dest)
-            new_rels.append(f"{leaf}/{pf.name}" if leaf else pf.name)
+            added.append(f"{leaf}/{pf.name}" if leaf else pf.name)
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
-        for f in leaf_files:
-            files.remove(f)
-            retired[f] = now
-        files.extend(new_rels)
+        displaced.update(leaf_files)
+        retired.update((f, now) for f in leaf_files)
         rewritten += 1
 
     if rewritten:
+        files = [f for f in m["files"] if f not in displaced] + added
         _publish(rootp, files, retired, m["generation"] + 1)
     gc_index_tree(rootp, grace_sec)
     return rewritten
