@@ -93,12 +93,12 @@ def _session_memory_mb() -> dict[str, int]:
 # legitimately grows the session (say why in SCALE.md). The guard trips
 # at +25% — the "session caches grew past what the catalog budgeted"
 # signal, enforced only on full runs over the standard driver dataset.
-# Recorded r8 (182-query catalog, 0 mismatches, 218s): python 663 MiB,
-# jvm 3317 MiB — jvm +2.6% over the r7 guard (the web_graph_pagerank
-# addition + the manifest layer's snapshot bookkeeping; SCALE.md r8),
-# python under the r7 mark (685 kept as the high water).
+# Recorded r8 over two full passes (182q/218s: py 663 / jvm 3317;
+# 183q/239s: py 690 / jvm 3113) — larger of each kept. JVM +2.6% and
+# python +0.7% over the r7 guard: the two new catalog queries plus the
+# manifest layer's snapshot bookkeeping (SCALE.md r8).
 _MEM_HWM_MB = {
-    "/root/testdata/sf0.01": {"python_peak_mb": 685, "jvm_peak_mb": 3317}
+    "/root/testdata/sf0.01": {"python_peak_mb": 690, "jvm_peak_mb": 3317}
 }
 
 
