@@ -38,6 +38,16 @@ Trees NOT managed here (serving store, line-count segments) keep their
 existing partition-replace / symlink-swap schemes; this module is the
 generalization of the line-count tree's 0-transient shape to indexes
 whose leaves must be rewritten in place.
+
+Scale notes: a publish costs O(live files) — one JSON dump plus one
+tree scan — and readers pay one JSON parse. That holds comfortably to
+~10^5 files (a few MB of manifest); the indexes here stay far under it
+because compaction bounds files-per-leaf and segment count equals
+batch count by contract. Past that, the standard next step is the
+Iceberg shape (a manifest LIST pointing at per-subtree manifest
+files), which this layout can grow into without changing the reader
+contract — snapshot resolution stays one fetch of the newest
+generation.
 """
 
 from __future__ import annotations
