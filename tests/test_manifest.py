@@ -261,3 +261,81 @@ def test_incremental_diff_read(spark, tmp_path):
     assert manifest_diff_read(spark, root, g1, "other").count() == 3
     # pruned baseline -> None (full-read fallback signal)
     assert manifest_added_since(root, 999) is None
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42, 1234, 99991])
+def test_model_based_random_op_sequences(tmp_path, seed):
+    """Model-based robustness: random interleavings of append /
+    scoped-replace / crash-before-commit / compact-file-moves-without-
+    publish / GC, checked after every op against a pure-python model of
+    what the snapshot must contain. Invariants: live set == model,
+    retired and live are disjoint, every live+retired file exists on
+    disk, generations are strictly monotonic, and zero-grace GC
+    converges disk to exactly the live set."""
+    import random
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        manifest_at,
+    )
+
+    rnd = random.Random(seed)
+    root = tmp_path / "idx"
+    root.mkdir()
+    model: set[str] = set()  # live files per the semantics
+    next_id = [0]
+    last_gen = 0
+    scopes = [f"seg/batch_id={b}" for b in range(4)] + ["flat"]
+
+    def fresh(scope: str) -> str:
+        next_id[0] += 1
+        return f"{scope}/part-{next_id[0]:05d}.parquet"
+
+    for _ in range(60):
+        op = rnd.choice(["append", "replace", "crash", "stale_move", "gc"])
+        if op == "append":
+            scope = rnd.choice(scopes)
+            new = [fresh(scope) for _ in range(rnd.randrange(1, 4))]
+            with manifest_txn(root):
+                for f in new:
+                    _touch(root, f)
+            model.update(new)
+        elif op == "replace":
+            scope = rnd.choice(scopes)
+            new = [fresh(scope) for _ in range(rnd.randrange(1, 3))]
+            with manifest_txn(root, replace_prefixes=[scope]):
+                for f in new:
+                    _touch(root, f)
+            model = {f for f in model if not f.startswith(scope + "/")}
+            model.update(new)
+        elif op == "crash":
+            # writer died before its commit: orphan, never visible
+            _touch(root, fresh(rnd.choice(scopes)))
+        elif op == "stale_move":
+            # compaction crashed after moving files, before publishing:
+            # the moved duplicate is an orphan too
+            if model:
+                src = rnd.choice(sorted(model))
+                dup = os.path.dirname(src) + f"/part-{next_id[0] + 500:05d}-dup.parquet"
+                _touch(root, dup, (root / src).read_bytes())
+        else:
+            gc_index_tree(root, grace_sec=rnd.choice([0, 3600]))
+
+        m = latest_manifest(root)
+        if m is None:
+            assert not model
+            continue
+        assert set(m["files"]) == model
+        assert not (set(m["files"]) & set(m["retired"]))
+        for f in list(m["files"]) + list(m["retired"]):
+            assert (root / f).exists(), f
+        assert m["generation"] >= last_gen
+        assert m["generation"] > last_gen or op in ("crash", "stale_move", "gc")
+        last_gen = m["generation"]
+        # the latest generation must always be re-resolvable by number
+        assert manifest_at(root, m["generation"]) == m
+
+    gc_index_tree(root, grace_sec=0)
+    m = latest_manifest(root)
+    if m is not None:
+        assert scan_parquet_files(root) == set(m["files"]) == model
+        assert m["retired"] == {}
