@@ -1113,3 +1113,17 @@ def lsh_append_index(
         )
         sh.write.mode("append").parquet(str(Path(path) / "shingles"))
     sh.unpersist()
+
+
+def lsh_forget(spark, path: str, ids: list[int]) -> int:
+    """Right-to-be-forgotten over the persisted LSH index (round 8):
+    every band row and shingle row for the given doc ids is dropped by
+    rewriting only the files that contain them, published as ONE
+    manifest snapshot (:func:`~..sources.manifest.manifest_forget_rows`).
+    Readers pinned to any recent snapshot finish untouched; after GC's
+    grace window the forgotten docs have no bytes in the index. Query
+    behavior is identical to an index that never saw those docs — the
+    band/shingle rows ARE a doc's entire index footprint."""
+    from ..sources.manifest import manifest_forget_rows
+
+    return manifest_forget_rows(spark, path, "doc", ids, ["bands", "shingles"])

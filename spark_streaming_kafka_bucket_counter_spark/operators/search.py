@@ -512,3 +512,92 @@ def bm25_query_index_many(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def bm25_forget(
+    spark,
+    path: str,
+    ids: list[int],
+    id_col: str = "doc_id",
+) -> int:
+    """Right-to-be-forgotten over the persisted BM25 index (round 8).
+    BM25 is the index family where a naive row delete CORRUPTS results:
+    dfreq and corpus stats are additive aggregates of the postings, so
+    dropping a doc's postings without re-deriving them leaves idf and
+    avgdl computed over a corpus that no longer exists. The recipe:
+
+    1. drop the ids' postings rows (file-level rewrite of only the
+       files containing them — :func:`~..sources.manifest.
+       manifest_forget_rows`);
+    2. re-derive dfreq and stats for every AFFECTED segment from its
+       remaining postings (df = per-term doc count, N/sumdl from the
+       distinct (doc, dl) pairs — postings carry everything needed),
+       replacing those segments' aggregate files at manifest level.
+
+    Both steps publish snapshots, so pinned readers keep a consistent
+    (postings, dfreq, stats) view throughout and queries after the
+    forget are bit-identical to an index whose segments were built
+    without the forgotten docs (pytest-pinned). Works for segmented
+    (``batch_id``-partitioned) and flat build/append layouts alike.
+    Returns the number of postings files rewritten or retired."""
+    from ..sources.manifest import manifest_forget_rows, manifest_read, manifest_txn
+
+    # which segments lose rows (before the rows disappear)
+    post = manifest_read(spark, path, "postings")
+    segmented = "batch_id" in post.columns
+    idlist = [int(x) for x in ids]
+    if segmented:
+        affected = [
+            int(r["batch_id"])
+            for r in post.filter(F.col(id_col).isin(idlist))
+            .select("batch_id").distinct().collect()
+        ]
+    else:
+        affected = [None] if post.filter(F.col(id_col).isin(idlist)).limit(1).count() else []
+    if not affected:
+        return 0
+
+    n = manifest_forget_rows(spark, path, id_col, idlist, ["postings"])
+
+    from pathlib import Path
+
+    for bid in affected:
+        remaining = manifest_read(spark, path, "postings")
+        if bid is not None:
+            remaining = remaining.filter(F.col("batch_id") == bid)
+        remaining = remaining.persist()
+        try:
+            docs = remaining.select(id_col, "_dl").distinct()
+            stats = docs.agg(
+                F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl")
+            ).select(
+                "_N", F.coalesce("_sumdl", F.lit(0)).cast("long").alias("_sumdl")
+            )
+            dfreq = remaining.groupBy("tb", "term").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+            if bid is not None:
+                scope = [f"stats/batch_id={bid}", f"dfreq/batch_id={bid}"]
+                bcol = F.lit(bid).cast("long")
+                with manifest_txn(path, replace_prefixes=scope):
+                    (
+                        stats.withColumn("batch_id", bcol).coalesce(1)
+                        .write.mode("append").partitionBy("batch_id")
+                        .parquet(str(Path(path) / "stats"))
+                    )
+                    (
+                        dfreq.withColumn("batch_id", bcol)
+                        .write.mode("append").partitionBy("batch_id", "tb")
+                        .parquet(str(Path(path) / "dfreq"))
+                    )
+            else:
+                with manifest_txn(path, replace_prefixes=["stats", "dfreq"]):
+                    stats.coalesce(1).write.mode("append").parquet(
+                        str(Path(path) / "stats")
+                    )
+                    dfreq.write.mode("append").partitionBy("tb").parquet(
+                        str(Path(path) / "dfreq")
+                    )
+        finally:
+            remaining.unpersist()
+    return n

@@ -1235,3 +1235,16 @@ def knn_graph_sql(
       FROM knn_scored
       QUALIFY rank <= {top_k}
     )"""
+
+
+def ivf_forget(spark, path: str, ids: list[int], id_col: str = "vec_id") -> int:
+    """Right-to-be-forgotten over the persisted IVF index (round 8):
+    drop the given ids' rows from their cell partitions by rewriting
+    only the files that hold them — one snapshot publish, pinned
+    readers finish untouched, GC erases the bytes after the grace
+    window. Centroids are untouched: cell geometry is corpus-level
+    metadata, not per-vector data, so queries behave exactly as if the
+    vectors were never appended."""
+    from ..sources.manifest import manifest_forget_rows
+
+    return manifest_forget_rows(spark, path, id_col, ids, ["cells"])

@@ -266,6 +266,91 @@ def manifest_read(spark: SparkSession, root: str | Path, sub: str = "",
     return spark.read.option("basePath", str(base)).parquet(*paths)
 
 
+def manifest_forget_rows(spark: SparkSession, root: str | Path,
+                         id_col: str, ids: Sequence[int],
+                         subtrees: Sequence[str],
+                         grace_sec: float = 300.0) -> int:
+    """Row-level delete across a manifest-managed index: drop every row
+    whose ``id_col`` is in ``ids`` from the given subtrees, rewriting
+    ONLY the data files that actually contain such rows (found with one
+    pushdown-pruned scan per subtree — parquet row-group stats skip the
+    rest) and publishing the swap as ONE snapshot. The
+    right-to-be-forgotten primitive: readers pinned to any recent
+    snapshot keep resolving the old files through the grace window, so
+    a delete never blocks or breaks a concurrent query; after GC the
+    forgotten rows have no bytes on disk anywhere.
+
+    Files whose rows are all forgotten simply retire with no
+    replacement. Partition values live in directory names, so rewrites
+    stay in their leaf and contents merge verbatim minus the dropped
+    rows. Single-maintainer contract as every mutation here. Returns
+    the number of files rewritten or retired.
+    """
+    rootp = Path(root)
+    m = latest_manifest(rootp)
+    if m is None or not ids:
+        return 0
+    idlist = [int(x) for x in ids]
+    live = set(m["files"])
+    retired = dict(m["retired"])
+    now = time.time()
+    touched: set[str] = set()
+    added: list[str] = []
+    from pyspark.sql import functions as F  # local: keep module import-light
+
+    for sub in subtrees:
+        base = rootp / sub
+        want = sub.rstrip("/") + "/"
+        paths = [f for f in m["files"] if f.startswith(want)]
+        if not paths:
+            continue
+        hit_rows = (
+            spark.read.option("basePath", str(base))
+            .parquet(*[str(rootp / f) for f in paths])
+            .filter(F.col(id_col).isin(idlist))
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        )
+        prefix = str(rootp) + "/"
+        for r in hit_rows:
+            f = r["_f"]
+            if f.startswith("file:"):
+                f = f[5:]
+                while f.startswith("//"):
+                    f = f[1:]
+            rel = f[len(prefix):] if f.startswith(prefix) else None
+            if rel is None or rel not in live or rel in touched:
+                continue
+            touched.add(rel)
+            keep = spark.read.parquet(str(rootp / rel)).filter(
+                ~F.col(id_col).isin(idlist)
+            )
+            if keep.limit(1).count() == 0:
+                continue  # whole file forgotten: retire, no replacement
+            staged = rootp / f"_compactstage_{uuid.uuid4().hex[:8]}"
+            keep.coalesce(1).write.mode("overwrite").parquet(str(staged))
+            leaf_dir = (rootp / rel).parent
+            leaf_rel = os.path.dirname(rel)
+            for pf in sorted(staged.glob("*.parquet")):
+                crc = staged / f".{pf.name}.crc"
+                if crc.exists():
+                    os.replace(crc, leaf_dir / crc.name)
+                os.replace(pf, leaf_dir / pf.name)
+                added.append(f"{leaf_rel}/{pf.name}" if leaf_rel else pf.name)
+            import shutil
+
+            shutil.rmtree(staged, ignore_errors=True)
+
+    if not touched:
+        return 0
+    retired.update((f, now) for f in touched)
+    files = [f for f in m["files"] if f not in touched] + added
+    _publish(rootp, files, retired, m["generation"] + 1)
+    gc_index_tree(rootp, grace_sec)
+    return len(touched)
+
+
 def _unlink_with_crc(rootp: Path, rel: str) -> None:
     p = rootp / rel
     try:
