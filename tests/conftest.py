@@ -28,3 +28,19 @@ def duck():
         )
     yield con
     con.close()
+
+
+# Project-wide hypothesis profile: the repo's property tests routinely
+# build whole payload CORPORA inside one example via st.randoms (codec
+# streams, WARC files, packed batches) — every rnd.randrange pulls from
+# hypothesis's entropy buffer, so realistic corpora trip the
+# data_too_large health check by CHANCE (~1 in 6 full-suite runs
+# observed in r8) with nothing actually wrong. The corpus-sized draws
+# are the point of these tests; suppress only that check, keep all
+# shrinking and the other health checks intact.
+from hypothesis import HealthCheck, settings as _hyp_settings  # noqa: E402
+
+_hyp_settings.register_profile(
+    "ssbc", suppress_health_check=[HealthCheck.data_too_large]
+)
+_hyp_settings.load_profile("ssbc")
