@@ -727,27 +727,48 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Catalog queries that have never appeared green in a driver
-# CORRECTNESS_r*.json (diff of CORRECTNESS_r01..rN keys vs the full
-# catalog, recomputed each round). The driver oracle-checks a ~50-query
-# sample per round taken as an insertion-order prefix, so these names are
-# emitted FIRST to rotate them into coverage. Regenerated after the r05
-# run landed: the union of driver rows r01..r05 covers 158/158 — the
-# rotation goal is met. Any round-6+ addition goes here until its first
-# green driver row; recompute the diff each round
-# (tests/test_bench_contract.py pins the list against going stale).
-_DRIVER_PRIORITY: list[str] = [
-    # emptied after the r07 driver run landed (every round-7 addition got
-    # its green row in CORRECTNESS_r07.json; union r01..r07 covers the
-    # whole 181-query catalog). Round-8 additions below need their first
-    # green driver row:
-    "web_graph_pagerank",  # r8: PageRank over the crawled link graph
-    "multimodal_jpeg_cmyk",  # r8: Adobe CMYK/YCCK decode, partial oracle
-]
+def _driver_green_names(correctness_dir: "Path | None" = None) -> set:
+    """Catalog names that already have a green row in some driver
+    CORRECTNESS_r*.json on disk. "Green" = the row's check actually
+    passed: a hash-matched row, or an errorless rows-only row for a
+    query that STILL has no oracle (a query whose only rows were
+    ``err: no_oracle`` and that has since grown an oracle is
+    legitimately due for re-sampling). Missing/unreadable files simply
+    contribute nothing — a fresh checkout degenerates to plain
+    insertion order."""
+    import glob as _glob
+    import json as _json
+    from pathlib import Path
+
+    root = correctness_dir or Path(__file__).resolve().parents[2]
+    green: set = set()
+    for path in sorted(_glob.glob(str(Path(root) / "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match"):
+                green.add(name)
+            elif row.get("err") == "no_oracle" and name not in ORACLES:
+                green.add(name)
+    return green
 
 
-def _priority_ordered(reg: dict) -> dict:
-    out = {k: reg[k] for k in _DRIVER_PRIORITY if k in reg}
+def _priority_ordered(reg: dict, correctness_dir: "Path | None" = None) -> dict:
+    """Emit never-driver-sampled queries FIRST (insertion order among
+    themselves), then the rest in insertion order. The driver
+    oracle-checks a ~50-query sample per round taken as an
+    insertion-order prefix, so this rotates exactly the queries that
+    have never appeared green in a committed CORRECTNESS_r*.json into
+    coverage — computed from the files actually on disk at call time,
+    so it can never go stale (VERDICT r8 ask #1: the hand-maintained
+    literal was guaranteed red at every judging point)."""
+    green = _driver_green_names(correctness_dir)
+    out = {k: v for k, v in reg.items() if k not in green}
     out.update((k, v) for k, v in reg.items() if k not in out)
     return out
 

@@ -51,36 +51,57 @@ def test_summary_line_stays_small_and_schema_complete():
     assert full["value"] == summary["value"]
 
 
-def test_driver_priority_list_is_not_stale():
-    """_DRIVER_PRIORITY exists to rotate never-driver-sampled queries
-    into the driver's ~50-query insertion-order prefix. A name that
-    already has a green row in any committed CORRECTNESS_r*.json has
-    been sampled — keeping it in the list would displace genuinely
-    unsampled queries, so the list may only contain never-green catalog
-    names (VERDICT r5 ask #4: keep the rotation truthful). "Green" means
-    the row's check actually passed: a hash-matched row, or an
-    errorless rows-only row for a query that STILL has no oracle. A
-    query whose only rows were ``err: no_oracle`` and that has since
-    grown an oracle (r7: multimodal_jpeg_stats) is legitimately due for
-    re-sampling."""
-    import glob
+def test_driver_priority_is_derived_and_cannot_go_stale():
+    """The rotation is computed AT CALL TIME from whatever
+    CORRECTNESS_r*.json files exist on disk (VERDICT r8 ask #1): names
+    with a green driver row sort in plain insertion order; never-green
+    names sort first so the driver's ~50-query insertion-order prefix
+    samples them. Properties pinned here: (a) same key set as the raw
+    catalog, (b) never-green names strictly precede all green names,
+    (c) a simulated new correctness file flips its names out of the
+    priority prefix, (d) a simulated brand-new query sorts first."""
     import json
 
+    from spark_streaming_kafka_bucket_counter_spark.plans import queries as catalog
     from spark_streaming_kafka_bucket_counter_spark.plans.queries import (
-        _DRIVER_PRIORITY,
+        _driver_green_names,
+        _priority_ordered,
         oracle_sql,
         queries,
     )
 
-    oracles = set(oracle_sql())
-    green = set()
-    for path in glob.glob(str(Path(__file__).resolve().parent.parent / "CORRECTNESS_r*.json")):
-        for name, row in json.load(open(path)).items():
-            if row.get("hash_match"):
-                green.add(name)
-            elif row.get("err") == "no_oracle" and name not in oracles:
-                green.add(name)  # rows-only by design, ran clean
-    catalog = set(queries())
-    for name in _DRIVER_PRIORITY:
-        assert name in catalog, f"{name} is not a catalog query"
-        assert name not in green, f"{name} already driver-green; drop it"
+    q = queries()
+    assert set(q) == set(catalog.QUERIES)
+    assert set(oracle_sql()) == set(catalog.ORACLES)
+
+    green = _driver_green_names()
+    names = list(q)
+    first_green = next((i for i, n in enumerate(names) if n in green), len(names))
+    late_nongreen = [n for n in names[first_green:] if n not in green]
+    assert not late_nongreen, f"never-green names after green ones: {late_nongreen[:5]}"
+
+    # (c)+(d): against a synthetic correctness dir, a green row demotes
+    # its name and an unknown (new) query stays in the priority prefix
+    import tempfile
+
+    some_green = names[-1]
+    with tempfile.TemporaryDirectory() as td:
+        with open(Path(td) / "CORRECTNESS_r99.json", "w") as fh:
+            json.dump({some_green: {"hash_match": True}}, fh)
+        reg = {"brand_new_query_r99": None, some_green: None}
+        ordered = list(_priority_ordered(reg, correctness_dir=Path(td)))
+        assert ordered == ["brand_new_query_r99", some_green]
+
+
+def test_driver_priority_ignores_unreadable_correctness_files(tmp_path):
+    """A truncated/corrupt CORRECTNESS file degrades to 'not sampled',
+    never to an import error — the driver must always get a catalog."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{ this is not json")
+    from spark_streaming_kafka_bucket_counter_spark.plans.queries import (
+        _driver_green_names,
+        _priority_ordered,
+    )
+
+    assert _driver_green_names(tmp_path) == set()
+    reg = {"a": 1, "b": 2}
+    assert list(_priority_ordered(reg, correctness_dir=tmp_path)) == ["a", "b"]
