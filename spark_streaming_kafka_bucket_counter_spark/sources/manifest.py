@@ -33,6 +33,21 @@ The manifest inverts the contract — the same shape the table formats
 Single-MAINTAINER contract (same as ``compact_parquet_tree``): one
 writer/compactor at a time per index root — the streaming ingest loops
 serialize maintenance inside ``foreachBatch``. Readers need nothing.
+Round 9 makes the contract ENFORCED, not just documented: every
+mutation holds a lease file (``_manifest/_lease``, O_EXCL create;
+broken automatically when the holder pid is dead on this host or the
+lease ages past its timeout) and the snapshot publish itself is
+fail-if-exists (``os.link``), so a misconfigured second maintainer
+raises :class:`ConcurrentMaintainerError` loudly instead of silently
+last-writer-wins corrupting the snapshot chain.
+
+Pre-existing UNMANAGED trees (built by older writers, no ``_manifest``)
+are ADOPTED on first mutation: the transaction's pre-scan file set
+becomes generation 1's live set alongside the new write, so resuming an
+index that predates the manifest layer never vanishes its legacy data
+(and never lets GC sweep it as orphans). Orphan non-adoption only
+applies once a manifest exists — then unpublished files really are
+crash debris.
 
 Trees NOT managed here (serving store, line-count segments) keep their
 existing partition-replace / symlink-swap schemes; this module is the
@@ -66,6 +81,86 @@ MANIFEST_DIR = "_manifest"
 #: manifest generations to retain beyond the grace window (debugging
 #: trail; readers only ever resolve the latest)
 KEEP_GENERATIONS = 4
+LEASE_NAME = "_lease"
+#: a dead maintainer's lease is broken after this long even when its
+#: pid can't be probed (cross-host; pid-liveness handles same-host)
+LEASE_TIMEOUT_SEC = 1800.0
+
+
+class ConcurrentMaintainerError(RuntimeError):
+    """A second maintainer tried to mutate a manifest-managed index.
+
+    The single-maintainer contract is load-bearing: two concurrent
+    publishers would race generation numbers and one's snapshot (and
+    the files only it references) would silently vanish. Raising here
+    turns an operator mistake (compaction run beside a live ingest
+    loop) into a loud, retryable failure instead of corruption."""
+
+
+def _lease_path(root: str | Path) -> Path:
+    return _mdir(root) / LEASE_NAME
+
+
+def _lease_is_stale(lease: Path, timeout_sec: float) -> bool:
+    """A lease is stale when its holder pid is provably dead on this
+    host, or the file has aged past the timeout (covers a holder on
+    another host, where pid probes mean nothing)."""
+    try:
+        parts = lease.read_text().split()
+        pid = int(parts[1])
+        st = lease.stat()
+    except (OSError, IndexError, ValueError):
+        return True  # unreadable/vanished: treat as breakable
+    if st.st_mtime <= time.time() - timeout_sec:
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True  # holder died on this host; crash-restart recovers now
+    except OSError:
+        pass  # exists but not ours / other host semantics: trust timeout
+    return False
+
+
+@contextlib.contextmanager
+def _maintainer_lease(root: str | Path,
+                      timeout_sec: float = LEASE_TIMEOUT_SEC) -> Iterator[None]:
+    """Hold the index's single-maintainer lease for one mutation.
+    O_EXCL create is the acquisition; a live second maintainer raises
+    :class:`ConcurrentMaintainerError` immediately (no blocking — the
+    caller misconfigured, waiting won't fix it)."""
+    mdir = _mdir(root)
+    mdir.mkdir(parents=True, exist_ok=True)
+    lease = _lease_path(root)
+    token = uuid.uuid4().hex
+    for _ in range(3):  # stale-break then retry, bounded
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(f"{token} {os.getpid()} {time.time()}")
+            break
+        except FileExistsError:
+            if _lease_is_stale(lease, timeout_sec):
+                with contextlib.suppress(OSError):
+                    os.unlink(lease)
+                continue
+            raise ConcurrentMaintainerError(
+                f"index {root} is being mutated by another maintainer "
+                f"(lease {lease}); one writer/compactor at a time"
+            )
+    else:
+        raise ConcurrentMaintainerError(
+            f"could not acquire maintainer lease {lease} after stale-breaks"
+        )
+    try:
+        yield
+    finally:
+        # release only our own lease (a stale-break may have handed it on)
+        try:
+            if lease.read_text().split()[0] == token:
+                os.unlink(lease)
+        except (OSError, IndexError):
+            pass
 
 
 def _mdir(root: str | Path) -> Path:
@@ -169,7 +264,13 @@ def scan_parquet_files(root: str | Path) -> set[str]:
 
 
 def _publish(root: str | Path, files: Sequence[str], retired: dict[str, float],
-             generation: int) -> dict:
+             generation: int, meta: dict | None = None) -> dict:
+    """Write one snapshot generation. The write is tmp + hard-link, so
+    it is both atomic (any ``v*.json`` a reader opens is complete) and
+    FAIL-IF-EXISTS: a second maintainer that raced past the lease and
+    computed the same next generation number raises
+    :class:`ConcurrentMaintainerError` instead of silently replacing a
+    sibling's snapshot (whose files would then be GC'd as orphans)."""
     mdir = _mdir(root)
     mdir.mkdir(parents=True, exist_ok=True)
     m = {
@@ -178,27 +279,52 @@ def _publish(root: str | Path, files: Sequence[str], retired: dict[str, float],
         "files": sorted(files),
         "retired": dict(sorted(retired.items())),
     }
+    if meta:
+        m["meta"] = meta
     tmp = mdir / f"_tmp_{uuid.uuid4().hex[:8]}.json"
     tmp.write_text(json.dumps(m))
-    os.replace(tmp, mdir / f"v{generation:012d}.json")
+    final = mdir / f"v{generation:012d}.json"
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise ConcurrentMaintainerError(
+            f"snapshot generation {generation} already exists under {mdir}; "
+            "a concurrent maintainer published it first"
+        ) from None
+    os.unlink(tmp)
     return m
 
 
 def _commit(root: str | Path, added: set[str],
-            replace_prefixes: Sequence[str] = ()) -> dict:
+            replace_prefixes: Sequence[str] = (),
+            adopt: Sequence[str] = (),
+            extra_retire: frozenset[str] | set[str] = frozenset(),
+            meta_updates: dict | None = None) -> dict:
     """Publish the next snapshot: ``added`` files become live; live
     files under ``replace_prefixes`` that predate this write are
     RETIRED (kept on disk for pinned readers until GC's grace window
     expires) — append-mode writes + a scoped commit is the reader-safe
-    spelling of a partition overwrite. Live files the writer itself
+    spelling of a partition overwrite. ``extra_retire`` retires an
+    explicit file set the same way (row-level rewrites name their
+    displaced files instead of a prefix). Live files the writer itself
     hard-deleted (a full ``mode("overwrite")`` rebuild) drop out; a
     rebuild is not reader-atomic under any scheme — build into a fresh
     directory and swap paths instead. On-disk files that are neither
-    live, retired, nor in ``added`` stay orphans by design."""
+    live, retired, nor in ``added`` stay orphans by design — EXCEPT on
+    the very first commit over a pre-existing unmanaged tree, where
+    ``adopt`` (the txn's pre-scan) seeds generation 1's live set so
+    legacy data survives the transition to manifest management.
+    ``meta_updates`` merge into the snapshot's ``meta`` dict, which is
+    otherwise carried forward verbatim."""
     rootp = Path(root)
     prev = latest_manifest(rootp)
-    prev_files = list(prev["files"]) if prev else []
+    prev_files = list(prev["files"]) if prev else sorted(adopt)
     retired = dict(prev["retired"]) if prev else {}
+    meta = dict(prev.get("meta", {})) if prev else {}
+    if meta_updates:
+        meta.update(meta_updates)
     now = time.time()
 
     def _in_scope(f: str) -> bool:
@@ -211,35 +337,113 @@ def _commit(root: str | Path, added: set[str],
             continue
         if not (rootp / f).exists():
             continue  # hard-deleted by the writer; nothing to protect
-        if _in_scope(f):
+        if _in_scope(f) or f in extra_retire:
             retired[f] = now
         else:
             kept.append(f)
     retired = {f: t for f, t in retired.items()
                if f not in added and (rootp / f).exists()}
     gen = (prev["generation"] + 1) if prev else 1
-    return _publish(rootp, kept + sorted(added), retired, gen)
+    return _publish(rootp, kept + sorted(added), retired, gen, meta=meta)
+
+
+class ManifestTxnHandle:
+    """Mutable view of an open :func:`manifest_txn`. Callers that do
+    more than plain writes use it to shape the commit:
+
+    * :meth:`retire` — retire an explicit displaced-file set (row-level
+      rewrites that replace individual files, not whole prefixes);
+    * :meth:`replace` — add a replace scope discovered mid-transaction
+      (e.g. per affected segment);
+    * :meth:`set_meta` — merge a key into the snapshot's ``meta`` dict
+      (carried forward across later snapshots until overwritten);
+    * :attr:`live_files` — the file set a reader would see right now
+      (prior snapshot's live files, or the pre-scan of an unmanaged
+      tree being adopted) — what a rewrite should treat as current.
+    """
+
+    def __init__(self, live_files: set[str], root: Path, pre: set[str]):
+        self.live_files = set(live_files)
+        self._root = root
+        self._pre = set(pre)
+        self._extra_retire: set[str] = set()
+        self._scopes: list[str] = []
+        self._meta: dict = {}
+        self._aborted = False
+
+    def retire(self, files) -> None:
+        self._extra_retire.update(files)
+
+    def current_live(self, sub: str = "") -> set[str]:
+        """The live set AS OF NOW inside the open transaction — prior
+        live files minus retirements recorded so far, plus files the
+        transaction has written so far (optionally restricted to a
+        subtree). Multi-step mutations (rewrite postings, then
+        re-derive stats from the REWRITTEN postings) read this instead
+        of the published snapshot, which won't exist until commit."""
+        now_live = (self.live_files - self._extra_retire) | (
+            scan_parquet_files(self._root) - self._pre
+        )
+        if sub:
+            want = sub.rstrip("/") + "/"
+            return {f for f in now_live if f.startswith(want)}
+        return now_live
+
+    def replace(self, prefix: str) -> None:
+        self._scopes.append(prefix)
+
+    def set_meta(self, key: str, value) -> None:
+        self._meta[key] = value
+
+    def abort(self) -> None:
+        """Mark the transaction a no-op: nothing is published on exit
+        (files already written become orphans for GC). For early-outs
+        that discover there is nothing to mutate — publishing an empty
+        generation would bump the chain (and adopt unmanaged trees)
+        for no reason."""
+        self._aborted = True
 
 
 @contextlib.contextmanager
 def manifest_txn(root: str | Path,
-                 replace_prefixes: Sequence[str] = ()) -> Iterator[None]:
+                 replace_prefixes: Sequence[str] = ()) -> Iterator[ManifestTxnHandle]:
     """Wrap one logical index mutation (any number of Spark writes):
 
         with manifest_txn(path):                         # append
             df.write.mode("append").parquet(...)
         with manifest_txn(path, replace_prefixes=[...]): # replace scope
             df.write.mode("append").parquet(...)
+        with manifest_txn(path) as txn:                  # shaped commit
+            ...rewrite files...; txn.retire(displaced)
 
     The files that appear between entry and exit — and ONLY those —
-    become live in the next snapshot; with ``replace_prefixes`` the
-    scope's previous files retire. If the body raises, nothing is
-    published and the partial files are orphans for GC — a reader can
-    never observe a half-written mutation."""
+    become live in the next snapshot; with ``replace_prefixes`` (or
+    scopes added via the handle) the scope's previous files retire. On
+    the FIRST transaction over a pre-existing unmanaged tree, the
+    pre-scan file set is adopted as generation 1's live set — legacy
+    data written before manifest management stays visible and GC-safe.
+    If the body raises, nothing is published and the partial files are
+    orphans for GC — a reader can never observe a half-written
+    mutation. Holds the maintainer lease for the duration; a concurrent
+    maintainer raises :class:`ConcurrentMaintainerError`."""
     rootp = Path(root)
-    pre = scan_parquet_files(rootp)
-    yield
-    _commit(rootp, scan_parquet_files(rootp) - pre, replace_prefixes)
+    with _maintainer_lease(rootp):
+        pre = scan_parquet_files(rootp)
+        prev = latest_manifest(rootp)
+        txn = ManifestTxnHandle(
+            set(prev["files"]) if prev else set(pre), rootp, pre
+        )
+        yield txn
+        if txn._aborted:
+            return
+        _commit(
+            rootp,
+            scan_parquet_files(rootp) - pre,
+            tuple(replace_prefixes) + tuple(txn._scopes),
+            adopt=sorted(pre),
+            extra_retire=frozenset(txn._extra_retire),
+            meta_updates=txn._meta or None,
+        )
 
 
 def manifest_read(spark: SparkSession, root: str | Path, sub: str = "",
@@ -260,40 +464,41 @@ def manifest_read(spark: SparkSession, root: str | Path, sub: str = "",
     want = sub.rstrip("/") + "/" if sub else ""
     paths = [str(rootp / f) for f in m["files"] if f.startswith(want)]
     if not paths:
-        # empty subtree: fall through to the directory read for the
-        # same PATH_NOT_FOUND contract callers already handle
-        return spark.read.parquet(str(base))
+        # A manifest exists but lists no live files under the subtree.
+        # NEVER fall back to the directory read: retired files awaiting
+        # GC still sit there, and reading them would resurrect rows a
+        # forget just deleted (and double-count stats a rederive just
+        # rewrote). Schema comes from a retired/orphan file if one is
+        # still on disk (schema-only — no rows are exposed); once GC
+        # has emptied the subtree this raises the same PATH_NOT_FOUND
+        # an empty directory read would.
+        ghosts = [str(rootp / f) for f in scan_parquet_files(rootp)
+                  if f.startswith(want) and (rootp / f).exists()]
+        if ghosts:
+            schema = (
+                spark.read.option("basePath", str(base)).parquet(*ghosts).schema
+            )
+            return spark.createDataFrame([], schema)
+        from pyspark.errors import AnalysisException
+
+        raise AnalysisException(
+            f"[PATH_NOT_FOUND] manifest snapshot generation "
+            f"{m['generation']} has no live files under {base}"
+        )
     return spark.read.option("basePath", str(base)).parquet(*paths)
 
 
-def manifest_forget_rows(spark: SparkSession, root: str | Path,
-                         id_col: str, ids: Sequence[int],
-                         subtrees: Sequence[str],
-                         grace_sec: float = 300.0) -> int:
-    """Row-level delete across a manifest-managed index: drop every row
-    whose ``id_col`` is in ``ids`` from the given subtrees, rewriting
-    ONLY the data files that actually contain such rows (found with one
-    pushdown-pruned scan per subtree — parquet row-group stats skip the
-    rest) and publishing the swap as ONE snapshot. The
-    right-to-be-forgotten primitive: readers pinned to any recent
-    snapshot keep resolving the old files through the grace window, so
-    a delete never blocks or breaks a concurrent query; after GC the
-    forgotten rows have no bytes on disk anywhere.
-
-    Files whose rows are all forgotten simply retire with no
-    replacement. Partition values live in directory names, so rewrites
-    stay in their leaf and contents merge verbatim minus the dropped
-    rows. Single-maintainer contract as every mutation here. Returns
-    the number of files rewritten or retired.
-    """
-    rootp = Path(root)
-    m = latest_manifest(rootp)
-    if m is None or not ids:
-        return 0
-    idlist = [int(x) for x in ids]
-    live = set(m["files"])
-    retired = dict(m["retired"])
-    now = time.time()
+def _rewrite_dropping_rows(spark: SparkSession, rootp: Path, live: set[str],
+                           id_col: str, idlist: list[int],
+                           subtrees: Sequence[str]) -> tuple[set[str], list[str]]:
+    """Rewrite, in place (new part files beside the old), every live
+    data file under ``subtrees`` that contains rows whose ``id_col`` is
+    in ``idlist`` — found with one pushdown-pruned scan per subtree
+    (parquet row-group stats skip the rest). Files whose rows are ALL
+    forgotten get no replacement. Returns (displaced files, replacement
+    files); the CALLER publishes — until it does, replacements are
+    orphans and readers keep resolving the old files, so a crash here
+    loses nothing."""
     touched: set[str] = set()
     added: list[str] = []
     from pyspark.sql import functions as F  # local: keep module import-light
@@ -301,12 +506,12 @@ def manifest_forget_rows(spark: SparkSession, root: str | Path,
     for sub in subtrees:
         base = rootp / sub
         want = sub.rstrip("/") + "/"
-        paths = [f for f in m["files"] if f.startswith(want)]
+        paths = [f for f in live if f.startswith(want)]
         if not paths:
             continue
         hit_rows = (
             spark.read.option("basePath", str(base))
-            .parquet(*[str(rootp / f) for f in paths])
+            .parquet(*[str(rootp / f) for f in sorted(paths)])
             .filter(F.col(id_col).isin(idlist))
             .select(F.input_file_name().alias("_f"))
             .distinct()
@@ -341,13 +546,55 @@ def manifest_forget_rows(spark: SparkSession, root: str | Path,
             import shutil
 
             shutil.rmtree(staged, ignore_errors=True)
+    return touched, added
 
-    if not touched:
+
+def manifest_forget_rows(spark: SparkSession, root: str | Path,
+                         id_col: str, ids: Sequence[int],
+                         subtrees: Sequence[str],
+                         grace_sec: float = 300.0,
+                         txn: ManifestTxnHandle | None = None) -> int:
+    """Row-level delete across a manifest-managed index: drop every row
+    whose ``id_col`` is in ``ids`` from the given subtrees, rewriting
+    ONLY the data files that actually contain such rows and publishing
+    the swap as ONE snapshot. The right-to-be-forgotten primitive:
+    readers pinned to any recent snapshot keep resolving the old files
+    through the grace window, so a delete never blocks or breaks a
+    concurrent query; after GC the forgotten rows have no bytes on disk
+    anywhere.
+
+    Files whose rows are all forgotten simply retire with no
+    replacement. Partition values live in directory names, so rewrites
+    stay in their leaf and contents merge verbatim minus the dropped
+    rows. An UNMANAGED (pre-manifest) tree is adopted first — the
+    forget is honored against the directory state, never silently
+    no-opped. Returns the number of files rewritten or retired.
+
+    Pass an open ``txn`` (from :func:`manifest_txn`) to fold the
+    postings drop into a LARGER single-snapshot mutation — e.g. BM25's
+    forget, whose segment stat re-derivations must land in the SAME
+    snapshot so no reader ever plans post-forget postings against
+    pre-forget df/N/avgdl. With ``txn`` the caller publishes and GCs.
+    """
+    if not ids:
         return 0
-    retired.update((f, now) for f in touched)
-    files = [f for f in m["files"] if f not in touched] + added
-    _publish(rootp, files, retired, m["generation"] + 1)
-    gc_index_tree(rootp, grace_sec)
+    rootp = Path(root)
+    idlist = [int(x) for x in ids]
+    if txn is not None:
+        touched, _added = _rewrite_dropping_rows(
+            spark, rootp, set(txn.live_files), id_col, idlist, subtrees
+        )
+        txn.retire(touched)
+        return len(touched)
+    with manifest_txn(rootp) as t:
+        touched, _added = _rewrite_dropping_rows(
+            spark, rootp, set(t.live_files), id_col, idlist, subtrees
+        )
+        if not touched:
+            t.abort()  # nothing matched: truthful no-op, no publish
+        t.retire(touched)
+    if touched:
+        gc_index_tree(rootp, grace_sec)
     return len(touched)
 
 
@@ -373,8 +620,16 @@ def gc_index_tree(root: str | Path, grace_sec: float = 300.0) -> int:
     Prunes emptied leaf dirs and stale manifest generations. Returns
     files deleted. Readers pin a snapshot at plan time; any snapshot
     published within the last ``grace_sec`` still resolves every file
-    it lists."""
+    it lists. Holds the maintainer lease (GC deletes files — the one
+    operation a racing maintainer must never interleave with)."""
     rootp = Path(root)
+    if latest_manifest(rootp) is None:
+        return 0  # unmanaged tree: nothing is known-orphan, touch nothing
+    with _maintainer_lease(rootp):
+        return _gc(rootp, grace_sec)
+
+
+def _gc(rootp: Path, grace_sec: float) -> int:
     m = latest_manifest(rootp)
     if m is None:
         return 0
@@ -393,7 +648,8 @@ def gc_index_tree(root: str | Path, grace_sec: float = 300.0) -> int:
         _unlink_with_crc(rootp, f)
     if drop:
         retired = {f: t for f, t in m["retired"].items() if f not in drop}
-        m = _publish(rootp, m["files"], retired, m["generation"] + 1)
+        m = _publish(rootp, m["files"], retired, m["generation"] + 1,
+                     meta=m.get("meta"))
         # prune dirs the deletions emptied (bottom-up; never the root)
         for dirpath, dirnames, filenames in os.walk(rootp, topdown=False):
             d = Path(dirpath)
@@ -444,43 +700,45 @@ def compact_index_tree(spark: SparkSession, root: str | Path,
     results are bit-identical (pytest-pinned). Returns leaves rewritten.
     """
     rootp = Path(root)
-    m = latest_manifest(rootp)
-    if m is None:
-        # adopt an unmanaged tree: first snapshot = what a directory
-        # reader sees today
-        m = _commit(rootp, scan_parquet_files(rootp))
-    retired = dict(m["retired"])
-    by_leaf: dict[str, list[str]] = {}
-    for f in m["files"]:
-        by_leaf.setdefault(os.path.dirname(f), []).append(f)
+    with _maintainer_lease(rootp):
+        m = latest_manifest(rootp)
+        if m is None:
+            # adopt an unmanaged tree: first snapshot = what a directory
+            # reader sees today
+            m = _commit(rootp, scan_parquet_files(rootp))
+        retired = dict(m["retired"])
+        by_leaf: dict[str, list[str]] = {}
+        for f in m["files"]:
+            by_leaf.setdefault(os.path.dirname(f), []).append(f)
 
-    rewritten = 0
-    displaced: set[str] = set()
-    added: list[str] = []
-    now = time.time()
-    for leaf, leaf_files in sorted(by_leaf.items()):
-        if len(leaf_files) <= target_files:
-            continue
-        df = spark.read.parquet(*[str(rootp / f) for f in leaf_files])
-        staged = rootp / f"_compactstage_{uuid.uuid4().hex[:8]}"
-        df.coalesce(target_files).write.mode("overwrite").parquet(str(staged))
-        leaf_dir = rootp / leaf if leaf else rootp
-        for pf in sorted(staged.glob("*.parquet")):
-            dest = leaf_dir / pf.name  # part-...-<uuid> names never collide
-            crc = staged / f".{pf.name}.crc"
-            if crc.exists():
-                os.replace(crc, leaf_dir / crc.name)
-            os.replace(pf, dest)
-            added.append(f"{leaf}/{pf.name}" if leaf else pf.name)
-        import shutil
+        rewritten = 0
+        displaced: set[str] = set()
+        added: list[str] = []
+        now = time.time()
+        for leaf, leaf_files in sorted(by_leaf.items()):
+            if len(leaf_files) <= target_files:
+                continue
+            df = spark.read.parquet(*[str(rootp / f) for f in leaf_files])
+            staged = rootp / f"_compactstage_{uuid.uuid4().hex[:8]}"
+            df.coalesce(target_files).write.mode("overwrite").parquet(str(staged))
+            leaf_dir = rootp / leaf if leaf else rootp
+            for pf in sorted(staged.glob("*.parquet")):
+                dest = leaf_dir / pf.name  # part-...-<uuid> names never collide
+                crc = staged / f".{pf.name}.crc"
+                if crc.exists():
+                    os.replace(crc, leaf_dir / crc.name)
+                os.replace(pf, dest)
+                added.append(f"{leaf}/{pf.name}" if leaf else pf.name)
+            import shutil
 
-        shutil.rmtree(staged, ignore_errors=True)
-        displaced.update(leaf_files)
-        retired.update((f, now) for f in leaf_files)
-        rewritten += 1
+            shutil.rmtree(staged, ignore_errors=True)
+            displaced.update(leaf_files)
+            retired.update((f, now) for f in leaf_files)
+            rewritten += 1
 
-    if rewritten:
-        files = [f for f in m["files"] if f not in displaced] + added
-        _publish(rootp, files, retired, m["generation"] + 1)
-    gc_index_tree(rootp, grace_sec)
-    return rewritten
+        if rewritten:
+            files = [f for f in m["files"] if f not in displaced] + added
+            _publish(rootp, files, retired, m["generation"] + 1,
+                     meta=m.get("meta"))
+        _gc(rootp, grace_sec)
+        return rewritten

@@ -434,6 +434,7 @@ def start_search_index_ingest(
     ts_col: str | None = None,
     available_now: bool = True,
     compact_every: int = 0,
+    merge_every: int = 0,
     gc_grace_sec: float = 300.0,
 ) -> StreamingQuery:
     """The lexical-search leg of the streaming ingest triad (near-dup
@@ -464,14 +465,23 @@ def start_search_index_ingest(
     Memory-sink-free: the index ON DISK is the sink; this loop is
     production-shaped as written.
 
-    Growth honesty: segment COUNT equals micro-batch count (compaction
-    merges files within a segment, never across — cross-segment merge
-    would reopen the replay window batch-id overwrite closes). At
-    daily-crawl cadence that is ~365 partition dirs/year — fine. A
-    high-frequency trigger should either widen batches (availableNow /
-    longer processingTime) or periodically rebuild offline with
-    ``bm25_build_index`` and swap paths; don't bolt an LSM merge onto
-    the live tree.
+    Growth: ``merge_every=N`` (round 9, VERDICT Next #2) folds all live
+    segments into the merged base segment every N batches via
+    :func:`~..operators.search.bm25_merge_segments`, bounding the live
+    segment count at N (+1 base) and therefore the query-time
+    dfreq/stats merge width — under a high-frequency trigger the index
+    no longer grows a partition dir per micro-batch forever. Replay
+    stays idempotent across the merge: folded batch ids are recorded in
+    the snapshot's ``bm25_covered_batches`` provenance and a replayed
+    covered batch is a manifest-level no-op (its rows already live in
+    the base segment). With ``merge_every=0`` the pre-r9 behavior
+    holds: segment count equals micro-batch count — fine at daily-crawl
+    cadence (~365 partition dirs/year), with the offline
+    ``bm25_build_index`` + path-swap escape for anything hotter. The
+    merge rewrites the whole index, so its cost is amortized by N:
+    pick N so that N batches ≈ the index's own size growth (the classic
+    single-level LSM trade; tiered merging is the next rung if a real
+    deployment needs sub-linear rewrite volume).
     """
     from ..operators.search import bm25_write_segment
 
@@ -484,6 +494,12 @@ def start_search_index_ingest(
         bm25_write_segment(
             batch_df, id_col, text_col, index_path, batch_id, buckets=buckets
         )
+        if merge_every > 0 and (batch_id + 1) % merge_every == 0:
+            from ..operators.search import bm25_merge_segments
+
+            bm25_merge_segments(
+                batch_df.sparkSession, index_path, grace_sec=gc_grace_sec
+            )
         if compact_every > 0 and (batch_id + 1) % compact_every == 0:
             from ..sources.manifest import compact_index_tree
 

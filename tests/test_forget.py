@@ -145,3 +145,37 @@ def test_forget_noop_on_absent_ids(spark, tmp_path):
     g = latest_manifest(idx)["generation"]
     assert bm25_forget(spark, idx, [999]) == 0
     assert latest_manifest(idx)["generation"] == g  # nothing published
+
+def test_bm25_forget_publishes_one_snapshot(spark, tmp_path):
+    """r8 ADVICE #4: the postings drop and every affected segment's
+    stats/dfreq re-derivation land in ONE published generation — a
+    reader resolving latest_manifest at any moment gets either the full
+    pre-forget index or the full post-forget index, never post-forget
+    postings with pre-forget df/N/avgdl."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_forget,
+        bm25_write_segment,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        latest_manifest,
+    )
+
+    idx = str(tmp_path / "bm")
+    docs = spark.createDataFrame(
+        [(i, f"shared tok{i} extra{i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    bm25_write_segment(docs.filter("doc_id < 6"), "doc_id", "text", idx, 0)
+    bm25_write_segment(docs.filter("doc_id >= 6"), "doc_id", "text", idx, 1)
+    gen_before = latest_manifest(idx)["generation"]
+
+    # forget spans BOTH segments: two postings rewrites + two stats and
+    # dfreq re-derivations, still exactly one new generation (default
+    # grace keeps GC from publishing a second)
+    assert bm25_forget(spark, idx, [2, 8]) > 0
+    m = latest_manifest(idx)
+    assert m["generation"] == gen_before + 1
+    # the one snapshot carries BOTH sides of the mutation: no live
+    # postings for the forgotten ids AND re-derived aggregate files
+    assert any(f.startswith("stats/") for f in m["files"])
+    assert any(f.startswith("dfreq/") for f in m["files"])

@@ -32,22 +32,38 @@ def _touch(root: Path, rel: str, data: bytes = b"x") -> None:
 def test_txn_publishes_exactly_the_writes(tmp_path):
     root = tmp_path / "idx"
     root.mkdir()
-    _touch(root, "pre-existing-unmanaged.parquet")  # never in a txn
+    # a pre-existing UNMANAGED tree (legacy writer, no manifest) is
+    # ADOPTED by the first transaction: generation 1 must not vanish
+    # legacy data (and must not let GC sweep it as orphans) when an
+    # index built before manifest management resumes (r8 ADVICE #1)
+    _touch(root, "pre-existing-unmanaged.parquet")
     with manifest_txn(root):
         _touch(root, "a/part-1.parquet")
         _touch(root, "a/part-2.parquet")
     m = latest_manifest(root)
     assert m["generation"] == 1
-    # the unmanaged straggler is NOT adopted (scan-diff adoption would
-    # double additive stats after a crashed-then-replayed write)
-    assert m["files"] == ["a/part-1.parquet", "a/part-2.parquet"]
+    assert m["files"] == [
+        "a/part-1.parquet",
+        "a/part-2.parquet",
+        "pre-existing-unmanaged.parquet",
+    ]
     assert m["retired"] == {}
 
     with manifest_txn(root):
         _touch(root, "a/part-3.parquet")
     m = latest_manifest(root)
     assert m["generation"] == 2
-    assert "a/part-3.parquet" in m["files"] and len(m["files"]) == 3
+    assert "a/part-3.parquet" in m["files"] and len(m["files"]) == 4
+
+    # once a manifest EXISTS, a file that appears outside any txn is a
+    # crash orphan, never adopted (scan-diff adoption would double
+    # additive stats after a crashed-then-replayed write)
+    _touch(root, "a/part-crashed.parquet")
+    with manifest_txn(root):
+        _touch(root, "a/part-4.parquet")
+    m = latest_manifest(root)
+    assert "a/part-crashed.parquet" not in m["files"]
+    assert "a/part-4.parquet" in m["files"]
 
 
 def test_txn_failure_publishes_nothing(tmp_path):
@@ -282,6 +298,7 @@ def test_model_based_random_op_sequences(tmp_path, seed):
     root = tmp_path / "idx"
     root.mkdir()
     model: set[str] = set()  # live files per the semantics
+    unmanaged: set[str] = set()  # on disk before the FIRST commit: adopted
     next_id = [0]
     last_gen = 0
     scopes = [f"seg/batch_id={b}" for b in range(4)] + ["flat"]
@@ -292,12 +309,16 @@ def test_model_based_random_op_sequences(tmp_path, seed):
 
     for _ in range(60):
         op = rnd.choice(["append", "replace", "crash", "stale_move", "gc"])
+        first_commit = latest_manifest(root) is None
         if op == "append":
             scope = rnd.choice(scopes)
             new = [fresh(scope) for _ in range(rnd.randrange(1, 4))]
             with manifest_txn(root):
                 for f in new:
                     _touch(root, f)
+            if first_commit:  # gen 1 adopts the pre-existing tree
+                model |= unmanaged
+                unmanaged.clear()
             model.update(new)
         elif op == "replace":
             scope = rnd.choice(scopes)
@@ -305,11 +326,19 @@ def test_model_based_random_op_sequences(tmp_path, seed):
             with manifest_txn(root, replace_prefixes=[scope]):
                 for f in new:
                     _touch(root, f)
+            if first_commit:  # adopted first, then the scope retires
+                model |= unmanaged
+                unmanaged.clear()
             model = {f for f in model if not f.startswith(scope + "/")}
             model.update(new)
         elif op == "crash":
-            # writer died before its commit: orphan, never visible
-            _touch(root, fresh(rnd.choice(scopes)))
+            # writer died before its commit: pre-manifest it will be
+            # ADOPTED by the first commit (indistinguishable from
+            # legacy data); post-manifest it is an orphan, never visible
+            f = fresh(rnd.choice(scopes))
+            _touch(root, f)
+            if first_commit:
+                unmanaged.add(f)
         elif op == "stale_move":
             # compaction crashed after moving files, before publishing:
             # the moved duplicate is an orphan too
@@ -339,3 +368,108 @@ def test_model_based_random_op_sequences(tmp_path, seed):
     if m is not None:
         assert scan_parquet_files(root) == set(m["files"]) == model
         assert m["retired"] == {}
+
+def test_second_maintainer_fails_loudly(tmp_path):
+    """Next #5 (r8): the single-maintainer contract is ENFORCED — a
+    second concurrent mutation raises ConcurrentMaintainerError instead
+    of silently last-writer-wins corrupting the snapshot chain, and the
+    chain stays linear (one generation per committed txn)."""
+    import contextlib as _ctx
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        ConcurrentMaintainerError,
+        _publish,
+    )
+
+    root = tmp_path / "idx"
+    root.mkdir()
+    with manifest_txn(root):
+        _touch(root, "a/part-1.parquet")
+
+    with _ctx.ExitStack() as stack:
+        stack.enter_context(manifest_txn(root))  # maintainer A holds the lease
+        with pytest.raises(ConcurrentMaintainerError):
+            with manifest_txn(root):  # maintainer B
+                _touch(root, "a/part-B.parquet")
+        with pytest.raises(ConcurrentMaintainerError):
+            gc_index_tree(root, grace_sec=0)
+    # B's write is an orphan; the chain is linear; A committed cleanly
+    m = latest_manifest(root)
+    assert m["generation"] == 2
+    assert "a/part-B.parquet" not in m["files"]
+
+    # the publish itself is fail-if-exists: a racing maintainer that
+    # somehow computed the same generation cannot replace a snapshot
+    with pytest.raises(ConcurrentMaintainerError):
+        _publish(root, ["x.parquet"], {}, m["generation"])
+
+
+def test_stale_lease_from_dead_pid_is_broken(tmp_path):
+    """A maintainer that crashed leaves its lease behind; the next
+    mutation (e.g. the restarted ingest loop replaying its batch) must
+    break it immediately — blocking the replay path for a lease timeout
+    would be an availability bug."""
+    root = tmp_path / "idx"
+    root.mkdir()
+    mdir = root / "_manifest"
+    mdir.mkdir()
+    (mdir / "_lease").write_text("deadbeef 999999999 0.0")  # impossible pid
+    with manifest_txn(root):
+        _touch(root, "a/part-1.parquet")
+    assert latest_manifest(root)["generation"] == 1
+    assert not (mdir / "_lease").exists()
+
+
+def test_empty_subtree_never_resurrects_retired_files(spark, tmp_path):
+    """r8 ADVICE #2: when a forget retires EVERY file of a subtree, the
+    old fallback read the bare directory — resurrecting the retired
+    files still on disk inside the GC grace window. Now: empty DataFrame
+    with the subtree's schema while ghosts remain, PATH_NOT_FOUND after
+    GC sweeps them."""
+    from pyspark.errors import AnalysisException
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        manifest_forget_rows,
+    )
+
+    root = tmp_path / "idx"
+    root.mkdir()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    with manifest_txn(root):
+        df.coalesce(1).write.mode("append").parquet(str(root / "t"))
+
+    n = manifest_forget_rows(spark, root, "doc_id", [1, 2], ["t"], grace_sec=3600)
+    assert n >= 1
+    # retired files still on disk (grace window) — but NOT readable
+    assert any(f.startswith("t/") for f in scan_parquet_files(root))
+    out = manifest_read(spark, root, "t")
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "text"}
+
+    gc_index_tree(root, grace_sec=0)
+    with pytest.raises(AnalysisException):
+        manifest_read(spark, root, "t").collect()
+
+
+def test_forget_on_unmanaged_tree_adopts_and_honors(spark, tmp_path):
+    """r8 ADVICE #3: a forget against a pre-manifest index must not be
+    a success-shaped no-op — the tree is adopted (its directory state
+    becomes generation 1) and the rows actually disappear."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        manifest_forget_rows,
+    )
+
+    root = tmp_path / "legacy"
+    spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    ).write.parquet(str(root / "t"))
+    assert latest_manifest(root) is None
+
+    n = manifest_forget_rows(spark, root, "doc_id", [2, 4], ["t"], grace_sec=0)
+    assert n >= 1
+    m = latest_manifest(root)
+    assert m is not None  # adopted
+    remaining = sorted(
+        r["doc_id"] for r in manifest_read(spark, root, "t").collect()
+    )
+    assert remaining == [0, 1, 3, 5]
