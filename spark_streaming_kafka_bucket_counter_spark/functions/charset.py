@@ -22,20 +22,27 @@ majority of crawl text:
 4. **Strict UTF-8 attempt** — UTF-8 is self-validating: random legacy
    bytes are overwhelmingly unlikely to form valid multi-byte
    sequences, so a clean strict decode IS the detection.
-5. **East-Asian multibyte** (round 8) — GB18030/GBK, Shift_JIS
-   (windows-31j), EUC-KR (cp949): a structural gate first (high bytes
-   must cluster into adjacent multi-byte runs — Western legacy text has
-   ISOLATED accented bytes, CJK text has runs), then strict candidate
+5. **East-Asian multibyte** (round 8, Big5 round 9) — GB18030/GBK,
+   Shift_JIS (windows-31j), EUC-KR (cp949), Big5 (cp950): a structural
+   gate first — high bytes must cluster into adjacent multi-byte runs
+   (Western legacy text has ISOLATED accented bytes, EUC-family CJK
+   text has runs), OR pair-walk as well-formed Big5, whose ASCII-range
+   trail bytes (0x40-0x7E) make Traditional-Chinese text carry isolated
+   high bytes the adjacency gate cannot see — then strict candidate
    decodes scored the way chardet-class detectors score them, in
    miniature: kana is unique to Shift_JIS output (the EUC families
    decode under cp932 to HALF-width kana, deliberately excluded); the
    GB-vs-KR ambiguity (GB2312 and KS X 1001 occupy the SAME byte
    ranges — bytes alone cannot settle it) is broken by home-script
    fraction plus tiny built-in frequency anchors (the most common
-   hanzi / hangul syllables, public linguistic data). Kana-less
-   Japanese (rare headline fragments) scores as Han and lands on
-   gb18030 — the documented residual, same as any frequency detector
-   at this table size.
+   hanzi / hangul syllables, public linguistic data); the Big5-vs-GB
+   ambiguity (both decode each other's bytes strictly much of the
+   time, into the same Han block) is broken by whether the DECODE
+   produces frequent characters — simplified anchors for gb18030,
+   traditional anchors for Big5, ties to gb18030 (web prevalence).
+   Kana-less Japanese (rare headline fragments) scores as Han and
+   lands on gb18030 — the documented residual, same as any frequency
+   detector at this table size.
 6. **windows-1252 fallback** — the de-facto meaning of undeclared
    8-bit web text (it strictly supersets printable latin-1); decodes
    any byte string, so the ladder always terminates.
@@ -81,6 +88,13 @@ _ALIASES = {
     "ksc_5601": "euc-kr",
     "korean": "euc-kr",
     "cseuckr": "euc-kr",
+    "big5": "big5",
+    "big-5": "big5",
+    "big5-hkscs": "big5",
+    "cn-big5": "big5",
+    "csbig5": "big5",
+    "x-x-big5": "big5",
+    "cp950": "big5",
 }
 
 _DECODERS = {
@@ -92,6 +106,7 @@ _DECODERS = {
     "gb18030": "gb18030",
     "shift_jis": "cp932",  # WHATWG: Shift_JIS labels mean windows-31j
     "euc-kr": "cp949",  # WHATWG: EUC-KR labels mean cp949
+    "big5": "cp950",  # WHATWG: Big5 labels mean the Windows-950 superset
 }
 
 # declared utf-16le/be decode with the declared endianness but surface
@@ -119,6 +134,19 @@ _ZH_ANCHORS = frozenset(
 _KO_ANCHORS = frozenset(
     "이다의를에은는가하고지한로서수있기되어아게보으나사람도만그때문"
     "우리나라년것해주시간같장말대상동안중내더니까습니었입요적면과였"
+)
+#: the same high-frequency list in TRADITIONAL forms (round 9, Big5):
+#: characters identical in both scripts stay (的一是不...), divergent
+#: ones use the traditional glyph (這 來 國 個 說 們 為 時 會 著 過 學
+#: 對 裡 後 麼 於 沒 發 無 見 經 還 當 開). The anchor table scores the
+#: DECODED text, so GB-mojibake of Big5 bytes (random hanzi) scores ~0
+#: while the correct decode scores high — that, not byte ranges, breaks
+#: the Big5-vs-GB18030 tie (both decode each other's bytes strictly
+#: much of the time, always into the same Han block).
+_ZH_TRAD_ANCHORS = frozenset(
+    "的一是不了人我在有他這中大來上國個到說們為子和你地出道也時年得"
+    "就那要下以生會自著去之過家學對可她裡後小麼心多天而能好都然沒日"
+    "於起還發成事只作當想看文無開手十用主行方又如前所本見經台灣與點"
 )
 
 
@@ -155,14 +183,55 @@ def _clustered_high_bytes(b: bytes) -> bool:
     return adjacent / len(high) >= 0.75
 
 
+def _big5_pair_structure(b: bytes) -> bool:
+    """Big5's structural signature (round 9): lead bytes 0x81-0xF9 take
+    trail bytes in 0x40-0x7E *or* 0xA1-0xFE — the ASCII-range trails
+    mean Traditional-Chinese text carries ISOLATED high bytes
+    (lead-high, trail-low, lead-high, ...) that the adjacency gate
+    built for the EUC family rejects, which is exactly how Big5 pages
+    used to fall through to cp1252. Validate instead by pair-walking:
+    nearly every high byte must open a well-formed Big5 pair, with
+    enough pairs that a Western document's few isolated accents (which
+    can fake 1-2 pairs: ï+'v' is byte-wise a legal pair) cannot trip
+    it. Frequency anchors still make the final call."""
+    pairs = 0
+    bad = 0
+    i = 0
+    n = len(b)
+    while i < n:
+        x = b[i]
+        if x < 0x80:
+            i += 1
+            continue
+        if (
+            0x81 <= x <= 0xF9
+            and i + 1 < n
+            and (0x40 <= b[i + 1] <= 0x7E or 0xA1 <= b[i + 1] <= 0xFE)
+        ):
+            pairs += 1
+            i += 2
+        else:
+            bad += 1
+            i += 1
+    return pairs >= 4 and bad * 8 <= pairs
+
+
 def _detect_east_asian(b: bytes) -> tuple[str, str] | None:
-    """GB18030 / Shift_JIS / EUC-KR structural + frequency detection.
-    Returns ``(label, decoded_text)`` or None (fall through to cp1252).
-    Conservative by construction: the run-structure gate rejects
-    Western legacy text (isolated accented bytes) before any candidate
-    decode, so cp1252 bodies cannot be claimed."""
-    if not _clustered_high_bytes(b):
+    """GB18030 / Shift_JIS / EUC-KR / Big5 structural + frequency
+    detection. Returns ``(label, decoded_text)`` or None (fall through
+    to cp1252). Conservative by construction: a structure gate rejects
+    Western legacy text before any candidate decode — the EUC-family
+    adjacency gate (isolated accented bytes never cluster), or the
+    Big5 pair-walk (round 9) for the ASCII-trail shape the adjacency
+    gate cannot see. Entries through the Big5-only gate additionally
+    demand multiple frequency-anchor hits, because a handful of
+    accented-letter + ASCII byte pairs are byte-wise legal Big5 (and
+    GBK) — structure alone cannot clear cp1252 bodies there."""
+    clustered = _clustered_high_bytes(b)
+    big5_shape = _big5_pair_structure(b) if not clustered else False
+    if not clustered and not big5_shape:
         return None
+    base_min_hits = 0 if clustered else 2
 
     def _strict(codec: str) -> str | None:
         try:
@@ -178,12 +247,19 @@ def _detect_east_asian(b: bytes) -> tuple[str, str] | None:
         if kana >= 2:
             return "shift_jis", t
 
-    # GB-vs-KR: same byte ranges, so score home-script fraction plus
-    # anchor hits and require a clear, confident winner
+    # GB-vs-KR-vs-Big5: overlapping byte ranges, so score home-script
+    # fraction plus anchor hits and require a clear, confident winner.
+    # Big5 sits LAST with a mandatory anchor hit: at equal scores the
+    # web-prevalence prior (GB material outweighs Big5) wins, and a
+    # strict-decoding-but-anchorless Big5 claim is never made — GB
+    # bytes usually decode strictly under cp950 too (into anchorless
+    # mojibake), so for the Han pair the anchors ARE the evidence.
     best: tuple[float, str, str] | None = None
-    for label, codec, lo, hi, anchors in (
-        ("euc-kr", "cp949", 0xAC00, 0xD7A3, _KO_ANCHORS),
-        ("gb18030", "gb18030", 0x4E00, 0x9FFF, _ZH_ANCHORS),
+    for label, codec, lo, hi, anchors, min_hits in (
+        ("euc-kr", "cp949", 0xAC00, 0xD7A3, _KO_ANCHORS, base_min_hits),
+        ("gb18030", "gb18030", 0x4E00, 0x9FFF, _ZH_ANCHORS, base_min_hits),
+        ("big5", "cp950", 0x4E00, 0x9FFF, _ZH_TRAD_ANCHORS,
+         max(1, base_min_hits)),
     ):
         t = _strict(codec)
         if t is None:
@@ -193,6 +269,8 @@ def _detect_east_asian(b: bytes) -> tuple[str, str] | None:
             continue
         home = sum(1 for c in non_ascii if lo <= ord(c) <= hi)
         hits = sum(1 for c in non_ascii if c in anchors)
+        if hits < min_hits:
+            continue
         score = home / len(non_ascii) + 2.0 * hits / len(non_ascii)
         if score >= 0.8 and (best is None or score > best[0]):
             best = (score, label, t)
@@ -220,7 +298,9 @@ def detect_and_decode(b: bytes, declared: str | None = None) -> tuple[str, str]:
     # mojibake) carries clustered high bytes or parity NULs that an
     # honest cp1252 page never does; distrust and fall through.
     label = normalize_charset_label(declared)
-    if label == "cp1252" and _clustered_high_bytes(b):
+    if label == "cp1252" and (
+        _clustered_high_bytes(b) or _big5_pair_structure(b)
+    ):
         label = None
     if label in ("cp1252", "utf-8") and _detect_utf16_heuristic(b) is not None:
         # NUL is valid in both cp1252 and UTF-8, so "decodes strictly"

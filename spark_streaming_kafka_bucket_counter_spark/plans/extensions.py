@@ -1076,10 +1076,12 @@ _CJK_SUFFIX_CHARS = (
     f" THEN 1 + length('{_CJK['shift_jis']}')"
     f" WHEN doc_id % 9 = 8 AND is_ascii AND L > 0"
     f" THEN 1 + length('{_CJK['euc-kr']}')"
+    f" WHEN doc_id % 9 = 3 AND is_ascii AND L > 0"
+    f" THEN 1 + length('{_CJK['big5']}')"
     f" ELSE 0 END "
 )
 _CJK_SUFFIX_NL = (
-    " CASE WHEN doc_id % 9 IN (2, 5, 8) AND is_ascii AND L > 0"
+    " CASE WHEN doc_id % 9 IN (2, 3, 5, 8) AND is_ascii AND L > 0"
     " THEN 1 ELSE 0 END "
 )
 
@@ -1205,6 +1207,7 @@ def q_ingest_warc_record_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN doc_id % 9 = 4 THEN 'utf-16'
                 WHEN doc_id % 9 = 1 AND is_ascii AND L >= 4 THEN 'utf-16'
                 WHEN doc_id % 9 = 2 AND is_ascii AND L > 0 THEN 'gb18030'
+                WHEN doc_id % 9 = 3 AND is_ascii AND L > 0 THEN 'big5'
                 WHEN doc_id % 9 = 5 AND is_ascii AND L > 0 THEN 'shift_jis'
                 WHEN doc_id % 9 = 8 AND is_ascii AND L > 0 THEN 'euc-kr'
                 WHEN doc_id % 9 = 7 AND is_ascii THEN 'cp1252'
@@ -1217,14 +1220,19 @@ def q_ingest_warc_record_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ingest_warc_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset detection under the hash gate (round 7, extended round 8
-    with the statistical rungs — r7 VERDICT ask #4): the WARC fixture
-    ships SEVEN encoding families — BOM'd UTF-16 undeclared
-    (``id%9==4``), BOM-LESS UTF-16LE undeclared (``id%9==1``, the
-    NUL-parity rung), gb18030 / Shift_JIS undeclared (``id%9==2`` /
+    with the statistical rungs, round 9 with Big5 — r8 VERDICT ask #3):
+    the WARC fixture ships EIGHT encoding families — BOM'd UTF-16
+    undeclared (``id%9==4``), BOM-LESS UTF-16LE undeclared (``id%9==1``,
+    the NUL-parity rung), gb18030 / Shift_JIS undeclared (``id%9==2`` /
     ``%9==5``, the East-Asian structural + frequency rung), cp949
     behind a LYING ``charset=latin-1`` declaration (``id%9==8`` — the
     classic mojibake page; the reader must distrust the declaration on
-    multi-byte structure), ASCII declared ``windows-1252`` (``%9==7``),
+    multi-byte structure), Big5/cp950 behind a LYING
+    ``charset=iso-8859-1`` declaration (``id%9==3`` — the
+    Traditional-Chinese page whose ASCII-range trail bytes defeat the
+    EUC adjacency gate; the Big5 pair-walk + traditional frequency
+    anchors must beat both cp1252 and the gb18030 mis-resolve),
+    ASCII declared ``windows-1252`` (``%9==7``),
     and declared UTF-8 — and ``read_warc_records``'s detection ladder
     (functions/charset.py: BOM > trusted declaration > BOM-less UTF-16
     > strict UTF-8 > East-Asian statistical > cp1252) must label every

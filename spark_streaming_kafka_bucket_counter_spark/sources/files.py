@@ -482,9 +482,9 @@ def export_documents_files(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 
     # warc bumped in round 7: v2 added mixed record types + chunked
     # responses, v3 the charset families, v4 the statistical-rung
-    # families (BOM-less UTF-16LE + CJK phrases, round 8); a stale
-    # export would fail the census oracles
-    ver = "documents-v4" if fmt == "warc" else "documents-v1"
+    # families (BOM-less UTF-16LE + CJK phrases, round 8), v5 the Big5
+    # family (round 9); a stale export would fail the census oracles
+    ver = "documents-v5" if fmt == "warc" else "documents-v1"
     return cached_index_dir(f"{fmt}-export", sf_dir, ver, build)
 
 
@@ -661,6 +661,11 @@ WARC_CJK_PHRASES = {
     "gb18030": "的一是不了我们在用它这个句子很好",
     "shift_jis": "これはテスト用のデータですましたする",
     "euc-kr": "이것은 데이터 테스트를 위한 문장입니다",
+    # Traditional Chinese (round 9, Big5 rung): under cp950 six of these
+    # characters take ASCII-range trail bytes (0x40-0x7E) — the isolated
+    # high-byte shape the EUC adjacency gate cannot see, which is the
+    # structure the Big5 pair-walk exists for
+    "big5": "這是一個測試用的句子我們來看看結果",
 }
 
 
@@ -693,7 +698,11 @@ def _write_documents_warc(df: DataFrame, path: str) -> None:
     cp932 (Shift_JIS) undeclared; ``id%9==8`` appends a Korean phrase,
     ships cp949 — and LIES ``charset=latin-1`` (the classic mojibake
     page; the reader must distrust the declaration on multi-byte
-    structure and land on euc-kr). The phrases are module constants
+    structure and land on euc-kr). Round 9: ``id%9==3`` appends a
+    TRADITIONAL-Chinese phrase, ships cp950 (Big5) behind a lying
+    ``charset=iso-8859-1`` — the rung whose ASCII-range trail bytes
+    defeat the adjacency gate, exercising the Big5 pair-walk +
+    traditional-anchor scoring. The phrases are module constants
     (:data:`WARC_CJK_PHRASES`) quoted literally in the oracles'
     ``length('...')`` arithmetic, so the SQL stays self-evidently in
     sync with the bytes."""
@@ -751,6 +760,16 @@ def _write_documents_warc(df: DataFrame, path: str) -> None:
                         "cp949"
                     )
                     ctype = "text/plain; charset=latin-1"
+                elif did % 9 == 3 and t and t.isascii():
+                    # Big5 (cp950) behind a LYING iso-8859-1 declaration —
+                    # the Traditional-Chinese mojibake page (round 9);
+                    # the reader must distrust the declaration on the
+                    # Big5 pair structure and land on big5, not cp1252
+                    # or gb18030
+                    body = (t + "\n" + WARC_CJK_PHRASES["big5"]).encode(
+                        "cp950"
+                    )
+                    ctype = "text/plain; charset=iso-8859-1"
                 else:
                     body = t.encode()
                     ctype = "text/plain; charset=utf-8"

@@ -393,10 +393,13 @@ def test_warc_spark_roundtrip_with_nulls_and_weird_sources(spark, tmp_path):
 
     sf = _os.path.join(str(tmp_path), "sf")
     _os.makedirs(sf)
+    # doc_ids 6/9/15: %9 in {0, 6} keeps all three on the plain UTF-8
+    # path (ids %9 in {1,2,3,4,5,7,8} belong to the charset-fixture
+    # families, which append phrases / re-encode bodies by design)
     rows = [
-        (1, "hello 🎉", "en", "plain", 7),
-        (2, None, None, None, None),
-        (3, "a\nb", "fr", "weird/src with space", 3),
+        (6, "hello 🎉", "en", "plain", 7),
+        (9, None, None, None, None),
+        (15, "a\nb", "fr", "weird/src with space", 3),
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -407,9 +410,9 @@ def test_warc_spark_roundtrip_with_nulls_and_weird_sources(spark, tmp_path):
         (r.doc_id, r.text, r.source, r.n_malformed) for r in back.collect()
     )
     assert got == [
-        (1, "hello 🎉", "plain", 0),
-        (2, "", None, 0),  # NULL text -> empty fetch body, by contract
-        (3, "a\nb", "weird/src with space", 0),
+        (6, "hello 🎉", "plain", 0),
+        (9, "", None, 0),  # NULL text -> empty fetch body, by contract
+        (15, "a\nb", "weird/src with space", 0),
     ]
 
 
@@ -609,6 +612,7 @@ def test_charset_statistical_rungs():
     )
 
     zh = "的一是不了我们在用它这个句子很好，测试中文检测。"
+    zt = "這是一個測試用的句子我們來看看結果，繁體中文檢測。"
     ja = "これはデータパイプラインのテスト用の日本語の文です。"
     ko = "이것은 데이터 파이프라인 테스트를 위한 한국어 문장입니다."
     west = "héllo wörld — ünïcode café naïve résumé Straße"
@@ -617,9 +621,11 @@ def test_charset_statistical_rungs():
     # undeclared statistical detection, pure and ASCII-prefixed
     for text, codec, want in (
         (zh, "gb18030", "gb18030"),
+        (zt, "cp950", "big5"),  # round 9: Traditional Chinese
         (ja, "cp932", "shift_jis"),
         (ko, "cp949", "euc-kr"),
         (ascii_doc + "\n" + zh, "gb18030", "gb18030"),
+        (ascii_doc + "\n" + zt, "cp950", "big5"),
         (ascii_doc + "\n" + ja, "cp932", "shift_jis"),
         (ascii_doc + "\n" + ko, "cp949", "euc-kr"),
         (ascii_doc, "utf-16-le", "utf-16"),
@@ -632,6 +638,8 @@ def test_charset_statistical_rungs():
         (zh, "gb18030", "utf-8", "gb18030"),
         (ja, "cp932", "utf-8", "shift_jis"),
         (ko, "cp949", "latin-1", "euc-kr"),  # the classic mojibake page
+        (zt, "cp950", "iso-8859-1", "big5"),  # Traditional-Chinese twin
+        (zt, "cp950", "utf-8", "big5"),
         (ascii_doc, "utf-16-le", "utf-8", "utf-16"),
         (ascii_doc, "utf-16-le", "windows-1252", "utf-16"),
     ):
@@ -645,6 +653,8 @@ def test_charset_statistical_rungs():
         (ja, "cp932", "Shift_JIS", "shift_jis"),
         (ja, "cp932", "windows-31j", "shift_jis"),
         (ko, "cp949", "EUC-KR", "euc-kr"),
+        (zt, "cp950", "Big5", "big5"),
+        (zt, "cp950", "big5-hkscs", "big5"),
         (west, "utf-16-be", "utf-16be", "utf-16"),  # endianness honored
         (west, "utf-16-le", "utf-16le", "utf-16"),
     ):
@@ -678,6 +688,7 @@ def test_warc_statistical_charset_families_roundtrip():
     zh = doc + "\n" + WARC_CJK_PHRASES["gb18030"]
     ja = doc + "\n" + WARC_CJK_PHRASES["shift_jis"]
     ko = doc + "\n" + WARC_CJK_PHRASES["euc-kr"]
+    zt = doc + "\n" + WARC_CJK_PHRASES["big5"]
     recs = [
         build_warc_response(
             "urn:a", "http://c/a", doc.encode("utf-16-le"),
@@ -695,6 +706,10 @@ def test_warc_statistical_charset_families_roundtrip():
             "urn:d", "http://c/d", ko.encode("cp949"),
             content_type="text/plain; charset=latin-1",
         ),
+        build_warc_response(
+            "urn:e", "http://c/e", zt.encode("cp950"),
+            content_type="text/plain; charset=iso-8859-1", chunked=True,
+        ),
     ]
     out, bad = parse_warc(encode_warc(recs))
     assert bad == 0
@@ -703,3 +718,4 @@ def test_warc_statistical_charset_families_roundtrip():
     assert got["urn:b"] == (zh, "gb18030")
     assert got["urn:c"] == (ja, "shift_jis")
     assert got["urn:d"] == (ko, "euc-kr")
+    assert got["urn:e"] == (zt, "big5")
