@@ -1190,6 +1190,41 @@ def q_search_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_query_index(spark, idx, _BM25_QUERY, top_k=20)
 
 
+@query(
+    "search_bm25_merged_topk",
+    bm25_topk_sql("documents", "doc_id", "text", _BM25_QUERY, top_k=20),
+)
+def q_search_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same BM25 top-20 answered from a SEGMENTED index — four
+    micro-batch segments (doc_id % 4) folded into the merged base
+    segment by :func:`~..operators.search.bm25_merge_segments` (round
+    9, the LSM-style compaction that bounds query-time merge width) —
+    under the driver's hash gate: postings move verbatim, df/N/sumdl
+    sum, so merged-index scoring must be bit-identical to both the
+    single-build index and the direct operator; one oracle serves all
+    three. The replay-provenance no-op (a covered batch replayed after
+    the merge) is pytest-pinned in test_bm25_merge.py."""
+    from ..operators.search import (
+        bm25_merge_segments,
+        bm25_query_index,
+        bm25_write_segment,
+    )
+    from ..sources.files import cached_index_dir
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _build(p: str) -> None:
+        for b in range(4):
+            bm25_write_segment(
+                docs.filter(F.col("doc_id") % 4 == b),
+                "doc_id", "text", p, b, buckets=64,
+            )
+        bm25_merge_segments(spark, p, grace_sec=0)
+
+    idx = cached_index_dir("bm25merged", sf_dir, "b64-v1", _build)
+    return bm25_query_index(spark, idx, _BM25_QUERY, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # Composite quality gate
 # ---------------------------------------------------------------------------

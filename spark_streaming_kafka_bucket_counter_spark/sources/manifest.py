@@ -49,10 +49,12 @@ index that predates the manifest layer never vanishes its legacy data
 applies once a manifest exists — then unpublished files really are
 crash debris.
 
-Trees NOT managed here (serving store, line-count segments) keep their
-existing partition-replace / symlink-swap schemes; this module is the
-generalization of the line-count tree's 0-transient shape to indexes
-whose leaves must be rewritten in place.
+Round 9 also moved the SERVING STORE onto this substrate
+(streaming/serving.py) — appends, compaction, predicate deletes, and
+retention cleans all publish snapshots, so store readers gained the
+same 0-transient contract. The line-count segment tree keeps its
+partition-replace scheme (its partitions are never rewritten in place,
+so directory listing is already transient-free there).
 
 Scale notes: a publish costs O(live files) — one JSON dump plus one
 tree scan — and readers pay one JSON parse. That holds comfortably to

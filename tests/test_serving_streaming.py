@@ -202,6 +202,17 @@ def test_sliding_counter_store_parity(spark, store, tmp_path):
 
 
 def test_store_compact_frozen_partitions(spark, tmp_path):
+    """Round 9 (manifest substrate): compaction publishes ONE snapshot
+    whose frozen partitions are single-file; the displaced fragments
+    RETIRE (still on disk for readers pinned to the prior snapshot)
+    and a zero-grace GC converges the directory to exactly the live
+    set — the retire-then-GC twin of the old 'swept next maintenance'
+    contract."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        gc_index_tree,
+        latest_manifest,
+    )
+
     store = ServingStore(spark, str(tmp_path / "cstore"), clean_freq=0)
     df = spark.range(100).withColumnRenamed("id", "v")
     for b in range(4):
@@ -211,17 +222,34 @@ def test_store_compact_frozen_partitions(spark, tmp_path):
     # freeze everything but the most recent 2
     assert store.compact(keep_recent=2) == 2
 
-    import glob
+    def _live_per_batch():
+        m = latest_manifest(tmp_path / "cstore")
+        out = {}
+        for f in m["files"]:
+            b = int(f.split("/", 1)[0].split("=", 1)[1])
+            out[b] = out.get(b, 0) + 1
+        return out
 
-    for b in range(2):  # frozen -> single file
-        assert len(glob.glob(str(tmp_path / "cstore" / f"RST_ID={b}" / "*.parquet"))) == 1
+    live = _live_per_batch()
+    for b in range(2):  # frozen -> single live file
+        assert live[b] == 1, live
     for b in range(2, 4):  # hot window untouched
-        assert len(glob.glob(str(tmp_path / "cstore" / f"RST_ID={b}" / "*.parquet"))) == 4
-    # data unchanged, no temp dirs leak into the view
+        assert live[b] == 4, live
+    # data unchanged, retired fragments invisible to the view
     assert store.view().groupBy().sum("v").collect()[0][0] == before
     assert store._batch_ids() == [0, 1, 2, 3]
     # idempotent: second run finds nothing to do
     assert store.compact(keep_recent=2) == 0
+
+    # GC with expired grace converges disk to the live set exactly
+    import glob
+
+    gc_index_tree(tmp_path / "cstore", grace_sec=0)
+    for b in range(2):
+        assert len(glob.glob(str(tmp_path / "cstore" / f"RST_ID={b}" / "*.parquet"))) == 1
+    for b in range(2, 4):
+        assert len(glob.glob(str(tmp_path / "cstore" / f"RST_ID={b}" / "*.parquet"))) == 4
+    assert store.view().groupBy().sum("v").collect()[0][0] == before
 
 
 def test_store_compact_crash_recovery(spark, tmp_path):
@@ -337,3 +365,93 @@ def test_store_compact_is_reader_atomic(spark, tmp_path):
             t.join()
     assert not errors, errors[0]
     assert store.view().groupBy().sum("v").collect()[0][0] == expect_sum
+
+def test_store_clean_retires_then_gcs_and_snapshot_pins(spark, tmp_path):
+    """Round 9 (r8 VERDICT ask #6): retention clean() must not yank
+    files from under a reader — the dropped batches leave the latest
+    snapshot immediately, but a reader that resolved the PREVIOUS
+    snapshot keeps a complete, readable file set through the grace
+    window; zero-grace GC then converges disk to the live set."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        gc_index_tree,
+    )
+
+    store = ServingStore(spark, str(tmp_path / "gstore"), clean_freq=0)
+    for b in range(6):
+        store.append(spark.createDataFrame([(b, b * 10)], "k long, v long"), b)
+
+    pinned = store.snapshot()
+    pinned_df = store.view_at(pinned)  # planned BEFORE the clean
+
+    assert store.clean(clean_interval=2) == 3  # drop batches 0,1,2
+    assert store._batch_ids() == [3, 4, 5]
+    assert sorted(r["k"] for r in store.view().collect()) == [3, 4, 5]
+
+    # the pinned reader still sees all six batches: retired files are
+    # on disk inside the grace window
+    assert sorted(r["k"] for r in pinned_df.collect()) == [0, 1, 2, 3, 4, 5]
+    assert sorted(r["k"] for r in store.view_at(pinned).collect()) == list(range(6))
+
+    gc_index_tree(tmp_path / "gstore", grace_sec=0)
+    import glob
+
+    remaining = glob.glob(str(tmp_path / "gstore" / "RST_ID=*"))
+    assert sorted(remaining) == [
+        str(tmp_path / "gstore" / f"RST_ID={b}") for b in (3, 4, 5)
+    ]
+    assert sorted(r["k"] for r in store.view().collect()) == [3, 4, 5]
+
+
+def test_store_forget_rows(spark, tmp_path):
+    """Right-to-be-forgotten on the serving store (free on the manifest
+    substrate): only files containing the ids are rewritten, results
+    match never-inserted, and after GC the bytes are gone."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        gc_index_tree,
+    )
+
+    store = ServingStore(spark, str(tmp_path / "fstore"), clean_freq=0)
+    for b in range(3):
+        rows = [(b * 10 + i, f"u{b * 10 + i}") for i in range(4)]
+        store.append(
+            spark.createDataFrame(rows, "user_id long, name string"), b
+        )
+
+    n = store.forget("user_id", [1, 21])
+    assert n >= 1
+    got = sorted(r["user_id"] for r in store.view().collect())
+    assert got == [0, 2, 3, 10, 11, 12, 13, 20, 22, 23]
+    # untouched batch 1 files were not rewritten (still 1 file live)
+    m = store.snapshot()
+    assert any(f.startswith("RST_ID=1/") for f in m["files"])
+
+    gc_index_tree(tmp_path / "fstore", grace_sec=0)
+    assert sorted(r["user_id"] for r in store.view().collect()) == got
+
+
+def test_store_legacy_symlink_layout_migrates(spark, tmp_path):
+    """A pre-round-9 store (RST_ID=<b> symlinks into hidden _data_*
+    version dirs) must migrate losslessly: symlinks materialize, the
+    first mutation adopts the tree as generation 1, and old version
+    debris is swept — no batch vanishes on upgrade."""
+    import os
+
+    root = tmp_path / "lstore"
+    root.mkdir()
+    for b in range(2):
+        data = root / f"_data_{b}_legacy"
+        spark.createDataFrame([(b, b)], "k long, v long").write.parquet(str(data))
+        os.symlink(data.name, root / f"RST_ID={b}")
+    (root / "_data_9_orphan").mkdir()  # displaced version, swept
+
+    store = ServingStore(spark, str(root), clean_freq=0)
+    assert store._batch_ids() == [0, 1]
+    assert sorted(r["k"] for r in store.view().collect()) == [0, 1]
+    assert not any(p.is_symlink() for p in root.iterdir())
+    assert not (root / "_data_9_orphan").exists()
+
+    # first mutation adopts the migrated tree: nothing vanishes
+    store.append(spark.createDataFrame([(2, 2)], "k long, v long"), 2)
+    m = store.snapshot()
+    assert m is not None and m["generation"] == 1
+    assert sorted(r["k"] for r in store.view().collect()) == [0, 1, 2]
