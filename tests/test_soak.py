@@ -183,7 +183,7 @@ def test_streaming_triad_soak(spark, tmp_path):
         )
         q3 = start_search_index_ingest(
             _doc_stream(), "doc_id", "text", bm_idx, bm_ck,
-            compact_every=5, gc_grace_sec=GRACE,
+            compact_every=5, merge_every=8, gc_grace_sec=GRACE,
         )
         q4 = start_line_dedup_ingest(
             _doc_stream(), "doc_id", "text", ld_idx, ld_out, ld_ck,
@@ -296,6 +296,15 @@ def test_streaming_triad_soak(spark, tmp_path):
         )
         assert not m["retired"]
         gc_report[name] = {"live_files": len(m["files"]), "generation": m["generation"]}
+
+    # BM25 live file count is BOUNDED by the term-bucket constant, not
+    # by batch count (r8 VERDICT Next #2: segment count used to equal
+    # micro-batch count — SOAK r8 measured 1,234 live files at 24
+    # batches). merge_every=8 folds segments into the base; the final
+    # merge fires on the last batch, so after GC at most the base
+    # segment remains: <= buckets postings leaves + buckets dfreq
+    # leaves + 1 stats file (compaction holds each leaf at 1 file).
+    assert gc_report["bm25"]["live_files"] <= 2 * 64 + 1, gc_report["bm25"]
 
     # readers: zero transients is the r8 contract (manifest-pinned
     # reads; retired files outlive every pinned snapshot's grace window)

@@ -61,6 +61,10 @@ QUERIES = [
     "multimodal_jpeg_cmyk",
     "web_graph_pagerank",
     "curation_line_dedup",
+    # round 9 (standing rule: new rows join the curve): the
+    # segmented-then-merged BM25 index — build cost includes the merge
+    # rewrite, query cost must stay posting-list-bounded
+    "search_bm25_merged_topk",
 ]
 
 SCALES = {
