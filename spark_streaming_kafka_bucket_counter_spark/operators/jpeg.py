@@ -18,8 +18,13 @@ Coverage and honesty:
   factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals
   (DRI/RSTn); since round 8 also Adobe 4-component CMYK/YCCK (APP14
   transform 0 or 2, inverted-ink convention, RGB output — 4-component
-  streams WITHOUT the Adobe declaration still return ``None``).
-  Arithmetic coding, 12-bit and lossless/hierarchical return ``None``
+  streams WITHOUT the Adobe declaration still return ``None``); since
+  round 9 also LOSSLESS (SOF3, Annex H predictive Huffman — all seven
+  predictors, point transform, precision 2-16, so 12-bit and 16-bit
+  SAMPLES land here) via :func:`decode_jpeg_lossless` with a bit-exact
+  contract and therefore a FULL pixel-value SQL oracle. Arithmetic
+  coding (SOF9/10/11), 12-bit DCT, hierarchical, and lossless outside
+  the single-interleaved-scan/1x1/no-restart envelope return ``None``
   rather than guessing. Progressive parity is
   pinned the strong way: a progressive stream carries the SAME
   quantized coefficients as the baseline stream of the same image, so
@@ -1817,3 +1822,244 @@ def _idct_block(coeffs: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     (float, pre-clamp)."""
     c = (coeffs * qtbl).reshape(8, 8).astype(np.float64)
     return _DCT_M.T @ c @ _DCT_M + 128.0
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, T.81 Annex H) — round 9
+# ---------------------------------------------------------------------------
+# Predictive Huffman coding, NO DCT and NO quantization: every decoded
+# sample is bit-exact, which makes this the one JPEG family with a FULL
+# integer SQL oracle (the lossy families carry partial structural
+# oracles by necessity). Precision 2-16 — so 12-bit and 16-bit sample
+# depth land here too. Used in the wild by DNG/medical/raw-photo
+# pipelines; a crawl's thin tail of .dng/.nef containers carries these
+# streams.
+#
+# Scope (honesty): single interleaved Huffman scan, 1x1 sampling, all
+# seven T.81 predictors + point transform. DRI/restarts in a lossless
+# frame return None (prediction-reset semantics across restart rows are
+# implementation-defined enough that guessing risks silent corruption —
+# the same fail-closed rule as arithmetic coding). Multi-scan and
+# subsampled lossless return None likewise.
+
+#: lossless diff categories 0..16 (16 = diff of exactly 32768, T.81 H.1.2.2)
+_LL_SYMBOLS = list(range(17))
+_LL_BITS, _LL_VALS, _LL_ENC = _canonical_table(_LL_SYMBOLS, 5)
+
+
+def _ll_predict(sel: int, ra: int, rb: int, rc: int) -> int:
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def encode_jpeg_lossless(
+    samples, width: int, height: int, channels: int = 1,
+    precision: int = 8, predictor: int = 1, point_transform: int = 0,
+) -> bytes:
+    """Conformant lossless JPEG (SOF3): ``samples`` is bytes (8-bit) or
+    any array-like reshapeable to (height, width, channels) of ints in
+    [0, 2^precision). One interleaved scan, 1x1 sampling, the selected
+    predictor 1-7 and point transform. Decode of the result is
+    BIT-EXACT (pytest-pinned round-trip for every predictor at 8/12/16
+    bits)."""
+    if not (2 <= precision <= 16):
+        raise ValueError("lossless precision must be 2..16")
+    if not (1 <= predictor <= 7):
+        raise ValueError("predictor selector must be 1..7")
+    if not (0 <= point_transform < precision):
+        raise ValueError("point transform must be 0..precision-1")
+    if isinstance(samples, (bytes, bytearray)):
+        arr = np.frombuffer(bytes(samples), np.uint8)
+    else:
+        arr = np.asarray(samples)
+    arr = arr.reshape(height, width, channels).astype(np.int64)
+    pt = point_transform
+    shifted = arr >> pt
+    default = 1 << (precision - pt - 1)
+
+    bw = _BitWriter()
+    append = bw.pairs.append
+    enc = _LL_ENC
+    sh = shifted.tolist()
+    for y in range(height):
+        row = sh[y]
+        up = sh[y - 1] if y else None
+        for x in range(width):
+            cur = row[x]
+            left = row[x - 1] if x else None
+            for ci in range(channels):
+                if y == 0 and x == 0:
+                    px = default
+                elif y == 0:
+                    px = left[ci]
+                elif x == 0:
+                    px = up[x][ci]
+                else:
+                    px = _ll_predict(
+                        predictor, left[ci], up[x][ci], up[x - 1][ci]
+                    )
+                d = (cur[ci] - px) & 0xFFFF
+                if d > 32767:
+                    d -= 65536
+                if d == -32768:
+                    append(enc[16])
+                    continue
+                size = (d if d >= 0 else -d).bit_length()
+                append(enc[size])
+                if size:
+                    append((d if d >= 0 else d + (1 << size) - 1, size))
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling; Tq=0 unused in lossless
+    out += _marker(0xC3, sof)
+    out += _marker(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah<<4|Al=Pt
+    out += _marker(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_lossless(b: bytes):
+    """Decode a lossless (SOF3) stream: returns ``(width, height,
+    channels, precision, samples)`` with ``samples`` a (height, width,
+    channels) int64 numpy array of EXACT sample values (point transform
+    re-applied: reconstructed << Pt), or None for anything outside the
+    supported envelope (non-1x1 sampling, restarts, multi-scan,
+    truncation, arithmetic lossless SOF11) — fail closed on untrusted
+    crawl bytes, never guess."""
+    try:
+        return _decode_lossless_inner(b)
+    except Exception:
+        return None
+
+
+def _decode_lossless_inner(b: bytes):
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    htables: dict[int, dict] = {}
+    frame = None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        tag = b[i + 1]
+        if tag == 0xD9:
+            return None  # EOI before any scan
+        if 0xD0 <= tag <= 0xD7 or tag == 0x01:
+            i += 2
+            continue
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > len(b):
+            return None
+        seg = b[i + 4 : i + 2 + seglen]
+        if tag == 0xC4:
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = seg[j + 1 : j + 17]
+                n = sum(bits)
+                vals = seg[j + 17 : j + 17 + n]
+                if len(vals) < n or tc != 0:
+                    return None  # lossless uses DC-class tables only
+                htables[th] = _build_decoder_table(list(bits), list(vals))
+                j += 17 + n
+        elif tag == 0xC3:
+            prec = seg[0]
+            if not (2 <= prec <= 16):
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc < 1 or nc > 4 or w == 0 or h == 0 or len(seg) < 6 + 3 * nc:
+                return None
+            for c in range(nc):
+                if seg[7 + 3 * c] != 0x11:
+                    return None  # only 1x1 sampling supported
+            frame = (w, h, nc, prec)
+        elif tag in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            return None  # not a (Huffman-)lossless frame
+        elif tag == 0xDD:
+            if int.from_bytes(seg[0:2], "big") != 0:
+                return None  # restarts: out of the supported envelope
+        elif tag == 0xDA:
+            if frame is None:
+                return None
+            w, h, nc, prec = frame
+            ns = seg[0]
+            if ns != nc or len(seg) < 1 + 2 * ns + 3:
+                return None  # single interleaved scan only
+            tabs = []
+            for c in range(ns):
+                td = seg[2 + 2 * c] >> 4
+                if td not in htables:
+                    return None
+                tabs.append(htables[td])
+            sel = seg[1 + 2 * ns]
+            pt = seg[3 + 2 * ns] & 0xF
+            if not (1 <= sel <= 7) or pt >= prec:
+                return None
+            return _ll_decode_scan(b, i + 2 + seglen, w, h, nc, prec,
+                                   sel, pt, tabs)
+        i += 2 + seglen
+    return None
+
+
+def _ll_decode_scan(b, pos, w, h, nc, prec, sel, pt, tabs):
+    br = _BitReader(b, pos)
+    out = np.empty((h, w, nc), np.int64)
+    default = 1 << (prec - pt - 1)
+    row = [[0] * nc for _ in range(w)]
+    prev = None
+    maxval = (1 << prec) - 1
+    for y in range(h):
+        for x in range(w):
+            cur = row[x]
+            for ci in range(nc):
+                ssss = _decode_huffman(br, tabs[ci])
+                if ssss is None or ssss > 16:
+                    return None
+                if ssss == 16:
+                    d = 32768
+                elif ssss:
+                    bits = br.read_bits(ssss)
+                    if bits is None:
+                        return None
+                    d = _extend(bits, ssss)
+                else:
+                    d = 0
+                if y == 0 and x == 0:
+                    px = default
+                elif y == 0:
+                    px = row[x - 1][ci]
+                elif x == 0:
+                    px = prev[x][ci]
+                else:
+                    px = _ll_predict(sel, row[x - 1][ci], prev[x][ci],
+                                     prev[x - 1][ci])
+                cur[ci] = (px + d) & 0xFFFF
+            out[y, x] = cur
+        prev = [list(v) for v in row]
+    vals = out << pt
+    if vals.max() > maxval:
+        return None  # corrupt stream produced out-of-range samples
+    return w, h, nc, prec, vals

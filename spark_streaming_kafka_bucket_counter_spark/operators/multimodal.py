@@ -2049,6 +2049,68 @@ def jpeg_cmyk_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+JPEG_LOSSLESS_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "precision long, predictor long, decode_ok long, sample_sum long"
+)
+
+
+def jpeg_lossless_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Lossless JPEG (SOF3) under a FULL integer oracle (round 9 —
+    closes more of 'What's missing #3'): each id synthesizes a 9x8x3
+    gradient image ``sample(y,x,c) = (3*id + 7*y + 11*x + 5*c) mod
+    2^precision`` at precision 8/12/16 by ``id % 3`` and predictor
+    ``1 + id % 7``, encodes it as a conformant SOF3 stream, and decodes
+    it back. Lossless means decode is BIT-EXACT, so unlike every lossy
+    JPEG family the pixel VALUES themselves sit under the hash gate:
+    ``sample_sum`` must equal the SQL replay of the synthesis formula —
+    a single wrong sample anywhere in predict/extend/reconstruct
+    arithmetic flips the sum. All seven predictors and three precisions
+    (8/12/16-bit samples) are exercised across any real id range."""
+    from .jpeg import decode_jpeg_lossless, encode_jpeg_lossless
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w, h, nc = 9, 8, 3
+        yy, xx, cc = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(nc), indexing="ij"
+        )
+        base = 7 * yy + 11 * xx + 5 * cc
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                prec = (8, 12, 16)[did % 3]
+                pred = 1 + did % 7
+                img = (3 * did + base) % (1 << prec)
+                blob = encode_jpeg_lossless(
+                    img, w, h, nc, precision=prec, predictor=pred
+                )
+                dec = decode_jpeg_lossless(blob)
+                if dec is None:
+                    rows.append((did, None, None, None, prec, pred, 0, None))
+                    continue
+                dw, dh, dnc, dprec, vals = dec
+                rows.append((
+                    did, dw, dh, dnc, dprec, pred, 1, int(vals.sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels",
+                         "precision", "predictor", "decode_ok", "sample_sum"],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "width", "height", "channels", "precision", "predictor",
+                    "decode_ok", "sample_sum",
+                )}
+            )
+
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _report, JPEG_LOSSLESS_SCHEMA
+    )
+
+
 JPEG_STRUCTURE_SCHEMA = (
     "doc_id long, width long, height long, channels long, "
     "subsampling string, has_restart long, decode_ok long"

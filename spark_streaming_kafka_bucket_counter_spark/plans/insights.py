@@ -1135,6 +1135,48 @@ def q_multimodal_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_lossless",
+    """
+    WITH g AS (
+      SELECT y.y, x.x, c.c
+      FROM generate_series(0, 7) y(y),
+           generate_series(0, 8) x(x),
+           generate_series(0, 2) c(c)
+    )
+    SELECT d.doc_id,
+           CAST(9 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(CASE d.doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 12 ELSE 16 END
+                AS BIGINT) AS precision,
+           CAST(1 + d.doc_id % 7 AS BIGINT) AS predictor,
+           CAST(1 AS BIGINT) AS decode_ok,
+           CAST(SUM((3 * d.doc_id + 7 * g.y + 11 * g.x + 5 * g.c)
+                    % (CASE d.doc_id % 3 WHEN 0 THEN 256
+                       WHEN 1 THEN 4096 ELSE 65536 END))
+                AS BIGINT) AS sample_sum
+    FROM documents d, g
+    GROUP BY d.doc_id
+    """,
+)
+def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JPEG (SOF3, T.81 Annex H) under a FULL pixel-value
+    oracle (round 9 — the r8 'What's missing #3' tail): every doc
+    round-trips a synthesized gradient image through a conformant
+    predictive-Huffman lossless stream, cycling all seven predictors
+    and 8/12/16-bit sample precision by id arithmetic. Because the
+    codec is lossless, the decoded samples are bit-exact and the
+    per-image sample SUM replays in SQL — the first JPEG family whose
+    pixel VALUES (not just structure) sit under the hash gate. DCT
+    decode fails closed on SOF3 and vice versa; restarts/subsampled/
+    multi-scan lossless return None rather than guessing."""
+    from ..operators.multimodal import jpeg_lossless_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_lossless_report(docs)
+
+
+@query(
     "multimodal_jpeg_stats",
     """
     SELECT doc_id,

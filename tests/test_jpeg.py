@@ -488,3 +488,67 @@ def test_cmyk_adobe_roundtrip_both_transforms():
     seglen = int.from_bytes(b[i + 2 : i + 4], "big")
     del b[i : i + 2 + seglen]
     assert decode_jpeg(bytes(b)) is None
+
+def test_lossless_roundtrip_every_predictor_and_precision():
+    """SOF3 lossless (round 9): decode(encode(x)) is BIT-EXACT for all
+    seven predictors at 8/12/16-bit precision, gray and RGB, with and
+    without a point transform — the property that distinguishes this
+    family from every lossy path (and what the full SQL oracle of
+    multimodal_jpeg_lossless rests on)."""
+    import numpy as np
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(42)
+    for prec in (2, 8, 12, 16):
+        for nc in (1, 3):
+            for pred in range(1, 8):
+                pt = 0 if pred % 2 else min(2, prec - 1)
+                h, w = 11, 7
+                img = rng.randint(0, 1 << prec, size=(h, w, nc)).astype(np.int64)
+                img = (img >> pt) << pt
+                blob = encode_jpeg_lossless(
+                    img, w, h, nc, precision=prec,
+                    predictor=pred, point_transform=pt,
+                )
+                dec = decode_jpeg_lossless(blob)
+                assert dec is not None, (prec, nc, pred, pt)
+                dw, dh, dnc, dprec, vals = dec
+                assert (dw, dh, dnc, dprec) == (w, h, nc, prec)
+                assert np.array_equal(vals, img), (prec, nc, pred, pt)
+
+
+def test_lossless_fails_closed():
+    """Fail-closed envelope: DCT decoders return None on SOF3 streams
+    and the lossless decoder returns None on DCT streams, truncation,
+    declared restarts, and garbage — never a guess, never a raise."""
+    import numpy as np
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_baseline,
+        decode_jpeg_lossless,
+        encode_jpeg_baseline,
+        encode_jpeg_lossless,
+    )
+
+    img = np.arange(5 * 4 * 1, dtype=np.int64).reshape(4, 5, 1) % 256
+    blob = encode_jpeg_lossless(img, 5, 4, 1)
+    assert decode_jpeg(blob) is None
+    assert decode_jpeg_baseline(blob) is None
+    base = encode_jpeg_baseline(bytes(4 * 5 * 3), 5, 4, 3)
+    assert decode_jpeg_lossless(base) is None
+    for cut in (len(blob) // 3, len(blob) - 3):
+        assert decode_jpeg_lossless(blob[:cut]) is None
+    assert decode_jpeg_lossless(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_lossless(b"not a jpeg at all") is None
+    # a DRI segment with nonzero interval puts the stream outside the
+    # supported envelope (prediction-reset semantics not guessed)
+    with_dri = blob[:2] + b"\xff\xdd\x00\x04\x00\x08" + blob[2:]
+    assert decode_jpeg_lossless(with_dri) is None
+    # zero restart interval is harmless and legal
+    with_dri0 = blob[:2] + b"\xff\xdd\x00\x04\x00\x00" + blob[2:]
+    assert decode_jpeg_lossless(with_dri0) is not None
