@@ -434,8 +434,16 @@ def bm25_merge_segments(spark, path: str, grace_sec: float = 300.0) -> int:
             txn.abort()
             return 0
         bcol = F.lit(BM25_MERGED_SEGMENT).cast("long")
+        # repartition ON tb before writing: without it each input task
+        # writes its own file into every leaf it touches, so the merged
+        # base would carry O(tasks) files per term bucket until the
+        # next compaction (the soak caught exactly that at cadence
+        # mismatch). With it the merge output is bounded at one file
+        # per (batch_id, tb) leaf by construction — `buckets` is the
+        # merge's write parallelism, the right knob at scale too.
         (
             post.withColumn("batch_id", bcol)
+            .repartition(F.col("tb"))
             .write.mode("append")
             .partitionBy("batch_id", "tb")
             .parquet(str(rootp / "postings"))
@@ -446,6 +454,7 @@ def bm25_merge_segments(spark, path: str, grace_sec: float = 300.0) -> int:
             .groupBy("tb", "term")
             .agg(F.sum("df").cast("long").alias("df"))
             .withColumn("batch_id", bcol)
+            .repartition(F.col("tb"))
             .write.mode("append")
             .partitionBy("batch_id", "tb")
             .parquet(str(rootp / "dfreq"))

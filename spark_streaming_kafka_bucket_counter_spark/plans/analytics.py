@@ -1221,7 +1221,7 @@ def q_search_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         bm25_merge_segments(spark, p, grace_sec=0)
 
-    idx = cached_index_dir("bm25merged", sf_dir, "b64-v1", _build)
+    idx = cached_index_dir("bm25merged", sf_dir, "b64-v2", _build)
     return bm25_query_index(spark, idx, _BM25_QUERY, top_k=20)
 
 

@@ -63,8 +63,11 @@ QUERIES = [
     "curation_line_dedup",
     # round 9 (standing rule: new rows join the curve): the
     # segmented-then-merged BM25 index — build cost includes the merge
-    # rewrite, query cost must stay posting-list-bounded
+    # rewrite, query cost must stay posting-list-bounded — and the
+    # lossless JPEG roundtrip (pure-Python predictive codec: the one
+    # Arrow stage whose per-row cost is precision-dependent)
     "search_bm25_merged_topk",
+    "multimodal_jpeg_lossless",
 ]
 
 SCALES = {
