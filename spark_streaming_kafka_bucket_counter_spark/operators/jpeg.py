@@ -22,10 +22,14 @@ Coverage and honesty:
   round 9 also LOSSLESS (SOF3, Annex H predictive Huffman — all seven
   predictors, point transform, precision 2-16, so 12-bit and 16-bit
   SAMPLES land here) via :func:`decode_jpeg_lossless` with a bit-exact
-  contract and therefore a FULL pixel-value SQL oracle. Arithmetic
-  coding (SOF9/10/11), 12-bit DCT, hierarchical, and lossless outside
-  the single-interleaved-scan/1x1/no-restart envelope return ``None``
-  rather than guessing. Progressive parity is
+  contract and therefore a FULL pixel-value SQL oracle; since round 9
+  also ARITHMETIC-coded sequential (SOF9 — the T.81 Annex D QM-coder
+  plus the Annex F DC/AC conditioning models, implemented in
+  ``jpeg_arith.py`` with both directions, decode parity pinned
+  bit-exact against the Huffman twin). Progressive-arithmetic (SOF10),
+  lossless-arithmetic (SOF11), 12-bit DCT, hierarchical, and lossless
+  outside the single-interleaved-scan/1x1/no-restart envelope return
+  ``None`` rather than guessing. Progressive parity is
   pinned the strong way: a progressive stream carries the SAME
   quantized coefficients as the baseline stream of the same image, so
   decoding both must be pixel-identical bit-for-bit.
@@ -1032,12 +1036,14 @@ def jpeg_structure(b: bytes) -> tuple[int, int, int, str, int] | None:
 
 def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes] | None:
     """Full JPEG decode -> ``(width, height, channels, pixels)`` —
-    baseline sequential (SOF0/1) AND progressive (SOF2, round 7:
-    spectral selection + successive approximation, the dominant
-    real-crawl encoding the r6 decoder honestly gated to ``None``).
-    Returns ``None`` for arithmetic coding, 12-bit, lossless/
-    hierarchical, >3 components, sampling factors over 2, truncation,
-    or corrupt entropy data."""
+    baseline sequential (SOF0/1), progressive (SOF2, round 7: spectral
+    selection + successive approximation, the dominant real-crawl
+    encoding the r6 decoder honestly gated to ``None``), AND
+    arithmetic-coded sequential (SOF9, round 9: the Annex D QM-coder,
+    see ``jpeg_arith.py``). Returns ``None`` for progressive/lossless
+    arithmetic (SOF10/11), 12-bit, lossless/hierarchical (SOF3 has its
+    own entry point), >3 components (unless Adobe CMYK-declared),
+    sampling factors over 2, truncation, or corrupt entropy data."""
     try:
         return _decode_jpeg_inner(bytes(b), scalar=False, allow_progressive=True)
     except Exception:
@@ -1077,6 +1083,8 @@ def _decode_jpeg_inner(
     restart_interval = 0
     adobe_transform = None  # APP14 'Adobe' color transform byte
     progressive = False
+    arith = False  # SOF9: sequential DCT, arithmetic entropy coding
+    arith_cond: dict = {}  # DAC conditioning: ("dc",t)->(L,U), ("ac",t)->Kx
     prog_coef = None  # per-component zigzag-order coefficient arrays
     prog_grid = None  # (mcux, mcuy)
     scans_done = 0
@@ -1135,9 +1143,12 @@ def _decode_jpeg_inner(
                     return None
                 htables[(tc, th)] = (bytes(bits), bytes(vals))
                 j += 17 + n
-        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
-            if tag == 0xC2 and not allow_progressive:
+        elif tag in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential-arithmetic
+            if tag in (0xC2, 0xC9) and not allow_progressive:
                 return None
+            if tag == 0xC9:
+                arith = True
             if seg[0] != 8:
                 return None  # 12-bit precision
             h = int.from_bytes(seg[1:3], "big")
@@ -1164,8 +1175,25 @@ def _decode_jpeg_inner(
                     np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
                     for _, hs, vs, _ in comps
                 ]
-        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # arithmetic / lossless / hierarchical
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # lossless (SOF3 has its own entry point) / hierarchical /
+            # progressive-arithmetic: honestly gated, never guessed
+            return None
+        elif tag == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            j = 0
+            while j + 2 <= len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 0xF
+                cs = seg[j + 1]
+                if tc == 0:
+                    low, up = cs & 0xF, cs >> 4
+                    if low > up or up > 15:
+                        return None
+                    arith_cond[("dc", tb)] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        return None
+                    arith_cond[("ac", tb)] = cs
+                j += 2
         elif tag == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
             # APP14: the Adobe color-transform declaration CMYK streams
             # carry (0 = components as stored, 2 = YCCK). May precede
@@ -1178,6 +1206,13 @@ def _decode_jpeg_inner(
         elif tag == 0xDA:  # SOS
             if frame is None:
                 return None
+            if arith:
+                from .jpeg_arith import decode_scan_arith
+
+                return decode_scan_arith(
+                    b, i + 2 + seglen, seg, frame, qtables, arith_cond,
+                    restart_interval,
+                )
             if progressive:
                 endpos = _decode_prog_scan(
                     b, i + 2 + seglen, seg, frame, htables,

@@ -1983,6 +1983,83 @@ def jpeg_progressive_parity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+JPEG_ARITH_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "subsampling string, has_restart long, pixels_match long"
+)
+
+
+def jpeg_arith_parity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arithmetic-vs-Huffman pixel parity over REAL SOF9 streams
+    (round 9): each id's textured RGB formula image is encoded BOTH as
+    baseline Huffman (SOF0) and arithmetic-coded sequential (SOF9 — the
+    T.81 Annex D QM-coder with Annex F conditioning, ``jpeg_arith.py``)
+    and both are fully decoded. Arithmetic coding transports the SAME
+    quantized coefficients under a different entropy coder, so the two
+    decodes must agree BIT-FOR-BIT (``pixels_match`` = 1 under the hash
+    gate). Ids cycle 4:2:0 subsampling and restart intervals (each RSTn
+    interval is an independently flushed arithmetic codeword with fresh
+    statistics), so marker resync and statistics reset sit under the
+    same oracle. Closes the largest rung of the r8 'What's missing #3'
+    codec tail."""
+    from .jpeg import decode_jpeg, encode_jpeg_baseline
+    from .jpeg_arith import encode_jpeg_arith
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = DHASH_COLS, DHASH_ROWS
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (did * 7 + yy * 31 + xx * 13) % 256,
+                        (did * 11 + yy * 17 + xx * 19) % 256,
+                        (did * 13 + yy * 23 + xx * 29) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8).tobytes()
+                sub = did % 3 == 1
+                ri = 2 if did % 4 == 1 else 0
+                base = encode_jpeg_baseline(
+                    img, w, h, 3, quality=90, subsample=sub, restart_interval=ri
+                )
+                ari = encode_jpeg_arith(
+                    img, w, h, 3, quality=90, subsample=sub, restart_interval=ri
+                )
+                db = decode_jpeg(base)
+                da = decode_jpeg(ari)
+                match = int(db is not None and db == da)
+                if db is None:
+                    rows.append((did, None, None, None, None, ri > 0, 0))
+                else:
+                    rows.append(
+                        (
+                            did, db[0], db[1], db[2],
+                            "420" if sub else "444", int(ri > 0), match,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "subsampling",
+                    "has_restart", "pixels_match",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "width", "height", "channels", "has_restart",
+                    "pixels_match",
+                )}
+            )
+
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _report, JPEG_ARITH_SCHEMA
+    )
+
+
 JPEG_CMYK_SCHEMA = (
     "doc_id long, width long, height long, channels long, "
     "transform string, decode_ok long, rgb_sum long"

@@ -1177,6 +1177,41 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_arith",
+    """
+    SELECT doc_id,
+           CAST(9 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CASE WHEN doc_id % 3 = 1 THEN '420' ELSE '444' END AS subsampling,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS has_restart,
+           CAST(1 AS BIGINT) AS pixels_match
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG (SOF9, T.81 Annex D QM-coder + Annex F
+    conditioning models) under the oracle gate (round 9 — the last big
+    rung of the r8 'What's missing #3' codec tail): every doc's
+    textured image ships as BOTH a Huffman baseline (SOF0) and an
+    arithmetic-coded sequential (SOF9) stream — same quantized
+    coefficients, different entropy coder — and the decoder must
+    produce BIT-IDENTICAL pixels from both (``pixels_match`` hashes to
+    1 for every document). Ids cycle 4:2:0 subsampling and restart
+    intervals, so the QM-coder's per-interval flush/reset and marker
+    resync sit under the same integer-exact check. The adaptive
+    estimation state machine, carry-over across stacked 0xFF bytes,
+    byte stuffing, DC context conditioning and AC spectral-split bins
+    all have to be right for even one image to match. SOF10/11 stay
+    gated ``None``."""
+    from ..operators.multimodal import jpeg_arith_parity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_arith_parity(docs)
+
+
+@query(
     "multimodal_jpeg_stats",
     """
     SELECT doc_id,
