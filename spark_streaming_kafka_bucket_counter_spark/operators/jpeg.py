@@ -137,6 +137,16 @@ _AC_SYMBOLS = [0x00, 0xF0] + [
 _DC_BITS, _DC_VALS, _DC_ENC = _canonical_table(_DC_SYMBOLS, 4)
 _AC_BITS, _AC_VALS, _AC_ENC = _canonical_table(sorted(_AC_SYMBOLS), 8)
 
+# 12-bit precision widens the magnitude ranges (T.81 F.1.2.1.1: DC
+# categories to 15, AC sizes to 14) — 226 AC symbols still fit one
+# canonical 8-bit code length
+_DC12_SYMBOLS = list(range(16))
+_AC12_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+_DC12_BITS, _DC12_VALS, _DC12_ENC = _canonical_table(_DC12_SYMBOLS, 5)
+_AC12_BITS, _AC12_VALS, _AC12_ENC = _canonical_table(sorted(_AC12_SYMBOLS), 8)
+
 
 def _build_decoder_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """DHT (counts per length, symbols) -> {(length, code): symbol} via
@@ -194,7 +204,10 @@ class _BitWriter:
         self.pairs = []
 
 
-def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int) -> int:
+def _encode_block(
+    bw: _BitWriter, coeffs: np.ndarray, pred: int,
+    dc_enc=_DC_ENC, ac_enc=_AC_ENC,
+) -> int:
     """One quantized 8x8 block (zigzag int array) -> entropy bits.
     Returns the new DC predictor."""
     pairs = bw.pairs
@@ -203,7 +216,7 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int) -> int:
     dc = cl[0]
     diff = dc - pred
     size = (diff if diff >= 0 else -diff).bit_length()
-    append(_DC_ENC[size])
+    append(dc_enc[size])
     if size:
         append((diff if diff >= 0 else diff + (1 << size) - 1, size))
     run = 0
@@ -213,14 +226,14 @@ def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int) -> int:
             run += 1
             continue
         while run > 15:
-            append(_AC_ENC[0xF0])  # ZRL
+            append(ac_enc[0xF0])  # ZRL
             run -= 16
         size = (v if v >= 0 else -v).bit_length()
-        append(_AC_ENC[(run << 4) | size])
+        append(ac_enc[(run << 4) | size])
         append((v if v >= 0 else v + (1 << size) - 1, size))
         run = 0
     if run:
-        append(_AC_ENC[0x00])  # EOB
+        append(ac_enc[0x00])  # EOB
     return dc
 
 
@@ -228,21 +241,25 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return bytes([0xFF, tag]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def _pad_edge(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+def _pad_edge(
+    p: np.ndarray, ph: int, pw: int, top: float = 255.0
+) -> np.ndarray:
     h, w = p.shape
     pp = np.empty((ph, pw))
     pp[:h, :w] = p
     pp[h:, :w] = p[-1:, :]
     pp[:, w:] = pp[:, w - 1 : w]
-    return np.clip(pp, 0, 255)
+    return np.clip(pp, 0, top)
 
 
-def _quantized_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+def _quantized_blocks(
+    plane: np.ndarray, qt: np.ndarray, shift: float = 128.0
+) -> np.ndarray:
     """Edge-padded plane (8-multiple dims) -> (nby, nbx, 64) quantized
     coefficients in zigzag-stream order."""
     h, w = plane.shape
     nby, nbx = h // 8, w // 8
-    blocks = (plane - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    blocks = (plane - shift).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
     # batched D @ B @ D.T — BLAS-backed matmul, ~9x the equivalent
     # einsum contraction (r8; this front half is shared by the baseline
     # and progressive encoders, so both speed up and coefficient parity
@@ -253,28 +270,39 @@ def _quantized_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
 
 
 def _prepare_components(
-    pixels: bytes, width: int, height: int, channels: int,
-    quality: int, subsample: bool,
+    pixels, width: int, height: int, channels: int,
+    quality: int, subsample: bool, precision: int = 8,
 ):
     """Shared encoder front half: RGB->YCbCr, chroma downsample, MCU
     padding, DCT + quantization. Returns (comps, sampling, qtbls,
     mcux, mcuy) where comps[ci] is the (nby, nbx, 64) zigzag-ordered
-    quantized coefficient array."""
+    quantized coefficient array. ``precision`` 8 takes ``pixels`` as
+    uint8 bytes; 12 takes bytes OR array-like ints in [0, 4096) (the
+    lossless encoder's convention) with the base quant tables scaled
+    x16 so perceptual quality tracks the wider coefficient range."""
     if channels not in (1, 3):
         raise ValueError("JPEG encoder supports 1 (gray) or 3 (RGB) channels")
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixels length must be width*height*channels")
-    arr = np.frombuffer(pixels, np.uint8).reshape(height, width, channels).astype(np.float64)
+    if precision not in (8, 12):
+        raise ValueError("DCT precision must be 8 or 12")
+    if isinstance(pixels, (bytes, bytearray)):
+        if len(pixels) != width * height * channels:
+            raise ValueError("pixels length must be width*height*channels")
+        arr = np.frombuffer(pixels, np.uint8)
+    else:
+        arr = np.asarray(pixels)
+    arr = arr.reshape(height, width, channels).astype(np.float64)
+    half = float(1 << (precision - 1))
     if channels == 3:
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
         planes = [y, cb, cr]
     else:
         planes = [arr[:, :, 0]]
-    qluma = _scaled_quant(_QUANT_LUMA, quality)
-    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
+    qscale = 1 << (precision - 8)
+    qluma = _scaled_quant(_QUANT_LUMA, quality) * qscale
+    qchroma = _scaled_quant(_QUANT_CHROMA, quality) * qscale
     qtbls = [qluma] + ([qchroma] if channels == 3 else [])
 
     if channels == 3 and subsample:
@@ -287,6 +315,7 @@ def _prepare_components(
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
     comps = []
+    top = float((1 << precision) - 1)
     for ci, p in enumerate(planes):
         hs, vs = sampling[ci]
         if (hs, vs) != (hmax, vmax):
@@ -294,10 +323,10 @@ def _prepare_components(
             fy, fx = vmax // vs, hmax // hs
             ph0 = (p.shape[0] + fy - 1) // fy * fy
             pw0 = (p.shape[1] + fx - 1) // fx * fx
-            p = _pad_edge(p, ph0, pw0)
+            p = _pad_edge(p, ph0, pw0, top)
             p = p.reshape(ph0 // fy, fy, pw0 // fx, fx).mean(axis=(1, 3))
-        padded = _pad_edge(p, mcuy * vs * 8, mcux * hs * 8)
-        comps.append(_quantized_blocks(padded, qtbls[min(ci, 1)]))
+        padded = _pad_edge(p, mcuy * vs * 8, mcux * hs * 8, top)
+        comps.append(_quantized_blocks(padded, qtbls[min(ci, 1)], half))
     return comps, sampling, qtbls, mcux, mcuy
 
 
@@ -362,6 +391,65 @@ def encode_jpeg_baseline(
     out += _marker(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_ext12(
+    samples, width: int, height: int, channels: int = 3,
+    quality: int = 90, subsample: bool = False,
+) -> bytes:
+    """Conformant 12-bit extended sequential JPEG (SOF1): ``samples``
+    is array-like ints in [0, 4096) reshapeable to (height, width,
+    channels). Same pipeline as :func:`encode_jpeg_baseline` at the
+    wider precision — Pq=1 16-bit quant tables, DC categories to 15 and
+    AC sizes to 14 (T.81 F.1.2.1.1), self-generated canonical Huffman
+    tables. Used by medical/scientific pipelines; here primarily the
+    REAL-stream generator for the 12-bit decode path's parity pins."""
+    comps, sampling, qtbls, mcux, mcuy = _prepare_components(
+        samples, width, height, channels, quality, subsample, precision=12
+    )
+    bw = _BitWriter()
+    preds = [0] * channels
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(channels):
+                hs, vs = sampling[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        preds[ci] = _encode_block(
+                            bw, comps[ci][my * vs + by, mx * hs + bx],
+                            preds[ci], _DC12_ENC, _AC12_ENC,
+                        )
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qtbls):
+        payload = bytes([0x10 | ti])  # Pq=1: 16-bit entries
+        payload += b"".join(int(qt[z]).to_bytes(2, "big") for z in _ZIGZAG)
+        out += _marker(0xDB, payload)
+    sof = bytes([12]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([channels])
+    for ci in range(channels):
+        hs, vs = sampling[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, min(ci, 1)])
+    out += _marker(0xC1, sof)  # SOF1: extended sequential
+    out += _marker(0xC4, bytes([0x00]) + bytes(_DC12_BITS) + bytes(_DC12_VALS))
+    out += _marker(0xC4, bytes([0x10]) + bytes(_AC12_BITS) + bytes(_AC12_VALS))
+    if channels == 3:
+        out += _marker(
+            0xC4, bytes([0x01]) + bytes(_DC12_BITS) + bytes(_DC12_VALS)
+        )
+        out += _marker(
+            0xC4, bytes([0x11]) + bytes(_AC12_BITS) + bytes(_AC12_VALS)
+        )
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1072,14 +1160,41 @@ def decode_jpeg_baseline_scalar(b: bytes) -> tuple[int, int, int, bytes] | None:
         return None
 
 
+def decode_jpeg_extended(b: bytes):
+    """Extended-precision DCT decode (round 9): accepts everything
+    :func:`decode_jpeg` does PLUS 12-bit extended sequential streams —
+    Huffman (SOF1, Pq=1 quant tables, widened magnitude categories) and
+    arithmetic (SOF9). Returns ``(width, height, channels, precision,
+    samples)`` with ``samples`` a (height, width, channels) int64 array
+    (the :func:`decode_jpeg_lossless` convention); 8-bit streams are
+    normalized into the same shape. ``None`` for hierarchical,
+    progressive/lossless-arithmetic, 12-bit progressive, or corrupt
+    data — fail closed, never guess."""
+    try:
+        got = _decode_jpeg_inner(
+            bytes(b), scalar=True, allow_progressive=True, allow_12bit=True
+        )
+    except Exception:
+        return None
+    if got is None:
+        return None
+    if len(got) == 5:
+        return got
+    w, h, ch, px = got
+    samp = np.frombuffer(px, np.uint8).reshape(h, w, ch).astype(np.int64)
+    return (w, h, ch, 8, samp)
+
+
 def _decode_jpeg_inner(
-    b: bytes, scalar: bool = False, allow_progressive: bool = False
-) -> tuple[int, int, int, bytes] | None:
+    b: bytes, scalar: bool = False, allow_progressive: bool = False,
+    allow_12bit: bool = False,
+):
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         return None
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
-    frame = None  # (w, h, comps, adobe) comps: list of (id, hs, vs, tq)
+    # (w, h, comps, adobe, precision) comps: list of (id, hs, vs, tq)
+    frame = None
     restart_interval = 0
     adobe_transform = None  # APP14 'Adobe' color transform byte
     progressive = False
@@ -1092,7 +1207,7 @@ def _decode_jpeg_inner(
     def _prog_assemble():
         if not scans_done:
             return None
-        w, h, comps, adobe = frame
+        w, h, comps, adobe, prec = frame
         for _, hs, vs, tq in comps:
             if tq not in qtables:
                 return None
@@ -1103,7 +1218,7 @@ def _decode_jpeg_inner(
             bo = np.zeros_like(carr)
             bo[:, :, zig] = carr
             blockorder.append(bo)
-        return _assemble_planes(blockorder, comps, qtables, mcux, mcuy, w, h, adobe)
+        return _assemble_planes(blockorder, comps, qtables, mcux, mcuy, w, h, adobe, prec)
 
     i = 2
     while i + 4 <= len(b):
@@ -1123,15 +1238,25 @@ def _decode_jpeg_inner(
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0xF
-                if pq != 0:
-                    return None  # 16-bit tables: not baseline-8
-                if j + 65 > len(seg):
+                if pq == 0:
+                    if j + 65 > len(seg):
+                        return None
+                    zz = np.frombuffer(
+                        seg[j + 1 : j + 65], np.uint8
+                    ).astype(np.int64)
+                    j += 65
+                elif pq == 1:  # 16-bit entries (12-bit precision streams)
+                    if j + 129 > len(seg):
+                        return None
+                    zz = np.frombuffer(
+                        seg[j + 1 : j + 129], ">u2"
+                    ).astype(np.int64)
+                    j += 129
+                else:
                     return None
-                zz = np.frombuffer(seg[j + 1 : j + 65], np.uint8).astype(np.int64)
                 tbl = np.zeros(64, np.int64)
                 tbl[np.array(_ZIGZAG)] = zz
                 qtables[tq] = tbl
-                j += 65
         elif tag == 0xC4:  # DHT (may hold several tables)
             j = 0
             while j + 17 <= len(seg):
@@ -1149,8 +1274,12 @@ def _decode_jpeg_inner(
                 return None
             if tag == 0xC9:
                 arith = True
-            if seg[0] != 8:
-                return None  # 12-bit precision
+            if seg[0] != 8 and not (
+                allow_12bit and seg[0] == 12 and tag in (0xC1, 0xC9)
+            ):
+                # 12-bit only via decode_jpeg_extended, and only in the
+                # modes the spec allows it (extended sequential SOF1/9)
+                return None
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -1163,7 +1292,7 @@ def _decode_jpeg_inner(
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     return None
                 comps.append((cid, hs, vs, tq))
-            frame = (w, h, comps, adobe_transform)
+            frame = (w, h, comps, adobe_transform, seg[0])
             if tag == 0xC2:
                 progressive = True
                 hmax = max(hs for _, hs, _, _ in comps)
@@ -1200,7 +1329,7 @@ def _decode_jpeg_inner(
             # or follow SOF; re-bind the frame if already parsed.
             adobe_transform = seg[11]
             if frame is not None:
-                frame = frame[:3] + (adobe_transform,)
+                frame = frame[:3] + (adobe_transform,) + frame[4:]
         elif tag == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif tag == 0xDA:  # SOS
@@ -1305,7 +1434,7 @@ def _entropy_segments(b: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def _decode_scan_fast(b, pos, sos, frame, qtables, htables, restart_interval):
-    w, h, comps, adobe = frame
+    w, h, comps, adobe, prec = frame
     nc = sos[0]
     if nc != len(comps) or len(sos) < 1 + 2 * nc + 3:
         return None
@@ -1432,10 +1561,10 @@ def _decode_scan_fast(b, pos, sos, frame, qtables, htables, restart_interval):
                             return None
                         carr[my * vs + by, mx * hs + bx] = block
             mcu_count += 1
-    return _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h, adobe)
+    return _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h, adobe, prec)
 
 
-def _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h, adobe=None):
+def _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h, adobe=None, prec=8):
     """Batched dequant + IDCT + upsample + color convert: one stacked
     matmul pair per component (same pairwise contraction order as the
     per-block reference, so float results are bit-identical).
@@ -1449,17 +1578,41 @@ def _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h, adobe=None):
         c4 = (coef[ci] * qtables[tq]).astype(np.float64).reshape(
             nby, nbx, 8, 8
         )
-        spatial = _DCT_M.T @ c4 @ _DCT_M + 128.0
+        spatial = _DCT_M.T @ c4 @ _DCT_M + float(1 << (prec - 1))
         plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if hs != hmax or vs != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
         out_planes.append(plane[:h, :w])
-    return _planes_to_pixels(out_planes, w, h, adobe)
+    return _planes_to_pixels(out_planes, w, h, adobe, prec)
 
 
-def _planes_to_pixels(out_planes, w, h, adobe=None):
+def _planes_to_pixels(out_planes, w, h, adobe=None, prec=8):
+    if prec > 8:
+        # extended-precision contract (mirrors decode_jpeg_lossless):
+        # (w, h, channels, precision, int64 samples) — gray or YCbCr
+        # only; 12-bit Adobe CMYK would be a guess, so it stays gated
+        if adobe is not None or len(out_planes) not in (1, 3):
+            return None
+        half = float(1 << (prec - 1))
+        top = float((1 << prec) - 1)
+        if len(out_planes) == 1:
+            samp = out_planes[0][:, :, None]
+        else:
+            y, cb, cr = out_planes
+            cb = cb - half
+            cr = cr - half
+            samp = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+        samp = np.clip(np.round(samp), 0.0, top).astype(np.int64)
+        return (w, h, samp.shape[2], prec, samp)
     if len(out_planes) == 1:
         gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return (w, h, 1, gray.tobytes())
@@ -1549,7 +1702,7 @@ def _decode_prog_scan(
     all four scan kinds of T.81 G.2: DC first / DC refine (raw bits) /
     AC first (EOB runs) / AC refine (correction bits), with restart
     segments resetting DC predictors and the EOB run."""
-    w, h, comps, adobe = frame
+    w, h, comps, adobe, prec = frame
     nc_scan = sos[0]
     if len(sos) < 1 + 2 * nc_scan + 3 or not 1 <= nc_scan <= len(comps):
         return None
@@ -1754,7 +1907,7 @@ def _decode_prog_scan(
 
 
 def _decode_scan_scalar(b, pos, sos, frame, qtables, htables, restart_interval):
-    w, h, comps, adobe = frame
+    w, h, comps, adobe, prec = frame
     nc = sos[0]
     if nc != len(comps) or len(sos) < 1 + 2 * nc + 3:
         return None
@@ -1795,13 +1948,16 @@ def _decode_scan_scalar(b, pos, sos, frame, qtables, htables, restart_interval):
                 dct, act = dicts[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        block = _decode_block(br, dct, act)
+                        block = _decode_block(
+                            br, dct, act,
+                            15 if prec > 8 else 11, 14 if prec > 8 else 10,
+                        )
                         if block is None:
                             return None
                         diff, coeffs = block
                         preds[cid] += diff
                         coeffs[0] = preds[cid]
-                        spatial = _idct_block(coeffs, qtables[tq])
+                        spatial = _idct_block(coeffs, qtables[tq], prec)
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
@@ -1813,15 +1969,17 @@ def _decode_scan_scalar(b, pos, sos, frame, qtables, htables, restart_interval):
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out_planes.append(p[:h, :w])
-    return _planes_to_pixels(out_planes, w, h, adobe)
+    return _planes_to_pixels(out_planes, w, h, adobe, prec)
 
 
-def _decode_block(br, dct, act):
+def _decode_block(br, dct, act, max_dc=11, max_ac=10):
     """Entropy-decode one block: returns (dc_diff, zigzag-ordered
-    coefficient array in BLOCK position order with DC left at 0)."""
+    coefficient array in BLOCK position order with DC left at 0).
+    Size caps are T.81 Tables F.1/F.2: 11/10 at 8-bit, 15/14 at
+    12-bit sample precision."""
     coeffs = np.zeros(64, np.int64)
     size = _decode_huffman(br, dct)
-    if size is None or size > 11:
+    if size is None or size > max_dc:
         return None
     diff = 0
     if size:
@@ -1841,7 +1999,7 @@ def _decode_block(br, dct, act):
             continue
         run, size = sym >> 4, sym & 0xF
         k += run
-        if k > 63 or size == 0 or size > 10:
+        if k > 63 or size == 0 or size > max_ac:
             return None
         bits = br.read_bits(size)
         if bits is None:
@@ -1851,12 +2009,12 @@ def _decode_block(br, dct, act):
     return diff, coeffs
 
 
-def _idct_block(coeffs: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+def _idct_block(coeffs: np.ndarray, qtbl: np.ndarray, prec: int = 8) -> np.ndarray:
     """Dequantize (coeffs are in block position order, DC at [0]) and
     inverse-DCT one 8x8 block; returns the level-shifted spatial plane
     (float, pre-clamp)."""
     c = (coeffs * qtbl).reshape(8, 8).astype(np.float64)
-    return _DCT_M.T @ c @ _DCT_M + 128.0
+    return _DCT_M.T @ c @ _DCT_M + float(1 << (prec - 1))
 
 
 # ---------------------------------------------------------------------------

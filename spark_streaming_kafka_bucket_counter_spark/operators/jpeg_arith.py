@@ -426,8 +426,9 @@ def _decode_ac(dec, st, fixed, coeffs_zz, kx):
 
 
 def encode_jpeg_arith(
-    pixels: bytes, width: int, height: int, channels: int = 3,
+    pixels, width: int, height: int, channels: int = 3,
     quality: int = 90, subsample: bool = False, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Conformant arithmetic-coded sequential JPEG (SOF9) for 8-bit
     grayscale or RGB — same front half (color transform, optional 4:2:0
@@ -436,11 +437,13 @@ def encode_jpeg_arith(
     decodes must agree bit-for-bit. Emits an explicit DAC marker with
     the default conditioning (DC L=0/U=1, AC Kx=5). ``restart_interval``
     flushes the codeword and resets all statistics + DC state at each
-    RSTn, per the spec."""
+    RSTn, per the spec. ``precision=12`` takes array-like samples in
+    [0, 4096) and emits a 12-bit frame with Pq=1 quant tables — the
+    conditioning models are magnitude-unary, so they widen for free."""
     from .jpeg import _ZIGZAG, _marker, _prepare_components
 
     comps, sampling, qtbls, mcux, mcuy = _prepare_components(
-        pixels, width, height, channels, quality, subsample
+        pixels, width, height, channels, quality, subsample, precision
     )
     zig = np.array(_ZIGZAG)
     dc_cond = (0, 1)
@@ -487,10 +490,16 @@ def encode_jpeg_arith(
     out = bytearray(b"\xff\xd8")
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for ti, qt in enumerate(qtbls):
-        out += _marker(0xDB, bytes([ti]) + bytes(int(qt[z]) for z in zig))
+        if precision > 8:  # Pq=1: 16-bit entries
+            payload = bytes([0x10 | ti])
+            payload += b"".join(int(qt[z]).to_bytes(2, "big") for z in zig)
+        else:
+            payload = bytes([ti]) + bytes(int(qt[z]) for z in zig)
+        out += _marker(0xDB, payload)
     if restart_interval:
         out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
-    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof = bytes([precision]) + height.to_bytes(2, "big")
+    sof += width.to_bytes(2, "big")
     sof += bytes([channels])
     for ci in range(channels):
         hs, vs = sampling[ci]
@@ -524,7 +533,7 @@ def decode_scan_arith(b, pos, sos, frame, qtables, cond, restart_interval):
     are bit-identical to the baseline twin's."""
     from .jpeg import _assemble_planes, _BitReader, _ZIGZAG
 
-    w, h, comps, adobe = frame
+    w, h, comps, adobe, prec = frame
     nc = sos[0]
     if nc != len(comps) or len(sos) < 1 + 2 * nc + 3:
         return None
@@ -603,4 +612,6 @@ def decode_scan_arith(b, pos, sos, frame, qtables, cond, restart_interval):
             mcu_count += 1
     if not _terminated(br):
         return None
-    return _assemble_planes(coef, comps, qtables, mcux, mcuy, w, h, adobe)
+    return _assemble_planes(
+        coef, comps, qtables, mcux, mcuy, w, h, adobe, prec
+    )

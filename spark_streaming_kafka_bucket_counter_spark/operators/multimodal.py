@@ -2060,6 +2060,93 @@ def jpeg_arith_parity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+JPEG_12BIT_SCHEMA = (
+    "doc_id long, width long, height long, channels long, "
+    "precision long, subsampling string, pixels_match long, "
+    "uniform_val long"
+)
+
+
+def jpeg_12bit_report(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """12-bit extended sequential JPEG under the oracle gate (round 9):
+    two REAL streams per id. (1) A textured 12-bit RGB image encoded as
+    BOTH extended-sequential Huffman (SOF1, Pq=1 16-bit quant tables,
+    DC categories to 15 / AC sizes to 14) and arithmetic (SOF9 at
+    precision 12) — same quantized coefficients, so ``pixels_match``
+    pins the two decodes bit-for-bit. (2) A uniform 12-bit GRAY image
+    at quality 98, where the scaled DC quantizer is exactly 16 and a
+    DC-only block's IDCT is a power-of-two division — float64-exact —
+    so for even sample values the decode returns the input EXACTLY and
+    ``uniform_val`` replays in SQL from id arithmetic: real 12-bit
+    pixel VALUES under the hash gate, not just structure."""
+    from .jpeg import decode_jpeg_extended, encode_jpeg_ext12
+    from .jpeg_arith import encode_jpeg_arith
+
+    def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = DHASH_COLS, DHASH_ROWS
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (did * 97 + yy * 311 + xx * 131) % 4096,
+                        (did * 113 + yy * 173 + xx * 191) % 4096,
+                        (did * 131 + yy * 233 + xx * 291) % 4096,
+                    ],
+                    axis=-1,
+                ).astype(np.int64)
+                sub = did % 3 == 1
+                huff = encode_jpeg_ext12(img, w, h, 3, quality=90, subsample=sub)
+                ari = encode_jpeg_arith(
+                    img, w, h, 3, quality=90, subsample=sub, precision=12
+                )
+                dh = decode_jpeg_extended(huff)
+                da = decode_jpeg_extended(ari)
+                match = int(
+                    dh is not None and da is not None
+                    and dh[:4] == da[:4] and bool((dh[4] == da[4]).all())
+                )
+                v = 2 * ((did * 31) % 2048)
+                uni = np.full((h, w, 1), v, np.int64)
+                du = decode_jpeg_extended(
+                    encode_jpeg_ext12(uni, w, h, 1, quality=98)
+                )
+                uval = (
+                    int(du[4][0, 0, 0])
+                    if du is not None and bool((du[4] == du[4][0, 0, 0]).all())
+                    else -1
+                )
+                if dh is None:
+                    rows.append((did, None, None, None, None, None, 0, uval))
+                else:
+                    rows.append(
+                        (
+                            did, dh[0], dh[1], dh[2], dh[3],
+                            "420" if sub else "444", match, uval,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "precision",
+                    "subsampling", "pixels_match", "uniform_val",
+                ],
+            ).astype({"doc_id": "int64"}).astype(
+                {c: "Int64" for c in (
+                    "width", "height", "channels", "precision",
+                    "pixels_match", "uniform_val",
+                )}
+            )
+
+    return _fanout(df.select(id_col), id_col).mapInPandas(
+        _report, JPEG_12BIT_SCHEMA
+    )
+
+
 JPEG_CMYK_SCHEMA = (
     "doc_id long, width long, height long, channels long, "
     "transform string, decode_ok long, rgb_sum long"

@@ -1212,6 +1212,39 @@ def q_multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_12bit",
+    """
+    SELECT doc_id,
+           CAST(9 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(12 AS BIGINT) AS precision,
+           CASE WHEN doc_id % 3 = 1 THEN '420' ELSE '444' END AS subsampling,
+           CAST(1 AS BIGINT) AS pixels_match,
+           CAST(2 * ((doc_id * 31) % 2048) AS BIGINT) AS uniform_val
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit DCT JPEG under the oracle gate (round 9 — with SOF9 and
+    SOF3 this retires the r8 'What's missing #3' codec tail except the
+    niche hierarchical mode): every doc ships a textured 12-bit image
+    as BOTH extended-sequential Huffman (SOF1: Pq=1 16-bit quant
+    tables, DC categories to 15, AC sizes to 14 per T.81 F.1.2.1.1) and
+    12-bit arithmetic (SOF9) — ``pixels_match`` pins the decodes
+    bit-identical — plus a uniform 12-bit gray stream whose decode is
+    INTEGER-EXACT (DC quantizer 16 at q98; DC-only IDCT divides by a
+    power of two, exact in float64), so ``uniform_val`` replays the
+    actual 12-bit SAMPLE VALUE from id arithmetic under the hash gate.
+    8-bit entry points keep rejecting 12-bit streams (the contract
+    split is explicit, never a guess)."""
+    from ..operators.multimodal import jpeg_12bit_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return jpeg_12bit_report(docs)
+
+
+@query(
     "multimodal_jpeg_stats",
     """
     SELECT doc_id,

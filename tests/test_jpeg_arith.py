@@ -191,6 +191,68 @@ def test_arith_fails_closed():
     assert decode_jpeg(sof10) is None
 
 
+def test_12bit_huffman_arith_parity():
+    """12-bit extended sequential: SOF1 (Pq=1 tables, widened
+    categories) and SOF9 (arithmetic at precision 12) must decode to
+    identical int64 samples; 8-bit entry points must keep rejecting."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg_extended,
+        encode_jpeg_ext12,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h, ch, q, sub in [
+        (9, 8, 3, 90, False), (14, 11, 3, 75, True), (9, 9, 1, 80, False),
+    ]:
+        s12 = rng.randint(0, 4096, (h, w, ch)).astype(np.int64)
+        huff = encode_jpeg_ext12(s12, w, h, ch, quality=q, subsample=sub)
+        ari = encode_jpeg_arith(
+            s12, w, h, ch, quality=q, subsample=sub, precision=12
+        )
+        dh = decode_jpeg_extended(huff)
+        da = decode_jpeg_extended(ari)
+        assert dh is not None and da is not None
+        assert dh[:4] == (w, h, ch, 12) and da[:4] == (w, h, ch, 12)
+        assert (dh[4] == da[4]).all()
+        assert int(dh[4].max()) <= 4095 and int(dh[4].min()) >= 0
+        # the 8-bit contract refuses 12-bit rather than mis-scaling
+        assert decode_jpeg(huff) is None and decode_jpeg(ari) is None
+
+
+def test_12bit_uniform_exact():
+    """Uniform gray at q98: scaled DC quantizer is exactly 16 and the
+    DC-only IDCT divides by a power of two, so even sample values
+    round-trip EXACTLY — the integer layer the catalog oracle replays."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg_extended,
+        encode_jpeg_ext12,
+    )
+
+    for v in (0, 2, 254, 2048, 3000, 4094):
+        uni = np.full((8, 9, 1), v, np.int64)
+        du = decode_jpeg_extended(encode_jpeg_ext12(uni, 9, 8, 1, quality=98))
+        assert du is not None and du[:4] == (9, 8, 1, 12)
+        assert (du[4] == v).all()
+
+
+def test_12bit_roundtrip_error_bound():
+    """Smooth 12-bit content at high quality stays within a small
+    absolute error — the lossy accuracy pin at the wider precision."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg_extended,
+        encode_jpeg_ext12,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    s12 = (2048 + 1500 * np.sin((xx + 2 * yy) / 8.0))[:, :, None].astype(np.int64)
+    du = decode_jpeg_extended(encode_jpeg_ext12(s12, 24, 16, 1, quality=95))
+    assert du is not None
+    err = np.abs(du[4].astype(np.int64) - s12)
+    # 12-bit code values: quantizer 16-32 at q95 bounds DCT error well
+    # under 1% of full scale on smooth content
+    assert int(err.max()) <= 40, int(err.max())
+
+
 def test_arith_decode_without_dac_uses_defaults():
     """A stream missing the DAC marker decodes with the spec default
     conditioning (L=0, U=1, Kx=5) — which is exactly what the encoder
