@@ -23,13 +23,15 @@ Coverage and honesty:
   predictors, point transform, precision 2-16, so 12-bit and 16-bit
   SAMPLES land here) via :func:`decode_jpeg_lossless` with a bit-exact
   contract and therefore a FULL pixel-value SQL oracle; since round 9
-  also ARITHMETIC-coded sequential (SOF9 — the T.81 Annex D QM-coder
-  plus the Annex F DC/AC conditioning models, implemented in
-  ``jpeg_arith.py`` with both directions, decode parity pinned
-  bit-exact against the Huffman twin). Progressive-arithmetic (SOF10),
-  lossless-arithmetic (SOF11), 12-bit DCT, hierarchical, and lossless
-  outside the single-interleaved-scan/1x1/no-restart envelope return
-  ``None`` rather than guessing. Progressive parity is
+  also ARITHMETIC coding (SOF9 sequential AND SOF10 progressive — the
+  T.81 Annex D QM-coder plus the Annex F/G conditioning models,
+  implemented in ``jpeg_arith.py`` with both directions, decode parity
+  pinned bit-exact against the Huffman twins) and 12-bit DCT precision
+  (SOF1/9/10 via :func:`decode_jpeg_extended`, Pq=1 quant tables,
+  widened magnitude categories). Lossless-arithmetic (SOF11),
+  hierarchical, and lossless outside the
+  single-interleaved-scan/1x1/no-restart envelope return ``None``
+  rather than guessing. Progressive parity is
   pinned the strong way: a progressive stream carries the SAME
   quantized coefficients as the baseline stream of the same image, so
   decoding both must be pixel-identical bit-for-bit.
@@ -1127,9 +1129,10 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytes] | None:
     baseline sequential (SOF0/1), progressive (SOF2, round 7: spectral
     selection + successive approximation, the dominant real-crawl
     encoding the r6 decoder honestly gated to ``None``), AND
-    arithmetic-coded sequential (SOF9, round 9: the Annex D QM-coder,
-    see ``jpeg_arith.py``). Returns ``None`` for progressive/lossless
-    arithmetic (SOF10/11), 12-bit, lossless/hierarchical (SOF3 has its
+    arithmetic-coded sequential + progressive (SOF9/10, round 9: the
+    Annex D QM-coder, see ``jpeg_arith.py``). Returns ``None`` for
+    lossless-arithmetic (SOF11), 12-bit (use
+    :func:`decode_jpeg_extended`), lossless/hierarchical (SOF3 has its
     own entry point), >3 components (unless Adobe CMYK-declared),
     sampling factors over 2, truncation, or corrupt entropy data."""
     try:
@@ -1162,14 +1165,14 @@ def decode_jpeg_baseline_scalar(b: bytes) -> tuple[int, int, int, bytes] | None:
 
 def decode_jpeg_extended(b: bytes):
     """Extended-precision DCT decode (round 9): accepts everything
-    :func:`decode_jpeg` does PLUS 12-bit extended sequential streams —
+    :func:`decode_jpeg` does PLUS 12-bit streams — extended sequential
     Huffman (SOF1, Pq=1 quant tables, widened magnitude categories) and
-    arithmetic (SOF9). Returns ``(width, height, channels, precision,
-    samples)`` with ``samples`` a (height, width, channels) int64 array
-    (the :func:`decode_jpeg_lossless` convention); 8-bit streams are
-    normalized into the same shape. ``None`` for hierarchical,
-    progressive/lossless-arithmetic, 12-bit progressive, or corrupt
-    data — fail closed, never guess."""
+    arithmetic sequential/progressive (SOF9/10). Returns ``(width,
+    height, channels, precision, samples)`` with ``samples`` a (height,
+    width, channels) int64 array (the :func:`decode_jpeg_lossless`
+    convention); 8-bit streams are normalized into the same shape.
+    ``None`` for hierarchical, lossless-arithmetic, 12-bit Huffman
+    progressive, or corrupt data — fail closed, never guess."""
     try:
         got = _decode_jpeg_inner(
             bytes(b), scalar=True, allow_progressive=True, allow_12bit=True
@@ -1268,17 +1271,19 @@ def _decode_jpeg_inner(
                     return None
                 htables[(tc, th)] = (bytes(bits), bytes(vals))
                 j += 17 + n
-        elif tag in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential-arithmetic
-            if tag in (0xC2, 0xC9) and not allow_progressive:
+        elif tag in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9/10 arithmetic
+            # (sequential / progressive)
+            if tag in (0xC2, 0xC9, 0xCA) and not allow_progressive:
                 return None
-            if tag == 0xC9:
+            if tag in (0xC9, 0xCA):
                 arith = True
             if seg[0] != 8 and not (
-                allow_12bit and seg[0] == 12 and tag in (0xC1, 0xC9)
+                allow_12bit and seg[0] == 12 and tag in (0xC1, 0xC9, 0xCA)
             ):
                 # 12-bit only via decode_jpeg_extended, and only in the
-                # modes the spec allows it (extended sequential SOF1/9)
+                # modes the spec allows it (extended sequential /
+                # progressive, SOF1/9/10)
                 return None
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -1293,7 +1298,7 @@ def _decode_jpeg_inner(
                     return None
                 comps.append((cid, hs, vs, tq))
             frame = (w, h, comps, adobe_transform, seg[0])
-            if tag == 0xC2:
+            if tag in (0xC2, 0xCA):
                 progressive = True
                 hmax = max(hs for _, hs, _, _ in comps)
                 vmax = max(vs for _, _, vs, _ in comps)
@@ -1304,9 +1309,9 @@ def _decode_jpeg_inner(
                     np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
                     for _, hs, vs, _ in comps
                 ]
-        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            # lossless (SOF3 has its own entry point) / hierarchical /
-            # progressive-arithmetic: honestly gated, never guessed
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            # lossless (SOF3/11 have their own gates; SOF3 its own
+            # entry point) / hierarchical: honestly gated, never guessed
             return None
         elif tag == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
             j = 0
@@ -1335,7 +1340,7 @@ def _decode_jpeg_inner(
         elif tag == 0xDA:  # SOS
             if frame is None:
                 return None
-            if arith:
+            if arith and not progressive:
                 from .jpeg_arith import decode_scan_arith
 
                 return decode_scan_arith(
@@ -1343,10 +1348,18 @@ def _decode_jpeg_inner(
                     restart_interval,
                 )
             if progressive:
-                endpos = _decode_prog_scan(
-                    b, i + 2 + seglen, seg, frame, htables,
-                    restart_interval, prog_coef, prog_grid,
-                )
+                if arith:
+                    from .jpeg_arith import decode_prog_scan_arith
+
+                    endpos = decode_prog_scan_arith(
+                        b, i + 2 + seglen, seg, frame, arith_cond,
+                        restart_interval, prog_coef, prog_grid,
+                    )
+                else:
+                    endpos = _decode_prog_scan(
+                        b, i + 2 + seglen, seg, frame, htables,
+                        restart_interval, prog_coef, prog_grid,
+                    )
                 if endpos is None:
                     return None
                 scans_done += 1

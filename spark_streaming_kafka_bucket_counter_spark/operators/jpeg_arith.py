@@ -15,24 +15,33 @@ per-index EOB/zero/nonzero decision bins with the low/high spectral
 split at Kx, magnitudes as unary log2 category plus literal bits, AC
 signs through the non-adaptive "fixed" state.
 
-Both directions are implemented: :func:`encode_jpeg_arith` emits a
-conformant SOF9 interleaved stream (DAC-declared conditioning,
-optional restart intervals — each interval an independently flushed
-codeword with fresh statistics), and the scan decoder plugs into
-``jpeg._decode_jpeg_inner`` so :func:`~.jpeg.decode_jpeg`
-transparently handles SOF9 next to SOF0/1/2/3. Because arithmetic
-coding transports the SAME quantized coefficients as Huffman coding,
-decode parity with the baseline twin of the same image is BIT-EXACT —
-the catalog pin (`multimodal_jpeg_arith`) and pytest both use that
-property, the same oracle the progressive decoder earned in round 7.
+Both directions are implemented, for BOTH DCT modes:
+:func:`encode_jpeg_arith` emits a conformant SOF9 interleaved
+sequential stream (DAC-declared conditioning, optional restart
+intervals — each interval an independently flushed codeword with fresh
+statistics) and :func:`encode_jpeg_arith_progressive` a SOF10
+progressive stream over the same scan script as the Huffman
+progressive encoder (per-scan codewords, T.81 G.2 models: DC
+first/refine, AC spectral bands, AC successive-approximation
+refinement with EOB decisions, newly-significant flags and fixed-bin
+signs). The scan decoders plug into ``jpeg._decode_jpeg_inner`` so
+:func:`~.jpeg.decode_jpeg` transparently handles SOF9/10 next to
+SOF0/1/2/3, at 8-bit and (via ``decode_jpeg_extended``) 12-bit
+precision. Because arithmetic coding transports the SAME quantized
+coefficients as Huffman coding, decode parity with the Huffman twins
+of the same image is BIT-EXACT — the catalog pin
+(`multimodal_jpeg_arith`) and pytest both use that property, the same
+oracle the progressive decoder earned in round 7.
 
 Honesty notes:
 - the state-transition table is transcribed from the public spec
   (T.81 Table D.3); roundtrip + cross-coder parity are machine-checked
   here, but no arithmetic-coded corpus exists in this container to
   cross-validate against a foreign encoder.
-- progressive-arithmetic (SOF10) and lossless-arithmetic (SOF11)
-  remain gated ``None`` in ``jpeg.py`` — never a guess.
+- lossless-arithmetic (SOF11) remains gated ``None`` in ``jpeg.py``
+  (the Annex H.2 conditioning layout has no second implementation here
+  to pin against — never a guess); restart markers inside a
+  progressive arithmetic scan are likewise gated.
 
 Reference scope: the reference repo (kelvinfann-zz/
 spark-streaming-kafka-bucket-counter) has no media path at all; this
@@ -421,6 +430,167 @@ def _decode_ac(dec, st, fixed, coeffs_zz, kx):
 
 
 # ---------------------------------------------------------------------------
+# progressive (T.81 G.2) models: the DC model is reused verbatim on
+# point-transformed values; AC first is the sequential AC model over a
+# spectral band; AC refine codes EOB decisions, newly-significant
+# flags, fixed-bin signs and correction bits
+# ---------------------------------------------------------------------------
+
+
+def _enc_ac_first_band(enc, st, fixed, blk, ss, se, al, kx):
+    """AC-first scan, one block: sequential AC coding of the band
+    [ss, se] at point transform ``al`` (T.81 G.2.3 — same decision
+    tree as F.1.4.4.2, band-limited)."""
+    ke = se
+    while ke >= ss and (abs(int(blk[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        s = 3 * (k - 1)
+        enc.encode(st, s, 0)  # not EOB
+        while (abs(int(blk[k])) >> al) == 0:
+            enc.encode(st, s + 1, 0)
+            s += 3
+            k += 1
+        enc.encode(st, s + 1, 1)
+        v = int(blk[k])
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+            v >>= al
+        else:
+            v = (-v) >> al
+            enc.encode(fixed, 0, 1)
+        s += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, s, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, s, 1)
+                m <<= 1
+                s = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, s, 1)
+                    m <<= 1
+                    s += 1
+        enc.encode(st, s, 0)
+        s += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, s, 1 if (v & mm) else 0)
+            mm >>= 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _dec_ac_first_band(dec, st, fixed, blk, ss, se, al, kx):
+    """Decode one AC-first block into ``blk`` (values << al)."""
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if dec.decode(st, s):
+            return True  # EOB
+        while dec.decode(st, s + 1) == 0:
+            s += 3
+            k += 1
+            if k > se:
+                return False
+        sign = dec.decode(fixed, 0)
+        s += 2
+        m = 0
+        if dec.decode(st, s):
+            m = 1
+            if dec.decode(st, s):
+                m = 2
+                s = 189 if k <= kx else 217
+                while dec.decode(st, s):
+                    m <<= 1
+                    s += 1
+                    if m > 0x8000:
+                        return False
+        s += 14
+        v = m
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, s):
+                v |= mm
+            mm >>= 1
+        v += 1
+        blk[k] = (-v << al) if sign else (v << al)
+        k += 1
+    return True
+
+
+def _enc_ac_refine_band(enc, st, fixed, blk, ss, se, al):
+    """AC successive-approximation refinement, one block (T.81
+    G.2.3 / the Annex G flow the sequential model extends): EOB
+    decisions past the previous stage's end index, newly-significant
+    flags walked down the zero run, correction bits for history
+    coefficients, fixed-bin signs."""
+    ke = se
+    while ke >= ss and (abs(int(blk[ke])) >> al) == 0:
+        ke -= 1
+    kex = se
+    while kex >= ss and (abs(int(blk[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        s = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, s, 0)  # EOB decision: block continues
+        while True:
+            v = int(blk[k])
+            mag = abs(v) >> al
+            if abs(v) >> (al + 1):  # history coefficient: correction bit
+                enc.encode(st, s + 2, mag & 1)
+                break
+            if mag:  # newly significant: flag + fixed-bin sign
+                enc.encode(st, s + 1, 1)
+                enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st, s + 1, 0)
+            s += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _dec_ac_refine_band(dec, st, fixed, blk, ss, se, al):
+    """Decode one AC-refinement block in place."""
+    kex = se
+    while kex >= ss and int(blk[kex]) == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        s = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, s):
+                return True  # EOB
+        while True:
+            v = int(blk[k])
+            if v:
+                if dec.decode(st, s + 2):
+                    blk[k] = v + (1 << al) if v > 0 else v - (1 << al)
+                break
+            if dec.decode(st, s + 1):
+                sign = dec.decode(fixed, 0)
+                blk[k] = (-1 << al) if sign else (1 << al)
+                break
+            s += 3
+            k += 1
+            if k > se:
+                return False
+        k += 1
+    return True
+
+
+# ---------------------------------------------------------------------------
 # SOF9 encoder
 # ---------------------------------------------------------------------------
 
@@ -519,6 +689,250 @@ def encode_jpeg_arith(
     out += entropy
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# SOF10 encoder: progressive DCT, arithmetic coding
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_arith_progressive(
+    pixels, width: int, height: int, channels: int = 3,
+    quality: int = 90, subsample: bool = False, precision: int = 8,
+) -> bytes:
+    """Conformant progressive arithmetic JPEG (SOF10) over the same
+    scan script as :func:`~.jpeg.encode_jpeg_progressive` — interleaved
+    DC first at Al=1, DC refinement, per-component AC spectral bands
+    (1-5, 6-63) at Al=1 and an AC refinement sweep — so all four T.81
+    G.2 arithmetic scan kinds are exercised and the decode must be
+    bit-identical to the Huffman twins of the same coefficients. Each
+    scan is an independently flushed QM codeword with fresh statistics,
+    per the spec."""
+    from .jpeg import _ZIGZAG, _marker, _prepare_components
+
+    comps, sampling, qtbls, mcux, mcuy = _prepare_components(
+        pixels, width, height, channels, quality, subsample, precision
+    )
+    zig = np.array(_ZIGZAG)
+    dc_cond = (0, 1)
+    kx = 5
+    ntab = 1 if channels == 1 else 2
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+
+    def _dc_first(al: int) -> bytes:
+        enc = _QMEncoder()
+        dc_st = [bytearray(_DC_BINS) for _ in range(ntab)]
+        dcctx = [0] * channels
+        preds = [0] * channels
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(channels):
+                    hs, vs = sampling[ci]
+                    t = min(ci, 1)
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc = int(comps[ci][my * vs + by, mx * hs + bx][0])
+                            sv = dc >> al  # arithmetic shift (G.1.2.1)
+                            diff = sv - preds[ci]
+                            preds[ci] = sv
+                            dcctx[ci] = _encode_dc(
+                                enc, dc_st[t], dcctx[ci], diff, dc_cond
+                            )
+        return enc.flush()
+
+    def _dc_refine(al: int) -> bytes:
+        enc = _QMEncoder()
+        fixed = bytearray([_FIXED])
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(channels):
+                    hs, vs = sampling[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc = int(comps[ci][my * vs + by, mx * hs + bx][0])
+                            # next bit of the two's-complement DC value
+                            enc.encode(fixed, 0, (dc >> al) & 1)
+        return enc.flush()
+
+    def _ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        hs, vs = sampling[ci]
+        cw = (width * hs + hmax - 1) // hmax
+        chh = (height * vs + vmax - 1) // vmax
+        gw, gh = (cw + 7) // 8, (chh + 7) // 8
+        enc = _QMEncoder()
+        ac_st = bytearray(_AC_BINS)
+        fixed = bytearray([_FIXED])
+        for by in range(gh):
+            for bx in range(gw):
+                blk = comps[ci][by, bx]
+                if ah == 0:
+                    _enc_ac_first_band(enc, ac_st, fixed, blk, ss, se, al, kx)
+                else:
+                    _enc_ac_refine_band(enc, ac_st, fixed, blk, ss, se, al)
+        return enc.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qtbls):
+        if precision > 8:
+            payload = bytes([0x10 | ti])
+            payload += b"".join(int(qt[z]).to_bytes(2, "big") for z in zig)
+        else:
+            payload = bytes([ti]) + bytes(int(qt[z]) for z in zig)
+        out += _marker(0xDB, payload)
+    sof = bytes([precision]) + height.to_bytes(2, "big")
+    sof += width.to_bytes(2, "big") + bytes([channels])
+    for ci in range(channels):
+        hs, vs = sampling[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, min(ci, 1)])
+    out += _marker(0xCA, sof)  # SOF10: progressive DCT, arithmetic
+    dac = bytearray()
+    for t in range(ntab):
+        dac += bytes([0x00 | t, (dc_cond[1] << 4) | dc_cond[0]])
+        dac += bytes([0x10 | t, kx])
+    out += _marker(0xCC, bytes(dac))
+
+    def _sos(comp_ids_tables, ss, se, ah, al, payload):
+        hdr = bytes([len(comp_ids_tables)])
+        for cid, td_ta in comp_ids_tables:
+            hdr += bytes([cid, td_ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _marker(0xDA, hdr) + payload
+
+    all_comps = [(ci + 1, (0x00 if ci == 0 else 0x11)) for ci in range(channels)]
+    out += _sos(all_comps, 0, 0, 0, 1, _dc_first(1))
+    out += _sos(all_comps, 0, 0, 1, 0, _dc_refine(0))
+    for ci in range(channels):
+        ta = 0x00 if ci == 0 else 0x11
+        out += _sos([(ci + 1, ta)], 1, 5, 0, 1, _ac_scan(ci, 1, 5, 0, 1))
+        out += _sos([(ci + 1, ta)], 6, 63, 0, 1, _ac_scan(ci, 6, 63, 0, 1))
+        out += _sos([(ci + 1, ta)], 1, 63, 1, 0, _ac_scan(ci, 1, 63, 1, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# SOF10 scan decoder (plugs into jpeg._decode_jpeg_inner's progressive
+# multi-scan loop; accumulates into the shared zigzag-order arrays)
+# ---------------------------------------------------------------------------
+
+
+def decode_prog_scan_arith(
+    b, pos, sos, frame, cond, restart_interval, prog_coef, prog_grid
+):
+    """Decode one progressive ARITHMETIC scan into the per-component
+    zigzag-order coefficient arrays; returns the offset of the
+    terminating marker or None. Restart intervals inside a progressive
+    arithmetic scan are gated (this encoder never emits them; guessing
+    resync semantics on foreign streams risks silent corruption)."""
+    from .jpeg import _BitReader
+
+    if restart_interval:
+        return None
+    w, h, comps, adobe, prec = frame
+    nc_scan = sos[0]
+    if len(sos) < 1 + 2 * nc_scan + 3 or not 1 <= nc_scan <= len(comps):
+        return None
+    ss, se, ahl = sos[1 + 2 * nc_scan : 4 + 2 * nc_scan]
+    ah, al = ahl >> 4, ahl & 0xF
+    if ss == 0:
+        if se != 0:
+            return None
+        kind = "dc"
+    else:
+        if not (ss <= se <= 63) or nc_scan != 1:
+            return None
+        kind = "ac"
+    if al > 13 or ah > 13 or (ah and ah != al + 1):
+        return None
+    cid_index = {cid: ci for ci, (cid, *_r) in enumerate(comps)}
+    scan_cis = []
+    scan_tables = {}
+    for c in range(nc_scan):
+        cid, td_ta = sos[1 + 2 * c], sos[2 + 2 * c]
+        if cid not in cid_index:
+            return None
+        scan_cis.append(cid_index[cid])
+        scan_tables[cid_index[cid]] = (td_ta >> 4, td_ta & 0xF)
+    mcux, mcuy = prog_grid
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    interleaved = nc_scan > 1
+    if interleaved:
+        units = mcux * mcuy
+        gw = gh = 0
+    else:
+        ci0 = scan_cis[0]
+        _, hs, vs, _ = comps[ci0]
+        cw = (w * hs + hmax - 1) // hmax
+        chh = (h * vs + vmax - 1) // vmax
+        gw, gh = (cw + 7) // 8, (chh + 7) // 8
+        units = gw * gh
+
+    br = _BitReader(b, pos)
+    dec = _QMDecoder(br)
+    dc_st = {}
+    ac_st = {}
+    for ci in scan_cis:
+        td, ta = scan_tables[ci]
+        dc_st.setdefault(td, bytearray(_DC_BINS))
+        ac_st.setdefault(ta, bytearray(_AC_BINS))
+    fixed = bytearray([_FIXED])
+    dcctx = [0] * len(comps)
+    preds = [0] * len(comps)
+
+    for unit in range(units):
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            blocks = []
+            for ci in scan_cis:
+                _, hs, vs, _ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blocks.append((ci, my * vs + by, mx * hs + bx))
+        else:
+            ci = scan_cis[0]
+            by, bx = divmod(unit, gw)
+            blocks = [(ci, by, bx)]
+        for ci, by, bx in blocks:
+            carr = prog_coef[ci]
+            td, ta = scan_tables[ci]
+            if kind == "dc":
+                if ah == 0:
+                    dcc = cond.get(("dc", td), (0, 1))
+                    got = _decode_dc(dec, dc_st[td], dcctx[ci], dcc)
+                    if got is None:
+                        return None
+                    diff, dcctx[ci] = got
+                    preds[ci] += diff
+                    carr[by, bx, 0] = preds[ci] << al
+                else:
+                    # two's-complement OR, exactly the Huffman twin's
+                    if dec.decode(fixed, 0):
+                        carr[by, bx, 0] = int(carr[by, bx, 0]) | (1 << al)
+            else:
+                kx = cond.get(("ac", ta), 5)
+                blk = carr[by, bx]
+                if ah == 0:
+                    ok = _dec_ac_first_band(
+                        dec, ac_st[ta], fixed, blk, ss, se, al, kx
+                    )
+                else:
+                    ok = _dec_ac_refine_band(
+                        dec, ac_st[ta], fixed, blk, ss, se, al
+                    )
+                if not ok:
+                    return None
+    # resume header parsing at the scan-terminating marker
+    if br.marker is not None:
+        return br.pos
+    p = br.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            return p
+        p += 1
+    return None  # truncated: no terminating marker
 
 
 # ---------------------------------------------------------------------------

@@ -1985,7 +1985,8 @@ def jpeg_progressive_parity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 JPEG_ARITH_SCHEMA = (
     "doc_id long, width long, height long, channels long, "
-    "subsampling string, has_restart long, pixels_match long"
+    "subsampling string, has_restart long, pixels_match long, "
+    "prog_match long"
 )
 
 
@@ -2000,10 +2001,14 @@ def jpeg_arith_parity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     gate). Ids cycle 4:2:0 subsampling and restart intervals (each RSTn
     interval is an independently flushed arithmetic codeword with fresh
     statistics), so marker resync and statistics reset sit under the
-    same oracle. Closes the largest rung of the r8 'What's missing #3'
-    codec tail."""
+    same oracle. ``prog_match`` runs the SAME pixels through the
+    progressive-arithmetic encoder (SOF10 — all four T.81 G.2
+    arithmetic scan kinds: DC first/refine, AC spectral bands, AC
+    successive-approximation refinement) and pins its decode against
+    the same baseline. Closes the largest rung of the r8 'What's
+    missing #3' codec tail."""
     from .jpeg import decode_jpeg, encode_jpeg_baseline
-    from .jpeg_arith import encode_jpeg_arith
+    from .jpeg_arith import encode_jpeg_arith, encode_jpeg_arith_progressive
 
     def _report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2030,28 +2035,34 @@ def jpeg_arith_parity(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ari = encode_jpeg_arith(
                     img, w, h, 3, quality=90, subsample=sub, restart_interval=ri
                 )
+                aprog = encode_jpeg_arith_progressive(
+                    img, w, h, 3, quality=90, subsample=sub
+                )
                 db = decode_jpeg(base)
                 da = decode_jpeg(ari)
+                dap = decode_jpeg(aprog)
                 match = int(db is not None and db == da)
+                pmatch = int(db is not None and db == dap)
                 if db is None:
-                    rows.append((did, None, None, None, None, ri > 0, 0))
+                    rows.append((did, None, None, None, None, ri > 0, 0, 0))
                 else:
                     rows.append(
                         (
                             did, db[0], db[1], db[2],
                             "420" if sub else "444", int(ri > 0), match,
+                            pmatch,
                         )
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "width", "height", "channels", "subsampling",
-                    "has_restart", "pixels_match",
+                    "has_restart", "pixels_match", "prog_match",
                 ],
             ).astype({"doc_id": "int64"}).astype(
                 {c: "Int64" for c in (
                     "width", "height", "channels", "has_restart",
-                    "pixels_match",
+                    "pixels_match", "prog_match",
                 )}
             )
 

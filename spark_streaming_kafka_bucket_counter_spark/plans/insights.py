@@ -1186,7 +1186,8 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 3 = 1 THEN '420' ELSE '444' END AS subsampling,
            CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
              AS has_restart,
-           CAST(1 AS BIGINT) AS pixels_match
+           CAST(1 AS BIGINT) AS pixels_match,
+           CAST(1 AS BIGINT) AS prog_match
     FROM documents
     """,
 )
@@ -1203,8 +1204,11 @@ def q_multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     resync sit under the same integer-exact check. The adaptive
     estimation state machine, carry-over across stacked 0xFF bytes,
     byte stuffing, DC context conditioning and AC spectral-split bins
-    all have to be right for even one image to match. SOF10/11 stay
-    gated ``None``."""
+    all have to be right for even one image to match. ``prog_match``
+    pins the PROGRESSIVE arithmetic mode (SOF10 — per-scan codewords,
+    DC first/refine, AC band + successive-approximation refinement
+    models of T.81 G.2) against the same baseline. SOF11
+    (lossless-arithmetic) stays gated ``None``."""
     from ..operators.multimodal import jpeg_arith_parity
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")

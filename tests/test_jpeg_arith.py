@@ -191,6 +191,65 @@ def test_arith_fails_closed():
     assert decode_jpeg(sof10) is None
 
 
+def test_progressive_arith_matches_baseline():
+    """SOF10: every T.81 G.2 arithmetic scan kind (interleaved DC first
+    at Al=1, fixed-bin DC refinement, AC spectral bands, AC
+    successive-approximation refinement) reconstructs the exact
+    coefficients — pinned by bit-identical pixels vs the SOF0 twin."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    for did, (w, h, ch, q, sub) in enumerate([
+        (9, 8, 3, 90, False),
+        (9, 8, 3, 90, True),
+        (16, 16, 1, 75, False),
+        (24, 17, 3, 95, True),
+    ]):
+        px = _texture(did + 3, w, h, ch)
+        base = encode_jpeg_baseline(px, w, h, ch, quality=q, subsample=sub)
+        aprog = encode_jpeg_arith_progressive(
+            px, w, h, ch, quality=q, subsample=sub
+        )
+        assert b"\xff\xca" in aprog and b"\xff\xc4" not in aprog
+        assert aprog.count(b"\xff\xda") == (11 if ch == 3 else 5)
+        assert decode_jpeg(aprog) == decode_jpeg(base)
+
+
+def test_progressive_arith_12bit():
+    """SOF10 at precision 12 decodes to the same int64 samples as the
+    12-bit Huffman twin."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg import (
+        decode_jpeg_extended,
+        encode_jpeg_ext12,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.RandomState(13)
+    s12 = rng.randint(0, 4096, (11, 14, 3)).astype(np.int64)
+    ap = encode_jpeg_arith_progressive(s12, 14, 11, 3, quality=85, precision=12)
+    hh = encode_jpeg_ext12(s12, 14, 11, 3, quality=85)
+    da = decode_jpeg_extended(ap)
+    dh = decode_jpeg_extended(hh)
+    assert da is not None and da[:4] == (14, 11, 3, 12)
+    assert (da[4] == dh[4]).all()
+    assert decode_jpeg(ap) is None  # 8-bit entry still refuses 12-bit
+
+
+def test_progressive_arith_truncation_fails_closed():
+    from spark_streaming_kafka_bucket_counter_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    px = _texture(6, 16, 16, 3)
+    b = encode_jpeg_arith_progressive(px, 16, 16, 3)
+    # cut inside the scan sequence: either decodes the scans seen so
+    # far... no — a progressive stream without EOI is truncated
+    assert decode_jpeg(b[: len(b) // 3]) is None
+
+
 def test_12bit_huffman_arith_parity():
     """12-bit extended sequential: SOF1 (Pq=1 tables, widened
     categories) and SOF9 (arithmetic at precision 12) must decode to
