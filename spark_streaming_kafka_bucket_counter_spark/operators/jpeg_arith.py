@@ -102,6 +102,15 @@ _QE = (
 
 _FIXED = 113  # the non-adaptive sign state
 
+# hot-path packing: one list index + shifts per coding decision instead
+# of a tuple unpack (the QM coder is inherently serial per bit, so
+# constant-factor Python costs are THE cost — measured ~25% off the
+# parity query)
+_QE_PACKED = tuple(
+    qe | (nlps << 16) | (nmps << 24) | (sw << 32)
+    for qe, nlps, nmps, sw in _QE
+)
+
 # statistics-area sizes per conditioning table (T.81 Tables F.4/F.5)
 _DC_BINS = 64
 _AC_BINS = 256
@@ -159,26 +168,40 @@ class _QMEncoder:
 
     def encode(self, st: bytearray, i: int, bit: int) -> None:
         sv = st[i]
-        qe, nlps, nmps, sw = _QE[sv & 0x7F]
+        row = _QE_PACKED[sv & 0x7F]
+        qe = row & 0xFFFF
         mps = sv >> 7
+        a = self.a - qe
         if bit == mps:
-            self.a -= qe
-            if self.a & 0x8000:
+            if a & 0x8000:
+                self.a = a
                 return  # no renorm, no estimation update
-            if self.a < qe:  # conditional exchange: MPS takes the top
-                self.c += self.a
-                self.a = qe
-            st[i] = (mps << 7) | nmps
-            self._renorm()
+            if a < qe:  # conditional exchange: MPS takes the top
+                self.c += a
+                a = qe
+            st[i] = (mps << 7) | ((row >> 24) & 0xFF)
         else:
-            self.a -= qe
-            if self.a >= qe:  # normal: LPS takes the top subinterval
-                self.c += self.a
-                self.a = qe
-            if sw:
+            if a >= qe:  # normal: LPS takes the top subinterval
+                self.c += a
+                a = qe
+            if row >> 32:
                 mps ^= 1
-            st[i] = (mps << 7) | nlps
-            self._renorm()
+            st[i] = (mps << 7) | ((row >> 16) & 0xFF)
+        # renorm (inline: this is THE hot loop)
+        c = self.c
+        ct = self.ct
+        while a < 0x8000:
+            a <<= 1
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                self.c = c
+                self._byteout()
+                c = self.c
+                ct = 8
+        self.a = a
+        self.c = c
+        self.ct = ct
 
     def flush(self) -> bytes:
         """D.1.8 termination: choose the codepoint in the final interval
@@ -207,53 +230,94 @@ class _QMEncoder:
 
 
 class _QMDecoder:
-    """Annex D decoder over a de-stuffed, marker-stopping bit feed
-    (reuses ``jpeg._BitReader``; exhausted input feeds zero bits, the
-    spec's convention once a marker is reached)."""
+    """Annex D decoder over a de-stuffed, marker-stopping bit feed.
+    Byte position and any encountered marker live on the wrapped
+    ``jpeg._BitReader`` (so restart resync and scan-termination checks
+    read the same state), but bits buffer locally — the renorm loop is
+    the hot path and a method call per bit doubles its cost. Exhausted
+    input feeds zero bits, the spec's convention at a marker."""
+
+    __slots__ = ("br", "chigh", "a", "acc", "nbits")
 
     def __init__(self, br) -> None:
         self.br = br
+        self.acc = 0
+        self.nbits = 0
         c = 0
-        for _ in range(16):
-            b = br.read_bit()
-            c = (c << 1) | (0 if b is None else b)
+        for _ in range(2):
+            b = self._fill8()
+            c = (c << 8) | (b if b >= 0 else 0)
         self.chigh = c
         self.a = 0x10000
 
+    def _fill8(self) -> int:
+        """Next de-stuffed data byte, or -1 at end/marker (zero-fill)."""
+        br = self.br
+        if br.marker is not None:
+            return -1
+        data = br.data
+        pos = br.pos
+        if pos >= len(data):
+            return -1
+        byte = data[pos]
+        if byte == 0xFF:
+            if pos + 1 >= len(data):
+                return -1
+            if data[pos + 1] == 0x00:
+                br.pos = pos + 2
+                return 0xFF
+            br.marker = data[pos + 1]
+            return -1
+        br.pos = pos + 1
+        return byte
+
     def decode(self, st: bytearray, i: int) -> int:
         sv = st[i]
-        qe, nlps, nmps, sw = _QE[sv & 0x7F]
+        row = _QE_PACKED[sv & 0x7F]
+        qe = row & 0xFFFF
         mps = sv >> 7
         a_bot = self.a - qe
-        if self.chigh < a_bot:
+        ch = self.chigh
+        if ch < a_bot:
             # bottom subinterval (nominal MPS share)
-            self.a = a_bot
             if a_bot & 0x8000:
+                self.a = a_bot
                 return mps
+            a = a_bot
             if a_bot < qe:  # conditional exchange: bottom is the LPS
                 bit = mps ^ 1
-                if sw:
+                if row >> 32:
                     mps ^= 1
-                st[i] = (mps << 7) | nlps
+                st[i] = (mps << 7) | ((row >> 16) & 0xFF)
             else:
                 bit = mps
-                st[i] = (mps << 7) | nmps
+                st[i] = (mps << 7) | ((row >> 24) & 0xFF)
         else:
             # top subinterval (nominal LPS share, size qe)
-            self.chigh -= a_bot
-            self.a = qe
+            ch -= a_bot
+            a = qe
             if a_bot < qe:  # conditional exchange: top is the MPS
                 bit = mps
-                st[i] = (mps << 7) | nmps
+                st[i] = (mps << 7) | ((row >> 24) & 0xFF)
             else:
                 bit = mps ^ 1
-                if sw:
+                if row >> 32:
                     mps ^= 1
-                st[i] = (mps << 7) | nlps
-        while self.a < 0x8000:
-            self.a <<= 1
-            b = self.br.read_bit()
-            self.chigh = (self.chigh << 1) | (0 if b is None else b)
+                st[i] = (mps << 7) | ((row >> 16) & 0xFF)
+        acc = self.acc
+        nb = self.nbits
+        while a < 0x8000:
+            a <<= 1
+            if nb == 0:
+                b = self._fill8()
+                acc = b if b >= 0 else 0
+                nb = 8
+            nb -= 1
+            ch = (ch << 1) | ((acc >> nb) & 1)
+        self.acc = acc
+        self.nbits = nb
+        self.a = a
+        self.chigh = ch
         return bit
 
 
