@@ -1,9 +1,12 @@
 """Distinct-count sketching: KMV (k-minimum-values) estimator built from
 engine-portable md5 hashes — the deterministic cousin of HyperLogLog.
 
-Why KMV here: HLL implementations differ across engines (register
-layouts, bias tables), so ``approx_count_distinct`` can never hash-match
-a DuckDB oracle. KMV has a closed-form estimator driven ONLY by the hash
+Why KMV here: BUILT-IN HLL implementations differ across engines
+(register layouts, bias tables), so ``approx_count_distinct`` can never
+hash-match a DuckDB oracle. (Round 9 adds the real HyperLogLog anyway —
+built from the same portable hash on both sides with the register state
+itself under the hash gate; see :func:`hll_registers`.) KMV has a
+closed-form estimator driven ONLY by the hash
 function: hash every value uniformly into [0, 2^32), keep the k smallest
 distinct hashes; if fewer than k distinct values exist the answer is
 exact, else estimate (k-1) / (h_k / 2^32) where h_k is the k-th smallest
@@ -472,3 +475,121 @@ def bootstrap_mean_ci_sql(
              CAST(m._means[LEAST(len(m._means), (15 * len(m._means) + 15) // 16)] AS BIGINT) AS hi_e4
       FROM boot_base b JOIN boot_means m USING ({group_col})
     )"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (round 9)
+# ---------------------------------------------------------------------------
+
+#: HLL precision: 2^9 = 512 registers (~4.6% standard error)
+HLL_P = 9
+
+
+def _hll_consts(p: int):
+    m = 1 << p
+    rest = 32 - p  # value bits below the register index
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # the whole numerator folded into ONE Python float literal shared by
+    # both engines: est = C / s_scaled is then a single IEEE division,
+    # no libm, no cross-engine rounding surface
+    c = alpha * float(m) * float(m) * float(1 << (rest + 1))
+    return m, rest, c
+
+
+def hll_registers(df: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
+    """The REAL HyperLogLog this module's KMV note said engines can't
+    hash-match — made matchable (round 9) by building it from the same
+    portable md5-derived hash on both sides and exposing the REGISTER
+    STATE itself: register index = top ``p`` hash bits, rho = leading
+    zeros of the remaining bits + 1 via ``length(bin(w))`` (binary
+    string length — integer-exact on both engines, no log2/libm).
+
+    Scale: one ``select`` of (bucket, rho) in JVM codegen, one
+    ``groupBy(bucket).max`` with map-side partial aggregation — the
+    shuffle is bounded by 2^p rows per mapper regardless of input size,
+    and registers MERGE by element-wise max (shards, streams, days:
+    union then re-max — pytest-pinned)."""
+    m, rest, _ = _hll_consts(p)
+    h = token_hash32(F.col(value_col).cast("string"))
+    bucket = F.shiftright(h, rest)
+    w = h % F.lit(1 << rest)
+    rho = F.when(w == 0, F.lit(rest + 1)).otherwise(
+        F.lit(rest + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+        .select(F.col("bucket").cast("long").alias("bucket"), "max_rho")
+    )
+
+
+def hll_registers_sql(table: str, value_col: str, p: int = HLL_P) -> str:
+    """DuckDB oracle twin of :func:`hll_registers` — same hash, same
+    bucket split, same bin-length rho."""
+    m, rest, _ = _hll_consts(p)
+    mask = (1 << rest) - 1
+    h = token_hash32_sql(f"CAST({value_col} AS VARCHAR)")
+    return f"""
+    SELECT CAST(h >> {rest} AS BIGINT) AS bucket,
+           CAST(MAX(CASE WHEN (h & {mask}) = 0 THEN {rest + 1}
+                         ELSE {rest + 1} - length(bin(h & {mask}))
+                    END) AS BIGINT) AS max_rho
+    FROM (SELECT {h} AS h FROM {table})
+    GROUP BY 1
+    """
+
+
+def hll_cardinality(df: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
+    """One-row HLL summary: register diagnostics as exact integers
+    (``zero_buckets``, ``s_scaled`` = sum over all 2^p registers of
+    2^(rest+1-M_j), scaled so empty registers contribute an exact
+    integer) plus the raw HLL estimate ``est_floor`` =
+    floor(alpha*m^2 / sum 2^-M) — a single IEEE division of a shared
+    constant by an exact integer, deterministic across engines — and
+    the exact distinct count beside it. Bias corrections (linear
+    counting) intentionally stay OUT of the hashed columns (they need
+    ln(), whose last ulp differs across libms); accuracy is pinned in
+    pytest instead."""
+    m, rest, c = _hll_consts(p)
+    unit = 1 << (rest + 1)
+    regs = hll_registers(df, value_col, p)
+    s = regs.agg(
+        F.count(F.lit(1)).alias("_nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(rest + 1) - F.col("max_rho")).cast("long")
+        ).alias("_s_occ"),
+    )
+    exact = df.select(
+        F.countDistinct(F.col(value_col)).cast("long").alias("n_exact")
+    )
+    s_scaled = F.col("_s_occ") + (F.lit(m) - F.col("_nonzero")) * F.lit(unit)
+    return s.crossJoin(exact).select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("_nonzero")).cast("long").alias("zero_buckets"),
+        s_scaled.cast("long").alias("s_scaled"),
+        F.floor(F.lit(c) / s_scaled).cast("long").alias("est_floor"),
+        "n_exact",
+    )
+
+
+def hll_cardinality_sql(table: str, value_col: str, p: int = HLL_P) -> str:
+    """DuckDB oracle twin of :func:`hll_cardinality`."""
+    m, rest, c = _hll_consts(p)
+    unit = 1 << (rest + 1)
+    regs = hll_registers_sql(table, value_col, p)
+    return f"""
+    WITH regs AS ({regs}),
+    s AS (SELECT COUNT(*) AS nonzero,
+                 CAST(SUM(CAST(POWER(2, {rest + 1} - max_rho) AS BIGINT))
+                      AS BIGINT) AS s_occ
+          FROM regs)
+    SELECT CAST({m} AS BIGINT) AS m,
+           CAST({m} - nonzero AS BIGINT) AS zero_buckets,
+           CAST(s_occ + ({m} - nonzero) * {unit} AS BIGINT) AS s_scaled,
+           CAST(FLOOR({c!r} / (s_occ + ({m} - nonzero) * {unit}))
+                AS BIGINT) AS est_floor,
+           (SELECT CAST(COUNT(DISTINCT {value_col}) AS BIGINT)
+            FROM {table}) AS n_exact
+    FROM s
+    """

@@ -690,3 +690,42 @@ def test_fixed_point_overflow_is_loud(spark, duck):
         duck.execute(
             "SELECT CAST(ROUND(1e30 * 1000000) AS BIGINT)"
         ).fetchall()
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL's defining property: registers of a union = element-wise max
+    of the shards' registers (mergeable across shards/streams/days)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    a = spark.range(0, 4000).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(3000, 9000).selectExpr("CAST(id AS STRING) AS v")
+    whole = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(a.union(b), "v").collect()
+    }
+    ra = {r["bucket"]: r["max_rho"] for r in hll_registers(a, "v").collect()}
+    rb = {r["bucket"]: r["max_rho"] for r in hll_registers(b, "v").collect()}
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == whole
+
+
+def test_hll_estimate_accuracy_and_insensitivity(spark):
+    """Raw estimate within ~3 sigma (3 * 1.04/sqrt(512) ~= 13.8%) of
+    the true cardinality in HLL's sweet spot, and invariant to
+    duplication (cardinality, not count)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.sketches import (
+        hll_cardinality,
+    )
+
+    df = spark.range(0, 20000).selectExpr("CAST(id * 37 AS STRING) AS v")
+    row = hll_cardinality(df, "v").collect()[0]
+    assert row["n_exact"] == 20000
+    assert abs(row["est_floor"] - 20000) / 20000 < 0.138
+    dup = df.union(df).union(df)
+    row2 = hll_cardinality(dup, "v").collect()[0]
+    assert row2["est_floor"] == row["est_floor"]
+    assert row2["s_scaled"] == row["s_scaled"]

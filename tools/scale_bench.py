@@ -68,6 +68,8 @@ QUERIES = [
     # Arrow stage whose per-row cost is precision-dependent)
     "search_bm25_merged_topk",
     "multimodal_jpeg_lossless",
+    "multimodal_jpeg_arith",
+    "multimodal_jpeg_12bit",
 ]
 
 SCALES = {
