@@ -593,3 +593,143 @@ def hll_cardinality_sql(table: str, value_col: str, p: int = HLL_P) -> str:
             FROM {table}) AS n_exact
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Theta-style set-operation sketch (round 9)
+# ---------------------------------------------------------------------------
+
+
+def kmv_set_ops(
+    df: DataFrame, cond_a, cond_b, value_col: str, k: int = 256
+) -> DataFrame:
+    """Distinct-set UNION / INTERSECTION / Jaccard estimates for two
+    predicates over one table (theta-sketch style, Datasketches'
+    published construction over this module's portable hash): each side
+    keeps its k smallest distinct hashes; theta = min of the two
+    k-th-smallest thresholds (or the full hash space when a side is
+    exact); every kept hash below theta is a uniform sample of the
+    side, so |A∩B| ~ |SA∩SB| / (theta/2^32) and likewise for the
+    window union. Output carries the INTEGER sketch state
+    (``theta_scaled``, ``inter_kept``, ``union_kept``) plus
+    single-division estimates and the exact counts beside them.
+
+    Scale: two distinct-hash aggregations + one rank window bounded at
+    k rows per side — no join of the raw sides; sketches merge by
+    keeping the k smallest of a union, so shards/streams compose."""
+    space = float(1 << 32)
+    h = token_hash32(F.col(value_col).cast("string"))
+    sides = df.select(
+        F.when(cond_a, F.lit("a")).when(cond_b, F.lit("b")).alias("_side"),
+        h.alias("_h"),
+    ).filter(F.col("_side").isNotNull())
+    both = (
+        df.select(
+            F.when(cond_a, F.lit(1)).otherwise(F.lit(0)).alias("_ina"),
+            F.when(cond_b, F.lit(1)).otherwise(F.lit(0)).alias("_inb"),
+            F.col(value_col).cast("string").alias("_v"),
+        )
+        .groupBy("_v")
+        .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
+        .agg(
+            F.sum(F.col("_ina") * F.col("_inb")).cast("long").alias("n_inter_exact"),
+            F.count(F.lit(1)).cast("long").alias("n_union_exact"),
+        )
+    )
+    dist = sides.distinct()
+    w = Window.partitionBy("_side").orderBy("_h")
+    kept = dist.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    theta = kept.groupBy("_side").agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk")
+    ).agg(
+        F.min(
+            F.when(F.col("_n") >= k, F.col("_hk")).otherwise(F.lit(1 << 32))
+        ).alias("theta_scaled")
+    )
+    win = kept.crossJoin(theta).filter(F.col("_h") < F.col("theta_scaled"))
+    state = win.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_nsides")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("union_kept"),
+        F.sum(F.when(F.col("_nsides") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("inter_kept"),
+    )
+    est_i = F.round(F.col("inter_kept") * F.lit(space) / F.col("theta_scaled"), 6)
+    est_u = F.round(F.col("union_kept") * F.lit(space) / F.col("theta_scaled"), 6)
+    jac = F.round(
+        F.when(F.col("union_kept") > 0, F.col("inter_kept"))
+        .otherwise(F.lit(0))
+        .cast("double")
+        / F.greatest(F.col("union_kept"), F.lit(1)),
+        6,
+    )
+    return (
+        state.crossJoin(theta)
+        .crossJoin(both)
+        .select(
+            F.col("theta_scaled").cast("long").alias("theta_scaled"),
+            "union_kept",
+            "inter_kept",
+            est_u.alias("union_est"),
+            est_i.alias("inter_est"),
+            jac.alias("jaccard_est"),
+            "n_inter_exact",
+            "n_union_exact",
+        )
+    )
+
+
+def kmv_set_ops_sql(
+    table: str, cond_a: str, cond_b: str, value_col: str, k: int = 256
+) -> str:
+    """DuckDB oracle twin of :func:`kmv_set_ops` (same hash, same
+    thresholds, same single-division estimates)."""
+    space = float(1 << 32)
+    h = token_hash32_sql(f"CAST({value_col} AS VARCHAR)")
+    return f"""
+    WITH sides AS (
+      SELECT DISTINCT CASE WHEN {cond_a} THEN 'a'
+                           WHEN {cond_b} THEN 'b' END AS side, {h} AS h
+      FROM {table}
+      WHERE ({cond_a}) OR ({cond_b})
+    ),
+    kept AS (
+      SELECT side, h FROM (
+        SELECT side, h, ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rn
+        FROM sides
+      ) WHERE rn <= {k}
+    ),
+    theta AS (
+      SELECT MIN(CASE WHEN n >= {k} THEN hk ELSE {1 << 32} END) AS theta_scaled
+      FROM (SELECT side, COUNT(*) AS n, MAX(h) AS hk FROM kept GROUP BY side)
+    ),
+    win AS (
+      SELECT h, COUNT(*) AS nsides
+      FROM kept, theta WHERE h < theta_scaled GROUP BY h
+    ),
+    state AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS union_kept,
+             CAST(SUM(CASE WHEN nsides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS inter_kept
+      FROM win
+    ),
+    exact AS (
+      SELECT CAST(SUM(ina * inb) AS BIGINT) AS n_inter_exact,
+             CAST(COUNT(*) AS BIGINT) AS n_union_exact
+      FROM (
+        SELECT CAST({value_col} AS VARCHAR) AS v,
+               MAX(CASE WHEN {cond_a} THEN 1 ELSE 0 END) AS ina,
+               MAX(CASE WHEN {cond_b} THEN 1 ELSE 0 END) AS inb
+        FROM {table} WHERE ({cond_a}) OR ({cond_b}) GROUP BY 1
+      )
+    )
+    SELECT CAST(theta_scaled AS BIGINT) AS theta_scaled,
+           union_kept, inter_kept,
+           ROUND(union_kept * {space!r} / theta_scaled, 6) AS union_est,
+           ROUND(inter_kept * {space!r} / theta_scaled, 6) AS inter_est,
+           ROUND(CASE WHEN union_kept > 0 THEN inter_kept ELSE 0 END
+                 / CAST(GREATEST(union_kept, 1) AS DOUBLE), 6) AS jaccard_est,
+           n_inter_exact, n_union_exact
+    FROM state, theta, exact
+    """

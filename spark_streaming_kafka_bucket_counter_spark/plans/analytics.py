@@ -253,6 +253,35 @@ def q_sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(_t(spark, sf_dir, "events"), "user_id")
 
 
+from ..operators.sketches import kmv_set_ops, kmv_set_ops_sql  # noqa: E402
+
+
+@query(
+    "sketch_theta_set_ops",
+    kmv_set_ops_sql(
+        "events", "event_type = 'click'", "event_type = 'purchase'",
+        "user_id", k=256,
+    ),
+)
+def q_sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style set-operation sketch: estimate the distinct-user
+    UNION, INTERSECTION and Jaccard between clickers and purchasers
+    from two 256-hash k-min sketches — the fixed-space answer to
+    \"how much do these audiences overlap\" that never joins the raw
+    sides (at 100 TB the exact A-join-B on users is the query you
+    cannot afford). Integer sketch state (theta threshold, kept counts)
+    sits under the hash gate; estimates are single divisions of those
+    integers; exact counts ride along to show the error. Sketches merge
+    by re-ranking a union of kept hashes, so shards and days compose."""
+    return kmv_set_ops(
+        _t(spark, sf_dir, "events"),
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        "user_id",
+        k=256,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch (fixed-space token-frequency estimation)
 # ---------------------------------------------------------------------------

@@ -729,3 +729,50 @@ def test_hll_estimate_accuracy_and_insensitivity(spark):
     row2 = hll_cardinality(dup, "v").collect()[0]
     assert row2["est_floor"] == row["est_floor"]
     assert row2["s_scaled"] == row["s_scaled"]
+
+
+def test_theta_set_ops_small_sides_exact(spark):
+    """Below k both sides are exact samples (theta = full space), so the
+    estimates ARE the true counts."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", str(i)) for i in range(40)] + [
+        ("b", str(i)) for i in range(20, 70)
+    ]
+    df = spark.createDataFrame(rows, ["t", "v"])
+    got = kmv_set_ops(
+        df, F.col("t") == "a", F.col("t") == "b", "v", k=256
+    ).collect()[0]
+    assert got["n_inter_exact"] == 20 and got["n_union_exact"] == 70
+    assert got["theta_scaled"] == 1 << 32
+    assert got["inter_kept"] == 20 and got["union_kept"] == 70
+    assert got["inter_est"] == 20.0 and got["union_est"] == 70.0
+    assert abs(got["jaccard_est"] - round(20 / 70, 6)) < 1e-9
+
+
+def test_theta_set_ops_estimates_track_truth(spark):
+    """Above k the estimates stay within ~3 sigma (~= 3/sqrt(k)) of the
+    true union/intersection in the sketch's operating range."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+    from pyspark.sql import functions as F
+
+    na, nb, overlap = 8000, 6000, 2000
+    rows = [("a", str(i)) for i in range(na)] + [
+        ("b", str(i)) for i in range(na - overlap, na - overlap + nb)
+    ]
+    df = spark.createDataFrame(rows, ["t", "v"])
+    got = kmv_set_ops(
+        df, F.col("t") == "a", F.col("t") == "b", "v", k=256
+    ).collect()[0]
+    n_union = na + nb - overlap
+    assert got["n_union_exact"] == n_union
+    assert got["n_inter_exact"] == overlap
+    assert abs(got["union_est"] - n_union) / n_union < 3 / (256 ** 0.5)
+    # the intersection estimator's error scales with union/inter ratio;
+    # allow a wider (documented) band
+    assert abs(got["inter_est"] - overlap) / overlap < 0.5
