@@ -270,6 +270,36 @@ def _bm25_write(
         )
 
 
+def _covered_ranges(meta: dict) -> list[list[int]]:
+    """Covered-batch coverage as merged [lo, hi] ranges; folds the
+    legacy explicit-id list (pre-r9 snapshots) in transparently."""
+    ranges = [list(map(int, r)) for r in meta.get("bm25_covered_ranges", [])]
+    legacy = meta.get("bm25_covered_batches", [])
+    return _ranges_add(ranges, [int(b) for b in legacy]) if legacy else ranges
+
+
+def _ranges_add(ranges: list[list[int]], ids) -> list[list[int]]:
+    """Merge ``ids`` into sorted, coalesced, inclusive [lo, hi] ranges."""
+    pts = sorted(set(int(i) for i in ids))
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        out.append([int(lo), int(hi)])
+    for i in pts:
+        out.append([i, i])
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return merged
+
+
+def _covered_contains(meta: dict, batch_id: int) -> bool:
+    return any(lo <= batch_id <= hi for lo, hi in _covered_ranges(meta))
+
+
 def bm25_write_segment(
     df: DataFrame,
     id_col: str,
@@ -324,8 +354,8 @@ def bm25_write_segment(
     from ..sources.manifest import latest_manifest
 
     m = latest_manifest(path)
-    if m is not None and int(batch_id) in set(
-        m.get("meta", {}).get("bm25_covered_batches", [])
+    if m is not None and _covered_contains(
+        m.get("meta", {}), int(batch_id)
     ):
         return
 
@@ -472,11 +502,15 @@ def bm25_merge_segments(spark, path: str, grace_sec: float = 300.0) -> int:
             .partitionBy("batch_id")
             .parquet(str(rootp / "stats"))
         )
-        prev_covered = set(
-            latest_manifest(path).get("meta", {}).get("bm25_covered_batches", [])
-        )
+        # coverage is stored as MERGED [lo, hi] ranges, not an id list:
+        # contiguous streaming batch ids collapse to one range, so the
+        # snapshot meta and the per-write replay check stay O(1) no
+        # matter how many batches have ever been folded (r9 review
+        # catch — the id list grew with total batch count, the exact
+        # axis this merge exists to bound)
+        meta = latest_manifest(path).get("meta", {})
         txn.set_meta(
-            "bm25_covered_batches", sorted(prev_covered | set(folded))
+            "bm25_covered_ranges", _ranges_add(_covered_ranges(meta), folded)
         )
     gc_index_tree(path, grace_sec)
     return len(folded)

@@ -619,12 +619,18 @@ def kmv_set_ops(
     keeping the k smallest of a union, so shards/streams compose."""
     space = float(1 << 32)
     h = token_hash32(F.col(value_col).cast("string"))
-    sides = df.select(
-        F.when(cond_a, F.lit("a")).when(cond_b, F.lit("b")).alias("_side"),
-        h.alias("_h"),
-    ).filter(F.col("_side").isNotNull())
+    # a row satisfying BOTH predicates must feed BOTH sketches — a
+    # when().when() side label would drop dual-matching rows from side
+    # b and bias the intersection low (r9 review catch)
+    sides = (
+        df.filter(cond_a).select(F.lit("a").alias("_side"), h.alias("_h"))
+        .unionAll(
+            df.filter(cond_b).select(F.lit("b").alias("_side"), h.alias("_h"))
+        )
+    )
     both = (
-        df.select(
+        df.filter(cond_a | cond_b)
+        .select(
             F.when(cond_a, F.lit(1)).otherwise(F.lit(0)).alias("_ina"),
             F.when(cond_b, F.lit(1)).otherwise(F.lit(0)).alias("_inb"),
             F.col(value_col).cast("string").alias("_v"),
@@ -689,10 +695,11 @@ def kmv_set_ops_sql(
     h = token_hash32_sql(f"CAST({value_col} AS VARCHAR)")
     return f"""
     WITH sides AS (
-      SELECT DISTINCT CASE WHEN {cond_a} THEN 'a'
-                           WHEN {cond_b} THEN 'b' END AS side, {h} AS h
-      FROM {table}
-      WHERE ({cond_a}) OR ({cond_b})
+      SELECT DISTINCT side, h FROM (
+        SELECT 'a' AS side, {h} AS h FROM {table} WHERE {cond_a}
+        UNION ALL
+        SELECT 'b' AS side, {h} AS h FROM {table} WHERE {cond_b}
+      )
     ),
     kept AS (
       SELECT side, h FROM (

@@ -72,6 +72,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 import uuid
 from pathlib import Path
@@ -104,33 +105,64 @@ def _lease_path(root: str | Path) -> Path:
 
 
 def _lease_is_stale(lease: Path, timeout_sec: float) -> bool:
-    """A lease is stale when its holder pid is provably dead on this
-    host, or the file has aged past the timeout (covers a holder on
-    another host, where pid probes mean nothing)."""
+    """A lease is stale when its holder pid is provably dead ON THE
+    SAME HOST (the lease records its hostname — a pid number existing
+    or not on a DIFFERENT host means nothing, r9 review catch), or the
+    file has aged past the timeout. Live holders heartbeat the mtime
+    (see :func:`_maintainer_lease`), so the timeout only fires on a
+    crashed or wedged holder, not on a long-running mutation."""
     try:
         parts = lease.read_text().split()
         pid = int(parts[1])
+        # legacy 3-field leases (token pid ts) predate the hostname and
+        # were same-host by construction
+        host = parts[2] if len(parts) > 3 else _HOSTNAME
         st = lease.stat()
     except (OSError, IndexError, ValueError):
         return True  # unreadable/vanished: treat as breakable
     if st.st_mtime <= time.time() - timeout_sec:
         return True
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return True  # holder died on this host; crash-restart recovers now
-    except OSError:
-        pass  # exists but not ours / other host semantics: trust timeout
+    if host == _HOSTNAME:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return True  # holder died on this host; recover now
+        except OSError:
+            pass
     return False
+
+
+_HOSTNAME = os.uname().nodename if hasattr(os, "uname") else "unknown"
+
+
+def _break_stale_lease(lease: Path) -> None:
+    """Atomically claim the right to break a stale lease: rename it to
+    a unique name first — exactly ONE breaker's rename succeeds, so two
+    waiters can never each unlink (the unlink-then-create TOCTOU where
+    the second waiter removes the FIRST waiter's fresh lease, r9 review
+    catch)."""
+    broken = lease.with_name(lease.name + ".broken." + uuid.uuid4().hex)
+    os.rename(lease, broken)  # FileNotFoundError -> someone else won
+    with contextlib.suppress(OSError):
+        os.unlink(broken)
 
 
 @contextlib.contextmanager
 def _maintainer_lease(root: str | Path,
-                      timeout_sec: float = LEASE_TIMEOUT_SEC) -> Iterator[None]:
+                      timeout_sec: float | None = None) -> Iterator[None]:
     """Hold the index's single-maintainer lease for one mutation.
     O_EXCL create is the acquisition; a live second maintainer raises
     :class:`ConcurrentMaintainerError` immediately (no blocking — the
-    caller misconfigured, waiting won't fix it)."""
+    caller misconfigured, waiting won't fix it). While held, a daemon
+    heartbeat refreshes the lease mtime every timeout/4, so mutations
+    longer than the timeout (a full BM25 merge at scale) never have a
+    LIVE lease broken out from under them — the timeout only ever
+    breaks a holder that crashed (heartbeat died with the process) or
+    wedged. Override via ``SSBC_LEASE_TIMEOUT_SEC``."""
+    if timeout_sec is None:
+        timeout_sec = float(
+            os.environ.get("SSBC_LEASE_TIMEOUT_SEC", LEASE_TIMEOUT_SEC)
+        )
     mdir = _mdir(root)
     mdir.mkdir(parents=True, exist_ok=True)
     lease = _lease_path(root)
@@ -139,12 +171,14 @@ def _maintainer_lease(root: str | Path,
         try:
             fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as fh:
-                fh.write(f"{token} {os.getpid()} {time.time()}")
+                fh.write(f"{token} {os.getpid()} {_HOSTNAME} {time.time()}")
             break
         except FileExistsError:
             if _lease_is_stale(lease, timeout_sec):
-                with contextlib.suppress(OSError):
-                    os.unlink(lease)
+                try:
+                    _break_stale_lease(lease)
+                except OSError:
+                    pass  # another waiter broke it; retry acquisition
                 continue
             raise ConcurrentMaintainerError(
                 f"index {root} is being mutated by another maintainer "
@@ -154,9 +188,24 @@ def _maintainer_lease(root: str | Path,
         raise ConcurrentMaintainerError(
             f"could not acquire maintainer lease {lease} after stale-breaks"
         )
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop.wait(max(1.0, timeout_sec / 4.0)):
+            try:
+                if lease.read_text().split()[0] != token:
+                    return  # not ours any more; stop touching it
+                os.utime(lease)
+            except OSError:
+                return
+
+    hb = threading.Thread(target=_heartbeat, daemon=True)
+    hb.start()
     try:
         yield
     finally:
+        stop.set()
+        hb.join(timeout=2.0)
         # release only our own lease (a stale-break may have handed it on)
         try:
             if lease.read_text().split()[0] == token:
@@ -382,14 +431,28 @@ class ManifestTxnHandle:
         transaction has written so far (optionally restricted to a
         subtree). Multi-step mutations (rewrite postings, then
         re-derive stats from the REWRITTEN postings) read this instead
-        of the published snapshot, which won't exist until commit."""
-        now_live = (self.live_files - self._extra_retire) | (
-            scan_parquet_files(self._root) - self._pre
-        )
+        of the published snapshot, which won't exist until commit.
+
+        A scoped call walks ONLY that subtree: callers that iterate
+        leaves (compaction, per-segment forget re-derive) would
+        otherwise pay O(leaves x whole-tree walk) in stat calls — the
+        dominant cost of a metadata-cheap maintenance pass on remote
+        filesystems (r9 review catch)."""
         if sub:
             want = sub.rstrip("/") + "/"
+            subdir = self._root / sub.rstrip("/")
+            scanned = (
+                {want + f for f in scan_parquet_files(subdir)}
+                if subdir.is_dir()
+                else set()
+            )
+            now_live = (self.live_files - self._extra_retire) | (
+                scanned - self._pre
+            )
             return {f for f in now_live if f.startswith(want)}
-        return now_live
+        return (self.live_files - self._extra_retire) | (
+            scan_parquet_files(self._root) - self._pre
+        )
 
     def replace(self, prefix: str) -> None:
         self._scopes.append(prefix)

@@ -36,6 +36,7 @@ default (``main.py:61`` db_uri default); same API.
 from __future__ import annotations
 
 import shutil
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -209,20 +210,56 @@ class ServingStore:
         self._recover_compactions()
         if self._migrated:
             return
-        if latest_manifest(self.path) is None:
-            for p in sorted(self.path.iterdir()):
-                if p.is_symlink() and p.name.startswith(f"{RST_COL}="):
+        if latest_manifest(self.path) is None and self._legacy_entries():
+            # the migration MUTATES the tree, so even when reached from
+            # a read path it must hold the maintainer lease: two readers
+            # of a legacy store would otherwise interleave unlink+rename
+            # on the same symlinks (r9 review catch)
+            from ..sources.manifest import (
+                ConcurrentMaintainerError,
+                _maintainer_lease,
+            )
+
+            try:
+                with _maintainer_lease(self.path):
+                    if latest_manifest(self.path) is None:
+                        self._do_legacy_migration()
+            except ConcurrentMaintainerError:
+                # another process is migrating (or writing) right now:
+                # wait for the layout to settle instead of racing it
+                deadline = time.time() + 30.0
+                while time.time() < deadline and self._legacy_entries():
+                    time.sleep(0.2)
+        self._migrated = True
+
+    def _legacy_entries(self) -> bool:
+        for p in self.path.iterdir():
+            if p.is_symlink() and p.name.startswith(f"{RST_COL}="):
+                return True
+            if p.is_dir() and not p.is_symlink() and (
+                p.name.startswith("_data_") or p.name.startswith("_gc_")
+            ):
+                return True
+        return False
+
+    def _do_legacy_migration(self) -> None:
+        # per-entry tolerance: a racer that slipped before the lease
+        # existed degrades to a skipped entry, not a crashed read
+        for p in sorted(self.path.iterdir()):
+            if p.is_symlink() and p.name.startswith(f"{RST_COL}="):
+                try:
                     target = p.resolve()
                     p.unlink()
                     target.rename(p)
-            for p in sorted(self.path.iterdir()):
-                if (
-                    p.is_dir()
-                    and not p.is_symlink()
-                    and (p.name.startswith("_data_") or p.name.startswith("_gc_"))
-                ):
-                    shutil.rmtree(p, ignore_errors=True)
-        self._migrated = True
+                except OSError:
+                    continue
+        for p in sorted(self.path.iterdir()):
+            if (
+                p.is_dir()
+                and not p.is_symlink()
+                and (p.name.startswith("_data_") or p.name.startswith("_gc_"))
+            ):
+                shutil.rmtree(p, ignore_errors=True)
 
     def _snapshot(self) -> dict | None:
         from ..sources.manifest import latest_manifest
@@ -477,11 +514,18 @@ class ServingStore:
         self._migrate_legacy_layout()
         rewritten = 0
         with manifest_txn(self.path) as txn:
-            ids = self._ids_of(txn.live_files) or self._batch_ids()
+            # txn.live_files already covers both managed stores (prior
+            # snapshot) and adopted unmanaged ones (pre-scan); frozen
+            # leaves are immutable inside this txn, so no per-leaf
+            # rescan is needed (r9 review: the per-leaf current_live
+            # walked the whole tree once per partition)
+            ids = self._ids_of(txn.live_files)
             frozen = ids[: -keep_recent] if keep_recent > 0 else ids
             for b in frozen:
-                leaf = f"{RST_COL}={b}"
-                files = sorted(txn.current_live(leaf))
+                leaf = f"{RST_COL}={b}/"
+                files = sorted(
+                    f for f in txn.live_files if f.startswith(leaf)
+                )
                 if len(files) <= target_files:
                     continue
                 df = self.spark.read.option("basePath", str(self.path)).parquet(

@@ -776,3 +776,28 @@ def test_theta_set_ops_estimates_track_truth(spark):
     # the intersection estimator's error scales with union/inter ratio;
     # allow a wider (documented) band
     assert abs(got["inter_est"] - overlap) / overlap < 0.5
+
+
+def test_theta_set_ops_overlapping_predicates(spark):
+    """A row satisfying BOTH predicates must feed BOTH sketches, and
+    values outside either predicate must not inflate the exact union
+    (r9 review catches)."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 5, "u1"),   # clicked AND spend: in A and B via ONE row
+        (1, 0, "u2"),   # A only
+        (0, 7, "u3"),   # B only
+        (0, 0, "u4"),   # neither: must not count anywhere
+    ]
+    df = spark.createDataFrame(rows, ["clicked", "spend", "v"])
+    got = kmv_set_ops(
+        df, F.col("clicked") == 1, F.col("spend") > 0, "v", k=16
+    ).collect()[0]
+    assert got["n_union_exact"] == 3  # u4 excluded
+    assert got["n_inter_exact"] == 1  # u1 via the dual-matching row
+    assert got["inter_kept"] == 1 and got["inter_est"] == 1.0
+    assert got["union_kept"] == 3 and got["union_est"] == 3.0

@@ -5,7 +5,8 @@ segment count == micro-batch count (SOAK r8: 1,234 live files at
 generation 26 vs LSH's 105, IVF's 5). These tests pin the fix:
 `bm25_merge_segments` folds all live segments into the base segment in
 ONE snapshot, queries are bit-identical across the merge, folded batch
-ids live in the snapshot's `bm25_covered_batches` provenance so a
+ids live in the snapshot's `bm25_covered_ranges` provenance (merged
+[lo, hi] ranges — O(1) regardless of total batch count) so a
 checkpoint-rollback replay of a covered batch is a manifest-level
 no-op, and the streaming loop's `merge_every` keeps live file count
 bounded as batches accumulate.
@@ -81,7 +82,7 @@ def test_merge_is_bit_identical_one_snapshot_and_bounded(spark, tmp_path):
     m = latest_manifest(idx)
     # ONE merge snapshot (zero-grace GC published one more to clear
     # the retired set; both carry the provenance)
-    assert m["meta"]["bm25_covered_batches"] == [0, 1, 2]
+    assert m["meta"]["bm25_covered_ranges"] == [[0, 2]]
     assert m["generation"] <= gen_before + 2
     # only the merged base segment remains on disk
     segs = {
@@ -173,7 +174,7 @@ def test_streaming_merge_every_bounds_live_files(spark, tmp_path):
     }
     # batches 0-3 merged at batch 3, 0-7 merged at batch 7: only base
     assert segs == {f"batch_id={BM25_MERGED_SEGMENT}"}
-    assert m["meta"]["bm25_covered_batches"] == list(range(8))
+    assert m["meta"]["bm25_covered_ranges"] == [[0, 7]]
     # bounded: base segment compacted to <= 1 file per (tb) leaf per
     # table + 1 stats file — far under the 8-segments-uncompacted shape
     assert len(m["files"]) <= 2 * 8 + 1
@@ -191,3 +192,26 @@ def test_streaming_merge_every_bounds_live_files(spark, tmp_path):
             for r in bm25_topk(corpus, "doc_id", "text", ts, top_k=10).collect()
         ]
         assert via_index == direct, ts
+
+
+def test_covered_ranges_coalesce_and_legacy_compat():
+    """Coverage provenance is O(#ranges), not O(#batches): contiguous
+    ids coalesce, gaps stay separate, and pre-r9 snapshots' explicit
+    bm25_covered_batches lists are still honored."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        _covered_contains,
+        _ranges_add,
+    )
+
+    r = _ranges_add([], range(0, 1000))
+    assert r == [[0, 999]]
+    r = _ranges_add(r, [1000, 1002, 5000])
+    assert r == [[0, 1000], [1002, 1002], [5000, 5000]]  # 1001 is a gap
+    meta = {"bm25_covered_ranges": r}
+    assert _covered_contains(meta, 500) and _covered_contains(meta, 5000)
+    assert not _covered_contains(meta, 1001)
+    assert not _covered_contains(meta, 1003)
+    legacy = {"bm25_covered_batches": [3, 4, 5, 9]}
+    assert _covered_contains(legacy, 4) and not _covered_contains(legacy, 6)
+    mixed = {"bm25_covered_ranges": [[0, 2]], "bm25_covered_batches": [3]}
+    assert _covered_contains(mixed, 3)

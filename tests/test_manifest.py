@@ -473,3 +473,48 @@ def test_forget_on_unmanaged_tree_adopts_and_honors(spark, tmp_path):
         r["doc_id"] for r in manifest_read(spark, root, "t").collect()
     )
     assert remaining == [0, 1, 3, 5]
+
+
+def test_live_lease_heartbeat_survives_timeout(tmp_path, monkeypatch):
+    """A mutation longer than the lease timeout must NOT have its live
+    lease broken: the holder heartbeats the mtime, so a second
+    maintainer arriving mid-mutation still fails loudly (r9 review
+    catch — previously a >timeout mutation could be broken and then
+    die at the publish backstop after hours of work)."""
+    import time as _time
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        ConcurrentMaintainerError,
+        _lease_path,
+        _maintainer_lease,
+    )
+
+    monkeypatch.setenv("SSBC_LEASE_TIMEOUT_SEC", "2")
+    root = tmp_path / "idx"
+    root.mkdir()
+    with _maintainer_lease(root):
+        _time.sleep(3.0)  # longer than the timeout; heartbeat refreshes
+        with pytest.raises(ConcurrentMaintainerError):
+            with _maintainer_lease(root):
+                pass
+    assert not _lease_path(root).exists()
+
+
+def test_cross_host_lease_not_pid_probed(tmp_path):
+    """A fresh lease recording a DIFFERENT hostname must be honored
+    even when its pid number happens not to exist locally — pid
+    liveness means nothing across hosts (r9 review catch)."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        ConcurrentMaintainerError,
+        _maintainer_lease,
+    )
+
+    root = tmp_path / "idx"
+    mdir = root / "_manifest"
+    mdir.mkdir(parents=True)
+    (mdir / "_lease").write_text(
+        f"sometoken 999999999 other-host {__import__('time').time()}"
+    )
+    with pytest.raises(ConcurrentMaintainerError):
+        with _maintainer_lease(root):
+            pass
