@@ -6,9 +6,10 @@ not fit anywhere useful, so production ANN (Faiss IVFADC; Jegou et al.,
 "Product Quantization for Nearest Neighbor Search", TPAMI 2011) stores
 each vector as m sub-space code bytes and scans codes with per-query
 lookup tables (asymmetric distance computation — the query stays exact,
-only candidates are quantized). 64-dim fp32 → 4 code bytes here is a
-64x store shrink; distance evaluation per candidate collapses from a
-dim-length dot product to m table lookups.
+only candidates are quantized). 64-dim fp32 → 16 4-bit codes (8
+bytes) in the catalog config, a 32x store shrink; distance evaluation
+per candidate collapses from a dim-length dot product to m table
+lookups.
 
 Built on the SAME exact fixed-point discipline as clustering.py's
 kmeans_lloyd (elements snapped to 1e-6 units; BIGINT squared-L2; argmin
@@ -16,15 +17,24 @@ via (dist, cid) lexicographic min; floor-divided integer centroid means;
 md5(id)-ranked deterministic seeding), generalized to train all m
 sub-space codebooks JOINTLY:
 
-- assignment is pure codegen: per sub-space, argmin over ksub literal
-  sub-centroids of the vector SLICE — no join, no shuffle of vectors;
+- the Lloyd rounds ship the m*ksub centroids as broadcast DATA and
+  argmin under partial aggregation (skinny (id, sub, cid) rows on the
+  wire) — with 256 centroids an inlined-literal argmin overflows the
+  JVM's 64 KB codegen method limit AND costs seconds of optimizer time
+  per round (both measured), while the data formulation keeps one
+  small, plan-cache-friendly shape across rounds;
 - the Lloyd update is ONE (sub, cid, dim)-keyed partial-agg shuffle of
   m * ksub * dsub rows per round (kilobytes), regardless of data size;
 - only the codebook (m * ksub * dsub integers) ever reaches the driver —
   the same bounded-collect contract as kmeans/PageRank;
-- the ADC scan broadcasts the per-query LUTs (m * ksub BIGINTs per
-  query, computed in-plan from the literal codebook) against the code
-  table; distance is m element_at lookups summed in codegen.
+- the bulk ENCODE is a map-only Arrow stage (vectorized int64 numpy
+  argmin per batch — no shuffle, no codegen limits), with an all-JVM
+  broadcast-join twin pinned bit-identical (a cross-engine int64
+  parity check in itself);
+- the ADC scan computes per-query LUTs (m * ksub exact BIGINT
+  sub-distances) DRIVER-side from the bounded query set — the query
+  path of every production ANN server — and broadcasts them against
+  the code table; distance is m element_at lookups summed in codegen.
 
 Every step is exact integer arithmetic, so the DuckDB oracle replays
 training, encoding, and the ADC scan bit-for-bit (the *_sql builders
@@ -65,55 +75,57 @@ def _fixed_vecs(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFra
     )
 
 
-def _reduced_dist_sql(sub: int, dsub: int, centroid: list[int]) -> str:
-    """||c||^2 - 2*x.c over sub-space `sub` of the fixed-point vector
-    column `v`, as a Spark-SQL snippet — the full squared-L2 minus the
-    per-row constant ||x||^2, so the per-sub ARGMIN (ordering AND ties)
-    is identical to full distance while the plan-construction cost stays
-    flat: building the whole argmin as ONE SQL string parsed JVM-side by
-    a single F.expr avoids both the thousands of py4j round-trips a
-    Column-operator tree costs and the Catalyst lambda-resolution tax of
-    the transform/aggregate formulation (both measured to dominate this
-    operator's runtime before any data moved)."""
+def _sub_sq_dist_py(v: list[int], sub: int, dsub: int, centroid: list[int]) -> int:
+    """Exact squared-L2 between sub-space `sub` of a fixed-point vector
+    and a sub-centroid, in unbounded Python ints (driver-side: LUT
+    construction over the bounded query set)."""
     off = sub * dsub
-    dot = " + ".join(
-        f"element_at(v, {off + j + 1}) * {int(cj)}L" for j, cj in enumerate(centroid)
-    )
-    c2 = sum(int(c) * int(c) for c in centroid)
-    return f"({c2}L - 2L * ({dot}))"
+    return sum((int(v[off + j]) - int(cj)) ** 2 for j, cj in enumerate(centroid))
 
 
-def _full_sub_dist_sql(vec: str, sub: int, dsub: int, centroid: list[int]) -> str:
-    """Exact BIGINT squared-L2 between sub-space `sub` of a fixed-point
-    vector column and a literal sub-centroid, as a Spark-SQL snippet."""
-    off = sub * dsub
-    terms = " + ".join(
-        f"(element_at({vec}, {off + j + 1}) - {int(cj)}L)"
-        f" * (element_at({vec}, {off + j + 1}) - {int(cj)}L)"
-        for j, cj in enumerate(centroid)
-    )
-    return f"({terms})"
+def _np_books(books: Codebook, m: int, ksub: int, dsub: int):
+    import numpy as np
+
+    C = np.empty((m, ksub, dsub), dtype=np.int64)
+    for s in range(m):
+        for c in range(ksub):
+            C[s, c, :] = books[(s, c)]
+    return C
 
 
-def _assign_codes(
-    vecs: DataFrame, books: Codebook, m: int, ksub: int, dsub: int
-) -> DataFrame:
-    """vecs + `codes` array<long>: codes[s] = nearest sub-centroid of
-    sub-space s, ties to the lower cid — the same order-free (dist, cid)
-    struct-min argmin as clustering.py's _assign, over the reduced
-    distance (argmin-equivalent to full squared-L2 bit-for-bit,
-    including ties; see _reduced_dist_sql)."""
+def _encode_arrow(vecs: DataFrame, books: Codebook, m: int, ksub: int,
+                  dsub: int) -> DataFrame:
+    """(id, codes): map-only vectorized encode — per Arrow batch, numpy
+    int64 argmin over the reduced distance -2*x.c + ||c||^2 (identical
+    ordering AND ties to full squared-L2: the omitted ||x||^2 is
+    constant per row, and np.argmin's first-minimum rule is the
+    lowest-cid tie-break). No shuffle, no JVM codegen limits — a 256-
+    literal argmin expression overflows janino's 64 KB method cap and
+    silently falls back to interpreted eval (measured), while the numpy
+    kernel stays vectorized at any (m, ksub). int64 wraps silently on
+    overflow, unlike ANSI-mode JVM arithmetic — the documented input
+    domain (pq_train) is the guard, and the all-JVM `via="join"` twin
+    is pinned bit-identical in test_pq.py as the cross-engine check."""
+    import numpy as np
 
-    def choice(s: int) -> str:
-        entries = ", ".join(
-            f"named_struct('d', {_reduced_dist_sql(s, dsub, books[(s, c)])},"
-            f" 'cid', {c}L)"
-            for c in range(ksub)
-        )
-        return f"(array_min(array({entries}))).cid"
+    C = _np_books(books, m, ksub, dsub)
+    c2 = (C.astype(np.int64) ** 2).sum(axis=2)  # (m, ksub)
 
-    codes = "array(" + ", ".join(choice(s) for s in range(m)) + ")"
-    return vecs.withColumn("codes", F.expr(codes))
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(x, dtype=np.int64) for x in pdf["v"]])
+            codes = np.empty((len(V), m), dtype=np.int64)
+            for s in range(m):
+                sl = V[:, s * dsub : (s + 1) * dsub]
+                d = c2[s] - 2 * (sl @ C[s].T)  # (batch, ksub), exact int64
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    return vecs.select("id", "v").mapInPandas(kernel, "id long, codes array<long>")
 
 
 def pq_train(
@@ -229,25 +241,25 @@ def pq_encode(
     m: int = 4,
     ksub: int = 16,
     scale: int = 1_000_000,
-    via: str = "codegen",
+    via: str = "arrow",
 ) -> DataFrame:
     """(id, codes array<long>): every vector compressed to m sub-space
     codes against the trained codebook.
 
-    via="codegen" (default): literal-centroid argmin, map-only — no
-    shuffle, the right shape for a 100 TB encode where the one-time
-    plan-compile cost amortizes over the corpus. via="join": the
-    training rounds' broadcast-data formulation (explode → broadcast
-    join → struct-min → regroup), which costs two skinny shuffles but
-    reuses the already-JITted plan shape — cheaper when the corpus is
-    small relative to plan-compile time (e.g. a driver-bench dataset).
-    Both paths are pinned bit-identical (test_pq.py)."""
+    via="arrow" (default): map-only vectorized numpy argmin per Arrow
+    batch — no shuffle, no JVM codegen limits, the 100 TB bulk-encode
+    shape (see _encode_arrow for why a literal-codegen argmin can't be
+    it). via="join": all-JVM broadcast-data formulation (explode →
+    broadcast join → struct-min → regroup) — two skinny shuffles, exact
+    ANSI arithmetic, and the plan shape the Lloyd rounds already JITted.
+    Both paths are pinned bit-identical (test_pq.py) — a standing
+    numpy-int64-vs-JVM-long parity check."""
     dsub = dim // m
     vecs = _fixed_vecs(df, id_col, vec_col, scale)
-    if via == "codegen":
-        return _assign_codes(vecs, books, m, ksub, dsub).select("id", "codes")
+    if via == "arrow":
+        return _encode_arrow(vecs, books, m, ksub, dsub)
     if via != "join":
-        raise ValueError(f"via must be 'codegen' or 'join': {via!r}")
+        raise ValueError(f"via must be 'arrow' or 'join': {via!r}")
     spark = df.sparkSession
     cents = spark.createDataFrame(
         [(s, c, books[(s, c)]) for s in range(m) for c in range(ksub)],
@@ -294,27 +306,36 @@ def _adc_scored(
     """(query_id, cand_id, adc_dist): asymmetric distances of every
     candidate CODE to every exact query vector (self excluded).
 
-    The per-query LUT (m x ksub BIGINTs) is computed in-plan from the
-    literal codebook and broadcast; the scan is a broadcast nested-loop
-    over the code table with distance = m element_at lookups summed —
-    the Faiss ADC scan shape, JVM codegen end to end. Pass `codes` (a
-    pq_encode result) to scan a pre-encoded store instead of re-encoding.
-    """
+    The per-query LUT (m x ksub exact BIGINT sub-distances, FULL
+    squared-L2 — they are emitted as adc_dist, so the per-row-constant
+    reduction used for argmins doesn't apply) is computed DRIVER-side
+    from the collected query vectors — bounded by construction
+    (id < query_max_id), and exactly where every production ANN server
+    computes LUTs: on the query path, from the request payload. The
+    scan is then a broadcast nested-loop over the code table with
+    distance = m element_at lookups summed in codegen (a small, fixed
+    expression — an in-plan LUT over 256 literal sub-distances
+    overflows the JVM's 64 KB codegen method cap). Pass `codes` (a
+    pq_encode result) to scan a pre-encoded store instead of
+    re-encoding."""
     dsub = dim // m
     vecs = _fixed_vecs(df, id_col, vec_col, scale)
     if codes is None:
         codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
     codes = codes.select(F.col("id").alias("cand_id"), "codes")
-    # the LUT holds FULL sub-distances (they are emitted as adc_dist, so
-    # the per-row-constant reduction used for the argmin doesn't apply)
-    lut_sql = "array(" + ", ".join(
-        "array("
-        + ", ".join(_full_sub_dist_sql("v", s, dsub, books[(s, c)]) for c in range(ksub))
-        + ")"
-        for s in range(m)
-    ) + ")"
-    lut = vecs.filter(F.col("id") < query_max_id).select(
-        F.col("id").alias("query_id"), F.expr(lut_sql).alias("lut")
+    qrows = vecs.filter(F.col("id") < query_max_id).collect()
+    lut_rows = [
+        (
+            int(r["id"]),
+            [
+                [_sub_sq_dist_py(r["v"], s, dsub, books[(s, c)]) for c in range(ksub)]
+                for s in range(m)
+            ],
+        )
+        for r in qrows
+    ]
+    lut = df.sparkSession.createDataFrame(
+        lut_rows, "query_id long, lut array<array<long>>"
     )
     dist_sql = " + ".join(
         f"element_at(element_at(lut, {s + 1}),"

@@ -700,11 +700,6 @@ def _pq_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: PQ.pq_encode(
             _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
             _pq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
-            # at driver-bench scale the broadcast-join encode reuses the
-            # training rounds' already-JITted plan shape; the map-only
-            # codegen path (the 100 TB default) is pinned bit-identical
-            # in test_pq.py
-            via="join",
         ),
     )
 

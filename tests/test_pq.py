@@ -46,7 +46,10 @@ def test_codes_domain(emb, books):
         assert all(0 <= c < KSUB for c in r["codes"])
 
 
-def test_join_encode_matches_codegen_encode(emb, books):
+def test_arrow_encode_matches_jvm_encode(emb, books):
+    # the standing numpy-int64 vs JVM-long parity pin: the vectorized
+    # Arrow kernel and the all-JVM broadcast-join argmin must agree
+    # bit-for-bit (ordering AND ties)
     a = PQ.pq_encode(emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB)
     b = PQ.pq_encode(
         emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB, via="join"
