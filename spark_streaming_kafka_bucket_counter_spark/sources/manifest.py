@@ -314,8 +314,155 @@ def scan_parquet_files(root: str | Path) -> set[str]:
     return out
 
 
+#: string min/max longer than this are dropped from zone maps: parquet
+#: writers may TRUNCATE long byte-array statistics, and a truncated max
+#: understates the true upper bound — pruning with it would wrongly skip
+#: files. Values at or under the cap are always stored exact.
+_STAT_STR_CAP = 60
+
+
+def _file_stats(path: Path) -> dict | None:
+    """Zone-map entry for one parquet file, from its FOOTER only (no
+    data read): {"rows": n, "cols": {name: {"mn","mx","nulls"} |
+    {"allnull": true}}}. Top-level primitive columns only (nested chunk
+    paths contain '.'); a column whose min/max is unusable in any row
+    group (missing, NaN, unorderable, oversized string) is omitted —
+    pruning treats missing as "may match". Returns None if the footer
+    can't be read (the file is then simply never pruned)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    rows = md.num_rows
+    agg: dict[str, dict] = {}
+    bad: set[str] = set()
+
+    def _norm(v):
+        if isinstance(v, bytes):
+            try:
+                v = v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, bool) or isinstance(v, int):
+            return int(v)
+        if isinstance(v, float):
+            return v if v == v else None  # NaN is unorderable
+        if isinstance(v, str):
+            return v if len(v) <= _STAT_STR_CAP else None
+        return None  # timestamps/decimals/etc: not JSON-portable
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            c = g.column(i)
+            name = c.path_in_schema
+            if "." in name or name in bad:
+                continue
+            st = c.statistics
+            ent = agg.setdefault(name, {"mn": None, "mx": None, "nulls": 0, "vals": 0})
+            nulls = st.null_count if st is not None and st.null_count is not None else None
+            if nulls is None:
+                bad.add(name)
+                continue
+            ent["nulls"] += nulls
+            if nulls == c.num_values and not st.has_min_max:
+                continue  # chunk entirely null: no min/max needed
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            mn, mx = _norm(st.min), _norm(st.max)
+            if mn is None or mx is None or type(mn) is not type(mx):
+                bad.add(name)
+                continue
+            ent["vals"] += 1
+            if ent["vals"] == 1:
+                ent["mn"], ent["mx"] = mn, mx
+            else:
+                if type(ent["mn"]) is not type(mn):
+                    bad.add(name)
+                    continue
+                ent["mn"] = min(ent["mn"], mn)
+                ent["mx"] = max(ent["mx"], mx)
+    cols: dict[str, dict] = {}
+    for name, ent in agg.items():
+        if name in bad:
+            continue
+        if ent["vals"] == 0:
+            if ent["nulls"] == rows:
+                cols[name] = {"allnull": True}
+            continue
+        cols[name] = {"mn": ent["mn"], "mx": ent["mx"], "nulls": ent["nulls"]}
+    return {"rows": rows, "cols": cols}
+
+
+def _harvest_stats(rootp: Path, rels: Sequence[str]) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for rel in rels:
+        st = _file_stats(rootp / rel)
+        if st is not None:
+            out[rel] = st
+    return out
+
+
+def _satisfiable(fstat: dict | None, col: str, op: str, value) -> bool:
+    """Can any row of a file with zone-map entry `fstat` match
+    `col op value`? Conservative: unknown stats -> True."""
+    if fstat is None:
+        return True
+    cs = fstat.get("cols", {}).get(col)
+    if cs is None:
+        return True
+    if cs.get("allnull"):
+        return False  # comparisons never match NULL
+    mn, mx = cs["mn"], cs["mx"]
+    if op == "in":
+        try:
+            return any(mn <= v <= mx for v in value)
+        except TypeError:
+            return True
+    try:
+        if op == "=":
+            return mn <= value <= mx
+        if op == ">=":
+            return mx >= value
+        if op == ">":
+            return mx > value
+        if op == "<=":
+            return mn <= value
+        if op == "<":
+            return mn < value
+    except TypeError:
+        return True  # cross-type comparison: stats don't apply
+    return True  # unknown operator: never prune
+
+
+def files_matching(m: dict, sub: str = "",
+                   predicate: Sequence[tuple] = ()) -> list[str]:
+    """The snapshot's live files under ``sub`` that MAY contain rows
+    matching every ``(col, op, value)`` conjunct (ops: = < <= > >= in),
+    judged purely from the snapshot's zone maps — no file is opened.
+    Pruning is correctness-neutral: a kept file may still contain no
+    matching rows (the query's own filter handles that); a skipped file
+    provably contains none. Columns without recorded stats (partition
+    columns, nested/complex types, oversized strings, pre-stats
+    generations) never cause a skip."""
+    want = sub.rstrip("/") + "/" if sub else ""
+    stats = m.get("stats", {})
+    out = []
+    for f in m["files"]:
+        if not f.startswith(want):
+            continue
+        fstat = stats.get(f)
+        if all(_satisfiable(fstat, c, op, v) for (c, op, v) in predicate):
+            out.append(f)
+    return out
+
+
 def _publish(root: str | Path, files: Sequence[str], retired: dict[str, float],
-             generation: int, meta: dict | None = None) -> dict:
+             generation: int, meta: dict | None = None,
+             stats: dict | None = None) -> dict:
     """Write one snapshot generation. The write is tmp + hard-link, so
     it is both atomic (any ``v*.json`` a reader opens is complete) and
     FAIL-IF-EXISTS: a second maintainer that raced past the lease and
@@ -332,6 +479,8 @@ def _publish(root: str | Path, files: Sequence[str], retired: dict[str, float],
     }
     if meta:
         m["meta"] = meta
+    if stats:
+        m["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
     tmp = mdir / f"_tmp_{uuid.uuid4().hex[:8]}.json"
     tmp.write_text(json.dumps(m))
     final = mdir / f"v{generation:012d}.json"
@@ -395,7 +544,16 @@ def _commit(root: str | Path, added: set[str],
     retired = {f: t for f, t in retired.items()
                if f not in added and (rootp / f).exists()}
     gen = (prev["generation"] + 1) if prev else 1
-    return _publish(rootp, kept + sorted(added), retired, gen, meta=meta)
+    # zone maps: carry the previous snapshot's per-file stats forward for
+    # kept files, harvest footers ONLY for files new to this snapshot
+    # (added, plus the adopted set on a first commit) — a commit costs
+    # O(new files) footer reads, never a re-walk of the live set
+    stats = dict(prev.get("stats", {})) if prev else {}
+    new_rels = [f for f in (set(added) | ({*prev_files} if not prev else set()))
+                if f not in stats and (rootp / f).exists()]
+    stats.update(_harvest_stats(rootp, sorted(new_rels)))
+    return _publish(rootp, kept + sorted(added), retired, gen, meta=meta,
+                    stats=stats)
 
 
 class ManifestTxnHandle:
@@ -512,7 +670,8 @@ def manifest_txn(root: str | Path,
 
 
 def manifest_read(spark: SparkSession, root: str | Path, sub: str = "",
-                  snapshot: dict | None = None) -> DataFrame:
+                  snapshot: dict | None = None,
+                  predicate: Sequence[tuple] = ()) -> DataFrame:
     """Plan a parquet read over the latest snapshot's files under
     ``sub`` (a relative subtree, e.g. ``"postings"``). ``basePath``
     anchors partition-column discovery, so partition pruning and DPP
@@ -520,14 +679,34 @@ def manifest_read(spark: SparkSession, root: str | Path, sub: str = "",
     built by older code or external writers) fall back to the plain
     directory read. A query spanning several subtrees resolves
     :func:`latest_manifest` ONCE and passes it as ``snapshot`` so all
-    its reads pin the same generation."""
+    its reads pin the same generation.
+
+    ``predicate`` — ``(col, op, value)`` conjuncts — prunes files by
+    the snapshot's zone maps BEFORE Spark ever lists or opens them
+    (see :func:`files_matching`); at object-store scale that turns a
+    selective point/range read from O(files) footer round-trips into
+    O(manifest). The caller must still apply the real filter: pruning
+    only removes files that provably contain no match. When every live
+    file is pruned the read degrades to the empty-subtree path below
+    (schema preserved)."""
     rootp = Path(root)
     m = snapshot if snapshot is not None else latest_manifest(rootp)
     base = rootp / sub if sub else rootp
     if m is None:
         return spark.read.parquet(str(base))
     want = sub.rstrip("/") + "/" if sub else ""
-    paths = [str(rootp / f) for f in m["files"] if f.startswith(want)]
+    matched = (files_matching(m, sub, predicate) if predicate
+               else [f for f in m["files"] if f.startswith(want)])
+    paths = [str(rootp / f) for f in matched]
+    if not paths and predicate and any(f.startswith(want) for f in m["files"]):
+        # live files exist but all were zone-map-pruned: empty result
+        # with the real schema (from a live file, schema-only)
+        first_live = next(f for f in m["files"] if f.startswith(want))
+        schema = (
+            spark.read.option("basePath", str(base))
+            .parquet(str(rootp / first_live)).schema
+        )
+        return spark.createDataFrame([], schema)
     if not paths:
         # A manifest exists but lists no live files under the subtree.
         # NEVER fall back to the directory read: retired files awaiting
@@ -558,20 +737,28 @@ def _rewrite_dropping_rows(spark: SparkSession, rootp: Path, live: set[str],
                            subtrees: Sequence[str]) -> tuple[set[str], list[str]]:
     """Rewrite, in place (new part files beside the old), every live
     data file under ``subtrees`` that contains rows whose ``id_col`` is
-    in ``idlist`` — found with one pushdown-pruned scan per subtree
-    (parquet row-group stats skip the rest). Files whose rows are ALL
-    forgotten get no replacement. Returns (displaced files, replacement
-    files); the CALLER publishes — until it does, replacements are
-    orphans and readers keep resolving the old files, so a crash here
-    loses nothing."""
+    in ``idlist`` — candidates are first pruned by the snapshot's zone
+    maps (files whose recorded [min, max] id range contains none of the
+    ids are never even opened), then confirmed with one pushdown-pruned
+    scan per subtree (parquet row-group stats skip the rest). Files
+    whose rows are ALL forgotten get no replacement. Returns (displaced
+    files, replacement files); the CALLER publishes — until it does,
+    replacements are orphans and readers keep resolving the old files,
+    so a crash here loses nothing."""
     touched: set[str] = set()
     added: list[str] = []
     from pyspark.sql import functions as F  # local: keep module import-light
 
+    m = latest_manifest(rootp)
+    stats = m.get("stats", {}) if m else {}
     for sub in subtrees:
         base = rootp / sub
         want = sub.rstrip("/") + "/"
-        paths = [f for f in live if f.startswith(want)]
+        paths = [
+            f for f in live
+            if f.startswith(want)
+            and _satisfiable(stats.get(f), id_col, "in", idlist)
+        ]
         if not paths:
             continue
         hit_rows = (

@@ -1,0 +1,162 @@
+"""Zone-map pins for the manifest layer (sources/manifest.py): per-file
+min/max/null stats harvested from parquet FOOTERS at commit time, then
+used for plan-time file pruning — manifest_read(predicate=...) and the
+forget path's candidate pruning. The contract under test: pruning is
+correctness-neutral (kept files may still not match; skipped files
+provably cannot), and every unknown (missing stats, unreadable footer,
+nested/oversized column, cross-type compare) degrades to "keep".
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+    _satisfiable,
+    files_matching,
+    latest_manifest,
+    manifest_forget_rows,
+    manifest_read,
+    manifest_txn,
+)
+
+
+def _write_range(spark, root: Path, sub: str, lo: int, hi: int) -> None:
+    """One txn writing ids [lo, hi) with a string label column."""
+    df = spark.range(lo, hi).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("w"),
+    )
+    with manifest_txn(root):
+        df.coalesce(1).write.mode("append").parquet(str(root / sub))
+
+
+@pytest.fixture()
+def ranged(spark, tmp_path):
+    root = tmp_path / "idx"
+    _write_range(spark, root, "data", 0, 100)
+    _write_range(spark, root, "data", 100, 200)
+    _write_range(spark, root, "data", 200, 300)
+    return root
+
+
+def test_stats_harvested_and_carried_forward(spark, ranged):
+    m = latest_manifest(ranged)
+    assert m["generation"] == 3
+    files = [f for f in m["files"] if f.startswith("data/")]
+    assert len(files) == 3
+    ranges = sorted(
+        (m["stats"][f]["cols"]["id"]["mn"], m["stats"][f]["cols"]["id"]["mx"])
+        for f in files
+    )
+    assert ranges == [(0, 99), (100, 199), (200, 299)]
+    # string stats recorded too (short values), rows per file recorded
+    assert all(m["stats"][f]["cols"]["w"]["mn"].startswith("w") for f in files)
+    assert sum(m["stats"][f]["rows"] for f in files) == 300
+
+
+def test_files_matching_prunes_by_range(ranged):
+    m = latest_manifest(ranged)
+    assert len(files_matching(m, "data", [("id", "=", 150)])) == 1
+    assert len(files_matching(m, "data", [("id", ">=", 250)])) == 1
+    assert len(files_matching(m, "data", [("id", "<", 100)])) == 1
+    assert len(files_matching(m, "data", [("id", ">", 99)])) == 2
+    assert len(files_matching(m, "data", [("id", "in", [5, 205])])) == 2
+    assert len(files_matching(m, "data", [("id", "=", 999)])) == 0
+    # conjuncts intersect
+    assert len(files_matching(m, "data", [("id", ">=", 100), ("id", "<", 200)])) == 1
+    # unknown column / operator / cross-type value: conservative keep-all
+    assert len(files_matching(m, "data", [("nope", "=", 1)])) == 3
+    assert len(files_matching(m, "data", [("id", "~", 1)])) == 3
+    assert len(files_matching(m, "data", [("id", "=", "abc")])) == 3
+
+
+def test_manifest_read_predicate_same_rows_fewer_files(spark, ranged):
+    full = manifest_read(spark, ranged, "data").filter(F.col("id") == 150)
+    pruned = manifest_read(
+        spark, ranged, "data", predicate=[("id", "=", 150)]
+    ).filter(F.col("id") == 150)
+    assert sorted(r["id"] for r in full.collect()) == sorted(
+        r["id"] for r in pruned.collect()
+    )
+    assert len(full.inputFiles()) == 3
+    assert len(pruned.inputFiles()) == 1
+
+
+def test_manifest_read_all_pruned_keeps_schema(spark, ranged):
+    out = manifest_read(spark, ranged, "data", predicate=[("id", "=", 10_000)])
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "w"}
+
+
+def test_allnull_column_prunes_comparisons(spark, tmp_path):
+    root = tmp_path / "nulls"
+    df = spark.range(0, 10).select(
+        F.col("id"), F.lit(None).cast("long").alias("v")
+    )
+    with manifest_txn(root):
+        df.coalesce(1).write.mode("append").parquet(str(root / "data"))
+    m = latest_manifest(root)
+    (f,) = [f for f in m["files"] if f.startswith("data/")]
+    assert m["stats"][f]["cols"]["v"] == {"allnull": True}
+    assert files_matching(m, "data", [("v", "=", 1)]) == []
+    assert len(files_matching(m, "data", [("id", "=", 5)])) == 1
+
+
+def test_unreadable_footer_is_conservative(tmp_path):
+    # a fake .parquet file (crash debris shape) gets no stats entry and
+    # is never pruned
+    root = tmp_path / "fake"
+    with manifest_txn(root):
+        p = root / "data" / "junk.parquet"
+        p.parent.mkdir(parents=True)
+        p.write_bytes(b"not parquet")
+    m = latest_manifest(root)
+    assert "data/junk.parquet" not in m.get("stats", {})
+    assert files_matching(m, "data", [("id", "=", 1)]) == ["data/junk.parquet"]
+
+
+def test_long_string_stats_dropped(spark, tmp_path):
+    root = tmp_path / "longs"
+    df = spark.range(0, 5).select(
+        F.col("id"), F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("s")
+    )
+    with manifest_txn(root):
+        df.coalesce(1).write.mode("append").parquet(str(root / "data"))
+    m = latest_manifest(root)
+    (f,) = [f for f in m["files"] if f.startswith("data/")]
+    # oversized string min/max omitted (writer truncation would make a
+    # recorded max an invalid upper bound) -> never pruned on it
+    assert "s" not in m["stats"][f]["cols"]
+    assert len(files_matching(m, "data", [("s", "=", "zzz")])) == 1
+
+
+def test_forget_skips_files_outside_id_range(spark, ranged):
+    before = {f for f in latest_manifest(ranged)["files"] if f.startswith("data/")}
+    n = manifest_forget_rows(spark, ranged, "id", [150, 160], ["data"])
+    assert n == 1  # only the 100..199 file rewritten
+    m = latest_manifest(ranged)
+    after = {f for f in m["files"] if f.startswith("data/")}
+    # the two untouched files survive as the SAME file paths
+    assert len(before & after) == 2
+    got = sorted(r["id"] for r in manifest_read(spark, ranged, "data").collect())
+    assert got == [i for i in range(300) if i not in (150, 160)]
+    # the replacement file's stats were harvested at the forget's commit
+    (new,) = after - before
+    assert m["stats"][new]["cols"]["id"]["mn"] == 100
+    assert m["stats"][new]["cols"]["id"]["mx"] == 199
+
+
+def test_satisfiable_edge_cases():
+    st = {"cols": {"a": {"mn": 10, "mx": 20, "nulls": 0}}}
+    assert _satisfiable(st, "a", "=", 10) and _satisfiable(st, "a", "=", 20)
+    assert not _satisfiable(st, "a", ">", 20)
+    assert _satisfiable(st, "a", ">=", 20)
+    assert not _satisfiable(st, "a", "<", 10)
+    assert _satisfiable(st, "a", "<=", 10)
+    assert not _satisfiable(st, "a", "in", [9, 21])
+    assert _satisfiable(None, "a", "=", 5)
+    assert _satisfiable({}, "a", "=", 5)
