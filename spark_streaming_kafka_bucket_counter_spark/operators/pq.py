@@ -57,9 +57,11 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "pq_recall_eval",
+    "ivfpq_topk",
     "pq_codes_sql",
     "pq_adc_topk_sql",
     "pq_recall_sql",
+    "ivfpq_topk_sql",
 ]
 
 Codebook = dict[tuple[int, int], list[int]]  # (sub, cid) -> dsub fixed-point coords
@@ -435,6 +437,91 @@ def pq_recall_eval(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, cand_id, adc_dist, rank): the full Faiss IVFADC
+    composition — IVF cells prune the candidate set (each candidate
+    lives in its rn=1 cell; a query scans only its nprobe nearest
+    cells), then the surviving candidates are ranked by ADC distance
+    over their PQ CODES instead of their raw vectors.
+
+    This is THE production 100 TB ANN architecture: the scan touches
+    ~N*nprobe/n_centroids candidates (cell pruning) at 8 bytes each
+    (PQ compression), with per-query LUTs making each distance m table
+    probes. Cell assignment keeps similarity.ivf_assign's contract
+    (deterministic seed centroids id < n_centroids, cosine, zero-norm
+    vectors excluded); ADC keeps pq_adc_topk's (exact fixed-point
+    BIGINT sub-distances, ties to the lower cand_id)."""
+    from .similarity import ivf_assign, nonzero_vectors
+
+    nz = nonzero_vectors(df, vec_col)
+    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe)
+    cand = assigned.filter(F.col("_rn") == 1).select(
+        F.col("_id").alias("cand_id"), "cid"
+    )
+    probes = (
+        assigned.filter(F.col("_rn") <= nprobe)
+        .filter(F.col("_id") < query_max_id)
+        .select(F.col("_id").alias("query_id"), "cid")
+    )
+    pairs = (
+        cand.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    if codes is None:
+        codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
+    dsub = dim // m
+    qrows = (
+        _fixed_vecs(nz, id_col, vec_col, scale)
+        .filter(F.col("id") < query_max_id)
+        .collect()
+    )
+    lut_rows = [
+        (
+            int(r["id"]),
+            [
+                [_sub_sq_dist_py(r["v"], s, dsub, books[(s, c)]) for c in range(ksub)]
+                for s in range(m)
+            ],
+        )
+        for r in qrows
+    ]
+    lut = df.sparkSession.createDataFrame(
+        lut_rows, "query_id long, lut array<array<long>>"
+    )
+    dist_sql = " + ".join(
+        f"element_at(element_at(lut, {s + 1}),"
+        f" CAST(element_at(codes, {s + 1}) + 1 AS INT))"
+        for s in range(m)
+    )
+    scored = (
+        pairs.join(codes.withColumnRenamed("id", "cand_id"), "cand_id")
+        .join(F.broadcast(lut), "query_id")
+        .select("query_id", "cand_id", F.expr(dist_sql).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins: the Lloyd loop + encode + ADC scan unrolled into one CTE
 # chain (the kmeans_lloyd_sql pattern generalized to (sub, cid, dim) keys).
@@ -591,6 +678,76 @@ def pq_adc_topk_sql(
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_dist, cand_id) AS BIGINT) AS rank
     FROM {adc} QUALIFY rank <= {top_k}
+    """
+
+
+def ivfpq_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of ivfpq_topk: the PQ train/encode/LUT chain joined
+    with the IVF cell-assignment CTEs (same cosine + nonzero-norm guard
+    as the sim_ivf oracles); the unreferenced full-scan `adc` CTE is
+    pruned by the optimizer."""
+    ctes, _adc = _adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    cos = ("ROUND(list_dot_product(e.dv, cent.cv) / "
+           "(sqrt(list_dot_product(e.dv, e.dv)) * "
+           "sqrt(list_dot_product(cent.cv, cent.cv))), 6)")
+    ctes.append(
+        f"""e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS dv
+         FROM {table}
+         WHERE list_dot_product(CAST({vec_col} AS DOUBLE[]),
+                                CAST({vec_col} AS DOUBLE[])) > 0)"""
+    )
+    ctes.append(
+        f"cent AS (SELECT id AS ccid, dv AS cv FROM e WHERE id < {n_centroids})"
+    )
+    ctes.append(
+        f"""sc AS (SELECT e.id, cent.ccid, {cos} AS sim
+         FROM e CROSS JOIN cent)"""
+    )
+    ctes.append(
+        """rk AS (SELECT id, ccid,
+                row_number() OVER (PARTITION BY id ORDER BY sim DESC, ccid) AS rn
+         FROM sc)"""
+    )
+    ctes.append("cand AS (SELECT id AS cand_id, ccid FROM rk WHERE rn = 1)")
+    ctes.append(
+        f"""probe AS (SELECT id AS query_id, ccid FROM rk
+         WHERE rn <= {nprobe} AND id < {query_max_id})"""
+    )
+    ctes.append(
+        """pairs AS (SELECT p.query_id, c.cand_id
+         FROM probe p JOIN cand c
+           ON p.ccid = c.ccid AND c.cand_id <> p.query_id)"""
+    )
+    ctes.append(
+        """adcp AS (SELECT pr.query_id, pr.cand_id, SUM(l.d) AS adc_dist
+         FROM pairs pr
+         JOIN enc en ON en.id = pr.cand_id
+         JOIN lut l ON l.query_id = pr.query_id
+                   AND l.sub = en.sub AND l.cid = en.cid
+         GROUP BY 1, 2)"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, cand_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, cand_id) AS BIGINT) AS rank
+    FROM adcp QUALIFY rank <= {top_k}
     """
 
 

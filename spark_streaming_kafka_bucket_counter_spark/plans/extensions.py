@@ -747,6 +747,25 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivfpq_topk",
+    PQ.ivfpq_topk_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),
+)
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Faiss IVFADC composition — IVF cells (16 deterministic
+    seed centroids, nprobe=2) prune the candidate set, then survivors
+    are ranked by ADC distance over their PQ CODES: the scan touches
+    ~N*nprobe/n_centroids candidates at 8 bytes each, with per-query
+    LUTs making every distance 16 table probes. The production 100 TB
+    ANN architecture, end to end under the oracle hash gate."""
+    return PQ.ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=16, nprobe=2, query_max_id=10, top_k=5,
+        codes=_pq_codes_frame(spark, sf_dir),
+    )
+
+
+@query(
     "sim_pq_recall_eval",
     PQ.pq_recall_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),
 )
