@@ -100,6 +100,33 @@ def c_general_select(df: DataFrame, params: dict[str, tuple[str, Any]]) -> DataF
     return df.filter(reduce(lambda a, b: a & b, conds))
 
 
+def zone_conjuncts(params: dict[str, tuple[str, Any]]) -> list[tuple]:
+    """Translate a per-field comparator spec (the c_general_select /
+    HTTP-route shape: ``{field: (comparator_name, args)}``) into
+    ``(col, op, value)`` conjuncts for manifest zone-map file pruning
+    (:func:`~..sources.manifest.files_matching`).
+
+    The reference comparators compare PARAM vs ROW (models.py:930-952):
+    ``gte(v)`` keeps rows with ``v >= col`` i.e. ``col <= v`` — so the
+    zone ops here are the INVERSE of the names. Anything the zone maps
+    can't reason about (``custom:`` SQL, unknown names, None-bounded
+    range sides) contributes no conjunct — pruning silently degrades to
+    scanning, never to a wrong skip."""
+    inverse = {"eq": "=", "gte": "<=", "gt": "<", "lte": ">=", "lt": ">"}
+    out: list[tuple] = []
+    for field, (name, args) in params.items():
+        if name in ("range", "erange"):
+            lo, hi = _unpack(args)
+            ge, le = (">=", "<=") if name == "range" else (">", "<")
+            if lo is not None:
+                out.append((field, ge, lo))
+            if hi is not None:
+                out.append((field, le, hi))
+        elif name in inverse and not isinstance(args, (list, tuple, dict)):
+            out.append((field, inverse[name], args))
+    return out
+
+
 # F3-F9 convenience wrappers mirroring the reference method names AND
 # their param-vs-row comparison direction (models.py:930-952): e.g.
 # ``select_gt(df, {'count': 2})`` keeps rows with count < 2.

@@ -106,7 +106,10 @@ def select_range(
     (http_endpoint.py:186-200)."""
     lo = None if start in (None, "None") else start
     hi = None if end in (None, "None") else end
-    return _rows(P.select_range(store.view(), {param: (lo, hi)}), max_rows)
+    spec = {param: ("range", (lo, hi))}
+    return _rows(
+        P.select_range(store.view_where(spec), {param: (lo, hi)}), max_rows
+    )
 
 
 def custom_sql_avro(store: ServingStore, sql: str, avro_schema_json: str):
@@ -187,4 +190,4 @@ def custom_select(
         parsed = {k: (v[0], v[1]) for k, v in params.items()}
     except (ValueError, TypeError, IndexError, KeyError):
         return []
-    return _rows(P.c_general_select(store.view(), parsed), max_rows)
+    return _rows(P.c_general_select(store.view_where(parsed), parsed), max_rows)

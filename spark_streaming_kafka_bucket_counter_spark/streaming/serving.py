@@ -374,11 +374,19 @@ class ServingStore:
         travel, complementing the batch-id-based :meth:`view_asof`."""
         return self._view_from(snapshot)
 
-    def _view_from(self, m: dict | None) -> DataFrame:
+    def _view_from(self, m: dict | None, predicate: list | tuple = ()) -> DataFrame:
         if m is not None:
-            paths = [str(self.path / f) for f in m["files"]]
-            if not paths:
+            if not m["files"]:
                 raise ValueError(f"serving store at {self.path} is empty")
+            rels = m["files"]
+            if predicate:
+                from ..sources.manifest import files_matching
+
+                # zone-map file pruning: conjuncts the caller will ALSO
+                # apply as a row filter, so keeping one file as a schema
+                # donor when everything is pruned stays correct
+                rels = files_matching(m, "", predicate) or m["files"][:1]
+            paths = [str(self.path / f) for f in rels]
             # basePath keeps the RST_ID partition column in the schema;
             # mergeSchema lets later batches widen the table (schema
             # evolution) with NULL backfill for older partitions. The
@@ -403,6 +411,19 @@ class ServingStore:
         column. Resolves the latest snapshot once — the plan holds a
         consistent file set no concurrent maintenance can break."""
         return self._view_from(self._snapshot())
+
+    def view_where(self, params: dict) -> DataFrame:
+        """:meth:`view` with zone-map FILE pruning for a per-field
+        comparator spec (the c_general_select / HTTP-route shape): data
+        columns that arrive in time order (bucket_start, epochs) are
+        clustered across batch files, so a selective point/range query
+        plans over a fraction of the store's files without opening the
+        rest. The caller must still apply the row-level filter — the
+        pruning only drops files that provably contain no match (and
+        RST_ID itself stays partition-pruned as before)."""
+        from ..functions.predicates import zone_conjuncts
+
+        return self._view_from(self._snapshot(), predicate=zone_conjuncts(params))
 
     def register(self) -> None:
         """Expose the store as a temp view for arbitrary SQL (Q2/H2)."""

@@ -150,6 +150,60 @@ def test_forget_skips_files_outside_id_range(spark, ranged):
     assert m["stats"][new]["cols"]["id"]["mx"] == 199
 
 
+def test_serving_store_view_where_prunes_files(spark, tmp_path):
+    # time-ordered appends make the value column clustered across batch
+    # files — the zone-map consumer on the HTTP predicate routes
+    from spark_streaming_kafka_bucket_counter_spark.streaming.serving import (
+        ServingStore,
+    )
+
+    store = ServingStore(spark, str(tmp_path / "zstore"), clean_freq=0)
+    for b in range(4):
+        df = spark.range(b * 100, (b + 1) * 100).coalesce(1).select(
+            F.col("id").alias("bucket_start"), (F.col("id") % 7).alias("count")
+        )
+        store.append(df, b)
+    spec = {"bucket_start": ("range", (120, 180))}
+    full = store.view().filter(
+        (F.col("bucket_start") >= 120) & (F.col("bucket_start") <= 180)
+    )
+    pruned = store.view_where(spec).filter(
+        (F.col("bucket_start") >= 120) & (F.col("bucket_start") <= 180)
+    )
+    assert sorted(r["bucket_start"] for r in pruned.collect()) == sorted(
+        r["bucket_start"] for r in full.collect()
+    )
+    assert len(store.view().inputFiles()) == 4
+    assert len(pruned.inputFiles()) == 1
+    # inverted-direction comparator: gte(v) keeps col <= v -> low files
+    pruned_low = store.view_where({"bucket_start": ("gte", 50)})
+    assert len(pruned_low.inputFiles()) == 1
+    # everything pruned: one schema-donor file survives; the row filter
+    # the route applies on top still nulls it out
+    donor = store.view_where({"bucket_start": ("eq", 10_000)})
+    assert len(donor.inputFiles()) == 1
+    # custom: specs contribute no conjunct -> full view
+    assert len(store.view_where({"x": ("custom:count > 1", None)}).inputFiles()) == 4
+
+
+def test_http_routes_prune_and_match(spark, tmp_path):
+    from spark_streaming_kafka_bucket_counter_spark.streaming import api
+    from spark_streaming_kafka_bucket_counter_spark.streaming.serving import (
+        ServingStore,
+    )
+
+    store = ServingStore(spark, str(tmp_path / "hstore"), clean_freq=0)
+    for b in range(3):
+        df = spark.range(b * 10, (b + 1) * 10).coalesce(1).select(
+            F.col("id").alias("bucket_start"), F.lit(b).alias("count")
+        )
+        store.append(df, b)
+    rows = api.select_range(store, "bucket_start", 12, 14)
+    assert sorted(r["bucket_start"] for r in rows) == [12, 13, 14]
+    rows = api.custom_select(store, '{"bucket_start": ["eq", 25]}')
+    assert [r["bucket_start"] for r in rows] == [25]
+
+
 def test_satisfiable_edge_cases():
     st = {"cols": {"a": {"mn": 10, "mx": 20, "nulls": 0}}}
     assert _satisfiable(st, "a", "=", 10) and _satisfiable(st, "a", "=", 20)

@@ -70,6 +70,13 @@ QUERIES = [
     "multimodal_jpeg_lossless",
     "multimodal_jpeg_arith",
     "multimodal_jpeg_12bit",
+    # round 9 (cont.): the PQ family — training is an iterative
+    # fixed-cost loop (2 Lloyd rounds over broadcast centroids), encode
+    # is the map-only Arrow kernel whose cost is the one that scales
+    # with N, and IVFADC's query cost must stay cell-bounded
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
 ]
 
 SCALES = {
