@@ -58,6 +58,10 @@ __all__ = [
     "pq_adc_topk",
     "pq_recall_eval",
     "ivfpq_topk",
+    "ivfpq_build_index",
+    "ivfpq_append_index",
+    "ivfpq_query_index",
+    "ivfpq_forget",
     "pq_codes_sql",
     "pq_adc_topk_sql",
     "pq_recall_sql",
@@ -83,6 +87,35 @@ def _sub_sq_dist_py(v: list[int], sub: int, dsub: int, centroid: list[int]) -> i
     construction over the bounded query set)."""
     off = sub * dsub
     return sum((int(v[off + j]) - int(cj)) ** 2 for j, cj in enumerate(centroid))
+
+
+def _driver_lut_frame(spark, qrows, books: Codebook, m: int, ksub: int,
+                      dsub: int) -> DataFrame:
+    """(query_id, lut array<array<long>>): per-query ADC lookup tables
+    computed driver-side in exact Python ints from collected fixed-point
+    query rows (bounded by construction — the request payload of a real
+    ANN server), ready to broadcast against a code table."""
+    lut_rows = [
+        (
+            int(r["id"]),
+            [
+                [_sub_sq_dist_py(r["v"], s, dsub, books[(s, c)]) for c in range(ksub)]
+                for s in range(m)
+            ],
+        )
+        for r in qrows
+    ]
+    return spark.createDataFrame(lut_rows, "query_id long, lut array<array<long>>")
+
+
+def _adc_dist_sql(m: int) -> str:
+    """ADC distance as a small codegen expression: m (lut, code) probes
+    summed — expects columns `lut` and `codes`."""
+    return " + ".join(
+        f"element_at(element_at(lut, {s + 1}),"
+        f" CAST(element_at(codes, {s + 1}) + 1 AS INT))"
+        for s in range(m)
+    )
 
 
 def _np_books(books: Codebook, m: int, ksub: int, dsub: int):
@@ -326,28 +359,11 @@ def _adc_scored(
         codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
     codes = codes.select(F.col("id").alias("cand_id"), "codes")
     qrows = vecs.filter(F.col("id") < query_max_id).collect()
-    lut_rows = [
-        (
-            int(r["id"]),
-            [
-                [_sub_sq_dist_py(r["v"], s, dsub, books[(s, c)]) for c in range(ksub)]
-                for s in range(m)
-            ],
-        )
-        for r in qrows
-    ]
-    lut = df.sparkSession.createDataFrame(
-        lut_rows, "query_id long, lut array<array<long>>"
-    )
-    dist_sql = " + ".join(
-        f"element_at(element_at(lut, {s + 1}),"
-        f" CAST(element_at(codes, {s + 1}) + 1 AS INT))"
-        for s in range(m)
-    )
+    lut = _driver_lut_frame(df.sparkSession, qrows, books, m, ksub, dsub)
     return (
         codes.crossJoin(F.broadcast(lut))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", F.expr(dist_sql).alias("adc_dist"))
+        .select("query_id", "cand_id", F.expr(_adc_dist_sql(m)).alias("adc_dist"))
     )
 
 
@@ -490,28 +506,11 @@ def ivfpq_topk(
         .filter(F.col("id") < query_max_id)
         .collect()
     )
-    lut_rows = [
-        (
-            int(r["id"]),
-            [
-                [_sub_sq_dist_py(r["v"], s, dsub, books[(s, c)]) for c in range(ksub)]
-                for s in range(m)
-            ],
-        )
-        for r in qrows
-    ]
-    lut = df.sparkSession.createDataFrame(
-        lut_rows, "query_id long, lut array<array<long>>"
-    )
-    dist_sql = " + ".join(
-        f"element_at(element_at(lut, {s + 1}),"
-        f" CAST(element_at(codes, {s + 1}) + 1 AS INT))"
-        for s in range(m)
-    )
+    lut = _driver_lut_frame(df.sparkSession, qrows, books, m, ksub, dsub)
     scored = (
         pairs.join(codes.withColumnRenamed("id", "cand_id"), "cand_id")
         .join(F.broadcast(lut), "query_id")
-        .select("query_id", "cand_id", F.expr(dist_sql).alias("adc_dist"))
+        .select("query_id", "cand_id", F.expr(_adc_dist_sql(m)).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("cand_id").asc()
@@ -520,6 +519,185 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFADC index: the serving layout for the composition —
+# cells/cid=*/ holds (id, codes) rows (8 bytes of payload per vector
+# instead of the raw embedding), centroids/ + codebook/ hold the bounded
+# model metadata. Same manifest-snapshot contract as the LSH/IVF/BM25
+# indexes (reader-atomic under append/compaction, GC grace window).
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+) -> Codebook:
+    """Build the on-disk IVFADC index: train the PQ codebook, assign
+    every (nonzero) vector to its nearest IVF cell, and persist the
+    CODES — not the vectors — partitioned by cell id. Query-time reads
+    prune to the probed cells' partitions AND carry only 8-byte codes;
+    this is where PQ's 32x storage shrink becomes a 32x scan-bandwidth
+    shrink. Returns the trained codebook (also persisted under
+    ``codebook/`` so queries are self-contained)."""
+    from pathlib import Path as _P
+
+    from ..sources.manifest import manifest_txn
+    from .similarity import assign_to_centroids, nonzero_vectors
+
+    books = pq_train(df, id_col, vec_col, dim, m, ksub, iters, scale)
+    nz = nonzero_vectors(df, vec_col)
+    cents = nz.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    enc = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
+    spark = df.sparkSession
+    book_rows = [
+        (s, c, books[(s, c)]) for s in range(m) for c in range(ksub)
+    ]
+    with manifest_txn(path):
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            str(_P(path) / "centroids")
+        )
+        spark.createDataFrame(
+            book_rows, "sub int, cid long, coords array<long>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(_P(path) / "codebook"))
+        assigned = assign_to_centroids(
+            nz, id_col, vec_col, cents.collect(), max_rank=1
+        ).select(F.col("_id").alias("id"), "cid")
+        (
+            assigned.join(enc, "id")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(str(_P(path) / "cells"))
+        )
+    return books
+
+
+def ivfpq_append_index(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+) -> None:
+    """Fold new vectors into a persisted IVFADC index WITHOUT
+    rebuilding: the batch is encoded against the index's EXISTING
+    codebook and assigned to its EXISTING centroids (both read from
+    disk — bounded metadata), so cell geometry and code semantics stay
+    stable across appends and append-then-query equals a rebuild over
+    the same model (pytest-pinned). Codebook drift is a rebuild event,
+    exactly as in production PQ systems."""
+    from pathlib import Path as _P
+
+    from ..sources.manifest import latest_manifest, manifest_read, manifest_txn
+    from .similarity import assign_to_centroids, nonzero_vectors
+
+    snap = latest_manifest(path)
+    cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
+    books = _books_from_rows(
+        manifest_read(spark, path, "codebook", snapshot=snap).collect()
+    )
+    nz = nonzero_vectors(df, vec_col)
+    enc = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
+    assigned = assign_to_centroids(nz, id_col, vec_col, cents, max_rank=1).select(
+        F.col("_id").alias("id"), "cid"
+    )
+    with manifest_txn(path):
+        (
+            assigned.join(enc, "id")
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(str(_P(path) / "cells"))
+        )
+
+
+def _books_from_rows(rows) -> Codebook:
+    return {(int(r["sub"]), int(r["cid"])): list(r["coords"]) for r in rows}
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    nprobe: int = 2,
+    top_k: int = 5,
+    snapshot: dict | None = None,
+) -> DataFrame:
+    """Probe the persisted IVFADC index: assign each query to its
+    ``nprobe`` nearest cells (broadcast centroid metadata), read ONLY
+    those cells' partitions (partition pruning on ``cid``), and rank
+    the candidates' CODES by ADC distance with driver-computed LUTs.
+    Output (query_id, cand_id, adc_dist, rank) — the same contract as
+    :func:`ivfpq_topk`, pinned equal to the direct path. All three
+    metadata reads pin ONE manifest generation."""
+    from ..sources.manifest import latest_manifest, manifest_read
+    from .similarity import assign_to_centroids, nonzero_vectors
+
+    dsub = dim // m
+    snap = snapshot if snapshot is not None else latest_manifest(path)
+    cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
+    books = _books_from_rows(
+        manifest_read(spark, path, "codebook", snapshot=snap).collect()
+    )
+    nzq = nonzero_vectors(query_df, vec_col)
+    probes = assign_to_centroids(nzq, id_col, vec_col, cents, max_rank=nprobe).select(
+        F.col("_id").alias("query_id"), "cid"
+    )
+    qrows = _fixed_vecs(nzq, id_col, vec_col, scale).collect()
+    lut = _driver_lut_frame(spark, qrows, books, m, ksub, dsub)
+    cells = manifest_read(spark, path, "cells", snapshot=snap)
+    cand = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        # at-least-once replay can duplicate (id, codes) rows in a cell;
+        # codes are a deterministic function of the vector, so the pair
+        # dedup is exact (the IVF twin's dropDuplicates rationale)
+        .dropDuplicates(["query_id", "id"])
+    )
+    scored = cand.join(F.broadcast(lut), "query_id").select(
+        "query_id",
+        F.col("id").alias("cand_id"),
+        F.expr(_adc_dist_sql(m)).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def ivfpq_forget(spark, path: str, ids: list[int]) -> int:
+    """Right-to-be-forgotten on the IVFADC index: drop the ids' code
+    rows from the cell files (zone maps prune the candidate files to
+    those whose recorded id range overlaps), publish as one snapshot,
+    GC after the grace window (inside manifest_forget_rows). Codes carry
+    no cross-row state — no stats re-derivation needed (unlike BM25's
+    dfreq). Index rows carry the source id under the name ``id``."""
+    from ..sources.manifest import manifest_forget_rows
+
+    return manifest_forget_rows(spark, path, "id", ids, ["cells"])
 
 
 # ---------------------------------------------------------------------------

@@ -765,6 +765,34 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_SQL = PQ.ivfpq_topk_sql(
+    "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS
+)
+
+
+@query("sim_ivfpq_index_topk", _IVFPQ_SQL)
+def q_sim_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IVFADC top-5 answered from the PERSISTED index — cells
+    hold 8-byte CODES instead of raw vectors (32x less scan bandwidth
+    than the raw-vector IVF index), centroids + codebook ride as bounded
+    metadata, reads pin one manifest snapshot. Oracle-identical to the
+    direct sim_ivfpq_topk path by construction."""
+    from ..sources.files import cached_index_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = cached_index_dir(
+        "ivfpq", sf_dir, f"c16-m{_PQ_M}k{_PQ_KSUB}-v1",
+        lambda p: PQ.ivfpq_build_index(
+            emb, "vec_id", "embedding", p,
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, n_centroids=16,
+        ),
+    )
+    return PQ.ivfpq_query_index(
+        spark, idx, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, nprobe=2, top_k=5,
+    )
+
+
 @query(
     "sim_pq_recall_eval",
     PQ.pq_recall_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),

@@ -12,6 +12,7 @@ a default argument would silently receive the array index).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_streaming_kafka_bucket_counter_spark.operators import pq as PQ
 from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
@@ -89,6 +90,79 @@ def test_bad_configs_fail_loudly(emb):
         PQ.pq_train(emb, "vec_id", "embedding", DIM, iters=0)
     with pytest.raises(ValueError, match="only"):
         PQ.pq_train(emb.limit(3), "vec_id", "embedding", DIM, ksub=KSUB)
+
+
+def test_index_query_matches_direct_path(spark, emb, books, tmp_path):
+    # persisted IVFADC index answers == the direct composition
+    direct = PQ.ivfpq_topk(
+        emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB,
+        n_centroids=16, nprobe=2, query_max_id=10, top_k=5,
+    )
+    PQ.ivfpq_build_index(
+        emb, "vec_id", "embedding", str(tmp_path / "idx"),
+        DIM, m=M, ksub=KSUB, n_centroids=16,
+    )
+    served = PQ.ivfpq_query_index(
+        spark, str(tmp_path / "idx"),
+        emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        DIM, m=M, ksub=KSUB, nprobe=2, top_k=5,
+    )
+    assert spark_signature(direct) == spark_signature(served)
+
+
+def test_index_append_equals_rebuild(spark, emb, books, tmp_path):
+    lo = emb.filter(F.col("vec_id") < 40)
+    hi = emb.filter(F.col("vec_id") >= 40)
+    # grown index: build on the low slice (centroids + codebook train on
+    # it), then append the high slice
+    PQ.ivfpq_build_index(
+        lo, "vec_id", "embedding", str(tmp_path / "grown"), DIM, m=M, ksub=KSUB
+    )
+    PQ.ivfpq_append_index(
+        spark, hi, "vec_id", "embedding", str(tmp_path / "grown"), DIM, m=M, ksub=KSUB
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    grown = PQ.ivfpq_query_index(
+        spark, str(tmp_path / "grown"), queries, "vec_id", "embedding",
+        DIM, m=M, ksub=KSUB,
+    )
+    # rebuild over the same model: encode + assign EVERYTHING against the
+    # low slice's centroids/codebook by building on lo then appending hi
+    # is the contract; parity target = manual assign of the union using
+    # the persisted metadata (append-then-query == one append of the union)
+    PQ.ivfpq_build_index(
+        lo, "vec_id", "embedding", str(tmp_path / "two"), DIM, m=M, ksub=KSUB
+    )
+    PQ.ivfpq_append_index(
+        spark, hi.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding",
+        str(tmp_path / "two"), DIM, m=M, ksub=KSUB,
+    )
+    PQ.ivfpq_append_index(
+        spark, hi.filter(F.col("vec_id") % 2 == 1), "vec_id", "embedding",
+        str(tmp_path / "two"), DIM, m=M, ksub=KSUB,
+    )
+    two = PQ.ivfpq_query_index(
+        spark, str(tmp_path / "two"), queries, "vec_id", "embedding",
+        DIM, m=M, ksub=KSUB,
+    )
+    assert spark_signature(grown) == spark_signature(two)
+
+
+def test_index_forget_removes_ids(spark, emb, books, tmp_path):
+    path = str(tmp_path / "fidx")
+    PQ.ivfpq_build_index(emb, "vec_id", "embedding", path, DIM, m=M, ksub=KSUB)
+    before = PQ.ivfpq_query_index(
+        spark, path, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        DIM, m=M, ksub=KSUB, top_k=5,
+    ).collect()
+    gone = {r["cand_id"] for r in before if r["rank"] == 1}
+    n = PQ.ivfpq_forget(spark, path, sorted(gone))
+    assert n >= 1
+    after = PQ.ivfpq_query_index(
+        spark, path, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        DIM, m=M, ksub=KSUB, top_k=5,
+    ).collect()
+    assert not ({r["cand_id"] for r in after} & gone)
 
 
 def test_argmin_ties_break_to_lower_cid(spark):
