@@ -423,6 +423,71 @@ def start_semantic_dedup_ingest(
     return writer.start()
 
 
+def start_ivfpq_ingest(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    checkpoint_dir: str,
+    dim: int,
+    m: int = 16,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    available_now: bool = True,
+    compact_every: int = 0,
+    gc_grace_sec: float = 300.0,
+) -> StreamingQuery:
+    """Maintain the COMPRESSED serving index from a vector stream: per
+    micro-batch of ``(id, vector)`` rows, encode against the index's
+    persisted codebook and fold the 8-byte codes into their IVF cell
+    partitions (:func:`~..operators.pq.ivfpq_append_index`). The pure
+    index-maintenance loop beside the semantic-dedup loop — every row
+    is ingested; what stays constant per batch is the MODEL (codebook +
+    centroids, trained at bootstrap from the first batch and read as
+    bounded metadata thereafter), which is exactly how production PQ
+    deployments run: codebook drift is an offline rebuild-and-swap
+    event, not a streaming concern.
+
+    Bootstrap needs >= max(ksub, n_centroids) vectors in the first
+    non-empty batch (pq_train/seeding fail LOUDLY otherwise — size the
+    trigger accordingly). Replay story: an at-least-once replay (crash
+    after the append, before the checkpoint commit) double-appends the
+    batch's code rows; :func:`~..operators.pq.ivfpq_query_index` dedups
+    duplicate (query, cand) pairs at serve time, so answers are
+    unchanged (pytest-pinned against a manual replay). Compaction +
+    zero-grace GC converge cells to one live file per leaf under the
+    manifest, same as the LSH/IVF loops."""
+    import os as _os
+
+    from ..operators.pq import ivfpq_append_index, ivfpq_build_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not _os.path.isdir(_os.path.join(index_path, "cells")):
+            ivfpq_build_index(
+                batch_df, id_col, vec_col, index_path,
+                dim=dim, m=m, ksub=ksub, n_centroids=n_centroids,
+            )
+        else:
+            ivfpq_append_index(
+                spark, batch_df, id_col, vec_col, index_path,
+                dim=dim, m=m, ksub=ksub,
+            )
+        if compact_every > 0 and (batch_id + 1) % compact_every == 0:
+            from ..sources.manifest import compact_index_tree
+
+            compact_index_tree(spark, index_path, grace_sec=gc_grace_sec)
+
+    writer = vectors.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_search_index_ingest(
     docs: DataFrame,
     id_col: str,

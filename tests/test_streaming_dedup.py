@@ -711,3 +711,78 @@ def test_line_dedup_ingest_stream_end_to_end(spark, tmp_path):
     )
     totals = {r["line"]: r["sum(n_occ)"] for r in counts}
     assert totals[banner] == 3 and totals[spam] == 3
+
+
+def test_ivfpq_ingest_stream_and_replay(spark, tmp_path):
+    """The compressed-index maintenance loop (start_ivfpq_ingest): batch
+    1 bootstraps the IVFADC index (codebook + centroids train on it),
+    batch 2 appends codes against the PERSISTED model, and a replayed
+    batch (dropped checkpoint commit) double-appends code rows that the
+    query path dedups — answers identical before and after the replay."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.pq import (
+        ivfpq_query_index,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_ivfpq_ingest,
+    )
+
+    def vec(i):
+        return [float(i % 5), float(i), float((i * i) % 7), 1.0]
+
+    b1 = [{"vec_id": i, "embedding": vec(i)} for i in range(16)]
+    b2 = [{"vec_id": 100 + i, "embedding": vec(16 + i)} for i in range(4)]
+    src = tmp_path / "pqsrc"
+    src.mkdir()
+    f1, f2 = src / "a.json", src / "b.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    def _stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    idx = str(tmp_path / "pqidx")
+    ck = str(tmp_path / "pqck")
+    q = start_ivfpq_ingest(
+        _stream(), "vec_id", "embedding", idx, ck,
+        dim=4, m=2, ksub=4, n_centroids=4, compact_every=1, gc_grace_sec=0.0,
+    )
+    assert q.awaitTermination(300)
+
+    probe = spark.createDataFrame(
+        [(900, vec(17))], "vec_id long, embedding array<float>"
+    )
+    first = ivfpq_query_index(
+        spark, idx, probe, "vec_id", "embedding", 4, m=2, ksub=4, top_k=4
+    ).collect()
+    # the 2x4-bit code is deliberately coarse (ties abound); what must
+    # hold: batch-2 rows were appended against the persisted model and
+    # are servable alongside batch-1 rows
+    assert len(first) == 4
+    assert any(r["cand_id"] >= 100 for r in first)
+
+    # crash after batch 1's append, before its checkpoint commit
+    os.remove(os.path.join(ck, "commits", "1"))
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start_ivfpq_ingest(
+        _stream(), "vec_id", "embedding", idx, ck,
+        dim=4, m=2, ksub=4, n_centroids=4,
+    )
+    assert q2.awaitTermination(300)
+
+    replayed = ivfpq_query_index(
+        spark, idx, probe, "vec_id", "embedding", 4, m=2, ksub=4, top_k=4
+    ).collect()
+    assert [(r["cand_id"], r["adc_dist"], r["rank"]) for r in replayed] == [
+        (r["cand_id"], r["adc_dist"], r["rank"]) for r in first
+    ]
+    ids = [r["cand_id"] for r in replayed]
+    assert len(ids) == len(set(ids))  # query-time dedup of replay copies
