@@ -118,6 +118,46 @@ def _adc_dist_sql(m: int) -> str:
     )
 
 
+def _check_dims(dim: int, m: int) -> None:
+    """Every PQ entry point validates divisibility — dim // m would
+    otherwise silently truncate the trailing dimensions out of every
+    code and every distance."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+
+
+def _books_shape(books: Codebook) -> tuple[int, int, int]:
+    """(m, ksub, dsub) as recorded BY the codebook itself — the model's
+    own shape, so loaded indexes never trust caller-supplied params."""
+    m = 1 + max(s for s, _ in books)
+    ksub = 1 + max(c for _, c in books)
+    dsub = len(next(iter(books.values())))
+    return m, ksub, dsub
+
+
+def _check_model(books: Codebook, dim: int, m: int, ksub: int, where: str) -> None:
+    """Caller params must match the persisted model — a silent mismatch
+    would sum the wrong number of LUT probes or write short codes and
+    return wrong neighbors with no error."""
+    bm, bksub, bdsub = _books_shape(books)
+    if (m, ksub, dim) != (bm, bksub, bm * bdsub):
+        raise ValueError(
+            f"{where}: persisted codebook has (m={bm}, ksub={bksub}, "
+            f"dim={bm * bdsub}) but caller passed (m={m}, ksub={ksub}, dim={dim})"
+        )
+
+
+def _rank_topk(scored: DataFrame, top_k: int) -> DataFrame:
+    """Shared ADC ranking: ascending distance, ties to the lower cand_id."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def _np_books(books: Codebook, m: int, ksub: int, dsub: int):
     import numpy as np
 
@@ -289,6 +329,7 @@ def pq_encode(
     ANSI arithmetic, and the plan shape the Lloyd rounds already JITted.
     Both paths are pinned bit-identical (test_pq.py) — a standing
     numpy-int64-vs-JVM-long parity check."""
+    _check_dims(dim, m)
     dsub = dim // m
     vecs = _fixed_vecs(df, id_col, vec_col, scale)
     if via == "arrow":
@@ -353,6 +394,7 @@ def _adc_scored(
     overflows the JVM's 64 KB codegen method cap). Pass `codes` (a
     pq_encode result) to scan a pre-encoded store instead of
     re-encoding."""
+    _check_dims(dim, m)
     dsub = dim // m
     vecs = _fixed_vecs(df, id_col, vec_col, scale)
     if codes is None:
@@ -386,13 +428,7 @@ def pq_adc_topk(
     scored = _adc_scored(
         df, id_col, vec_col, books, dim, m, ksub, scale, query_max_id, codes
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_k)
-    )
+    return _rank_topk(scored, top_k)
 
 
 def pq_recall_eval(
@@ -483,6 +519,7 @@ def ivfpq_topk(
     BIGINT sub-distances, ties to the lower cand_id)."""
     from .similarity import ivf_assign, nonzero_vectors
 
+    _check_dims(dim, m)
     nz = nonzero_vectors(df, vec_col)
     assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe)
     cand = assigned.filter(F.col("_rn") == 1).select(
@@ -512,13 +549,7 @@ def ivfpq_topk(
         .join(F.broadcast(lut), "query_id")
         .select("query_id", "cand_id", F.expr(_adc_dist_sql(m)).alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_k)
-    )
+    return _rank_topk(scored, top_k)
 
 
 # ---------------------------------------------------------------------------
@@ -611,6 +642,7 @@ def ivfpq_append_index(
     books = _books_from_rows(
         manifest_read(spark, path, "codebook", snapshot=snap).collect()
     )
+    _check_model(books, dim, m, ksub, "ivfpq_append_index")
     nz = nonzero_vectors(df, vec_col)
     enc = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
     assigned = assign_to_centroids(nz, id_col, vec_col, cents, max_rank=1).select(
@@ -659,6 +691,7 @@ def ivfpq_query_index(
     books = _books_from_rows(
         manifest_read(spark, path, "codebook", snapshot=snap).collect()
     )
+    _check_model(books, dim, m, ksub, "ivfpq_query_index")
     nzq = nonzero_vectors(query_df, vec_col)
     probes = assign_to_centroids(nzq, id_col, vec_col, cents, max_rank=nprobe).select(
         F.col("_id").alias("query_id"), "cid"
@@ -679,13 +712,7 @@ def ivfpq_query_index(
         F.col("id").alias("cand_id"),
         F.expr(_adc_dist_sql(m)).alias("adc_dist"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_k)
-    )
+    return _rank_topk(scored, top_k)
 
 
 def ivfpq_forget(spark, path: str, ids: list[int]) -> int:

@@ -417,7 +417,22 @@ def _satisfiable(fstat: dict | None, col: str, op: str, value) -> bool:
     if cs.get("allnull"):
         return False  # comparisons never match NULL
     mn, mx = cs["mn"], cs["mx"]
+
+    def _nan(v) -> bool:
+        return isinstance(v, float) and v != v
+
+    if _nan(value) or (
+        op == "in"
+        and isinstance(value, (list, tuple, set, frozenset))
+        and any(_nan(v) for v in value)
+    ):
+        # Python orders nothing against NaN (all comparisons False,
+        # which would wrongly PRUNE), while Spark orders NaN above every
+        # double — so a NaN predicate value is "unknown", never a skip
+        return True
     if op == "in":
+        if not isinstance(value, (list, tuple, set, frozenset)):
+            return True  # not a value set: stats can't reason about it
         try:
             return any(mn <= v <= mx for v in value)
         except TypeError:
@@ -480,7 +495,8 @@ def _publish(root: str | Path, files: Sequence[str], retired: dict[str, float],
     if meta:
         m["meta"] = meta
     if stats:
-        m["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
+        live = set(files)
+        m["stats"] = {f: stats[f] for f in sorted(stats) if f in live}
     tmp = mdir / f"_tmp_{uuid.uuid4().hex[:8]}.json"
     tmp.write_text(json.dumps(m))
     final = mdir / f"v{generation:012d}.json"
@@ -900,8 +916,9 @@ def _gc(rootp: Path, grace_sec: float) -> int:
         _unlink_with_crc(rootp, f)
     if drop:
         retired = {f: t for f, t in m["retired"].items() if f not in drop}
+        # carry zone maps forward: a GC publish changes no live file
         m = _publish(rootp, m["files"], retired, m["generation"] + 1,
-                     meta=m.get("meta"))
+                     meta=m.get("meta"), stats=m.get("stats"))
         # prune dirs the deletions emptied (bottom-up; never the root)
         for dirpath, dirnames, filenames in os.walk(rootp, topdown=False):
             d = Path(dirpath)
@@ -990,7 +1007,11 @@ def compact_index_tree(spark: SparkSession, root: str | Path,
 
         if rewritten:
             files = [f for f in m["files"] if f not in displaced] + added
+            # zone maps: keep every surviving file's stats, harvest the
+            # freshly merged replacements (O(rewritten files) footer reads)
+            stats = dict(m.get("stats", {}))
+            stats.update(_harvest_stats(rootp, sorted(added)))
             _publish(rootp, files, retired, m["generation"] + 1,
-                     meta=m.get("meta"))
+                     meta=m.get("meta"), stats=stats)
         _gc(rootp, grace_sec)
         return rewritten

@@ -423,7 +423,16 @@ class ServingStore:
         RST_ID itself stays partition-pruned as before)."""
         from ..functions.predicates import zone_conjuncts
 
-        return self._view_from(self._snapshot(), predicate=zone_conjuncts(params))
+        snap = self._snapshot()
+        pruned = self._view_from(snap, predicate=zone_conjuncts(params))
+        # schema evolution guard: if pruning dropped every file carrying
+        # a later-added column the spec references, mergeSchema over the
+        # survivors can't surface it and the caller's row filter would
+        # raise UNRESOLVED_COLUMN where the full view returns [] — fall
+        # back to the unpruned view (correct, merely unpruned)
+        if any(f not in pruned.columns for f in params):
+            return self._view_from(snap)
+        return pruned
 
     def register(self) -> None:
         """Expose the store as a temp view for arbitrary SQL (Q2/H2)."""

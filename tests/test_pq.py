@@ -83,13 +83,32 @@ def test_adc_beats_chance(emb, books):
     assert row["mean_recall_ppm"] >= 250_000
 
 
-def test_bad_configs_fail_loudly(emb):
+def test_bad_configs_fail_loudly(emb, books):
     with pytest.raises(ValueError, match="not divisible"):
         PQ.pq_train(emb, "vec_id", "embedding", DIM, m=5)
     with pytest.raises(ValueError, match="must be >= 1"):
         PQ.pq_train(emb, "vec_id", "embedding", DIM, iters=0)
     with pytest.raises(ValueError, match="only"):
         PQ.pq_train(emb.limit(3), "vec_id", "embedding", DIM, ksub=KSUB)
+    # review catch: encode/scan entry points must validate too, or
+    # trailing dimensions silently drop out of every code
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_encode(emb, "vec_id", "embedding", books, DIM, m=5)
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_adc_topk(emb, "vec_id", "embedding", books, DIM, m=5)
+
+
+def test_index_rejects_model_mismatch(spark, emb, tmp_path):
+    # review catch: a loaded index must validate caller params against
+    # the PERSISTED codebook — summing 4 of 16 LUT probes returns wrong
+    # neighbors with no error
+    path = str(tmp_path / "mmidx")
+    PQ.ivfpq_build_index(emb, "vec_id", "embedding", path, DIM, m=M, ksub=KSUB)
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="persisted codebook"):
+        PQ.ivfpq_query_index(spark, path, q, "vec_id", "embedding", DIM, m=4)
+    with pytest.raises(ValueError, match="persisted codebook"):
+        PQ.ivfpq_append_index(spark, q, "vec_id", "embedding", path, DIM, m=4, ksub=8)
 
 
 def test_index_query_matches_direct_path(spark, emb, books, tmp_path):

@@ -204,6 +204,73 @@ def test_http_routes_prune_and_match(spark, tmp_path):
     assert [r["bucket_start"] for r in rows] == [25]
 
 
+def test_stats_survive_gc_and_compaction(spark, tmp_path):
+    # review catch: maintenance publishes (GC, compaction) must carry
+    # zone maps forward and harvest merged replacements — losing them
+    # silently defeats the O(manifest) pruning after the first routine
+    # maintenance pass
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        compact_index_tree,
+        gc_index_tree,
+    )
+
+    root = tmp_path / "maint"
+    _write_range(spark, root, "data", 0, 100)
+    _write_range(spark, root, "data", 100, 200)
+    compact_index_tree(spark, root, target_files=1, grace_sec=0.0)
+    m = glue = latest_manifest(root)
+    files = [f for f in m["files"] if f.startswith("data/")]
+    assert len(files) == 1  # merged
+    st = m["stats"][files[0]]["cols"]["id"]
+    assert (st["mn"], st["mx"]) == (0, 199)  # harvested for the merged file
+    _write_range(spark, root, "data", 200, 300)
+    gc_index_tree(root, grace_sec=0.0)
+    m2 = latest_manifest(root)
+    assert all(
+        "id" in m2["stats"][f]["cols"]
+        for f in m2["files"]
+        if f.startswith("data/")
+    )
+    assert glue is not m2
+
+
+def test_nan_predicate_never_prunes(ranged):
+    m = latest_manifest(ranged)
+    nan = float("nan")
+    assert len(files_matching(m, "data", [("id", "=", nan)])) == 3
+    assert len(files_matching(m, "data", [("id", ">=", nan)])) == 3
+    assert len(files_matching(m, "data", [("id", "in", [nan])])) == 3
+    assert _satisfiable({"cols": {"a": {"mn": 1, "mx": 2, "nulls": 0}}}, "a", "in", 7) is True
+
+
+def test_view_where_schema_evolution_falls_back(spark, tmp_path):
+    # later batches widen the table; a spec referencing the new column
+    # plus a range that prunes away every widened file must fall back to
+    # the full view (correct, merely unpruned), not raise
+    from spark_streaming_kafka_bucket_counter_spark.streaming.serving import (
+        ServingStore,
+    )
+
+    store = ServingStore(spark, str(tmp_path / "estore"), clean_freq=0)
+    old = spark.range(0, 10).coalesce(1).select(
+        F.col("id").alias("bucket_start"), F.lit(1).alias("count")
+    )
+    store.append(old, 0)
+    new = spark.range(100, 110).coalesce(1).select(
+        F.col("id").alias("bucket_start"),
+        F.lit(2).alias("count"),
+        F.lit(7).alias("newcol"),
+    )
+    store.append(new, 1)
+    spec = {"bucket_start": ("range", (0, 9)), "newcol": ("eq", 7)}
+    df = store.view_where(spec)
+    assert "newcol" in df.columns  # fell back to the merged full view
+    got = df.filter(
+        (F.col("bucket_start") <= 9) & (F.col("newcol") == 7)
+    ).collect()
+    assert got == []  # old rows have NULL newcol
+
+
 def test_satisfiable_edge_cases():
     st = {"cols": {"a": {"mn": 10, "mx": 20, "nulls": 0}}}
     assert _satisfiable(st, "a", "=", 10) and _satisfiable(st, "a", "=", 20)
