@@ -1,7 +1,7 @@
-"""Streaming-ingest SOAK (r6 VERDICT ask #7): the four loops —
-near-dup LSH, semantic IVF, BM25 segments, line-level dedup — run
-TOGETHER in one session
-over dozens of micro-batches with compaction enabled at four different
+"""Streaming-ingest SOAK (r6 VERDICT ask #7): the five loops —
+near-dup LSH, semantic IVF, BM25 segments, line-level dedup, and the
+compressed IVFADC index (r9) — run TOGETHER in one session
+over dozens of micro-batches with compaction enabled at five different
 cadences, concurrent serving-store queries hammering each live index
 from reader threads, a mid-run simulated crash (checkpoint commit
 removed on every loop at once), and a restart that must replay
@@ -18,7 +18,7 @@ Writes SOAK.json at the repo root (batch counts, reader stats, transient
 read errors). Since r8 the LSH/IVF/BM25 indexes are manifest-managed
 (sources/manifest.py): readers plan over snapshot-pinned file lists and
 compaction retires files through a GC grace window instead of deleting
-them, so the pin is ZERO transient read errors on all four readers — no
+them, so the pin is ZERO transient read errors on all five readers — no
 reader-side retry (r7 VERDICT ask #2; the line-counts reader was always
 0 because its partitions are never rewritten). Ask #6's pin rides along:
 after a final zero-grace GC, each index's on-disk file set equals its
@@ -109,9 +109,11 @@ class _Reader(threading.Thread):
 
 def test_streaming_triad_soak(spark, tmp_path):
     from spark_streaming_kafka_bucket_counter_spark.operators.dedup import lsh_query_index
+    from spark_streaming_kafka_bucket_counter_spark.operators.pq import ivfpq_query_index
     from spark_streaming_kafka_bucket_counter_spark.operators.search import bm25_query_index
     from spark_streaming_kafka_bucket_counter_spark.operators.similarity import ivf_query_index
     from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_ivfpq_ingest,
         start_line_dedup_ingest,
         start_near_dup_ingest,
         start_search_index_ingest,
@@ -150,6 +152,8 @@ def test_streaming_triad_soak(spark, tmp_path):
     ld_idx = str(tmp_path / "ld_idx")
     ld_out = str(tmp_path / "ld_out")
     ld_ck = str(tmp_path / "ld_ck")
+    pq_idx = str(tmp_path / "pq_idx")
+    pq_ck = str(tmp_path / "pq_ck")
 
     def _doc_stream():
         return (
@@ -189,7 +193,14 @@ def test_streaming_triad_soak(spark, tmp_path):
             _doc_stream(), "doc_id", "text", ld_idx, ld_out, ld_ck,
             compact_every=6,
         )
-        return [q1, q2, q3, q4]
+        # the compressed serving index (r9): bootstrap model trains on
+        # the first 4-vector batch (ksub = n_centroids = 4)
+        q5 = start_ivfpq_ingest(
+            _vec_stream(), "vec_id", "embedding", pq_idx, pq_ck,
+            dim=DIM, m=4, ksub=4, n_centroids=4,
+            compact_every=7, gc_grace_sec=GRACE,
+        )
+        return [q1, q2, q3, q4, q5]
 
     # ---- phase 1: first half, all four live, readers hammering ----
     queries = _start_all()
@@ -206,6 +217,10 @@ def test_streaming_triad_soak(spark, tmp_path):
         _Reader("linecounts", lambda: spark.read.parquet(
             os.path.join(ld_idx, "line_counts")
         ).groupBy().sum("n_occ").collect()),
+        _Reader("ivfpq", lambda: ivfpq_query_index(
+            spark, pq_idx, probe_vec, "vec_id", "embedding",
+            DIM, m=4, ksub=4, top_k=1,
+        ).collect()),
     ]
     # start each reader only once its index EXISTS (first snapshot
     # published / first line-count segment landed): an
@@ -217,6 +232,7 @@ def test_streaming_triad_soak(spark, tmp_path):
         "ivf": Path(ivf_idx) / "_manifest",
         "bm25": Path(bm_idx) / "_manifest",
         "linecounts": Path(ld_idx) / "line_counts",
+        "ivfpq": Path(pq_idx) / "_manifest",
     }
     while waiting and time.time() < deadline:
         waiting = {k: p for k, p in waiting.items() if not p.exists()}
@@ -228,7 +244,7 @@ def test_streaming_triad_soak(spark, tmp_path):
         assert q.awaitTermination(1200)
 
     # ---- simulated crash on ALL FOUR checkpoints at once ----
-    for ck in (lsh_ck, ivf_ck, bm_ck, ld_ck):
+    for ck in (lsh_ck, ivf_ck, bm_ck, ld_ck, pq_ck):
         _kill_last_commit(ck)
 
     # ---- phase 2: second half lands, restart replays + continues ----
@@ -287,7 +303,8 @@ def test_streaming_triad_soak(spark, tmp_path):
     )
 
     gc_report = {}
-    for name, idx in (("lsh", lsh_idx), ("ivf", ivf_idx), ("bm25", bm_idx)):
+    for name, idx in (("lsh", lsh_idx), ("ivf", ivf_idx), ("bm25", bm_idx),
+                      ("ivfpq", pq_idx)):
         gc_index_tree(idx, grace_sec=0)
         m = latest_manifest(idx)
         on_disk = scan_parquet_files(idx)
@@ -305,6 +322,19 @@ def test_streaming_triad_soak(spark, tmp_path):
     # segment remains: <= buckets postings leaves + buckets dfreq
     # leaves + 1 stats file (compaction holds each leaf at 1 file).
     assert gc_report["bm25"]["live_files"] <= 2 * 64 + 1, gc_report["bm25"]
+
+    # IVFADC: replay double-appends code rows by design (query-time
+    # dedup); the INVARIANTS are (a) every ingested id is servable —
+    # distinct ids in the cells == all ids — and (b) the file set is
+    # bounded by the cell count, not the batch count
+    pq_cells = spark.read.parquet(os.path.join(pq_idx, "cells"))
+    assert pq_cells.select("id").distinct().count() == n_ids
+    assert gc_report["ivfpq"]["live_files"] <= 4 + 2, gc_report["ivfpq"]
+    pq_top = ivfpq_query_index(
+        spark, pq_idx, probe_vec, "vec_id", "embedding", DIM, m=4, ksub=4, top_k=3
+    ).collect()
+    ids = [r["cand_id"] for r in pq_top]
+    assert len(ids) == 3 and len(set(ids)) == 3  # replay copies deduped
 
     # readers: zero transients is the r8 contract (manifest-pinned
     # reads; retired files outlive every pinned snapshot's grace window)

@@ -93,12 +93,15 @@ def _session_memory_mb() -> dict[str, int]:
 # legitimately grows the session (say why in SCALE.md). The guard trips
 # at +25% — the "session caches grew past what the catalog budgeted"
 # signal, enforced only on full runs over the standard driver dataset.
-# Recorded r8 over two full passes (182q/218s: py 663 / jvm 3317;
-# 183q/239s: py 690 / jvm 3113) — larger of each kept. JVM +2.6% and
-# python +0.7% over the r7 guard: the two new catalog queries plus the
-# manifest layer's snapshot bookkeeping (SCALE.md r8).
+# Recorded r9 over two full passes (195q/290s: py 851 / jvm 3019;
+# 195q/284s: py 823 / jvm 2920) — larger of each kept. Python +23% over
+# the r8 guard (690): 12 new catalog queries, the PQ family's
+# driver-side model state (codebooks + per-query LUTs in exact Python
+# ints) and pyarrow footer reads for zone-map harvesting; JVM DOWN
+# 3317 -> 3019 (the PQ codegen-overflow fix removed two giant fallback
+# plans). Justification: SCALE.md r9 memory note.
 _MEM_HWM_MB = {
-    "/root/testdata/sf0.01": {"python_peak_mb": 690, "jvm_peak_mb": 3317}
+    "/root/testdata/sf0.01": {"python_peak_mb": 851, "jvm_peak_mb": 3019}
 }
 
 
