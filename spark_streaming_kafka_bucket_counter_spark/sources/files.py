@@ -148,35 +148,6 @@ def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
     return str(root)
 
 
-def publish_dir_atomic(live, staged) -> None:
-    """Point directory slot ``live`` at sibling data dir ``staged`` with
-    ONE atomic rename: a fresh symlink (relative target, so the tree
-    stays movable) is renamed over the slot — a concurrent reader
-    resolves either the complete old version or the complete new one,
-    never a missing/partial directory. A legacy REAL directory in the
-    slot can't be atomically replaced by a symlink; it is moved aside
-    first (two-syscall window, paid once per legacy slot — every
-    subsequent publish is atomic). Displaced data dirs stay on disk
-    (hidden from Spark's listing) for the caller's next orphan sweep, so
-    readers mid-scan on the old version finish untouched."""
-    import uuid
-
-    token = uuid.uuid4().hex[:8]
-    tmp_link = live.parent / f"_lnk_{token}"
-    os.symlink(staged.name, tmp_link)
-    try:
-        if live.exists() and not live.is_symlink():
-            # '=' must not appear in the hidden name: Spark's listing
-            # only hides '_'-prefixed paths WITHOUT '=' — '_gc_x=1'
-            # would be parsed as a partition dir for column '_gc_x'
-            safe = live.name.replace("=", "~")
-            live.rename(live.parent / f"_gc_{safe}_{token}")
-        os.rename(tmp_link, live)
-    except OSError:
-        tmp_link.unlink(missing_ok=True)
-        raise
-
-
 def remove_dir_or_link(path) -> None:
     """Remove a partition slot: a symlink slot drops the link AND its
     versioned data dir; a real dir is rmtree'd. (``shutil.rmtree``
@@ -189,116 +160,6 @@ def remove_dir_or_link(path) -> None:
         shutil.rmtree(target, ignore_errors=True)
     else:
         shutil.rmtree(path, ignore_errors=True)
-
-
-def compact_parquet_tree(
-    spark: SparkSession, root: str, target_files: int = 1
-) -> int:
-    """Small-files maintenance for append-maintained parquet trees (the
-    persisted LSH / BM25 / IVF indexes): every leaf partition directory
-    accretes one file per append batch per writer task, and at daily-
-    append cadence that becomes the classic small-files problem (open
-    overhead dominates the pruned reads the index layouts exist for).
-    Rewrites every leaf holding more than ``target_files`` parquet files
-    down to ``target_files``; returns the number of leaves rewritten.
-
-    Reader-atomic swaps (same scheme as ``ServingStore``): the rewrite
-    stages into a hidden ``_data_*`` sibling and is published by
-    :func:`publish_dir_atomic` — one atomic symlink rename, so a reader
-    listing the tree mid-compaction sees either the whole old leaf or
-    the whole rewritten one, never a missing leaf (the pre-round-6
-    two-rename scheme's documented gap). Displaced versions are swept on
-    the NEXT compaction call, letting in-flight readers finish. File
-    contents are merged verbatim — partition values live in the
-    directory names and segment ROWS (e.g. BM25 dfreq/stats) survive
-    unchanged, so query results are bit-identical (pytest-pinned).
-    Legacy two-rename crash debris (``_compact_*`` staged copies,
-    ``_old_*`` backups) still self-heals on every call. Single-MAINTAINER
-    contract as before: one compactor at a time (the ingest loops
-    serialize it inside ``foreachBatch``); readers need no coordination.
-    """
-    import shutil
-    from pathlib import Path
-
-    rootp = Path(root)
-    # walk with followlinks: symlinked leaves (prior compactions) must be
-    # revisited — pathlib's ``**`` does not traverse symlinks
-    dirs: list[tuple[Path, list[str], list[str]]] = []
-    for dirpath, dirnames, filenames in os.walk(rootp, followlinks=True):
-        dirs.append((Path(dirpath), list(dirnames), filenames))
-        # do not descend into hidden dirs (versioned data, staging, gc)
-        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
-
-    # legacy recovery sweep (pre-symlink two-rename crash debris).
-    # Staged copies promote BEFORE backups are considered, matching the
-    # old scheme's preference for the completed rewrite.
-    for parent, dirnames, _ in dirs:
-        for name in sorted(dirnames):
-            if name.startswith("_compact_"):
-                tmp = parent / name
-                live = parent / name[len("_compact_") :]
-                if not live.exists():
-                    tmp.rename(live)
-                else:
-                    remove_dir_or_link(tmp)
-        for name in sorted(dirnames):
-            if name.startswith("_old_"):
-                bak = parent / name
-                live = parent / name[len("_old_") :]
-                if not bak.exists():
-                    continue
-                if live.exists():
-                    remove_dir_or_link(bak)
-                else:
-                    bak.rename(live)
-    # orphan sweep: hidden version dirs no live symlink references
-    # (displaced by a previous publish, or crash debris). Listings are
-    # taken FRESH here — the recovery pass above may have just restored
-    # a symlink whose data dir must not be treated as orphaned.
-    for parent, _, _ in dirs:
-        try:
-            names_now = os.listdir(parent)
-        except OSError:
-            continue
-        live_targets = {
-            os.readlink(parent / d)
-            for d in names_now
-            if (parent / d).is_symlink()
-        }
-        for name in names_now:
-            p = parent / name
-            if (
-                (name.startswith("_data_") or name.startswith("_gc_"))
-                and p.is_dir() and not p.is_symlink()
-                and name not in live_targets
-            ):
-                shutil.rmtree(p, ignore_errors=True)
-
-    leaves = sorted(
-        {
-            parent
-            for parent, _, filenames in dirs
-            if any(f.endswith(".parquet") for f in filenames)
-            and not any(
-                part.startswith(("_", "."))
-                for part in parent.relative_to(rootp).parts
-            )
-        }
-    )
-    rewritten = 0
-    for leaf in leaves:
-        files = list(leaf.glob("*.parquet"))
-        if len(files) <= target_files:
-            continue
-        import uuid
-
-        df = spark.read.parquet(str(leaf))
-        # no '=' in hidden names (see publish_dir_atomic)
-        staged = leaf.parent / f"_data_{leaf.name.replace('=', '~')}_{uuid.uuid4().hex[:8]}"
-        df.coalesce(target_files).write.mode("overwrite").parquet(str(staged))
-        publish_dir_atomic(leaf, staged)
-        rewritten += 1
-    return rewritten
 
 
 def json_file_to_dict(path: str) -> dict:

@@ -30,7 +30,7 @@ The manifest inverts the contract — the same shape the table formats
   silently double additive stats like BM25 tf/df/N — and deleted by GC
   once older than the grace window. Replay regenerates their content.
 
-Single-MAINTAINER contract (same as ``compact_parquet_tree``): one
+Single-MAINTAINER contract: one
 writer/compactor at a time per index root — the streaming ingest loops
 serialize maintenance inside ``foreachBatch``. Readers need nothing.
 Round 9 makes the contract ENFORCED, not just documented: every
@@ -52,9 +52,10 @@ crash debris.
 Round 9 also moved the SERVING STORE onto this substrate
 (streaming/serving.py) — appends, compaction, predicate deletes, and
 retention cleans all publish snapshots, so store readers gained the
-same 0-transient contract. The line-count segment tree keeps its
-partition-replace scheme (its partitions are never rewritten in place,
-so directory listing is already transient-free there).
+same 0-transient contract — and, in the second half, the line-count
+segment tree (streaming/pipeline.py start_line_dedup_ingest): the
+quintet soak caught its legacy directory-listing reader racing
+compaction for real, closing the last non-manifest index tree.
 
 Scale notes: a publish costs O(live files) — one JSON dump plus one
 tree scan — and readers pay one JSON parse. That holds comfortably to

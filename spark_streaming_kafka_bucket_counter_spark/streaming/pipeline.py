@@ -591,6 +591,7 @@ def start_line_dedup_ingest(
     max_occurrences: int = 2,
     available_now: bool = True,
     compact_every: int = 0,
+    gc_grace_sec: float = 300.0,
 ) -> StreamingQuery:
     """The fourth streaming ingest loop (round 7): LINE-level global
     dedup — the RefinedWeb/C4 boilerplate cut — as a continuous
@@ -618,10 +619,22 @@ def start_line_dedup_ingest(
     segment count equals batch count, same growth honesty note as the
     BM25 loop), one exclusion join whose hot side is boilerplate-sized
     (AQE broadcasts it), one per-doc rebuild. ``compact_every=N``
-    compacts segment leaves every N batches."""
+    compacts segment leaves every N batches.
+
+    Since r9 (second half) the count-segment tree is MANIFEST-managed
+    like every other streaming index: each batch's segment lands as an
+    append inside a transaction whose replace scope is its own
+    ``batch_id=`` partition (the ServingStore.append recipe — a
+    checkpoint-rollback replay RETIRES the prior attempt's files instead
+    of hard-deleting them), the hot-set read plans over one snapshot's
+    explicit file list, and compaction goes through
+    ``compact_index_tree``. The quintet soak caught the old layout's
+    race for real: ``compact_parquet_tree`` swaps files under a
+    directory-listing reader -> FAILED_READ_FILE.FILE_NOT_EXIST."""
     import os as _os
 
     from ..operators.dedup import doc_lines, rebuild_without_lines
+    from ..sources.manifest import manifest_read, manifest_txn
 
     counts_path = _os.path.join(index_path, "line_counts")
 
@@ -630,18 +643,20 @@ def start_line_dedup_ingest(
             return
         spark = batch_df.sparkSession
         lines = doc_lines(batch_df, id_col, text_col)
-        (
-            lines.filter(F.length("line") >= min_chars)
-            .groupBy("line")
-            .agg(F.count(F.lit(1)).alias("n_occ"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(counts_path)
-        )
+        with manifest_txn(
+            index_path, replace_prefixes=[f"line_counts/batch_id={int(batch_id)}"]
+        ):
+            (
+                lines.filter(F.length("line") >= min_chars)
+                .groupBy("line")
+                .agg(F.count(F.lit(1)).alias("n_occ"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .parquet(counts_path)
+            )
         hot = (
-            spark.read.parquet(counts_path)
+            manifest_read(spark, index_path, "line_counts")
             .groupBy("line")
             .agg(F.sum("n_occ").alias("_total"))
             .filter(F.col("_total") > max_occurrences)
@@ -656,9 +671,9 @@ def start_line_dedup_ingest(
             .parquet(out_path)
         )
         if compact_every > 0 and (batch_id + 1) % compact_every == 0:
-            from ..sources.files import compact_parquet_tree
+            from ..sources.manifest import compact_index_tree
 
-            compact_parquet_tree(spark, counts_path)
+            compact_index_tree(spark, index_path, grace_sec=gc_grace_sec)
 
     writer = docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -19,8 +19,10 @@ read errors). Since r8 the LSH/IVF/BM25 indexes are manifest-managed
 (sources/manifest.py): readers plan over snapshot-pinned file lists and
 compaction retires files through a GC grace window instead of deleting
 them, so the pin is ZERO transient read errors on all five readers — no
-reader-side retry (r7 VERDICT ask #2; the line-counts reader was always
-0 because its partitions are never rewritten). Ask #6's pin rides along:
+reader-side retry (r7 VERDICT ask #2). r9's quintet run caught the
+line-counts tree's compaction racing its directory-listing reader
+(1 FILE_NOT_EXIST in ~360 reads), so that tree is now manifest-managed
+like the rest. Ask #6's pin rides along:
 after a final zero-grace GC, each index's on-disk file set equals its
 manifest exactly (no unbounded accumulation of superseded segments).
 """
@@ -107,9 +109,10 @@ class _Reader(threading.Thread):
         self._halt.set()
 
 
-def test_streaming_triad_soak(spark, tmp_path):
+def test_streaming_quintet_soak(spark, tmp_path):
     from spark_streaming_kafka_bucket_counter_spark.operators.dedup import lsh_query_index
     from spark_streaming_kafka_bucket_counter_spark.operators.pq import ivfpq_query_index
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import manifest_read
     from spark_streaming_kafka_bucket_counter_spark.operators.search import bm25_query_index
     from spark_streaming_kafka_bucket_counter_spark.operators.similarity import ivf_query_index
     from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
@@ -191,7 +194,7 @@ def test_streaming_triad_soak(spark, tmp_path):
         )
         q4 = start_line_dedup_ingest(
             _doc_stream(), "doc_id", "text", ld_idx, ld_out, ld_ck,
-            compact_every=6,
+            compact_every=6, gc_grace_sec=GRACE,
         )
         # the compressed serving index (r9): bootstrap model trains on
         # the first 4-vector batch (ksub = n_centroids = 4)
@@ -214,8 +217,8 @@ def test_streaming_triad_soak(spark, tmp_path):
         _Reader("lsh", lambda: lsh_query_index(spark, lsh_idx, probe_doc, "doc_id", "text").collect()),
         _Reader("ivf", lambda: ivf_query_index(spark, ivf_idx, probe_vec, "vec_id", "embedding", top_k=1).collect()),
         _Reader("bm25", lambda: bm25_query_index(spark, bm_idx, ["tok5x0", "tok5x1"], top_k=1).collect()),
-        _Reader("linecounts", lambda: spark.read.parquet(
-            os.path.join(ld_idx, "line_counts")
+        _Reader("linecounts", lambda: manifest_read(
+            spark, ld_idx, "line_counts"
         ).groupBy().sum("n_occ").collect()),
         _Reader("ivfpq", lambda: ivfpq_query_index(
             spark, pq_idx, probe_vec, "vec_id", "embedding",
@@ -227,17 +230,24 @@ def test_streaming_triad_soak(spark, tmp_path):
     # index-not-yet-created error is a bootstrap-ordering artifact, not
     # the maintenance-vs-reader race this soak pins at zero
     deadline = time.time() + 120
+    # wait for each index's FIRST PUBLISHED SNAPSHOT (a v*.json), not
+    # the _manifest dir: the maintainer lease creates the dir at txn
+    # ENTRY, long before the bootstrap's writes complete — a reader
+    # starting in that window dir-falls-back onto half-written subtrees
+    # (the quintet soak caught exactly this on the ivfpq bootstrap)
     waiting = {
         "lsh": Path(lsh_idx) / "_manifest",
         "ivf": Path(ivf_idx) / "_manifest",
         "bm25": Path(bm_idx) / "_manifest",
-        "linecounts": Path(ld_idx) / "line_counts",
+        "linecounts": Path(ld_idx) / "_manifest",
         "ivfpq": Path(pq_idx) / "_manifest",
     }
     while waiting and time.time() < deadline:
-        waiting = {k: p for k, p in waiting.items() if not p.exists()}
+        waiting = {
+            k: p for k, p in waiting.items() if not list(p.glob("v*.json"))
+        }
         time.sleep(0.5)
-    assert not waiting, f"indexes never appeared: {sorted(waiting)}"
+    assert not waiting, f"indexes never published: {sorted(waiting)}"
     for r in readers:
         r.start()
     for q in queries:
@@ -273,7 +283,7 @@ def test_streaming_triad_soak(spark, tmp_path):
     # replayed batch's count segment must have been REPLACED not doubled
     assert all(r["n_removed"] == 0 for r in cleaned)
     seg_tot = (
-        spark.read.parquet(os.path.join(ld_idx, "line_counts"))
+        manifest_read(spark, ld_idx, "line_counts")
         .groupBy("line").sum("n_occ").collect()
     )
     assert all(r["sum(n_occ)"] == 1 for r in seg_tot)
@@ -304,7 +314,7 @@ def test_streaming_triad_soak(spark, tmp_path):
 
     gc_report = {}
     for name, idx in (("lsh", lsh_idx), ("ivf", ivf_idx), ("bm25", bm_idx),
-                      ("ivfpq", pq_idx)):
+                      ("ivfpq", pq_idx), ("linecounts", ld_idx)):
         gc_index_tree(idx, grace_sec=0)
         m = latest_manifest(idx)
         on_disk = scan_parquet_files(idx)
@@ -325,11 +335,13 @@ def test_streaming_triad_soak(spark, tmp_path):
 
     # IVFADC: replay double-appends code rows by design (query-time
     # dedup); the INVARIANTS are (a) every ingested id is servable —
-    # distinct ids in the cells == all ids — and (b) the file set is
-    # bounded by the cell count, not the batch count
+    # distinct ids in the cells == all ids — and (b) the live file set
+    # is bounded by cells x compaction cadence (+ 2 metadata files),
+    # NOT by total batch count: compact_every=7 leaves at most 6
+    # post-compaction appends per cell in flight at any moment
     pq_cells = spark.read.parquet(os.path.join(pq_idx, "cells"))
     assert pq_cells.select("id").distinct().count() == n_ids
-    assert gc_report["ivfpq"]["live_files"] <= 4 + 2, gc_report["ivfpq"]
+    assert gc_report["ivfpq"]["live_files"] <= 4 * 7 + 2, gc_report["ivfpq"]
     pq_top = ivfpq_query_index(
         spark, pq_idx, probe_vec, "vec_id", "embedding", DIM, m=4, ksub=4, top_k=3
     ).collect()

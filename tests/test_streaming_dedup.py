@@ -703,8 +703,12 @@ def test_line_dedup_ingest_stream_end_to_end(spark, tmp_path):
     }
     assert replayed == got  # segment + output both replaced, not doubled
     # and the counts table holds each batch's segment exactly once
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        manifest_read,
+    )
+
     counts = (
-        spark.read.parquet(os.path.join(idx, "line_counts"))
+        manifest_read(spark, idx, "line_counts")
         .groupBy("line")
         .sum("n_occ")
         .collect()
