@@ -58,6 +58,9 @@ __all__ = [
     "pq_adc_topk",
     "pq_recall_eval",
     "ivfpq_topk",
+    "residual_frame",
+    "ivfpq_residual_topk",
+    "ivfpq_recall_eval",
     "ivfpq_build_index",
     "ivfpq_append_index",
     "ivfpq_query_index",
@@ -66,13 +69,24 @@ __all__ = [
     "pq_adc_topk_sql",
     "pq_recall_sql",
     "ivfpq_topk_sql",
+    "ivfpq_residual_topk_sql",
+    "ivfpq_recall_sql",
 ]
 
 Codebook = dict[tuple[int, int], list[int]]  # (sub, cid) -> dsub fixed-point coords
 
 
-def _fixed_vecs(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
-    """(id, v): the vector column snapped to exact fixed-point BIGINTs."""
+def _fixed_vecs(df: DataFrame, id_col: str, vec_col: str, scale: int,
+                already_fixed: bool = False) -> DataFrame:
+    """(id, v): the vector column snapped to exact fixed-point BIGINTs.
+    ``already_fixed`` passes a column that IS fixed-point (residuals —
+    differences of snapped values) through untouched: re-snapping would
+    scale it twice."""
+    if already_fixed:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("long")).alias("v"),
+        )
     return df.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -212,6 +226,7 @@ def pq_train(
     ksub: int = 16,
     iters: int = 2,
     scale: int = 1_000_000,
+    already_fixed: bool = False,
 ) -> Codebook:
     """Train the m sub-space codebooks jointly with `iters` Lloyd rounds;
     return {(sub, cid): dsub fixed-point coords}.
@@ -240,7 +255,7 @@ def pq_train(
         raise ValueError(f"ksub and iters must be >= 1: ksub={ksub}, iters={iters}")
     dsub = dim // m
     spark = df.sparkSession
-    vecs = _fixed_vecs(df, id_col, vec_col, scale)
+    vecs = _fixed_vecs(df, id_col, vec_col, scale, already_fixed)
     subs = vecs.select(
         "id",
         F.explode(F.array(*[F.lit(s).cast("int") for s in range(m)])).alias("sub"),
@@ -317,6 +332,7 @@ def pq_encode(
     ksub: int = 16,
     scale: int = 1_000_000,
     via: str = "arrow",
+    already_fixed: bool = False,
 ) -> DataFrame:
     """(id, codes array<long>): every vector compressed to m sub-space
     codes against the trained codebook.
@@ -331,7 +347,7 @@ def pq_encode(
     numpy-int64-vs-JVM-long parity check."""
     _check_dims(dim, m)
     dsub = dim // m
-    vecs = _fixed_vecs(df, id_col, vec_col, scale)
+    vecs = _fixed_vecs(df, id_col, vec_col, scale, already_fixed)
     if via == "arrow":
         return _encode_arrow(vecs, books, m, ksub, dsub)
     if via != "join":
@@ -552,6 +568,199 @@ def ivfpq_topk(
     return _rank_topk(scored, top_k)
 
 
+def residual_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """(id, rv, cid): every nonzero vector's EXACT fixed-point residual
+    against its rn=1 IVF cell centroid — rv = round(x*s) - round(c*s),
+    so both engines reproduce it bit-for-bit (rounding the float
+    difference instead would not). Residuals are what Faiss's IVFADC
+    actually quantizes: within a cell they are centered near zero, so
+    the same codebook budget spends its resolution where the data is."""
+    from .similarity import ivf_assign, nonzero_vectors
+
+    nz = nonzero_vectors(df, vec_col)
+    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=1)
+    fixed = assigned.select(
+        F.col("_id").alias("id"),
+        F.transform(
+            F.col("_vec"), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("ve"),
+        "cid",
+    )
+    cents = _fixed_vecs(
+        nz.filter(F.col(id_col) < n_centroids), id_col, vec_col, scale
+    ).select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    return fixed.join(F.broadcast(cents), "cid").select(
+        "id",
+        F.zip_with(F.col("ve"), F.col("cv"), lambda x, y: x - y).alias("rv"),
+        "cid",
+    )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, cand_id, adc_dist, rank): IVFADC over RESIDUAL codes —
+    the faithful Faiss recipe. ``books`` must be trained on
+    :func:`residual_frame` output (already_fixed=True); ``codes``
+    likewise encodes residuals. The per-query LUT becomes per
+    (query, probed cell): the query's residual against THAT cell's
+    centroid vs the codebook — nprobe * m * ksub exact BIGINTs per
+    query, still driver-bounded. Distance ranks approximate
+    ||q - (c + r̂)||^2 within each probed cell."""
+    from .similarity import ivf_assign, nonzero_vectors
+
+    _check_dims(dim, m)
+    dsub = dim // m
+    nz = nonzero_vectors(df, vec_col)
+    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe)
+    cand = assigned.filter(F.col("_rn") == 1).select(
+        F.col("_id").alias("cand_id"), "cid"
+    )
+    probes = (
+        assigned.filter(F.col("_rn") <= nprobe)
+        .filter(F.col("_id") < query_max_id)
+        .select(F.col("_id").alias("query_id"), "cid")
+    )
+    pairs = (
+        cand.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "cid")
+    )
+    if codes is None:
+        codes = pq_encode(
+            residual_frame(df, id_col, vec_col, scale, n_centroids),
+            "id", "rv", books, dim, m, ksub, scale, already_fixed=True,
+        )
+    qrows = (
+        _fixed_vecs(nz, id_col, vec_col, scale)
+        .filter(F.col("id") < query_max_id)
+        .collect()
+    )
+    cent_rows = _fixed_vecs(
+        nz.filter(F.col(id_col) < n_centroids), id_col, vec_col, scale
+    ).collect()
+    cents_e6 = {int(r["id"]): list(r["v"]) for r in cent_rows}
+    lut_rows = []
+    for r in qrows:
+        for ccid, cv in sorted(cents_e6.items()):
+            qres = [int(a) - int(b) for a, b in zip(r["v"], cv)]
+            lut_rows.append(
+                (
+                    int(r["id"]),
+                    int(ccid),
+                    [
+                        [
+                            _sub_sq_dist_py(qres, s, dsub, books[(s, c)])
+                            for c in range(ksub)
+                        ]
+                        for s in range(m)
+                    ],
+                )
+            )
+    lut = df.sparkSession.createDataFrame(
+        lut_rows, "query_id long, cid long, lut array<array<long>>"
+    )
+    scored = (
+        pairs.join(codes.withColumnRenamed("id", "cand_id"), "cand_id")
+        .join(F.broadcast(lut), ["query_id", "cid"])
+        .select("query_id", "cand_id", F.expr(_adc_dist_sql(m)).alias("adc_dist"))
+    )
+    return _rank_topk(scored, top_k)
+
+
+def ivfpq_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    raw_books: Codebook,
+    res_books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+    raw_codes: DataFrame | None = None,
+    res_codes: DataFrame | None = None,
+) -> DataFrame:
+    """Two rows (variant, n_queries, k, mean_recall_ppm,
+    min_recall_ppm): recall@k of raw-code IVFADC vs RESIDUAL-code IVFADC
+    against exact fixed-point squared-L2 over the same (nonzero)
+    candidate universe — the measured form of the Faiss claim that
+    residual quantization buys recall at identical bytes."""
+    from .similarity import nonzero_vectors
+
+    nz = nonzero_vectors(df, vec_col)
+    vecs = _fixed_vecs(nz, id_col, vec_col, scale)
+    queries = vecs.filter(F.col("id") < query_max_id).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact_d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cand_id").asc()
+    )
+    truth = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "cand_id")
+    )
+
+    def _ppm(approx: DataFrame, variant: str) -> DataFrame:
+        per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+        hits = (
+            truth.join(approx.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        r = per_q.join(hits, "query_id", "left").select(
+            F.expr("coalesce(n_hit, 0) * 1000000 div n_true").alias("recall_ppm")
+        )
+        return r.agg(
+            F.lit(variant).alias("variant"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.lit(top_k).cast("long").alias("k"),
+            F.expr("sum(recall_ppm) div count(1)").cast("long").alias("mean_recall_ppm"),
+            F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
+        )
+
+    raw = ivfpq_topk(
+        df, id_col, vec_col, raw_books, dim, m, ksub, scale,
+        n_centroids, nprobe, query_max_id, top_k, raw_codes,
+    )
+    res = ivfpq_residual_topk(
+        df, id_col, vec_col, res_books, dim, m, ksub, scale,
+        n_centroids, nprobe, query_max_id, top_k, res_codes,
+    )
+    return _ppm(raw, "raw").unionAll(_ppm(res, "residual"))
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVFADC index: the serving layout for the composition —
 # cells/cid=*/ holds (id, codes) rows (8 bytes of payload per vector
@@ -742,33 +951,42 @@ def _pq_ctes(
     ksub: int,
     iters: int,
     scale: int,
+    prefix: str = "",
+    v_sql: str | None = None,
 ) -> tuple[list[str], str, str]:
     """Shared CTE chain: returns (ctes, final-centroid CTE name, encode
-    CTE name). `enc` holds (id, sub, cid) — every vector's code against
-    the FINAL codebook."""
+    CTE name). `{prefix}enc` holds (id, sub, cid) — every vector's code
+    against the FINAL codebook. ``prefix`` namespaces every CTE so two
+    chains (e.g. raw + residual) can share one WITH clause; ``v_sql``
+    overrides the default fixed-point source with any SELECT producing
+    (id, v BIGINT[]) — the residual chain feeds (ve - cv) here and the
+    whole trainer/encoder runs on it verbatim."""
     dsub = dim // m
+    P = prefix
     rank_on_id = "md5(CAST(id AS VARCHAR)), id"
-    ctes = [
-        f"""v AS (SELECT {id_col} AS id,
+    if v_sql is None:
+        v_sql = f"""SELECT {id_col} AS id,
              list_transform(CAST({vec_col} AS DOUBLE[]),
                             x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
-           FROM {table})""",
-        f"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank_on_id}) - 1
+           FROM {table}"""
+    ctes = [
+        f"""{P}v AS ({v_sql})""",
+        f"""{P}seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank_on_id}) - 1
                     AS BIGINT) AS cid, v
-           FROM v ORDER BY {rank_on_id} LIMIT {ksub})""",
-        f"""c0 AS (SELECT s.i AS sub, seeds.cid, d.i AS dim,
+           FROM {P}v ORDER BY {rank_on_id} LIMIT {ksub})""",
+        f"""{P}c0 AS (SELECT s.i AS sub, {P}seeds.cid, d.i AS dim,
                   v[CAST(s.i * {dsub} + d.i + 1 AS INT)] AS c
-           FROM seeds CROSS JOIN range(0, {m}) s(i)
+           FROM {P}seeds CROSS JOIN range(0, {m}) s(i)
                       CROSS JOIN range(0, {dsub}) d(i))""",
     ]
-    prev = "c0"
+    prev = f"{P}c0"
     for it in range(1, iters + 1):
-        d, a, u, c = f"d{it}", f"a{it}", f"u{it}", f"c{it}"
+        d, a, u, c = f"{P}d{it}", f"{P}a{it}", f"{P}u{it}", f"{P}c{it}"
         ctes.append(
             f"""{d} AS (SELECT vv.id, cc.sub, cc.cid,
                SUM((vv.v[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)
                    * (vv.v[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)) AS dist
-             FROM v vv, {prev} cc GROUP BY 1, 2, 3)"""
+             FROM {P}v vv, {prev} cc GROUP BY 1, 2, 3)"""
         )
         ctes.append(
             f"""{a} AS (SELECT id, sub, cid FROM (
@@ -781,7 +999,7 @@ def _pq_ctes(
             f"""{u} AS (SELECT a.sub, a.cid, i AS dim,
                       CAST(FLOOR(CAST(SUM(v.v[CAST(a.sub * {dsub} + i + 1 AS INT)])
                                       AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-             FROM {a} a JOIN v USING (id) CROSS JOIN range(0, {dsub}) r(i)
+             FROM {a} a JOIN {P}v v USING (id) CROSS JOIN range(0, {dsub}) r(i)
              GROUP BY 1, 2, 3)"""
         )
         ctes.append(
@@ -791,19 +1009,19 @@ def _pq_ctes(
         )
         prev = c
     ctes.append(
-        f"""ed AS (SELECT vv.id, cc.sub, cc.cid,
+        f"""{P}ed AS (SELECT vv.id, cc.sub, cc.cid,
            SUM((vv.v[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)
                * (vv.v[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)) AS dist
-         FROM v vv, {prev} cc GROUP BY 1, 2, 3)"""
+         FROM {P}v vv, {prev} cc GROUP BY 1, 2, 3)"""
     )
     ctes.append(
-        """enc AS (SELECT id, sub, cid FROM (
+        f"""{P}enc AS (SELECT id, sub, cid FROM (
            SELECT id, sub, cid,
                   row_number() OVER (PARTITION BY id, sub
                                      ORDER BY dist, cid) AS rn
-           FROM ed) WHERE rn = 1)"""
+           FROM {P}ed) WHERE rn = 1)"""
     )
-    return ctes, prev, "enc"
+    return ctes, prev, f"{P}enc"
 
 
 def pq_codes_sql(
@@ -837,27 +1055,32 @@ def _adc_ctes(
     iters: int,
     scale: int,
     query_max_id: int,
+    prefix: str = "",
+    v_sql: str | None = None,
 ) -> tuple[list[str], str]:
     """CTE chain through the ADC scan: returns (ctes, scored CTE name)
     where the scored CTE holds (query_id, cand_id, adc_dist)."""
     dsub = dim // m
-    ctes, cent, enc = _pq_ctes(table, id_col, vec_col, dim, m, ksub, iters, scale)
-    ctes.append(
-        f"q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < {query_max_id})"
+    P = prefix
+    ctes, cent, enc = _pq_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, prefix, v_sql
     )
     ctes.append(
-        f"""lut AS (SELECT q.query_id, cc.sub, cc.cid,
+        f"{P}q AS (SELECT id AS query_id, v AS qv FROM {P}v WHERE id < {query_max_id})"
+    )
+    ctes.append(
+        f"""{P}lut AS (SELECT q.query_id, cc.sub, cc.cid,
            SUM((q.qv[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)
                * (q.qv[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)) AS d
-         FROM q, {cent} cc GROUP BY 1, 2, 3)"""
+         FROM {P}q q, {cent} cc GROUP BY 1, 2, 3)"""
     )
     ctes.append(
-        f"""adc AS (SELECT l.query_id, e.id AS cand_id, SUM(l.d) AS adc_dist
-         FROM {enc} e JOIN lut l
+        f"""{P}adc AS (SELECT l.query_id, e.id AS cand_id, SUM(l.d) AS adc_dist
+         FROM {enc} e JOIN {P}lut l
            ON e.sub = l.sub AND e.cid = l.cid AND e.id <> l.query_id
          GROUP BY 1, 2)"""
     )
-    return ctes, "adc"
+    return ctes, f"{P}adc"
 
 
 def pq_adc_topk_sql(
@@ -886,6 +1109,41 @@ def pq_adc_topk_sql(
     """
 
 
+def _cell_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    nprobe: int,
+    query_max_id: int,
+) -> list[str]:
+    """IVF cell assignment as CTEs (same cosine + nonzero-norm guard as
+    the sim_ivf oracles): e/cent/sc/rk/cand/probe/pairs. `pairs` carries
+    the candidate's cell id (ccid) so residual chains can key their
+    per-cell LUTs on it."""
+    cos = ("ROUND(list_dot_product(e.dv, cent.cv) / "
+           "(sqrt(list_dot_product(e.dv, e.dv)) * "
+           "sqrt(list_dot_product(cent.cv, cent.cv))), 6)")
+    return [
+        f"""e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS dv
+         FROM {table}
+         WHERE list_dot_product(CAST({vec_col} AS DOUBLE[]),
+                                CAST({vec_col} AS DOUBLE[])) > 0)""",
+        f"cent AS (SELECT id AS ccid, dv AS cv FROM e WHERE id < {n_centroids})",
+        f"""sc AS (SELECT e.id, cent.ccid, {cos} AS sim
+         FROM e CROSS JOIN cent)""",
+        """rk AS (SELECT id, ccid,
+                row_number() OVER (PARTITION BY id ORDER BY sim DESC, ccid) AS rn
+         FROM sc)""",
+        "cand AS (SELECT id AS cand_id, ccid FROM rk WHERE rn = 1)",
+        f"""probe AS (SELECT id AS query_id, ccid FROM rk
+         WHERE rn <= {nprobe} AND id < {query_max_id})""",
+        """pairs AS (SELECT p.query_id, c.cand_id, c.ccid
+         FROM probe p JOIN cand c
+           ON p.ccid = c.ccid AND c.cand_id <> p.query_id)""",
+    ]
+
+
 def ivfpq_topk_sql(
     table: str,
     id_col: str,
@@ -901,43 +1159,12 @@ def ivfpq_topk_sql(
     top_k: int = 5,
 ) -> str:
     """DuckDB twin of ivfpq_topk: the PQ train/encode/LUT chain joined
-    with the IVF cell-assignment CTEs (same cosine + nonzero-norm guard
-    as the sim_ivf oracles); the unreferenced full-scan `adc` CTE is
-    pruned by the optimizer."""
+    with the IVF cell-assignment CTEs; the unreferenced full-scan `adc`
+    CTE is pruned by the optimizer."""
     ctes, _adc = _adc_ctes(
         table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
     )
-    cos = ("ROUND(list_dot_product(e.dv, cent.cv) / "
-           "(sqrt(list_dot_product(e.dv, e.dv)) * "
-           "sqrt(list_dot_product(cent.cv, cent.cv))), 6)")
-    ctes.append(
-        f"""e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS dv
-         FROM {table}
-         WHERE list_dot_product(CAST({vec_col} AS DOUBLE[]),
-                                CAST({vec_col} AS DOUBLE[])) > 0)"""
-    )
-    ctes.append(
-        f"cent AS (SELECT id AS ccid, dv AS cv FROM e WHERE id < {n_centroids})"
-    )
-    ctes.append(
-        f"""sc AS (SELECT e.id, cent.ccid, {cos} AS sim
-         FROM e CROSS JOIN cent)"""
-    )
-    ctes.append(
-        """rk AS (SELECT id, ccid,
-                row_number() OVER (PARTITION BY id ORDER BY sim DESC, ccid) AS rn
-         FROM sc)"""
-    )
-    ctes.append("cand AS (SELECT id AS cand_id, ccid FROM rk WHERE rn = 1)")
-    ctes.append(
-        f"""probe AS (SELECT id AS query_id, ccid FROM rk
-         WHERE rn <= {nprobe} AND id < {query_max_id})"""
-    )
-    ctes.append(
-        """pairs AS (SELECT p.query_id, c.cand_id
-         FROM probe p JOIN cand c
-           ON p.ccid = c.ccid AND c.cand_id <> p.query_id)"""
-    )
+    ctes += _cell_ctes(table, id_col, vec_col, n_centroids, nprobe, query_max_id)
     ctes.append(
         """adcp AS (SELECT pr.query_id, pr.cand_id, SUM(l.d) AS adc_dist
          FROM pairs pr
@@ -953,6 +1180,182 @@ def ivfpq_topk_sql(
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_dist, cand_id) AS BIGINT) AS rank
     FROM adcp QUALIFY rank <= {top_k}
+    """
+
+
+def _residual_adc_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    scale: int,
+    query_max_id: int,
+    P: str = "rs",
+) -> list[str]:
+    """Residual-IVFADC chain (prefixed, expects :func:`_cell_ctes` in
+    the same WITH): the PQ trainer/encoder run verbatim over residual
+    vectors (ve - cv of the rn=1 cell), and the LUT is keyed per
+    (query, probed cell) on the query's residual against THAT cell.
+    Produces `{P}adcp` (query_id, cand_id, adc_dist)."""
+    dsub = dim // m
+    res = "[" + ", ".join(
+        f"r.ve[{i + 1}] - cv.cv[{i + 1}]" for i in range(dim)
+    ) + "]"
+    qres = "[" + ", ".join(
+        f"qr.ve[{i + 1}] - cv.cv[{i + 1}]" for i in range(dim)
+    ) + "]"
+    pre = [
+        f"""{P}rw AS (SELECT {id_col} AS id,
+             list_transform(CAST({vec_col} AS DOUBLE[]),
+                            x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS ve
+           FROM {table})""",
+        f"""{P}cw AS (SELECT c.ccid, r.ve AS cv
+           FROM cent c JOIN {P}rw r ON r.id = c.ccid)""",
+    ]
+    v_sql = f"""SELECT r.id, {res} AS v
+        FROM {P}rw r JOIN cand c ON c.cand_id = r.id
+        JOIN {P}cw cv ON cv.ccid = c.ccid"""
+    ctes, cent_name, enc = _pq_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, prefix=P, v_sql=v_sql
+    )
+    ctes = pre + ctes
+    ctes.append(
+        f"""{P}ql AS (SELECT p.query_id, p.ccid, {qres} AS qv
+         FROM probe p JOIN {P}rw qr ON qr.id = p.query_id
+         JOIN {P}cw cv ON cv.ccid = p.ccid)"""
+    )
+    ctes.append(
+        f"""{P}lt AS (SELECT q.query_id, q.ccid, cc.sub, cc.cid,
+           SUM((q.qv[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)
+               * (q.qv[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)) AS d
+         FROM {P}ql q, {cent_name} cc GROUP BY 1, 2, 3, 4)"""
+    )
+    ctes.append(
+        f"""{P}adcp AS (SELECT pr.query_id, pr.cand_id, SUM(l.d) AS adc_dist
+         FROM pairs pr
+         JOIN {enc} en ON en.id = pr.cand_id
+         JOIN {P}lt l ON l.query_id = pr.query_id AND l.ccid = pr.ccid
+                     AND l.sub = en.sub AND l.cid = en.cid
+         GROUP BY 1, 2)"""
+    )
+    return ctes
+
+
+def ivfpq_residual_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of ivfpq_residual_topk."""
+    ctes = _cell_ctes(table, id_col, vec_col, n_centroids, nprobe, query_max_id)
+    ctes += _residual_adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, cand_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, cand_id) AS BIGINT) AS rank
+    FROM rsadcp QUALIFY rank <= {top_k}
+    """
+
+
+def ivfpq_recall_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of ivfpq_recall_eval: raw-code and residual-code
+    IVFADC recall@k against exact fixed-point L2 over the nonzero
+    candidate universe, two rows via UNION ALL — both full chains share
+    one WITH clause through the prefix machinery."""
+    ctes, _adc = _adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    ctes += _cell_ctes(table, id_col, vec_col, n_centroids, nprobe, query_max_id)
+    ctes.append(
+        """adcp AS (SELECT pr.query_id, pr.cand_id, SUM(l.d) AS adc_dist
+         FROM pairs pr
+         JOIN enc en ON en.id = pr.cand_id
+         JOIN lut l ON l.query_id = pr.query_id
+                   AND l.sub = en.sub AND l.cid = en.cid
+         GROUP BY 1, 2)"""
+    )
+    ctes += _residual_adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    ctes.append(
+        f"""xq AS (SELECT r.id AS query_id, r.ve
+         FROM rsrw r JOIN e ON e.id = r.id WHERE r.id < {query_max_id})"""
+    )
+    ctes.append(
+        f"""exd AS (SELECT q.query_id, c.id AS cand_id,
+           SUM((q.ve[CAST(i + 1 AS INT)] - r.ve[CAST(i + 1 AS INT)])
+               * (q.ve[CAST(i + 1 AS INT)] - r.ve[CAST(i + 1 AS INT)])) AS dist
+         FROM xq q JOIN e c ON c.id <> q.query_id
+         JOIN rsrw r ON r.id = c.id
+         CROSS JOIN range(0, {dim}) rr(i)
+         GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"""ext AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, cand_id) AS rn
+           FROM exd) WHERE rn <= {top_k})"""
+    )
+    variant_rows = []
+    for variant, src in (("raw", "adcp"), ("residual", "rsadcp")):
+        ctes.append(
+            f"""{variant}t AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, cand_id) AS rn
+           FROM {src}) WHERE rn <= {top_k})"""
+        )
+        ctes.append(
+            f"""{variant}m AS (SELECT t.query_id, COUNT(*) AS n_true,
+                SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         FROM ext t LEFT JOIN {variant}t a
+           ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         GROUP BY 1)"""
+        )
+        variant_rows.append(
+            f"""SELECT '{variant}' AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({top_k} AS BIGINT) AS k,
+           CAST(SUM(n_hit * 1000000 // n_true) // COUNT(*) AS BIGINT)
+               AS mean_recall_ppm,
+           CAST(MIN(n_hit * 1000000 // n_true) AS BIGINT) AS min_recall_ppm
+    FROM {variant}m"""
+        )
+    body = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(variant_rows)
+    return f"""
+    WITH {body}
+    {union}
     """
 
 

@@ -793,6 +793,87 @@ def q_sim_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_res_books(spark: SparkSession, sf_dir: str):
+    """Residual codebook, memoized like the raw one: trained on each
+    nonzero vector's exact fixed-point residual against its IVF cell."""
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark,
+        sf_dir,
+        f"pq_res_books_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}",
+        lambda: PQ.pq_train(
+            PQ.residual_frame(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding"),
+            "id", "rv",
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+            already_fixed=True,
+        ),
+    )
+
+
+def _pq_res_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._memo import dataset_memo
+
+    return dataset_memo(
+        spark,
+        sf_dir,
+        f"pq_res_codes_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}",
+        lambda: PQ.pq_encode(
+            PQ.residual_frame(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding"),
+            "id", "rv", _pq_res_books(spark, sf_dir),
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, already_fixed=True,
+        ),
+    )
+
+
+@query(
+    "sim_ivfpq_residual_topk",
+    PQ.ivfpq_residual_topk_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),
+)
+def q_sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over RESIDUAL codes — the faithful Faiss recipe: each
+    vector's exact fixed-point residual against its cell centroid is
+    what gets quantized (within a cell, residuals center near zero, so
+    the same 8-byte budget spends its resolution where the data is),
+    and the query's LUT is computed per probed cell against ITS
+    centroid. Same oracle discipline: training, encoding, per-cell LUTs
+    and the scan replay bit-for-bit in DuckDB."""
+    return PQ.ivfpq_residual_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_res_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=16, nprobe=2, query_max_id=10, top_k=5,
+        codes=_pq_res_codes_frame(spark, sf_dir),
+    )
+
+
+@query(
+    "sim_ivfpq_recall_eval",
+    PQ.ivfpq_recall_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),
+)
+def q_sim_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Faiss claim, MEASURED: raw-code vs residual-code IVFADC
+    recall@5 against exact fixed-point L2 over the same nonzero
+    candidate universe, exact ppm integers, two rows — the residual
+    variant must earn its extra moving parts in this number or be
+    rejected by the tuning loop. On THIS dataset it is rightly
+    rejected: the synthetic embeddings are unclustered gaussians and
+    the coarse quantizer is the deterministic seed set, so cells don't
+    concentrate — residuals come out LARGER than the raw vectors
+    (E||x - c||^2 = 2 E||x||^2 for independent gaussians) and measure
+    340k vs 140k ppm at sf0.1. That inversion is the point of shipping
+    the eval: on clustered real corpora with trained coarse centroids
+    the residual variant wins, and this query is how a deployment
+    finds out which side of that line its data is on."""
+    return PQ.ivfpq_recall_eval(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), _pq_res_books(spark, sf_dir),
+        dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=16, nprobe=2, query_max_id=10, top_k=5,
+        raw_codes=_pq_codes_frame(spark, sf_dir),
+        res_codes=_pq_res_codes_frame(spark, sf_dir),
+    )
+
+
 @query(
     "sim_pq_recall_eval",
     PQ.pq_recall_sql("embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS),

@@ -184,6 +184,38 @@ def test_index_forget_removes_ids(spark, emb, books, tmp_path):
     assert not ({r["cand_id"] for r in after} & gone)
 
 
+def test_residual_frame_exact(spark, emb):
+    # rv = round(x*s) - round(c*s), exact ints; nonzero rows only; each
+    # row keyed by its rn=1 cell
+    res = PQ.residual_frame(emb, "vec_id", "embedding", n_centroids=16)
+    rows = res.collect()
+    assert len(rows) == emb.count()  # driver embeddings have no zero vectors
+    fixed = {
+        r["id"]: list(r["v"])
+        for r in PQ._fixed_vecs(emb, "vec_id", "embedding", 1_000_000).collect()
+    }
+    by_id = {r["id"]: r for r in rows}
+    for vid in (0, 7, 42):
+        r = by_id[vid]
+        cv = fixed[r["cid"]]
+        assert list(r["rv"]) == [a - b for a, b in zip(fixed[vid], cv)]
+
+
+def test_residual_recall_eval_shape(spark, emb, books):
+    res_books = PQ.pq_train(
+        PQ.residual_frame(emb, "vec_id", "embedding"),
+        "id", "rv", DIM, m=M, ksub=KSUB, already_fixed=True,
+    )
+    rows = PQ.ivfpq_recall_eval(
+        emb, "vec_id", "embedding", books, res_books, DIM, m=M, ksub=KSUB
+    ).collect()
+    got = {r["variant"]: r for r in rows}
+    assert set(got) == {"raw", "residual"}
+    for r in rows:
+        assert r["n_queries"] == 10 and r["k"] == 5
+        assert 0 <= r["min_recall_ppm"] <= r["mean_recall_ppm"] <= 1_000_000
+
+
 def test_argmin_ties_break_to_lower_cid(spark):
     # two identical centroids arise when two seed vectors share a
     # sub-space slice; the (dist, cid) struct-min must pick the lower cid
