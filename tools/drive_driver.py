@@ -93,15 +93,16 @@ def _session_memory_mb() -> dict[str, int]:
 # legitimately grows the session (say why in SCALE.md). The guard trips
 # at +25% — the "session caches grew past what the catalog budgeted"
 # signal, enforced only on full runs over the standard driver dataset.
-# Recorded r9 over two full passes (195q/290s: py 851 / jvm 3019;
-# 195q/284s: py 823 / jvm 2920) — larger of each kept. Python +23% over
-# the r8 guard (690): 12 new catalog queries, the PQ family's
-# driver-side model state (codebooks + per-query LUTs in exact Python
-# ints) and pyarrow footer reads for zone-map harvesting; JVM DOWN
-# 3317 -> 3019 (the PQ codegen-overflow fix removed two giant fallback
-# plans). Justification: SCALE.md r9 memory note.
+# Recorded r9 over two full passes at the FINAL 197-query catalog
+# (197q/338s: py 1013 / jvm 3097; 197q/311s: py 1028 / jvm 3067) —
+# larger of each kept. Python +21% over the mid-round 195-query guard
+# (851): the residual-IVFADC additions put a SECOND full PQ chain in
+# DuckDB for the two-variant recall oracle (DuckDB runs in the python
+# process, so its intermediates count here) plus the residual codebook/
+# code memos. JVM stays ~3.1 GB. Justification: SCALE.md r9 memory
+# notes (mid-round and final).
 _MEM_HWM_MB = {
-    "/root/testdata/sf0.01": {"python_peak_mb": 851, "jvm_peak_mb": 3019}
+    "/root/testdata/sf0.01": {"python_peak_mb": 1028, "jvm_peak_mb": 3097}
 }
 
 
