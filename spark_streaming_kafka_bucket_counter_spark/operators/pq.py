@@ -847,6 +847,15 @@ def ivfpq_append_index(
     from .similarity import assign_to_centroids, nonzero_vectors
 
     snap = latest_manifest(path)
+    if snap is None:
+        # Never fall back to an unpinned directory read of the model: a
+        # half-bootstrapped tree (cells written, manifest commit lost)
+        # must be re-bootstrapped by the caller, not silently appended
+        # against whatever files happen to be on disk.
+        raise RuntimeError(
+            f"ivfpq_append_index: no published manifest snapshot under "
+            f"{path!r}; bootstrap with ivfpq_build_index first"
+        )
     cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
     books = _books_from_rows(
         manifest_read(spark, path, "codebook", snapshot=snap).collect()
@@ -1075,7 +1084,7 @@ def _adc_ctes(
          FROM {P}q q, {cent} cc GROUP BY 1, 2, 3)"""
     )
     ctes.append(
-        f"""{P}adc AS (SELECT l.query_id, e.id AS cand_id, SUM(l.d) AS adc_dist
+        f"""{P}adc AS (SELECT l.query_id, e.id AS cand_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
          FROM {enc} e JOIN {P}lut l
            ON e.sub = l.sub AND e.cid = l.cid AND e.id <> l.query_id
          GROUP BY 1, 2)"""
@@ -1166,7 +1175,7 @@ def ivfpq_topk_sql(
     )
     ctes += _cell_ctes(table, id_col, vec_col, n_centroids, nprobe, query_max_id)
     ctes.append(
-        """adcp AS (SELECT pr.query_id, pr.cand_id, SUM(l.d) AS adc_dist
+        """adcp AS (SELECT pr.query_id, pr.cand_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
          FROM pairs pr
          JOIN enc en ON en.id = pr.cand_id
          JOIN lut l ON l.query_id = pr.query_id
@@ -1234,7 +1243,7 @@ def _residual_adc_ctes(
          FROM {P}ql q, {cent_name} cc GROUP BY 1, 2, 3, 4)"""
     )
     ctes.append(
-        f"""{P}adcp AS (SELECT pr.query_id, pr.cand_id, SUM(l.d) AS adc_dist
+        f"""{P}adcp AS (SELECT pr.query_id, pr.cand_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
          FROM pairs pr
          JOIN {enc} en ON en.id = pr.cand_id
          JOIN {P}lt l ON l.query_id = pr.query_id AND l.ccid = pr.ccid
@@ -1296,7 +1305,7 @@ def ivfpq_recall_sql(
     )
     ctes += _cell_ctes(table, id_col, vec_col, n_centroids, nprobe, query_max_id)
     ctes.append(
-        """adcp AS (SELECT pr.query_id, pr.cand_id, SUM(l.d) AS adc_dist
+        """adcp AS (SELECT pr.query_id, pr.cand_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
          FROM pairs pr
          JOIN enc en ON en.id = pr.cand_id
          JOIN lut l ON l.query_id = pr.query_id

@@ -123,8 +123,13 @@ def histogram_quantiles_sql(
         f"LEAST({bins - 1}, GREATEST(0, "
         f"CAST(FLOOR(({value_col} - {lo}) / {w}) AS INTEGER)))"
     )
+    # CAST to DOUBLE: DuckDB parses the bin-width literal (e.g. ``0.5``)
+    # as DECIMAL, so the whole ROUND chain comes back DECIMAL(22,1) —
+    # driver-lossy (pandas float64 vs Spark double is coincidentally
+    # equal today, but the oracle type audit bans DECIMAL outright).
     q_cols = ", ".join(
-        f"ROUND(MIN(CASE WHEN cum >= CEIL({q} * n) THEN {lo} + (bin + 1) * {w} END), 6)"
+        f"CAST(ROUND(MIN(CASE WHEN cum >= CEIL({q} * n) "
+        f"THEN {lo} + (bin + 1) * {w} END), 6) AS DOUBLE)"
         f" AS p{str(q).replace('0.', '')}"
         for q in qs
     )

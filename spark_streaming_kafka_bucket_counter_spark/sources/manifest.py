@@ -415,8 +415,13 @@ def _satisfiable(fstat: dict | None, col: str, op: str, value) -> bool:
     cs = fstat.get("cols", {}).get(col)
     if cs is None:
         return True
+    if op not in ("=", "<", "<=", ">", ">=", "in"):
+        # Validate the operator BEFORE any pruning short-circuit: an op
+        # outside the documented set must degrade to "keep", even for an
+        # all-null column (e.g. a future null-test op DOES match).
+        return True
     if cs.get("allnull"):
-        return False  # comparisons never match NULL
+        return False  # known comparisons never match NULL
     mn, mx = cs["mn"], cs["mx"]
 
     def _nan(v) -> bool:
@@ -441,17 +446,24 @@ def _satisfiable(fstat: dict | None, col: str, op: str, value) -> bool:
     try:
         if op == "=":
             return mn <= value <= mx
-        if op == ">=":
-            return mx >= value
-        if op == ">":
-            return mx > value
+        if op in (">=", ">"):
+            # NaN DATA values make upper-bound pruning unsound for float
+            # columns: parquet writers (pyarrow) exclude NaN from
+            # min/max statistics, but Spark orders NaN ABOVE every
+            # double — a file whose finite mx < value may still contain
+            # NaN rows that DO match ``col > value`` / ``col >= value``.
+            # A float mx therefore never prunes on the upper bound.
+            # (=, <, <=, in stay sound: NaN rows match none of them.)
+            if isinstance(mx, float):
+                return True
+            return mx >= value if op == ">=" else mx > value
         if op == "<=":
             return mn <= value
         if op == "<":
             return mn < value
     except TypeError:
         return True  # cross-type comparison: stats don't apply
-    return True  # unknown operator: never prune
+    return True  # op == "in" with an unorderable set already returned
 
 
 def files_matching(m: dict, sub: str = "",

@@ -457,15 +457,21 @@ def start_ivfpq_ingest(
     unchanged (pytest-pinned against a manual replay). Compaction +
     zero-grace GC converge cells to one live file per leaf under the
     manifest, same as the LSH/IVF loops."""
-    import os as _os
-
     from ..operators.pq import ivfpq_append_index, ivfpq_build_index
+    from ..sources.manifest import latest_manifest
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not _os.path.isdir(_os.path.join(index_path, "cells")):
+        # Bootstrap is keyed on the MANIFEST, not the directory: a crash
+        # between the bootstrap's cells write and its manifest commit
+        # leaves cells/ on disk with no published snapshot, and a
+        # directory-keyed restart would take the append path whose model
+        # read then has no snapshot to pin (ivfpq_append_index raises on
+        # that). "First published snapshot" is the durable truth, same
+        # as the reader-side rule pinned in test_soak.
+        if latest_manifest(index_path) is None:
             ivfpq_build_index(
                 batch_df, id_col, vec_col, index_path,
                 dim=dim, m=m, ksub=ksub, n_centroids=n_centroids,

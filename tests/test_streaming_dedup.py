@@ -790,3 +790,67 @@ def test_ivfpq_ingest_stream_and_replay(spark, tmp_path):
     ]
     ids = [r["cand_id"] for r in replayed]
     assert len(ids) == len(set(ids))  # query-time dedup of replay copies
+
+
+def test_ivfpq_bootstrap_crash_rebootstraps(spark, tmp_path):
+    """r9 ADVICE (low): a crash between the bootstrap's cells write and
+    its manifest commit leaves ``cells/`` on disk with NO published
+    snapshot. The restart must key bootstrap-vs-append on
+    ``latest_manifest() is None`` (not os.path.isdir) and re-bootstrap —
+    overwrite-mode writes replace the orphaned half-written files; and
+    ivfpq_append_index must raise loudly rather than read the model from
+    an unpinned directory."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.pq import (
+        ivfpq_append_index,
+        ivfpq_query_index,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        latest_manifest,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_ivfpq_ingest,
+    )
+
+    import pytest
+
+    def vec(i):
+        return [float(i % 5), float(i), float((i * i) % 7), 1.0]
+
+    idx = tmp_path / "pqidx2"
+    # simulate the half-bootstrap: orphaned cells data, no manifest
+    orphan = spark.createDataFrame(
+        [(9999, 0, [1, 2])], "id long, cid long, code array<long>"
+    )
+    orphan.coalesce(1).write.partitionBy("cid").parquet(str(idx / "cells"))
+    assert latest_manifest(idx) is None
+
+    # append against the half-bootstrapped tree must fail loudly
+    batch = spark.createDataFrame(
+        [(i, vec(i)) for i in range(16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(RuntimeError, match="no published manifest"):
+        ivfpq_append_index(spark, batch, "vec_id", "embedding", str(idx), dim=4, m=2, ksub=4)
+
+    # the streaming restart takes the BOOTSTRAP path despite cells/ existing
+    src = tmp_path / "pqsrc2"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"vec_id": i, "embedding": vec(i)}) for i in range(16))
+    )
+    q = start_ivfpq_ingest(
+        spark.readStream.schema("vec_id long, embedding array<float>").json(str(src)),
+        "vec_id", "embedding", str(idx), str(tmp_path / "pqck2"),
+        dim=4, m=2, ksub=4, n_centroids=4,
+    )
+    assert q.awaitTermination(300)
+    m = latest_manifest(idx)
+    assert m is not None
+    # the orphaned pre-crash file is not among the snapshot's live cells
+    assert not any("9999" in f for f in m["files"])
+    probe = spark.createDataFrame(
+        [(900, vec(3))], "vec_id long, embedding array<float>"
+    )
+    got = ivfpq_query_index(
+        spark, str(idx), probe, "vec_id", "embedding", 4, m=2, ksub=4, top_k=4
+    ).collect()
+    assert len(got) == 4 and all(r["cand_id"] < 16 for r in got)

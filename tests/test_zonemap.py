@@ -281,3 +281,85 @@ def test_satisfiable_edge_cases():
     assert not _satisfiable(st, "a", "in", [9, 21])
     assert _satisfiable(None, "a", "=", 5)
     assert _satisfiable({}, "a", "=", 5)
+
+
+def test_nan_data_never_pruned_on_upper_bound(spark, tmp_path):
+    """r9 ADVICE (medium): pyarrow excludes NaN DATA values from parquet
+    min/max stats, but Spark orders NaN above every double — so a file
+    whose finite max is below the bound may still hold NaN rows that DO
+    match ``col > v`` / ``col >= v``. Upper-bound pruning must therefore
+    never fire on a float column; lower-bound and equality stay sound
+    (NaN rows match none of <, <=, =, in)."""
+    # Spark's own writer POISONS min/max with NaN, which _file_stats
+    # already drops (column unpruned — safe). The dangerous writer is
+    # pyarrow, which records FINITE min/max excluding NaN — write the
+    # NaN file with pyarrow inside the txn so the zone map carries
+    # mn=1.0/mx=2.0 while the file holds a NaN row.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "fidx"
+    with manifest_txn(root):
+        (root / "data").mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"id": pa.array([1, 2, 3], pa.int64()),
+                 "v": pa.array([1.0, 2.0, float("nan")], pa.float64())}
+            ),
+            root / "data" / "part-nanfile.parquet",
+        )
+    with manifest_txn(root):
+        spark.createDataFrame(
+            [(4, 50.0), (5, 60.0)], "id long, v double"
+        ).coalesce(1).write.mode("append").parquet(str(root / "data"))
+    m = latest_manifest(root)
+    files = sorted(f for f in m["files"] if f.startswith("data/"))
+    assert len(files) == 2
+    nanfile = "data/part-nanfile.parquet"
+    # precondition: pyarrow recorded FINITE stats despite the NaN row
+    assert m["stats"][nanfile]["cols"]["v"] == {"mn": 1.0, "mx": 2.0, "nulls": 0}
+    # col > 10 / >= 10: the NaN file (finite mx 2.0) must be KEPT
+    assert nanfile in files_matching(m, "data", [("v", ">", 10.0)])
+    assert nanfile in files_matching(m, "data", [("v", ">=", 10.0)])
+    # end-to-end: pruned read + real filter returns the NaN row.
+    # (Spark's OWN parquet row-group pushdown has the same NaN blind
+    # spot — probe-verified: filter v>10 over this file returns [] with
+    # pushdown on, [NaN] with it off — so disable it here to test OUR
+    # layer's soundness in isolation; Spark-written files are immune
+    # because parquet-mr NaN-poisons the stats and _file_stats drops
+    # them.)
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try:
+        got = (
+            manifest_read(spark, root, "data", predicate=[("v", ">", 10.0)])
+            .filter(F.col("v") > 10.0)
+            .select("id")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    assert sorted(r.id for r in got) == [3, 4, 5]  # NaN > 10 in Spark
+    # lower-bound / equality pruning on floats still fires (sound:
+    # NaN rows match none of <, <=, =)
+    assert files_matching(m, "data", [("v", "<", 1.0)]) == []
+    assert files_matching(m, "data", [("v", "=", 100.0)]) == []
+    assert files_matching(m, "data", [("v", "<=", 2.0)]) == [nanfile]
+    # integer columns keep full upper-bound pruning (no NaN possible)
+    assert files_matching(m, "data", [("id", ">", 100)]) == []
+
+
+def test_unknown_op_on_allnull_column_keeps_file():
+    """r9 ADVICE (low): op validation must precede the allnull
+    short-circuit — a future null-test op must degrade to keep."""
+    st = {"cols": {"a": {"allnull": True}}}
+    assert _satisfiable(st, "a", "is_null", None) is True
+    assert _satisfiable(st, "a", "!=", 5) is True
+    # known comparisons still prune all-null columns
+    assert _satisfiable(st, "a", "=", 5) is False
+    assert _satisfiable(st, "a", ">", 5) is False
+    # float mx blocks only the upper-bound ops
+    fst = {"cols": {"a": {"mn": 1.0, "mx": 2.0, "nulls": 0}}}
+    assert _satisfiable(fst, "a", ">", 10.0) is True
+    assert _satisfiable(fst, "a", ">=", 10.0) is True
+    assert _satisfiable(fst, "a", "<", 1.0) is False
+    assert _satisfiable(fst, "a", "=", 10.0) is False
