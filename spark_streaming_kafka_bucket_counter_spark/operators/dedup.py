@@ -889,6 +889,10 @@ def _cross_pairs_from_parts(
 
 LSH_INDEX_BUCKETS = 64  # band-key prefix buckets for partition pruning
 
+#: On-disk layout version of the LSH index tree — folded into
+#: cached_index_dir keys; bump beside any lsh_build_index layout change.
+LSH_LAYOUT_VERSION = 1
+
 
 def lsh_build_index(
     df: DataFrame,

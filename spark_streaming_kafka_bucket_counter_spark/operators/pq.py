@@ -770,6 +770,14 @@ def ivfpq_recall_eval(
 # ---------------------------------------------------------------------------
 
 
+#: On-disk layout version of the IVFADC index tree (codebook +
+#: centroids + cid-partitioned code cells) — folded into
+#: cached_index_dir keys; bump beside any ivfpq_build_index layout
+#: change (this format changed twice in r9 with staleness prevented
+#: only by discipline; now it's construction).
+IVFPQ_LAYOUT_VERSION = 1
+
+
 def ivfpq_build_index(
     df: DataFrame,
     id_col: str,

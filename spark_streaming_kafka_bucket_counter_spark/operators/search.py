@@ -194,6 +194,13 @@ def _term_bucket_py(term: str, buckets: int) -> int:
     return int(h, 16) % buckets
 
 
+#: On-disk layout version of the BM25 index/segment trees (covers
+#: bm25_build_index, bm25_write_segment and the LSM merge's base-segment
+#: layout) — folded into cached_index_dir keys; bump beside any layout
+#: change. Starts at 2: it supersedes the hand-bumped "b64-v2" suffix.
+BM25_LAYOUT_VERSION = 2
+
+
 def bm25_build_index(
     df: DataFrame,
     id_col: str,

@@ -937,6 +937,12 @@ def multiprobe_sql(
 # Persisted IVF index (build once, probe many)
 # ---------------------------------------------------------------------------
 
+#: On-disk layout version of the IVF index tree. Bump WHENEVER
+#: ivf_build_index's layout or constants change — cached_index_dir folds
+#: this into its cache key, so a bump invalidates every stale cache by
+#: construction (r9 lesson: hand-bumped params suffixes don't).
+IVF_LAYOUT_VERSION = 1
+
 
 def ivf_build_index(
     df: DataFrame,

@@ -898,10 +898,11 @@ def q_dedup_lsh_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     snap = docs.filter(F.col("doc_id") < 250)
     idx = cached_index_dir(
-        "lsh", sf_dir, "h8b2k3-v1",
+        "lsh", sf_dir, "h8b2k3",
         lambda p: D.lsh_build_index(
             snap, "doc_id", "text", p, num_hashes=8, bands=2, k=3
         ),
+        layout_version=D.LSH_LAYOUT_VERSION,
     )
     return D.lsh_query_index(
         spark, idx, docs.filter(F.col("doc_id") >= 250),
@@ -1253,9 +1254,12 @@ def q_search_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.files import cached_index_dir
 
     docs = _t(spark, sf_dir, "documents")
+    from ..operators.search import BM25_LAYOUT_VERSION
+
     idx = cached_index_dir(
-        "bm25", sf_dir, "b64-v1",
+        "bm25", sf_dir, "b64",
         lambda p: bm25_build_index(docs, "doc_id", "text", p, buckets=64),
+        layout_version=BM25_LAYOUT_VERSION,
     )
     return bm25_query_index(spark, idx, _BM25_QUERY, top_k=20)
 
@@ -1291,7 +1295,12 @@ def q_search_bm25_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         bm25_merge_segments(spark, p, grace_sec=0)
 
-    idx = cached_index_dir("bm25merged", sf_dir, "b64-v2", _build)
+    from ..operators.search import BM25_LAYOUT_VERSION
+
+    idx = cached_index_dir(
+        "bm25merged", sf_dir, "b64", _build,
+        layout_version=BM25_LAYOUT_VERSION,
+    )
     return bm25_query_index(spark, idx, _BM25_QUERY, top_k=20)
 
 

@@ -565,8 +565,9 @@ def q_sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     idx = cached_index_dir(
-        "ivf", sf_dir, "c16-v1",
+        "ivf", sf_dir, "c16",
         lambda p: S.ivf_build_index(emb, "vec_id", "embedding", p, n_centroids=16),
+        layout_version=S.IVF_LAYOUT_VERSION,
     )
     return S.ivf_query_index(
         spark, idx, emb.filter(F.col("vec_id") < 10),
@@ -781,11 +782,12 @@ def q_sim_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     idx = cached_index_dir(
-        "ivfpq", sf_dir, f"c16-m{_PQ_M}k{_PQ_KSUB}-v1",
+        "ivfpq", sf_dir, f"c16-m{_PQ_M}k{_PQ_KSUB}",
         lambda p: PQ.ivfpq_build_index(
             emb, "vec_id", "embedding", p,
             dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, n_centroids=16,
         ),
+        layout_version=PQ.IVFPQ_LAYOUT_VERSION,
     )
     return PQ.ivfpq_query_index(
         spark, idx, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",

@@ -84,7 +84,9 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
+def cached_index_dir(
+    kind: str, sf_dir: str, params: str, build, layout_version: int = 0
+) -> str:
     """Build-once cache for persisted-index serving queries (IVF / BM25 /
     LSH): the catalog's index queries must be plain ``(spark, sf_dir) ->
     DataFrame`` callables, so the build step materializes into a temp dir
@@ -99,8 +101,15 @@ def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
     racing the same key each build privately and exactly one rename
     wins (the loser discards its copy and serves the winner's). Input
     tables are static per sf_dir (driver-generated), which is what makes
-    the cache sound; bump ``params`` when an index's layout or constants
-    change.
+    the cache sound.
+
+    ``layout_version`` is the writer module's ``LAYOUT_VERSION`` constant
+    (owned and bumped BESIDE the index writer whenever its on-disk layout
+    or constants change) and is folded into the key — staleness is
+    prevented by construction, not by remembering to hand-edit the
+    ``params`` string at every call site (the r9 lesson: the IVFPQ format
+    changed twice in one round with the params suffix unchanged).
+    ``params`` still carries query-shape knobs (bucket counts, k, m).
     """
     import hashlib
     import shutil
@@ -117,7 +126,7 @@ def cached_index_dir(kind: str, sf_dir: str, params: str, build) -> str:
         for st in [p.stat()]
     )
     key = hashlib.md5(
-        f"{kind}:{os.path.abspath(sf_dir)}:{params}:{src}".encode()
+        f"{kind}:L{layout_version}:{os.path.abspath(sf_dir)}:{params}:{src}".encode()
     ).hexdigest()[:12]
     cache = Path(tempfile.gettempdir()) / "ssbc_index_cache"
     root = cache / f"{kind}-{key}"

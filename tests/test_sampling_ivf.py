@@ -445,6 +445,32 @@ def test_cached_index_dir_builds_once_and_rekeys_on_data_change(tmp_path, monkey
     (sf / "documents.parquet").write_bytes(b"v2-bytes-longer")
     p4 = cached_index_dir("k", str(sf), "params", build)
     assert p4 != p1 and len(calls) == 3
+    # bumped writer LAYOUT_VERSION -> cache miss, new build (r9 VERDICT:
+    # format staleness must be prevented by construction, not by
+    # hand-editing params suffixes at call sites)
+    p5 = cached_index_dir("k", str(sf), "params", build, layout_version=1)
+    assert p5 != p4 and len(calls) == 4
+    p6 = cached_index_dir("k", str(sf), "params", build, layout_version=1)
+    assert p6 == p5 and len(calls) == 4
+    # every index writer exposes the constant the call sites fold in
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        LSH_LAYOUT_VERSION,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.operators.pq import (
+        IVFPQ_LAYOUT_VERSION,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        BM25_LAYOUT_VERSION,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.operators.similarity import (
+        IVF_LAYOUT_VERSION,
+    )
+
+    assert all(
+        isinstance(v, int)
+        for v in (LSH_LAYOUT_VERSION, IVFPQ_LAYOUT_VERSION,
+                  BM25_LAYOUT_VERSION, IVF_LAYOUT_VERSION)
+    )
 
 
 def test_cached_index_dir_crash_safe_publish(tmp_path, monkeypatch):
