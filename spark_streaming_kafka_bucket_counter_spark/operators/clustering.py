@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_lloyd", "kmeans_lloyd_sql"]
+__all__ = ["kmeans_lloyd", "kmeans_lloyd_sql", "kmeans_ctes", "kmeans_centroids"]
 
 
 def _sq_dist(vec_col: F.Column, centroid: list[int]) -> F.Column:
@@ -131,6 +131,95 @@ def kmeans_lloyd(
         vecs.unpersist()
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> dict[int, list[int]]:
+    """The trained model as ``{cid: fixed-point coordinate list}`` —
+    :func:`kmeans_lloyd`'s long form collected and pivoted (k*dim rows,
+    bounded metadata by construction). This is the coarse-quantizer
+    training hook for IVF/IVFPQ (Faiss trains its IVF cells with exactly
+    this k-means; the seed-vector cells elsewhere in the catalog are the
+    deterministic stand-in)."""
+    rows = kmeans_lloyd(df, id_col, vec_col, k, iters, scale).collect()
+    dim = 1 + max(int(r["dim"]) for r in rows)
+    cents: dict[int, list[int]] = {}
+    for r in rows:
+        cents.setdefault(int(r["cluster"]), [0] * dim)[int(r["dim"])] = int(
+            r["centroid_e6"]
+        )
+    return cents
+
+
+def kmeans_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    prefix: str = "",
+) -> tuple[list[str], str]:
+    """The unrolled Lloyd chain as composable CTEs: returns
+    ``(ctes, final_name)`` where the final CTE holds one row per
+    (cid, dim, c, n) — the trained fixed-point model. ``prefix``
+    namespaces every CTE so the chain can ride inside larger oracle
+    queries (e.g. the trained-cell IVFADC twins in pq.py) without
+    colliding with their v/q/enc names."""
+    P = prefix
+    # the `{P}v` CTE aliases the id column to `id`, so the seed rank is
+    # built on that literal name — NOT by string-replacing id_col into
+    # the expression (a substring replace corrupts the SQL whenever the
+    # id name happens to occur inside surrounding text, e.g. id_col='d'
+    # would turn md5 into mid5)
+    rank_on_id = "md5(CAST(id AS VARCHAR)), id"
+    ctes = [
+        f"""{P}v AS (SELECT {id_col} AS id,
+             list_transform(CAST({vec_col} AS DOUBLE[]),
+                            x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
+           FROM {table})""",
+        f"""{P}seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank_on_id}) - 1
+                    AS BIGINT) AS cid, v
+           FROM {P}v ORDER BY {rank_on_id} LIMIT {k})""",
+        f"""{P}c0 AS (SELECT cid, i AS dim, v[CAST(i + 1 AS INT)] AS c
+           FROM {P}seeds CROSS JOIN range(0, {dim}) r(i))""",
+    ]
+    prev = f"{P}c0"
+    for it in range(1, iters + 1):
+        d, a, u, c = f"{P}d{it}", f"{P}a{it}", f"{P}u{it}", f"{P}c{it}"
+        ctes.append(
+            f"""{d} AS (SELECT vv.id, cc.cid,
+               SUM((vv.v[CAST(cc.dim + 1 AS INT)] - cc.c)
+                   * (vv.v[CAST(cc.dim + 1 AS INT)] - cc.c)) AS dist
+             FROM {P}v vv, {prev} cc GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""{a} AS (SELECT id, cid FROM (
+               SELECT id, cid,
+                      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+               FROM {d}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{u} AS (SELECT {a}.cid, i AS dim, COUNT(*) AS n,
+                      CAST(FLOOR(CAST(SUM(v.v[CAST(i + 1 AS INT)]) AS DOUBLE)
+                                 / COUNT(*)) AS BIGINT) AS c
+             FROM {a} JOIN {P}v v USING (id) CROSS JOIN range(0, {dim}) r(i)
+             GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""{c} AS (SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c,
+                      COALESCE(u.n, 0) AS n
+             FROM {prev} p LEFT JOIN {u} u ON p.cid = u.cid AND p.dim = u.dim)"""
+        )
+        prev = c
+    return ctes, prev
+
+
 def kmeans_lloyd_sql(
     table: str,
     id_col: str,
@@ -144,55 +233,11 @@ def kmeans_lloyd_sql(
     (assignment via a (vec, cid, dim) sum + (dist, cid) row_number;
     update via the same floor-divided integer means; empty clusters
     COALESCE to the previous round's coordinates)."""
-    # the `v` CTE aliases the id column to `id`, so the seed rank is
-    # built on that literal name — NOT by string-replacing id_col into
-    # the expression (a substring replace corrupts the SQL whenever the
-    # id name happens to occur inside surrounding text, e.g. id_col='d'
-    # would turn md5 into mid5)
-    rank_on_id = "md5(CAST(id AS VARCHAR)), id"
-    ctes = [
-        f"""v AS (SELECT {id_col} AS id,
-             list_transform(CAST({vec_col} AS DOUBLE[]),
-                            x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
-           FROM {table})""",
-        f"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank_on_id}) - 1
-                    AS BIGINT) AS cid, v
-           FROM v ORDER BY {rank_on_id} LIMIT {k})""",
-        f"""c0 AS (SELECT cid, i AS dim, v[CAST(i + 1 AS INT)] AS c
-           FROM seeds CROSS JOIN range(0, {dim}) r(i))""",
-    ]
-    prev = "c0"
-    for it in range(1, iters + 1):
-        d, a, u, c = f"d{it}", f"a{it}", f"u{it}", f"c{it}"
-        ctes.append(
-            f"""{d} AS (SELECT vv.id, cc.cid,
-               SUM((vv.v[CAST(cc.dim + 1 AS INT)] - cc.c)
-                   * (vv.v[CAST(cc.dim + 1 AS INT)] - cc.c)) AS dist
-             FROM v vv, {prev} cc GROUP BY 1, 2)"""
-        )
-        ctes.append(
-            f"""{a} AS (SELECT id, cid FROM (
-               SELECT id, cid,
-                      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
-               FROM {d}) WHERE rn = 1)"""
-        )
-        ctes.append(
-            f"""{u} AS (SELECT {a}.cid, i AS dim, COUNT(*) AS n,
-                      CAST(FLOOR(CAST(SUM(v.v[CAST(i + 1 AS INT)]) AS DOUBLE)
-                                 / COUNT(*)) AS BIGINT) AS c
-             FROM {a} JOIN v USING (id) CROSS JOIN range(0, {dim}) r(i)
-             GROUP BY 1, 2)"""
-        )
-        ctes.append(
-            f"""{c} AS (SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c,
-                      COALESCE(u.n, 0) AS n
-             FROM {prev} p LEFT JOIN {u} u ON p.cid = u.cid AND p.dim = u.dim)"""
-        )
-        prev = c
+    ctes, final = kmeans_ctes(table, id_col, vec_col, dim, k, iters, scale)
     body = ",\n    ".join(ctes)
     return f"""
     WITH {body}
     SELECT cid AS cluster, CAST(dim AS BIGINT) AS dim,
            CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS centroid_e6
-    FROM {prev}
+    FROM {final}
     """

@@ -71,6 +71,12 @@ __all__ = [
     "ivfpq_topk_sql",
     "ivfpq_residual_topk_sql",
     "ivfpq_recall_sql",
+    "ivfpq_trained_topk",
+    "ivfpq_trained_residual_topk",
+    "ivfpq_trained_recall_eval",
+    "trained_residual_frame",
+    "ivfpq_trained_topk_sql",
+    "ivfpq_trained_recall_sql",
 ]
 
 Codebook = dict[tuple[int, int], list[int]]  # (sub, cid) -> dsub fixed-point coords
@@ -1211,13 +1217,21 @@ def _residual_adc_ctes(
     scale: int,
     query_max_id: int,
     P: str = "rs",
+    cells: str = "",
+    cw_name: str | None = None,
 ) -> list[str]:
-    """Residual-IVFADC chain (prefixed, expects :func:`_cell_ctes` in
-    the same WITH): the PQ trainer/encoder run verbatim over residual
-    vectors (ve - cv of the rn=1 cell), and the LUT is keyed per
-    (query, probed cell) on the query's residual against THAT cell.
-    Produces `{P}adcp` (query_id, cand_id, adc_dist)."""
+    """Residual-IVFADC chain (prefixed, expects cell CTEs named
+    ``{cells}cand`` / ``{cells}probe`` / ``{cells}pairs`` in the same
+    WITH — :func:`_cell_ctes` for the seed cells (cells=""), or
+    :func:`_trained_cell_ctes` for k-means cells): the PQ
+    trainer/encoder run verbatim over residual vectors (ve - cv of the
+    rn=1 cell), and the LUT is keyed per (query, probed cell) on the
+    query's residual against THAT cell. ``cw_name`` overrides the
+    centroid-vector CTE (ccid, cv fixed-point list) — by default it is
+    derived from the seed set's own raw vectors. Produces `{P}adcp`
+    (query_id, cand_id, adc_dist)."""
     dsub = dim // m
+    C = cells
     res = "[" + ", ".join(
         f"r.ve[{i + 1}] - cv.cv[{i + 1}]" for i in range(dim)
     ) + "]"
@@ -1229,20 +1243,24 @@ def _residual_adc_ctes(
              list_transform(CAST({vec_col} AS DOUBLE[]),
                             x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS ve
            FROM {table})""",
-        f"""{P}cw AS (SELECT c.ccid, r.ve AS cv
-           FROM cent c JOIN {P}rw r ON r.id = c.ccid)""",
     ]
+    if cw_name is None:
+        cw_name = f"{P}cw"
+        pre.append(
+            f"""{P}cw AS (SELECT c.ccid, r.ve AS cv
+           FROM cent c JOIN {P}rw r ON r.id = c.ccid)"""
+        )
     v_sql = f"""SELECT r.id, {res} AS v
-        FROM {P}rw r JOIN cand c ON c.cand_id = r.id
-        JOIN {P}cw cv ON cv.ccid = c.ccid"""
+        FROM {P}rw r JOIN {C}cand c ON c.cand_id = r.id
+        JOIN {cw_name} cv ON cv.ccid = c.ccid"""
     ctes, cent_name, enc = _pq_ctes(
         table, id_col, vec_col, dim, m, ksub, iters, scale, prefix=P, v_sql=v_sql
     )
     ctes = pre + ctes
     ctes.append(
         f"""{P}ql AS (SELECT p.query_id, p.ccid, {qres} AS qv
-         FROM probe p JOIN {P}rw qr ON qr.id = p.query_id
-         JOIN {P}cw cv ON cv.ccid = p.ccid)"""
+         FROM {C}probe p JOIN {P}rw qr ON qr.id = p.query_id
+         JOIN {cw_name} cv ON cv.ccid = p.ccid)"""
     )
     ctes.append(
         f"""{P}lt AS (SELECT q.query_id, q.ccid, cc.sub, cc.cid,
@@ -1252,7 +1270,7 @@ def _residual_adc_ctes(
     )
     ctes.append(
         f"""{P}adcp AS (SELECT pr.query_id, pr.cand_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
-         FROM pairs pr
+         FROM {C}pairs pr
          JOIN {enc} en ON en.id = pr.cand_id
          JOIN {P}lt l ON l.query_id = pr.query_id AND l.ccid = pr.ccid
                      AND l.sub = en.sub AND l.cid = en.cid
@@ -1431,4 +1449,543 @@ def pq_recall_sql(
            CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
            CAST(MIN(recall_ppm) AS BIGINT) AS min_recall_ppm
     FROM rr
+    """
+
+
+# ---------------------------------------------------------------------------
+# Trained coarse cells (round 10): k-means IVF centroids, the Faiss default
+# ---------------------------------------------------------------------------
+# Everywhere else in the catalog the IVF coarse quantizer is the
+# deterministic seed set (id < n_centroids) — cheap, oracle-friendly,
+# but unclustered: SCALE.md's r9 recall eval measured residual IVFADC
+# LOSING on such cells because residuals against arbitrary seed vectors
+# aren't centered. Faiss trains the coarse quantizer with k-means; this
+# section is that recipe under the same exact-fixed-point oracle gate:
+# cells from clustering.kmeans_lloyd (integer Lloyd rounds), assignment
+# by exact integer squared-L2 (ties to the lower cid), and the full
+# 2x2 (raw|residual) x (seed|trained) recall eval.
+
+
+def _ranked_cells(fixed: DataFrame, cents: dict[int, list[int]],
+                  nprobe: int) -> DataFrame:
+    """(id, v, cid, rn): each fixed-point vector's `nprobe` nearest
+    TRAINED cells by exact integer squared-L2, ties to the lower cid —
+    sort_array over (dist, cid) structs, all in codegen; centroids ride
+    as inlined literals (k*dim ints — bounded metadata, the same
+    size-class clustering._assign inlines)."""
+    from .clustering import _sq_dist
+
+    arr = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("v"), cvec).alias("d"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, cvec in sorted(cents.items())
+            ]
+        )
+    )
+    return fixed.select(
+        "id", "v", F.posexplode(F.slice(arr, 1, nprobe))
+    ).select(
+        "id",
+        "v",
+        F.col("col.cid").alias("cid"),
+        (F.col("pos") + 1).cast("long").alias("rn"),
+    )
+
+
+def _trained_pairs(df: DataFrame, id_col: str, vec_col: str,
+                   cents: dict[int, list[int]], scale: int, nprobe: int,
+                   query_max_id: int):
+    """(pairs, fixed): the IVFADC candidate pairs over trained cells —
+    pairs carries (query_id, cand_id, cid); fixed is the nonzero
+    fixed-point vector frame (reused for LUT query rows)."""
+    from .similarity import nonzero_vectors
+
+    nz = nonzero_vectors(df, vec_col)
+    fixed = _fixed_vecs(nz, id_col, vec_col, scale)
+    ranked = _ranked_cells(fixed, cents, nprobe)
+    cand = ranked.filter(F.col("rn") == 1).select(
+        F.col("id").alias("cand_id"), "cid"
+    )
+    probes = (
+        ranked.filter((F.col("rn") <= nprobe) & (F.col("id") < query_max_id))
+        .select(F.col("id").alias("query_id"), "cid")
+    )
+    pairs = (
+        cand.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "cid")
+    )
+    return pairs, fixed
+
+
+def ivfpq_trained_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+    codes: DataFrame | None = None,
+    cents: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """(query_id, cand_id, adc_dist, rank): IVFADC over TRAINED coarse
+    cells — identical to :func:`ivfpq_topk` except the cells come from
+    integer-Lloyd k-means (clustering.kmeans_lloyd) instead of the seed
+    vectors, and assignment is exact integer squared-L2 (the metric the
+    cells were trained under) instead of cosine. The PQ codebook/codes
+    are the SAME raw ones (cell choice and code compression are
+    independent axes in Faiss's IVFADC)."""
+    from .clustering import kmeans_centroids
+
+    _check_dims(dim, m)
+    if cents is None:
+        cents = kmeans_centroids(
+            df, id_col, vec_col, k=n_centroids, iters=cell_iters, scale=scale
+        )
+    pairs, fixed = _trained_pairs(
+        df, id_col, vec_col, cents, scale, nprobe, query_max_id
+    )
+    if codes is None:
+        codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
+    dsub = dim // m
+    qrows = fixed.filter(F.col("id") < query_max_id).collect()
+    lut = _driver_lut_frame(df.sparkSession, qrows, books, m, ksub, dsub)
+    scored = (
+        pairs.select("query_id", "cand_id")
+        .join(codes.withColumnRenamed("id", "cand_id"), "cand_id")
+        .join(F.broadcast(lut), "query_id")
+        .select("query_id", "cand_id", F.expr(_adc_dist_sql(m)).alias("adc_dist"))
+    )
+    return _rank_topk(scored, top_k)
+
+
+def trained_residual_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: dict[int, list[int]],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, rv, cid): every nonzero vector's EXACT fixed-point residual
+    against its rn=1 TRAINED cell centroid — the residual Faiss's
+    IVFADC actually quantizes once the coarse quantizer is trained:
+    k-means centers each cell's residual cloud near zero, which is what
+    lets the residual codebook outspend the raw one (see
+    ivfpq_trained_recall_eval for the measured comparison)."""
+    from .similarity import nonzero_vectors
+
+    nz = nonzero_vectors(df, vec_col)
+    fixed = _fixed_vecs(nz, id_col, vec_col, scale)
+    assigned = _ranked_cells(fixed, cents, 1)
+    cent_df = df.sparkSession.createDataFrame(
+        [(int(cid), [int(x) for x in cv]) for cid, cv in sorted(cents.items())],
+        "cid long, cv array<long>",
+    )
+    return assigned.join(F.broadcast(cent_df), "cid").select(
+        "id",
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y).alias("rv"),
+        "cid",
+    )
+
+
+def ivfpq_trained_residual_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+    codes: DataFrame | None = None,
+    cents: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """(query_id, cand_id, adc_dist, rank): the FULL Faiss IVFADC
+    default — k-means coarse cells AND residual PQ codes. ``books``
+    must be trained on :func:`trained_residual_frame` output
+    (already_fixed=True); the per-(query, probed cell) LUT uses the
+    query's residual against that trained centroid."""
+    from .clustering import kmeans_centroids
+
+    _check_dims(dim, m)
+    dsub = dim // m
+    if cents is None:
+        cents = kmeans_centroids(
+            df, id_col, vec_col, k=n_centroids, iters=cell_iters, scale=scale
+        )
+    pairs, fixed = _trained_pairs(
+        df, id_col, vec_col, cents, scale, nprobe, query_max_id
+    )
+    if codes is None:
+        codes = pq_encode(
+            trained_residual_frame(df, id_col, vec_col, cents, scale),
+            "id", "rv", books, dim, m, ksub, scale, already_fixed=True,
+        )
+    qrows = fixed.filter(F.col("id") < query_max_id).collect()
+    lut_rows = []
+    for r in qrows:
+        for ccid, cv in sorted(cents.items()):
+            qres = [int(a) - int(b) for a, b in zip(r["v"], cv)]
+            lut_rows.append(
+                (
+                    int(r["id"]),
+                    int(ccid),
+                    [
+                        [
+                            _sub_sq_dist_py(qres, s, dsub, books[(s, c)])
+                            for c in range(ksub)
+                        ]
+                        for s in range(m)
+                    ],
+                )
+            )
+    lut = df.sparkSession.createDataFrame(
+        lut_rows, "query_id long, cid long, lut array<array<long>>"
+    )
+    scored = (
+        pairs.join(codes.withColumnRenamed("id", "cand_id"), "cand_id")
+        .join(F.broadcast(lut), ["query_id", "cid"])
+        .select("query_id", "cand_id", F.expr(_adc_dist_sql(m)).alias("adc_dist"))
+    )
+    return _rank_topk(scored, top_k)
+
+
+def ivfpq_trained_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    raw_books: Codebook,
+    res_books: Codebook,
+    tres_books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+    raw_codes: DataFrame | None = None,
+    res_codes: DataFrame | None = None,
+    tres_codes: DataFrame | None = None,
+    cents: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """Four rows (variant, n_queries, k, mean_recall_ppm,
+    min_recall_ppm): the full 2x2 — (raw | residual) codes x (seed |
+    trained) coarse cells — against the same exact fixed-point L2 truth.
+    This is the measured form of the Faiss design argument: residual
+    quantization pays off ON TRAINED CELLS (residuals centered near
+    zero), which SCALE.md's r9 eval couldn't show on seed cells.
+    ``tres_books``/``tres_codes`` are trained on
+    :func:`trained_residual_frame` output (the residual population
+    CHANGES with the cells, so the seed-residual codebook can't be
+    reused)."""
+    from .clustering import kmeans_centroids
+    from .similarity import nonzero_vectors
+
+    if cents is None:
+        cents = kmeans_centroids(
+            df, id_col, vec_col, k=n_centroids, iters=cell_iters, scale=scale
+        )
+    nz = nonzero_vectors(df, vec_col)
+    vecs = _fixed_vecs(nz, id_col, vec_col, scale)
+    queries = vecs.filter(F.col("id") < query_max_id).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact_d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cand_id").asc()
+    )
+    truth = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "cand_id")
+    )
+
+    def _ppm(approx: DataFrame, variant: str) -> DataFrame:
+        per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+        hits = (
+            truth.join(
+                approx.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        r = per_q.join(hits, "query_id", "left").select(
+            F.expr("coalesce(n_hit, 0) * 1000000 div n_true").alias("recall_ppm")
+        )
+        return r.agg(
+            F.lit(variant).alias("variant"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.lit(top_k).cast("long").alias("k"),
+            F.expr("sum(recall_ppm) div count(1)").cast("long").alias("mean_recall_ppm"),
+            F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
+        )
+
+    raw_seed = ivfpq_topk(
+        df, id_col, vec_col, raw_books, dim, m, ksub, scale,
+        n_centroids, nprobe, query_max_id, top_k, raw_codes,
+    )
+    res_seed = ivfpq_residual_topk(
+        df, id_col, vec_col, res_books, dim, m, ksub, scale,
+        n_centroids, nprobe, query_max_id, top_k, res_codes,
+    )
+    raw_tr = ivfpq_trained_topk(
+        df, id_col, vec_col, raw_books, dim, m, ksub, scale,
+        n_centroids, cell_iters, nprobe, query_max_id, top_k,
+        raw_codes, cents,
+    )
+    res_tr = ivfpq_trained_residual_topk(
+        df, id_col, vec_col, tres_books, dim, m, ksub, scale,
+        n_centroids, cell_iters, nprobe, query_max_id, top_k,
+        tres_codes, cents,
+    )
+    return (
+        _ppm(raw_seed, "raw_seed")
+        .unionAll(_ppm(res_seed, "residual_seed"))
+        .unionAll(_ppm(raw_tr, "raw_trained"))
+        .unionAll(_ppm(res_tr, "residual_trained"))
+    )
+
+
+def _trained_cell_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_centroids: int,
+    cell_iters: int,
+    scale: int,
+    nprobe: int,
+    query_max_id: int,
+    C: str = "t",
+) -> list[str]:
+    """Trained-cell assignment as CTEs: the unrolled integer-Lloyd
+    k-means chain (clustering.kmeans_ctes, prefixed ``{C}km``) feeding
+    ``{C}cw`` (ccid, fixed-point centroid list), then exact integer
+    squared-L2 ranked assignment of the NONZERO vectors — producing
+    ``{C}cand`` / ``{C}probe`` / ``{C}pairs`` with the same shapes
+    :func:`_cell_ctes` gives for seed cells, so the ADC tails compose
+    against either."""
+    from .clustering import kmeans_ctes
+
+    ctes, final = kmeans_ctes(
+        table, id_col, vec_col, dim, k=n_centroids, iters=cell_iters,
+        scale=scale, prefix=f"{C}km",
+    )
+    ctes.append(
+        f"""{C}cw AS (SELECT cid AS ccid, list(c ORDER BY dim) AS cv
+         FROM {final} GROUP BY cid)"""
+    )
+    ctes.append(
+        f"""{C}e AS (SELECT {id_col} AS id,
+           list_transform(CAST({vec_col} AS DOUBLE[]),
+                          x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS ve
+         FROM {table}
+         WHERE list_dot_product(CAST({vec_col} AS DOUBLE[]),
+                                CAST({vec_col} AS DOUBLE[])) > 0)"""
+    )
+    ctes.append(
+        f"""{C}d AS (SELECT e.id, c.ccid,
+           SUM((e.ve[CAST(i + 1 AS INT)] - c.cv[CAST(i + 1 AS INT)])
+               * (e.ve[CAST(i + 1 AS INT)] - c.cv[CAST(i + 1 AS INT)])) AS dist
+         FROM {C}e e CROSS JOIN {C}cw c CROSS JOIN range(0, {dim}) r(i)
+         GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"""{C}rk AS (SELECT id, ccid,
+           row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
+         FROM {C}d)"""
+    )
+    ctes.append(
+        f"{C}cand AS (SELECT id AS cand_id, ccid FROM {C}rk WHERE rn = 1)"
+    )
+    ctes.append(
+        f"""{C}probe AS (SELECT id AS query_id, ccid FROM {C}rk
+         WHERE rn <= {nprobe} AND id < {query_max_id})"""
+    )
+    ctes.append(
+        f"""{C}pairs AS (SELECT p.query_id, c.cand_id, c.ccid
+         FROM {C}probe p JOIN {C}cand c
+           ON p.ccid = c.ccid AND c.cand_id <> p.query_id)"""
+    )
+    return ctes
+
+
+def ivfpq_trained_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of ivfpq_trained_topk: the raw-PQ train/encode/LUT
+    chain joined with the TRAINED cell-assignment CTEs."""
+    ctes, _adc = _adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    ctes += _trained_cell_ctes(
+        table, id_col, vec_col, dim, n_centroids, cell_iters, scale,
+        nprobe, query_max_id,
+    )
+    ctes.append(
+        """tadcp AS (SELECT pr.query_id, pr.cand_id,
+           CAST(SUM(l.d) AS BIGINT) AS adc_dist
+         FROM tpairs pr
+         JOIN enc en ON en.id = pr.cand_id
+         JOIN lut l ON l.query_id = pr.query_id
+                   AND l.sub = en.sub AND l.cid = en.cid
+         GROUP BY 1, 2)"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, cand_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, cand_id) AS BIGINT) AS rank
+    FROM tadcp QUALIFY rank <= {top_k}
+    """
+
+
+def ivfpq_trained_recall_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of ivfpq_trained_recall_eval: all four approximate
+    chains (raw|residual x seed|trained) plus the exact truth in ONE
+    WITH clause, four rows via UNION ALL."""
+    ctes, _adc = _adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    ctes += _cell_ctes(table, id_col, vec_col, n_centroids, nprobe, query_max_id)
+    ctes.append(
+        """adcp AS (SELECT pr.query_id, pr.cand_id,
+           CAST(SUM(l.d) AS BIGINT) AS adc_dist
+         FROM pairs pr
+         JOIN enc en ON en.id = pr.cand_id
+         JOIN lut l ON l.query_id = pr.query_id
+                   AND l.sub = en.sub AND l.cid = en.cid
+         GROUP BY 1, 2)"""
+    )
+    ctes += _residual_adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    ctes += _trained_cell_ctes(
+        table, id_col, vec_col, dim, n_centroids, cell_iters, scale,
+        nprobe, query_max_id,
+    )
+    ctes.append(
+        """tadcp AS (SELECT pr.query_id, pr.cand_id,
+           CAST(SUM(l.d) AS BIGINT) AS adc_dist
+         FROM tpairs pr
+         JOIN enc en ON en.id = pr.cand_id
+         JOIN lut l ON l.query_id = pr.query_id
+                   AND l.sub = en.sub AND l.cid = en.cid
+         GROUP BY 1, 2)"""
+    )
+    ctes += _residual_adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id,
+        P="rt", cells="t", cw_name="tcw",
+    )
+    # exact truth over the nonzero universe (same CTEs as ivfpq_recall_sql)
+    ctes.append(
+        f"""xq AS (SELECT r.id AS query_id, r.ve
+         FROM rsrw r JOIN e ON e.id = r.id WHERE r.id < {query_max_id})"""
+    )
+    ctes.append(
+        f"""exd AS (SELECT q.query_id, c.id AS cand_id,
+           SUM((q.ve[CAST(i + 1 AS INT)] - r.ve[CAST(i + 1 AS INT)])
+               * (q.ve[CAST(i + 1 AS INT)] - r.ve[CAST(i + 1 AS INT)])) AS dist
+         FROM xq q JOIN e c ON c.id <> q.query_id
+         JOIN rsrw r ON r.id = c.id
+         CROSS JOIN range(0, {dim}) rr(i)
+         GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"""ext AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, cand_id) AS rn
+           FROM exd) WHERE rn <= {top_k})"""
+    )
+    variant_rows = []
+    for variant, src in (
+        ("raw_seed", "adcp"),
+        ("residual_seed", "rsadcp"),
+        ("raw_trained", "tadcp"),
+        ("residual_trained", "rtadcp"),
+    ):
+        ctes.append(
+            f"""{variant}_t AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, cand_id) AS rn
+           FROM {src}) WHERE rn <= {top_k})"""
+        )
+        ctes.append(
+            f"""{variant}_m AS (SELECT t.query_id, COUNT(*) AS n_true,
+                SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         FROM ext t LEFT JOIN {variant}_t a
+           ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+         GROUP BY 1)"""
+        )
+        variant_rows.append(
+            f"""SELECT '{variant}' AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({top_k} AS BIGINT) AS k,
+           CAST(SUM(n_hit * 1000000 // n_true) // COUNT(*) AS BIGINT)
+               AS mean_recall_ppm,
+           CAST(MIN(n_hit * 1000000 // n_true) AS BIGINT) AS min_recall_ppm
+    FROM {variant}_m"""
+        )
+    body = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(variant_rows)
+    return f"""
+    WITH {body}
+    {union}
     """

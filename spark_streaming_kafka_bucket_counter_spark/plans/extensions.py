@@ -893,6 +893,129 @@ def q_sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round 10: trained coarse cells (Faiss's actual default — k-means IVF
+# centroids instead of the deterministic seed set)
+_CELL_K, _CELL_ITERS = 16, 2
+
+
+def _ivf_trained_cents(spark: SparkSession, sf_dir: str):
+    """Trained coarse centroids, memoized per (session, dataset): k*dim
+    fixed-point ints from clustering.kmeans_lloyd — bounded metadata
+    shared by the trained-cell topk and the 2x2 recall eval."""
+    from ..operators.clustering import kmeans_centroids
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark,
+        sf_dir,
+        f"ivf_trained_cents_{_CELL_K}_{_CELL_ITERS}",
+        lambda: kmeans_centroids(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            k=_CELL_K, iters=_CELL_ITERS,
+        ),
+    )
+
+
+def _pq_tres_books(spark: SparkSession, sf_dir: str):
+    """Residual codebook AGAINST TRAINED CELLS — a different residual
+    population than _pq_res_books' (residuals move with the cells), so
+    it needs its own training pass."""
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark,
+        sf_dir,
+        f"pq_tres_books_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}_{_CELL_K}_{_CELL_ITERS}",
+        lambda: PQ.pq_train(
+            PQ.trained_residual_frame(
+                _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+                _ivf_trained_cents(spark, sf_dir),
+            ),
+            "id", "rv",
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+            already_fixed=True,
+        ),
+    )
+
+
+def _pq_tres_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._memo import dataset_memo
+
+    return dataset_memo(
+        spark,
+        sf_dir,
+        f"pq_tres_codes_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}_{_CELL_K}_{_CELL_ITERS}",
+        lambda: PQ.pq_encode(
+            PQ.trained_residual_frame(
+                _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+                _ivf_trained_cents(spark, sf_dir),
+            ),
+            "id", "rv", _pq_tres_books(spark, sf_dir),
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, already_fixed=True,
+        ),
+    )
+
+
+@query(
+    "sim_ivfpq_trained_cells",
+    PQ.ivfpq_trained_topk_sql(
+        "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
+        _PQ_ITERS, n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+    ),
+)
+def q_sim_ivfpq_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over TRAINED coarse cells — the same raw PQ codebook and
+    codes as sim_ivfpq_topk, but the cells come from integer-Lloyd
+    k-means (the Faiss default coarse quantizer) with exact integer-L2
+    assignment instead of the deterministic seed set. The k-means chain,
+    the ranked assignment, and the ADC scan all replay bit-for-bit in
+    the oracle. Cell training is a bounded offline step (k*dim ints of
+    model); the serving plan is unchanged — cells prune, codes scan."""
+    return PQ.ivfpq_trained_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+        nprobe=2, query_max_id=10, top_k=5,
+        codes=_pq_codes_frame(spark, sf_dir),
+        cents=_ivf_trained_cents(spark, sf_dir),
+    )
+
+
+@query(
+    "sim_ivfpq_trained_recall_eval",
+    PQ.ivfpq_trained_recall_sql(
+        "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
+        _PQ_ITERS, n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+    ),
+)
+def q_sim_ivfpq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 2x2 Faiss design experiment, measured in exact ppm:
+    (raw | residual) codes x (seed | trained) cells against the same
+    exact-L2 truth. r9's seed-cell eval showed residual LOSING (seed
+    cells don't concentrate, so residuals come out larger than the
+    vectors); this eval adds the trained-cell column that the Faiss
+    default predicts flips that — and measures whether it does on THIS
+    data. Measured at sf0.01: it DOES — residual loses on seed cells
+    (320k vs 400k mean ppm) and wins on trained cells (280k vs 260k),
+    the Faiss prediction in one table. (Trained cells trail seed cells
+    in absolute recall here because balanced k-means cells over
+    unclustered gaussians shrink each probe's candidate pool — the
+    recall-per-scanned-byte trade the nprobe knob exists to buy back.)
+    Four rows, one oracle, every chain replayed bit-for-bit."""
+    return PQ.ivfpq_trained_recall_eval(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), _pq_res_books(spark, sf_dir),
+        _pq_tres_books(spark, sf_dir),
+        dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+        nprobe=2, query_max_id=10, top_k=5,
+        raw_codes=_pq_codes_frame(spark, sf_dir),
+        res_codes=_pq_res_codes_frame(spark, sf_dir),
+        tres_codes=_pq_tres_codes_frame(spark, sf_dir),
+        cents=_ivf_trained_cents(spark, sf_dir),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits
 # ---------------------------------------------------------------------------

@@ -179,3 +179,64 @@ def test_bm25_forget_publishes_one_snapshot(spark, tmp_path):
     # postings for the forgotten ids AND re-derived aggregate files
     assert any(f.startswith("stats/") for f in m["files"])
     assert any(f.startswith("dfreq/") for f in m["files"])
+
+
+def test_bm25_forget_mid_flight_readers_see_pre_state(spark, tmp_path):
+    """r9 VERDICT #6, the interleaved-reader property: latest_manifest
+    resolved at EVERY intermediate point of a multi-segment forget (each
+    per-segment replace, each file retire) returns the untouched
+    pre-forget snapshot — the mutation is invisible until the single
+    commit, so no reader can mix post-forget postings with pre-forget
+    aggregates."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.search import (
+        bm25_forget,
+        bm25_query_index,
+        bm25_write_segment,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources import manifest as MF
+
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "bm2")
+    docs = spark.createDataFrame(
+        [(i, f"shared tok{i} extra{i % 3}") for i in range(18)],
+        "doc_id long, text string",
+    )
+    for b in range(3):
+        bm25_write_segment(
+            docs.filter((F.col("doc_id") % 3) == b), "doc_id", "text", idx, b
+        )
+    pre = MF.latest_manifest(idx)
+    pre_hits = bm25_query_index(spark, idx, "shared", top_k=18).collect()
+
+    observed = []
+    real_replace = MF.ManifestTxnHandle.replace
+    real_retire = MF.ManifestTxnHandle.retire
+
+    def spy_replace(self, *a, **k):
+        observed.append(MF.latest_manifest(idx))
+        return real_replace(self, *a, **k)
+
+    def spy_retire(self, *a, **k):
+        observed.append(MF.latest_manifest(idx))
+        return real_retire(self, *a, **k)
+
+    MF.ManifestTxnHandle.replace = spy_replace
+    MF.ManifestTxnHandle.retire = spy_retire
+    try:
+        # forget spans all three segments
+        assert bm25_forget(spark, idx, [3, 4, 5]) > 0
+    finally:
+        MF.ManifestTxnHandle.replace = real_replace
+        MF.ManifestTxnHandle.retire = real_retire
+
+    assert len(observed) >= 3  # the spy actually interleaved
+    for m in observed:
+        assert m["generation"] == pre["generation"]
+        assert sorted(m["files"]) == sorted(pre["files"])
+    post = MF.latest_manifest(idx)
+    assert post["generation"] == pre["generation"] + 1
+    post_hits = bm25_query_index(spark, idx, "shared", top_k=18).collect()
+    assert {r["doc_id"] for r in post_hits} == (
+        {r["doc_id"] for r in pre_hits} - {3, 4, 5}
+    )

@@ -234,3 +234,54 @@ def test_argmin_ties_break_to_lower_cid(spark):
     dup_pair = {tuple(rows[1]), tuple(rows[2])}
     assert len(dup_pair) == 1
     assert seen  # smoke: codes materialized
+
+
+def test_ranked_cells_exact_and_ties(spark):
+    """_ranked_cells: exact integer L2 ranking, ties to the lower cid,
+    rn is 1-based over the nprobe slice."""
+    fixed = spark.createDataFrame(
+        [(7, [0, 0]), (8, [10, 0])], "id long, v array<long>"
+    )
+    cents = {0: [0, 0], 1: [10, 0], 2: [0, 0]}  # 2 duplicates 0 -> tie
+    got = {
+        (r["id"], r["rn"]): r["cid"]
+        for r in PQ._ranked_cells(fixed, cents, nprobe=3).collect()
+    }
+    # id=7: dist 0 to cid0 and cid2 (tie -> 0 first), then cid1
+    assert got[(7, 1)] == 0 and got[(7, 2)] == 2 and got[(7, 3)] == 1
+    # id=8: nearest cid1, then tie 0/2 -> 0 first
+    assert got[(8, 1)] == 1 and got[(8, 2)] == 0 and got[(8, 3)] == 2
+
+
+def test_trained_residual_frame_exact(spark):
+    cents = {0: [0, 0], 1: [100, -100]}
+    df = spark.createDataFrame(
+        [(1, [0.000101, 0.0]), (2, [0.0001, -0.000102])],
+        "id long, v array<float>",
+    )
+    rows = {
+        r["id"]: (list(r["rv"]), r["cid"])
+        for r in PQ.trained_residual_frame(df, "id", "v", cents).collect()
+    }
+    # fixed-point: v1 -> [101, 0]: d0 = 101^2 = 10201, d1 = 1 + 100^2 =
+    # 10001 -> cid1 wins; rv = [101-100, 0-(-100)] = [1, 100]
+    assert rows[1] == ([1, 100], 1)
+    # v2 -> [100, -102]: d0=100^2+102^2, d1=0+4 -> cid1, rv = [0, -2]
+    assert rows[2] == ([0, -2], 1)
+
+
+def test_trained_topk_precomputed_codes_bit_identical(spark, emb, books):
+    """The serving contract extends to trained cells: passing the
+    materialized code frame must be bit-identical to inline encode."""
+    cents = {i: [((i * 37 + j) % 11 - 5) * 1000 for j in range(DIM)] for i in range(4)}
+    a = PQ.ivfpq_trained_topk(
+        emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB,
+        n_centroids=4, nprobe=2, query_max_id=6, top_k=4, cents=cents,
+    )
+    codes = PQ.pq_encode(emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB)
+    b = PQ.ivfpq_trained_topk(
+        emb, "vec_id", "embedding", books, DIM, m=M, ksub=KSUB,
+        n_centroids=4, nprobe=2, query_max_id=6, top_k=4,
+        codes=codes, cents=cents,
+    )
+    assert spark_signature(a) == spark_signature(b)
