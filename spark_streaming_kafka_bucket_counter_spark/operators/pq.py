@@ -781,7 +781,7 @@ def ivfpq_recall_eval(
 #: cached_index_dir keys; bump beside any ivfpq_build_index layout
 #: change (this format changed twice in r9 with staleness prevented
 #: only by discipline; now it's construction).
-IVFPQ_LAYOUT_VERSION = 1
+IVFPQ_LAYOUT_VERSION = 2  # v2 (r10): centroids carry a `metric` column
 
 
 def ivfpq_build_index(
@@ -795,6 +795,7 @@ def ivfpq_build_index(
     iters: int = 2,
     scale: int = 1_000_000,
     n_centroids: int = 16,
+    cents: dict[int, list[int]] | None = None,
 ) -> Codebook:
     """Build the on-disk IVFADC index: train the PQ codebook, assign
     every (nonzero) vector to its nearest IVF cell, and persist the
@@ -802,31 +803,54 @@ def ivfpq_build_index(
     prune to the probed cells' partitions AND carry only 8-byte codes;
     this is where PQ's 32x storage shrink becomes a 32x scan-bandwidth
     shrink. Returns the trained codebook (also persisted under
-    ``codebook/`` so queries are self-contained)."""
+    ``codebook/`` so queries are self-contained).
+
+    ``cents`` (r10, layout v2): a TRAINED coarse quantizer —
+    {cid: fixed-point e6 coordinate list} from
+    clustering.kmeans_centroids. The centroids table then carries
+    metric="l2e6" and assignment (build, append, query) is exact
+    integer squared-L2 against the trained cells, the Faiss default.
+    Without it, the deterministic seed set with cosine assignment
+    (metric="cosine") is persisted as before."""
     from pathlib import Path as _P
 
     from ..sources.manifest import manifest_txn
-    from .similarity import assign_to_centroids, nonzero_vectors
+    from .similarity import nonzero_vectors
 
     books = pq_train(df, id_col, vec_col, dim, m, ksub, iters, scale)
     nz = nonzero_vectors(df, vec_col)
-    cents = nz.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
-    enc = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
     spark = df.sparkSession
+    if cents is None:
+        metric = "cosine"
+        cent_df = nz.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.lit("cosine").alias("metric"),
+        )
+        payload = cent_df.collect()
+    else:
+        metric = "l2e6"
+        # e6 fixed-point coords stored as doubles: exact for the whole
+        # supported domain (|x_e6| < 2^53), one schema for both metrics
+        cent_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv], "l2e6")
+             for cid, cv in sorted(cents.items())],
+            "cid long, cvec array<double>, metric string",
+        )
+        payload = cents
+    enc = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
     book_rows = [
         (s, c, books[(s, c)]) for s in range(m) for c in range(ksub)
     ]
     with manifest_txn(path):
-        cents.coalesce(1).write.mode("overwrite").parquet(
+        cent_df.coalesce(1).write.mode("overwrite").parquet(
             str(_P(path) / "centroids")
         )
         spark.createDataFrame(
             book_rows, "sub int, cid long, coords array<long>"
         ).coalesce(1).write.mode("overwrite").parquet(str(_P(path) / "codebook"))
-        assigned = assign_to_centroids(
-            nz, id_col, vec_col, cents.collect(), max_rank=1
+        assigned = _assign_index_cells(
+            nz, id_col, vec_col, metric, payload, scale, max_rank=1
         ).select(F.col("_id").alias("id"), "cid")
         (
             assigned.join(enc, "id")
@@ -858,7 +882,7 @@ def ivfpq_append_index(
     from pathlib import Path as _P
 
     from ..sources.manifest import latest_manifest, manifest_read, manifest_txn
-    from .similarity import assign_to_centroids, nonzero_vectors
+    from .similarity import nonzero_vectors
 
     snap = latest_manifest(path)
     if snap is None:
@@ -870,16 +894,18 @@ def ivfpq_append_index(
             f"ivfpq_append_index: no published manifest snapshot under "
             f"{path!r}; bootstrap with ivfpq_build_index first"
         )
-    cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
+    metric, payload = _cells_model_from_rows(
+        manifest_read(spark, path, "centroids", snapshot=snap).collect()
+    )
     books = _books_from_rows(
         manifest_read(spark, path, "codebook", snapshot=snap).collect()
     )
     _check_model(books, dim, m, ksub, "ivfpq_append_index")
     nz = nonzero_vectors(df, vec_col)
     enc = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
-    assigned = assign_to_centroids(nz, id_col, vec_col, cents, max_rank=1).select(
-        F.col("_id").alias("id"), "cid"
-    )
+    assigned = _assign_index_cells(
+        nz, id_col, vec_col, metric, payload, scale, max_rank=1
+    ).select(F.col("_id").alias("id"), "cid")
     with manifest_txn(path):
         (
             assigned.join(enc, "id")
@@ -891,6 +917,40 @@ def ivfpq_append_index(
 
 def _books_from_rows(rows) -> Codebook:
     return {(int(r["sub"]), int(r["cid"])): list(r["coords"]) for r in rows}
+
+
+def _cells_model_from_rows(rows):
+    """(metric, payload) from persisted centroid rows. metric "cosine"
+    (seed raw vectors, layout v1 rows have no metric column — default
+    for back-compat) keeps the row list for assign_to_centroids;
+    "l2e6" (trained k-means cells, layout v2) decodes the fixed-point
+    coordinate dict for :func:`_ranked_cells`."""
+    first = rows[0].asDict()
+    metric = first.get("metric", "cosine")
+    if metric == "cosine":
+        return metric, rows
+    if metric == "l2e6":
+        return metric, {
+            int(r["cid"]): [int(x) for x in r["cvec"]] for r in rows
+        }
+    raise ValueError(f"unknown persisted cell metric {metric!r}")
+
+
+def _assign_index_cells(nz: DataFrame, id_col: str, vec_col: str,
+                        metric: str, payload, scale: int,
+                        max_rank: int) -> DataFrame:
+    """(_id, cid[, _rn]) ranked cell assignment against a persisted
+    model, dispatched on its metric."""
+    from .similarity import assign_to_centroids
+
+    if metric == "cosine":
+        return assign_to_centroids(nz, id_col, vec_col, payload, max_rank)
+    ranked = _ranked_cells(
+        _fixed_vecs(nz, id_col, vec_col, scale), payload, max_rank
+    )
+    return ranked.select(
+        F.col("id").alias("_id"), "cid", F.col("rn").alias("_rn")
+    )
 
 
 def ivfpq_query_index(
@@ -915,19 +975,21 @@ def ivfpq_query_index(
     :func:`ivfpq_topk`, pinned equal to the direct path. All three
     metadata reads pin ONE manifest generation."""
     from ..sources.manifest import latest_manifest, manifest_read
-    from .similarity import assign_to_centroids, nonzero_vectors
+    from .similarity import nonzero_vectors
 
     dsub = dim // m
     snap = snapshot if snapshot is not None else latest_manifest(path)
-    cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
+    metric, payload = _cells_model_from_rows(
+        manifest_read(spark, path, "centroids", snapshot=snap).collect()
+    )
     books = _books_from_rows(
         manifest_read(spark, path, "codebook", snapshot=snap).collect()
     )
     _check_model(books, dim, m, ksub, "ivfpq_query_index")
     nzq = nonzero_vectors(query_df, vec_col)
-    probes = assign_to_centroids(nzq, id_col, vec_col, cents, max_rank=nprobe).select(
-        F.col("_id").alias("query_id"), "cid"
-    )
+    probes = _assign_index_cells(
+        nzq, id_col, vec_col, metric, payload, scale, max_rank=nprobe
+    ).select(F.col("_id").alias("query_id"), "cid")
     qrows = _fixed_vecs(nzq, id_col, vec_col, scale).collect()
     lut = _driver_lut_frame(spark, qrows, books, m, ksub, dsub)
     cells = manifest_read(spark, path, "cells", snapshot=snap)

@@ -956,13 +956,13 @@ def _pq_tres_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivfpq_trained_cells",
-    PQ.ivfpq_trained_topk_sql(
-        "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
-        _PQ_ITERS, n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
-    ),
+_IVFPQ_TRAINED_SQL = PQ.ivfpq_trained_topk_sql(
+    "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
+    _PQ_ITERS, n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
 )
+
+
+@query("sim_ivfpq_trained_cells", _IVFPQ_TRAINED_SQL)
 def q_sim_ivfpq_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC over TRAINED coarse cells — the same raw PQ codebook and
     codes as sim_ivfpq_topk, but the cells come from integer-Lloyd
@@ -978,6 +978,35 @@ def q_sim_ivfpq_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2, query_max_id=10, top_k=5,
         codes=_pq_codes_frame(spark, sf_dir),
         cents=_ivf_trained_cents(spark, sf_dir),
+    )
+
+
+@query("sim_ivfpq_trained_index_topk", _IVFPQ_TRAINED_SQL)
+def q_sim_ivfpq_trained_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-cell IVFADC top-5 answered from the PERSISTED index
+    (layout v2): the centroids table carries metric="l2e6" with the
+    k-means fixed-point coordinates, and build/append/query all assign
+    by exact integer squared-L2 against them — the serving path of the
+    Faiss default, oracle-identical to the direct sim_ivfpq_trained_cells
+    chain by construction. The cache key folds IVFPQ_LAYOUT_VERSION, the
+    constant this layout change bumped (the r9 staleness fix exercising
+    itself)."""
+    from ..sources.files import cached_index_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = cached_index_dir(
+        "ivfpq-trained", sf_dir,
+        f"c{_CELL_K}i{_CELL_ITERS}-m{_PQ_M}k{_PQ_KSUB}",
+        lambda p: PQ.ivfpq_build_index(
+            emb, "vec_id", "embedding", p,
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+            n_centroids=_CELL_K, cents=_ivf_trained_cents(spark, sf_dir),
+        ),
+        layout_version=PQ.IVFPQ_LAYOUT_VERSION,
+    )
+    return PQ.ivfpq_query_index(
+        spark, idx, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, nprobe=2, top_k=5,
     )
 
 

@@ -433,6 +433,7 @@ def start_ivfpq_ingest(
     m: int = 16,
     ksub: int = 16,
     n_centroids: int = 16,
+    cell_iters: int = 0,
     available_now: bool = True,
     compact_every: int = 0,
     gc_grace_sec: float = 300.0,
@@ -472,9 +473,21 @@ def start_ivfpq_ingest(
         # that). "First published snapshot" is the durable truth, same
         # as the reader-side rule pinned in test_soak.
         if latest_manifest(index_path) is None:
+            cents = None
+            if cell_iters > 0:
+                # trained coarse quantizer (layout v2): k-means cells
+                # from the bootstrap batch; appends/queries dispatch on
+                # the persisted metric automatically
+                from ..operators.clustering import kmeans_centroids
+
+                cents = kmeans_centroids(
+                    batch_df, id_col, vec_col, k=n_centroids,
+                    iters=cell_iters,
+                )
             ivfpq_build_index(
                 batch_df, id_col, vec_col, index_path,
                 dim=dim, m=m, ksub=ksub, n_centroids=n_centroids,
+                cents=cents,
             )
         else:
             ivfpq_append_index(

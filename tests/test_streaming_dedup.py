@@ -854,3 +854,83 @@ def test_ivfpq_bootstrap_crash_rebootstraps(spark, tmp_path):
         spark, str(idx), probe, "vec_id", "embedding", 4, m=2, ksub=4, top_k=4
     ).collect()
     assert len(got) == 4 and all(r["cand_id"] < 16 for r in got)
+
+
+def test_ivfpq_ingest_trained_cells_bootstrap(spark, tmp_path):
+    """cell_iters > 0 bootstraps the streaming index with k-means cells
+    (layout v2, metric=l2e6); appends and queries dispatch on the
+    persisted metric, and append-then-query equals a single build over
+    the same model."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        manifest_read,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.streaming.pipeline import (
+        start_ivfpq_ingest,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+
+    def vec(i):
+        return [float(i % 5), float(i), float((i * i) % 7), 1.0]
+
+    b1 = [{"vec_id": i, "embedding": vec(i)} for i in range(16)]
+    b2 = [{"vec_id": 100 + i, "embedding": vec(16 + i)} for i in range(4)]
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    f1, f2 = src / "a.json", src / "b.json"
+    f1.write_text("\n".join(json.dumps(r) for r in b1))
+    f2.write_text("\n".join(json.dumps(r) for r in b2))
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))
+    os.utime(f2, (now, now))
+
+    idx = str(tmp_path / "tidx")
+    q = start_ivfpq_ingest(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1).json(str(src)),
+        "vec_id", "embedding", idx, str(tmp_path / "tck"),
+        dim=4, m=2, ksub=4, n_centroids=4, cell_iters=2,
+    )
+    assert q.awaitTermination(300)
+
+    cents_rows = manifest_read(spark, idx, "centroids").collect()
+    assert all(r["metric"] == "l2e6" for r in cents_rows)
+    probe = spark.createDataFrame(
+        [(900, vec(17))], "vec_id long, embedding array<float>"
+    )
+    streamed = ivfpq_query_index(
+        spark, idx, probe, "vec_id", "embedding", 4, m=2, ksub=4, top_k=4
+    ).collect()
+    assert len(streamed) == 4 and any(r["cand_id"] >= 100 for r in streamed)
+
+    # reference: one-shot build over batch 1's model, then append batch 2
+    all_rows = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in b1 + b2],
+        "vec_id long, embedding array<float>",
+    )
+    b1df = all_rows.filter(F.col("vec_id") < 100)
+    idx2 = str(tmp_path / "tidx2")
+    cents = kmeans_centroids(b1df, "vec_id", "embedding", k=4, iters=2)
+    ivfpq_build_index(
+        b1df, "vec_id", "embedding", idx2, dim=4, m=2, ksub=4,
+        n_centroids=4, cents=cents,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.operators.pq import (
+        ivfpq_append_index,
+    )
+
+    ivfpq_append_index(
+        spark, all_rows.filter(F.col("vec_id") >= 100), "vec_id", "embedding",
+        idx2, dim=4, m=2, ksub=4,
+    )
+    direct = ivfpq_query_index(
+        spark, idx2, probe, "vec_id", "embedding", 4, m=2, ksub=4, top_k=4
+    ).collect()
+    assert [(r["cand_id"], r["adc_dist"], r["rank"]) for r in streamed] == [
+        (r["cand_id"], r["adc_dist"], r["rank"]) for r in direct
+    ]
