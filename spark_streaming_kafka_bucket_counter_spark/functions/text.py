@@ -288,7 +288,13 @@ def char_entropy(chars: Column, decimals: int = 6) -> Column:
     )
     terms = F.transform(counts, lambda cnt: (cnt / n) * F.log2(cnt / n))
     ent = -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-    return F.when(n > 0, F.round(ent, decimals)).otherwise(F.lit(0.0))
+    # + 0.0 normalizes IEEE negative zero: a single-distinct-char doc
+    # folds to -(0.0) and engines disagree on the sign of that zero
+    # (Spark renders 0.0, DuckDB -0.0 — caught by the r10 edge sweep
+    # once the harness stopped collapsing int-like floats)
+    return F.when(
+        n > 0, F.round(ent, decimals) + F.lit(0.0)
+    ).otherwise(F.lit(0.0))
 
 
 def char_array_sql(col: str) -> str:
@@ -306,7 +312,11 @@ def char_entropy_sql(chars: str, decimals: int = 6) -> str:
     )
     terms = f"list_transform({counts}, cnt -> (cnt / {n}) * log2(cnt / {n}))"
     ent = f"-list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
-    return f"CASE WHEN len({chars}) > 0 THEN ROUND({ent}, {decimals}) ELSE 0.0 END"
+    # + 0.0: IEEE negative-zero normalization (see char_entropy)
+    return (
+        f"CASE WHEN len({chars}) > 0 "
+        f"THEN ROUND({ent}, {decimals}) + CAST(0 AS DOUBLE) ELSE 0.0 END"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -378,7 +378,11 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
             F.when(
                 F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
-                F.round(-(F.col("_s9") / F.lit(1e9)) / F.col("n_bigrams"), 6),
+                # + 0.0 normalizes IEEE negative zero: _s9 == 0 (every
+                # bigram deterministic in its context) negates to -0.0
+                # and the engines disagree on its rendered sign
+                F.round(-(F.col("_s9") / F.lit(1e9)) / F.col("n_bigrams"), 6)
+                + F.lit(0.0),
             )
             .otherwise(F.lit(0.0))
             .alias("nll2_bits"),
@@ -407,7 +411,7 @@ def bigram_logprob_sql(corpus_cte: str, id_col: str, text_col: str) -> str:
       SELECT c.{id_col},
              CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              CASE WHEN COALESCE(p.n_bigrams, 0) > 0
-                  THEN ROUND(-(p._s9 / 1e9) / p.n_bigrams, 6)
+                  THEN ROUND(-(p._s9 / 1e9) / p.n_bigrams, 6) + CAST(0 AS DOUBLE)
                   ELSE 0.0 END AS nll2_bits
       FROM {corpus_cte} c LEFT JOIN _bg_per p USING ({id_col}))"""
 

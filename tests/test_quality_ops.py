@@ -456,3 +456,58 @@ def test_nfc_stats_tricky_scripts_agree_with_duckdb(spark, duck):
             [t, t, t, t],
         ).fetchone()
         assert got[i] == want, f"{t!r}: {got[i]} != {want}"
+
+
+def test_entropy_and_bigram_never_emit_negative_zero(spark, duck):
+    """r10 edge-sweep find: a single-distinct-char doc's entropy folds
+    to -(0.0) and a fully deterministic bigram doc's nll2 to -(0/n) —
+    IEEE negative zero, whose rendered sign the engines disagreed on
+    (Spark 0.0, DuckDB -0.0; masked until the harness stopped collapsing
+    int-like floats). Both sides now normalize with + 0.0; pin the exact
+    canonical rendering on a crafted corpus."""
+    import math
+
+    from spark_streaming_kafka_bucket_counter_spark.functions.text import (
+        char_array,
+        char_entropy,
+        char_entropy_sql,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.operators.quality import (
+        bigram_logprob,
+        bigram_logprob_sql,
+    )
+    from pyspark.sql import functions as F
+    from tests.oracle_harness import pandas_signature
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "x y x y x y"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    ent = df.select(
+        "doc_id", char_entropy(char_array(F.col("text"))).alias("e")
+    ).toPandas().set_index("doc_id")["e"]
+    assert math.copysign(1.0, ent[1]) == 1.0 and ent[1] == 0.0
+    big = bigram_logprob(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert all(math.copysign(1.0, v) == 1.0 for v in big["nll2_bits"])
+
+    # DuckDB twins agree bit-for-bit through the driver-faithful path
+    duck.execute("CREATE OR REPLACE TABLE _nz(doc_id BIGINT, text VARCHAR)")
+    duck.execute(
+        "INSERT INTO _nz VALUES (1,'aaaa'), (2,'x y x y x y'), (3,'ab')"
+    )
+    dent = duck.sql(
+        "WITH ch AS (SELECT doc_id, "
+        + char_entropy_sql.__call__("string_split(lower(text), '')")
+        + " AS e FROM _nz) SELECT doc_id, e FROM ch"
+    ).fetchdf().set_index("doc_id")["e"]
+    assert math.copysign(1.0, dent[1]) == 1.0 and dent[1] == 0.0
+    dbig = duck.sql(
+        "WITH " + bigram_logprob_sql("_nz", "doc_id", "text")
+        + " SELECT doc_id, n_bigrams, nll2_bits FROM bigram"
+    ).fetchdf()
+    assert all(math.copysign(1.0, v) == 1.0 for v in dbig["nll2_bits"])
+    s_sig = pandas_signature(
+        bigram_logprob(df, "doc_id", "text").toPandas()
+    )
+    d_sig = pandas_signature(dbig[["doc_id", "n_bigrams", "nll2_bits"]])
+    assert s_sig == d_sig
