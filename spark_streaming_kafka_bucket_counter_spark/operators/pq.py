@@ -1531,31 +1531,55 @@ def pq_recall_sql(
 def _ranked_cells(fixed: DataFrame, cents: dict[int, list[int]],
                   nprobe: int) -> DataFrame:
     """(id, v, cid, rn): each fixed-point vector's `nprobe` nearest
-    TRAINED cells by exact integer squared-L2, ties to the lower cid —
-    sort_array over (dist, cid) structs, all in codegen; centroids ride
-    as inlined literals (k*dim ints — bounded metadata, the same
-    size-class clustering._assign inlines)."""
-    from .clustering import _sq_dist
+    TRAINED cells by exact integer squared-L2, ties to the lower cid.
 
-    arr = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col("v"), cvec).alias("d"),
-                    F.lit(int(cid)).cast("long").alias("cid"),
+    Map-only Arrow stage (the same design as the module's bulk encode):
+    centroids ride as a broadcast numpy constant and each batch does one
+    vectorized int64 distance per centroid + a stable argsort — an
+    earlier inline-expression version (k structs x dim-term folds) cost
+    the optimizer/codegen seconds per RUN at k=16 x dim=64 (measured
+    3-4 s per trained query in the r10 bench), exactly the 64 KB-trap
+    shape the PQ trainer's docstring warns about. Exact int64 with a
+    loud domain guard (numpy wraps silently where the JVM path raised
+    ANSI overflow, so the guard re-creates the fail-loudly contract:
+    dims * max|diff|^2 must stay under 2^63)."""
+    import numpy as np
+
+    ks = sorted(int(c) for c in cents)
+    C = np.array([cents[c] for c in ks], dtype=np.int64)  # k x dim
+    cid_of = np.array(ks, dtype=np.int64)
+    k = len(ks)
+    take = min(nprobe, k)
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.int64)  # n x dim
+            span = int(np.abs(V).max(initial=0)) + int(np.abs(C).max(initial=0))
+            if V.shape[1] * span * span >= 2**63:
+                raise ArithmeticError(
+                    "_ranked_cells: fixed-point magnitude exceeds the "
+                    "exact-int64 squared-L2 domain (dims * (2*|x|*scale)^2 "
+                    "< 2^63); input is corrupted or mis-scaled"
                 )
-                for cid, cvec in sorted(cents.items())
-            ]
-        )
-    )
-    return fixed.select(
-        "id", "v", F.posexplode(F.slice(arr, 1, nprobe))
-    ).select(
-        "id",
-        "v",
-        F.col("col.cid").alias("cid"),
-        (F.col("pos") + 1).cast("long").alias("rn"),
-    )
+            d = np.stack(
+                [((V - C[j]) ** 2).sum(axis=1) for j in range(k)], axis=1
+            )  # n x k exact int64
+            order = np.argsort(d, axis=1, kind="stable")[:, :take]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), take),
+                    "v": [v for v in pdf["v"] for _ in range(take)],
+                    "cid": cid_of[order].reshape(-1),
+                    "rn": np.tile(np.arange(1, take + 1, dtype=np.int64), n),
+                }
+            )
+
+    return fixed.mapInPandas(_gen, "id long, v array<long>, cid long, rn long")
 
 
 def _trained_pairs(df: DataFrame, id_col: str, vec_col: str,
