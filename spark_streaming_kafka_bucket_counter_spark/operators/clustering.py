@@ -13,10 +13,12 @@ expressed so BOTH engines produce bit-identical results:
 
 Scale shape (MLlib's own recipe): centroids live on the driver between
 rounds (k x dim integers — kilobytes, the same bounded-collect contract
-as PageRank's convergence scalar), and each round ships them back as
-plan literals, so assignment is PURE CODEGEN over the vector column (no
-join, no shuffle); the update is one (cluster, dim)-keyed partial-agg
-shuffle of k*dim rows. Vectors are never shuffled, never collected.
+as PageRank's convergence scalar), and each round ships them back as a
+broadcast numpy constant into a map-only Arrow assignment stage (no
+join, no shuffle; r10 — the previous inline-literal codegen form paid
+optimizer seconds per round at k x dim = 16 x 64); the update is one
+(cluster, dim)-keyed partial-agg shuffle of k*dim rows. Vectors are
+never shuffled, never collected.
 """
 
 from __future__ import annotations
@@ -27,33 +29,51 @@ from pyspark.sql import functions as F
 __all__ = ["kmeans_lloyd", "kmeans_lloyd_sql", "kmeans_ctes", "kmeans_centroids"]
 
 
-def _sq_dist(vec_col: F.Column, centroid: list[int]) -> F.Column:
-    """Exact integer squared-L2 between the fixed-point vector column and
-    a literal centroid: BIGINT-safe for |x_e6| <= ~3e9 / sqrt(dim)."""
-    lit = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
-    )
-
-
 def _assign(vecs: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
     """(id, v, cid): nearest centroid per vector, ties to the lower cid.
-    argmin = array_min over struct(dist, cid) — lexicographic struct
-    ordering gives the (dist, cid) total order, all in codegen."""
-    choice = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col("v"), cvec).alias("d"),
-                    F.lit(cid).cast("long").alias("cid"),
+
+    Map-only Arrow stage: centroids ride as a broadcast numpy constant,
+    one vectorized exact-int64 distance per centroid, argmin (numpy's
+    first-occurrence rule = ties to the lower cid, since columns are in
+    cid order). Replaces an inline array_min-over-structs expression
+    whose k x dim term count cost the optimizer/codegen whole seconds
+    per Lloyd ROUND at k=8-16 x dim=64 (r10 bench: cluster_kmeans and
+    the trained-cell family each dropped ~3x when their assignment left
+    codegen). The loud domain guard recreates the JVM path's
+    ANSI-overflow contract — numpy would wrap silently."""
+    import numpy as np
+
+    ks = sorted(int(c) for c in cents)
+    C = np.array([cents[c] for c in ks], dtype=np.int64)
+    cid_of = np.array(ks, dtype=np.int64)
+    k = len(ks)
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.int64)
+            span = int(np.abs(V).max(initial=0)) + int(np.abs(C).max(initial=0))
+            if V.shape[1] * span * span >= 2**63:
+                raise ArithmeticError(
+                    "kmeans _assign: fixed-point magnitude exceeds the "
+                    "exact-int64 squared-L2 domain (dims * (2*|x|*scale)^2"
+                    " < 2^63); input is corrupted or mis-scaled"
                 )
-                for cid, cvec in sorted(cents.items())
-            ]
-        )
-    )
-    return vecs.withColumn("cid", choice["cid"])
+            d = np.stack(
+                [((V - C[j]) ** 2).sum(axis=1) for j in range(k)], axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cid": cid_of[np.argmin(d, axis=1)],
+                }
+            )
+
+    return vecs.mapInPandas(_gen, "id long, v array<long>, cid long")
 
 
 def kmeans_lloyd(
