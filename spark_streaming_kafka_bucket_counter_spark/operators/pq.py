@@ -77,6 +77,8 @@ __all__ = [
     "trained_residual_frame",
     "ivfpq_trained_topk_sql",
     "ivfpq_trained_recall_sql",
+    "ivfpq_probe_frontier",
+    "ivfpq_probe_frontier_sql",
 ]
 
 Codebook = dict[tuple[int, int], list[int]]  # (sub, cid) -> dsub fixed-point coords
@@ -2071,6 +2073,236 @@ def ivfpq_trained_recall_sql(
         )
     body = ",\n    ".join(ctes)
     union = "\n    UNION ALL\n    ".join(variant_rows)
+    return f"""
+    WITH {body}
+    {union}
+    """
+
+
+def ivfpq_probe_frontier(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: Codebook,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    probes: tuple[int, ...] = (1, 2, 4),
+    query_max_id: int = 10,
+    top_k: int = 5,
+    codes: DataFrame | None = None,
+    cents: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """The nprobe FRONTIER, one row per nprobe: (nprobe, n_queries, k,
+    mean_recall_ppm, min_recall_ppm, total_pairs) — recall@k against
+    exact fixed-point L2 next to the TOTAL candidate-pair count the
+    scan paid for it, over trained k-means cells. This is the serving
+    knob's decision table: nprobe buys recall linearly in scan cost, and
+    a deployment reads this frontier (on a sample) to place itself —
+    exactly how Faiss deployments tune nprobe. Everything is exact
+    integers; one ranked assignment at max(probes) serves every row."""
+    from .clustering import kmeans_centroids
+    from .similarity import nonzero_vectors
+
+    _check_dims(dim, m)
+    if cents is None:
+        cents = kmeans_centroids(
+            df, id_col, vec_col, k=n_centroids, iters=cell_iters, scale=scale
+        )
+    max_np = max(probes)
+    nz = nonzero_vectors(df, vec_col)
+    fixed = _fixed_vecs(nz, id_col, vec_col, scale)
+    ranked = _ranked_cells(fixed, cents, max_np).persist()
+    if codes is None:
+        codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
+    dsub = dim // m
+    try:
+        cand = ranked.filter(F.col("rn") == 1).select(
+            F.col("id").alias("cand_id"), "cid"
+        )
+        qrows = fixed.filter(F.col("id") < query_max_id).collect()
+        lut = _driver_lut_frame(df.sparkSession, qrows, books, m, ksub, dsub)
+        queries = fixed.filter(F.col("id") < query_max_id).select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv")
+        )
+        exact_d = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("cand_id").asc()
+        )
+        truth = (
+            fixed.crossJoin(F.broadcast(queries))
+            .filter(F.col("id") != F.col("query_id"))
+            .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_k)
+            .select("query_id", "cand_id")
+            .persist()
+        )
+        rows = None
+        for np_ in probes:
+            probes_df = (
+                ranked.filter(
+                    (F.col("rn") <= np_) & (F.col("id") < query_max_id)
+                )
+                .select(F.col("id").alias("query_id"), "cid")
+            )
+            pairs = (
+                cand.join(F.broadcast(probes_df), "cid")
+                .filter(F.col("cand_id") != F.col("query_id"))
+                .select("query_id", "cand_id")
+            )
+            scored = (
+                pairs.join(codes.withColumnRenamed("id", "cand_id"), "cand_id")
+                .join(F.broadcast(lut), "query_id")
+                .select(
+                    "query_id", "cand_id",
+                    F.expr(_adc_dist_sql(m)).alias("adc_dist"),
+                )
+            )
+            approx = _rank_topk(scored, top_k).select("query_id", "cand_id")
+            per_q = truth.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_true")
+            )
+            hits = (
+                truth.join(approx, ["query_id", "cand_id"], "left_semi")
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n_hit"))
+            )
+            npairs = pairs.agg(
+                F.count(F.lit(1)).cast("long").alias("total_pairs")
+            )
+            row = (
+                per_q.join(hits, "query_id", "left")
+                .select(
+                    F.expr("coalesce(n_hit, 0) * 1000000 div n_true").alias(
+                        "recall_ppm"
+                    )
+                )
+                .agg(
+                    F.lit(np_).cast("long").alias("nprobe"),
+                    F.count(F.lit(1)).cast("long").alias("n_queries"),
+                    F.lit(top_k).cast("long").alias("k"),
+                    F.expr("sum(recall_ppm) div count(1)")
+                    .cast("long")
+                    .alias("mean_recall_ppm"),
+                    F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
+                )
+                .crossJoin(F.broadcast(npairs))
+            )
+            rows = row if rows is None else rows.unionAll(row)
+        return rows
+    finally:
+        ranked.unpersist()
+        # truth may not exist if probes was empty; guard via locals
+        try:
+            truth.unpersist()
+        except NameError:
+            pass
+
+
+def ivfpq_probe_frontier_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    probes: tuple[int, ...] = (1, 2, 4),
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of ivfpq_probe_frontier: the trained-cell chain once
+    (ranked to max(probes)), then per-nprobe probe/pairs/ADC/recall
+    CTEs, one UNION ALL row each."""
+    max_np = max(probes)
+    ctes, _adc = _adc_ctes(
+        table, id_col, vec_col, dim, m, ksub, iters, scale, query_max_id
+    )
+    ctes += _trained_cell_ctes(
+        table, id_col, vec_col, dim, n_centroids, cell_iters, scale,
+        max_np, query_max_id,
+    )
+    # exact truth over the nonzero universe (te carries fixed vectors)
+    ctes.append(
+        f"""fxq AS (SELECT id AS query_id, ve FROM te WHERE id < {query_max_id})"""
+    )
+    ctes.append(
+        f"""fexd AS (SELECT q.query_id, c.id AS cand_id,
+           SUM((q.ve[CAST(i + 1 AS INT)] - c.ve[CAST(i + 1 AS INT)])
+               * (q.ve[CAST(i + 1 AS INT)] - c.ve[CAST(i + 1 AS INT)])) AS dist
+         FROM fxq q JOIN te c ON c.id <> q.query_id
+         CROSS JOIN range(0, {dim}) rr(i)
+         GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"""fext AS (SELECT query_id, cand_id FROM (
+           SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, cand_id) AS rn
+           FROM fexd) WHERE rn <= {top_k})"""
+    )
+    union_rows = []
+    for np_ in probes:
+        P = f"f{np_}"
+        ctes.append(
+            f"""{P}probe AS (SELECT id AS query_id, ccid FROM trk
+             WHERE rn <= {np_} AND id < {query_max_id})"""
+        )
+        ctes.append(
+            f"""{P}pairs AS (SELECT p.query_id, c.cand_id
+             FROM {P}probe p JOIN tcand c
+               ON p.ccid = c.ccid AND c.cand_id <> p.query_id)"""
+        )
+        ctes.append(
+            f"""{P}adcp AS (SELECT pr.query_id, pr.cand_id,
+               CAST(SUM(l.d) AS BIGINT) AS adc_dist
+             FROM {P}pairs pr
+             JOIN enc en ON en.id = pr.cand_id
+             JOIN lut l ON l.query_id = pr.query_id
+                       AND l.sub = en.sub AND l.cid = en.cid
+             GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""{P}t AS (SELECT query_id, cand_id FROM (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, cand_id) AS rn
+               FROM {P}adcp) WHERE rn <= {top_k})"""
+        )
+        ctes.append(
+            f"""{P}m AS (SELECT t.query_id, COUNT(*) AS n_true,
+                SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+             FROM fext t LEFT JOIN {P}t a
+               ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+             GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""{P}c AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs
+             FROM {P}pairs)"""
+        )
+        union_rows.append(
+            f"""SELECT CAST({np_} AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({top_k} AS BIGINT) AS k,
+           CAST(SUM(n_hit * 1000000 // n_true) // COUNT(*) AS BIGINT)
+               AS mean_recall_ppm,
+           CAST(MIN(n_hit * 1000000 // n_true) AS BIGINT) AS min_recall_ppm,
+           (SELECT total_pairs FROM {P}c) AS total_pairs
+    FROM {P}m"""
+        )
+    body = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(union_rows)
     return f"""
     WITH {body}
     {union}

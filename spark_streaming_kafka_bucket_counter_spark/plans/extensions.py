@@ -1011,6 +1011,32 @@ def q_sim_ivfpq_trained_index_topk(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "sim_ivfpq_probe_frontier",
+    PQ.ivfpq_probe_frontier_sql(
+        "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
+        _PQ_ITERS, n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+    ),
+)
+def q_sim_ivfpq_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe decision table: recall@5 (exact ppm vs exact-L2
+    truth) NEXT TO the candidate-pair count each setting scanned, one
+    row per nprobe in {1, 2, 4}, over trained cells. nprobe is THE
+    serving knob — it buys recall linearly in scan cost — and this
+    frontier, run on a sample, is how a deployment places itself on
+    that line (the Faiss tuning recipe). One ranked assignment at
+    max(nprobe) serves all rows; everything exact integers under the
+    oracle gate."""
+    return PQ.ivfpq_probe_frontier(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+        probes=(1, 2, 4), query_max_id=10, top_k=5,
+        codes=_pq_codes_frame(spark, sf_dir),
+        cents=_ivf_trained_cents(spark, sf_dir),
+    )
+
+
+@query(
     "sim_ivfpq_trained_recall_eval",
     PQ.ivfpq_trained_recall_sql(
         "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
