@@ -523,3 +523,24 @@ def test_unpivot_is_shuffle_free(spark):
     stopped being a pure projection."""
     plan = _plan(spark, "unpivot_order_flags")
     assert not re.findall(r"\(\d+\) Exchange", plan)
+
+
+def test_trained_cell_assignment_is_arrow_map_only(spark):
+    """The trained-cell IVFADC chain's assignment must be the map-only
+    Arrow stage (broadcast numpy centroids), not an inline k x dim
+    codegen expression (optimizer seconds per run, the 64KB-trap shape)
+    and not a join/shuffle of the vector set."""
+    plan = _plan(spark, "sim_ivfpq_trained_cells")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    # the only exchanges are the rank window's hash partitioning and
+    # broadcast sides; assignment itself must not shuffle the vector set
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_probe_frontier_shares_one_assignment(spark):
+    """One ranked assignment at max(nprobe) serves every frontier row —
+    the plan must not re-run per-nprobe cell assignment as separate
+    Arrow stages over the full vector set beyond the probe variants."""
+    plan = _plan(spark, "sim_ivfpq_probe_frontier")
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan
