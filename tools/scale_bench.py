@@ -77,6 +77,14 @@ QUERIES = [
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    # round 10 (standing rule): the trained-cell family — k-means cell
+    # training is the new iterative fixed-cost stage, the Arrow argmin
+    # assignment is the one whose cost scales with N, the persisted
+    # trained index must stay cell-pruned, and the probe frontier's
+    # cost tracks total candidate pairs across its three nprobe rows
+    "sim_ivfpq_trained_cells",
+    "sim_ivfpq_trained_index_topk",
+    "sim_ivfpq_probe_frontier",
 ]
 
 SCALES = {
