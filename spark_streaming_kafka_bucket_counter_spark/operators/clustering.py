@@ -94,9 +94,16 @@ def kmeans_lloyd(
     ``dims * (2 * |x| * scale)^2 < 2^63`` — |x| ≲ sqrt(2^63/dims) /
     (2*scale), ~190 for 64 dims at the default scale. Real embedding
     components are unit-ish, so only corrupted input trips this, and it
-    fails LOUDLY in both engines (Spark ANSI ARITHMETIC_OVERFLOW /
-    CAST_OVERFLOW, DuckDB conversion error; pinned by
-    ``test_fixed_point_overflow_is_loud``) rather than silently wrapping.
+    fails LOUDLY on both paths rather than silently wrapping: the Spark
+    assignment is a numpy Arrow stage whose guard raises
+    ``ArithmeticError`` when ``dims * span^2 >= 2^63`` with
+    ``span = max|v| + max|c|`` (a worst-case bound — it can reject a
+    near-domain-edge input whose ACTUAL pairwise sums still fit int64
+    and that the DuckDB twin would accept; by that point the input is
+    already thousands of times beyond any real embedding, so the
+    conservative cut is deliberate), and the SQL/DuckDB path overflows
+    its BIGINT conversion. Pinned by
+    ``test_fixed_point_overflow_is_loud``.
     """
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1: k={k}, iters={iters}")

@@ -959,17 +959,24 @@ def lsh_query_index(
     """
     from ..sources.manifest import latest_manifest, manifest_read
 
+    # one snapshot pins BOTH subtrees: bands and shingles from the same
+    # manifest generation, and a concurrent compaction/append can't
+    # yank a planned file (retired files outlive readers' grace window).
+    # ``snapshot`` (from latest_manifest/manifest_at) time-travels the
+    # read to that generation instead. No snapshot at all means the
+    # bootstrap's manifest commit was lost (crash window) — never fall
+    # through to an unpinned plain-directory read of half-written data.
+    snap = snapshot if snapshot is not None else latest_manifest(path)
+    if snap is None:
+        raise RuntimeError(
+            f"lsh_query_index: no published manifest snapshot under "
+            f"{path!r}; bootstrap with lsh_build_index first"
+        )
     sh_inc = doc_shingles(incoming, id_col, text_col, k, max_shingle_freq).persist()
     b_inc = _minhash_banded(sh_inc, num_hashes, bands).withColumn(
         "bkb",
         (F.conv(F.substring("bk", 1, 2), 16, 10) % F.lit(LSH_INDEX_BUCKETS)).cast("int"),
     )
-    # one snapshot pins BOTH subtrees: bands and shingles from the same
-    # manifest generation, and a concurrent compaction/append can't
-    # yank a planned file (retired files outlive readers' grace window).
-    # ``snapshot`` (from latest_manifest/manifest_at) time-travels the
-    # read to that generation instead.
-    snap = snapshot if snapshot is not None else latest_manifest(path)
     b_snap = manifest_read(spark, path, "bands", snapshot=snap)
     sh_snap = manifest_read(spark, path, "shingles", snapshot=snap)
     candidates = (
@@ -1099,15 +1106,23 @@ def lsh_append_index(
     blind by design — an existence check would re-scan the snapshot,
     which is what this path avoids; the query step already established
     novelty)."""
-    sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq).persist()
-    banded = _minhash_banded(sh, num_hashes, bands)
     from pathlib import Path
 
+    from ..sources.manifest import latest_manifest, manifest_txn
+
+    if latest_manifest(path) is None:
+        # Never append into a half-bootstrapped tree (data written,
+        # manifest commit lost): the caller must re-bootstrap via
+        # lsh_build_index — same rule as ivfpq_append_index.
+        raise RuntimeError(
+            f"lsh_append_index: no published manifest snapshot under "
+            f"{path!r}; bootstrap with lsh_build_index first"
+        )
+    sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq).persist()
+    banded = _minhash_banded(sh, num_hashes, bands)
     bkb = (F.conv(F.substring("bk", 1, 2), 16, 10) % F.lit(LSH_INDEX_BUCKETS)).cast(
         "int"
     )
-    from ..sources.manifest import manifest_txn
-
     with manifest_txn(path):
         (
             banded.withColumn("bkb", bkb)

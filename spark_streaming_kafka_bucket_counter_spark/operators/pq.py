@@ -783,7 +783,28 @@ def ivfpq_recall_eval(
 #: cached_index_dir keys; bump beside any ivfpq_build_index layout
 #: change (this format changed twice in r9 with staleness prevented
 #: only by discipline; now it's construction).
-IVFPQ_LAYOUT_VERSION = 2  # v2 (r10): centroids carry a `metric` column
+IVFPQ_LAYOUT_VERSION = 3  # v3 (r11): meta/ table carries the serving
+#                           default_nprobe (frontier-chosen operating
+#                           point); v2 (r10): centroids carry `metric`
+
+#: Serving default when an index predates layout v3 (no meta/ table) or
+#: was built without a measured frontier.
+IVFPQ_FALLBACK_NPROBE = 2
+
+
+def choose_default_nprobe(frontier_rows, within: float = 0.05) -> int:
+    """The frontier-chosen serving operating point: the SMALLEST nprobe
+    whose mean recall is within ``within`` (fraction) of the best
+    measured recall — recall buys linearly in scan cost, so the
+    cheapest probe count that is statistically as good as the max IS
+    the knob a deployment wants. Input: rows from
+    :func:`ivfpq_probe_frontier` (needs ``nprobe`` and
+    ``mean_recall_ppm`` columns)."""
+    pts = [(int(r["nprobe"]), int(r["mean_recall_ppm"])) for r in frontier_rows]
+    if not pts:
+        raise ValueError("choose_default_nprobe: empty frontier")
+    best = max(ppm for _, ppm in pts)
+    return min(np_ for np_, ppm in pts if ppm >= (1.0 - within) * best)
 
 
 def ivfpq_build_index(
@@ -798,6 +819,7 @@ def ivfpq_build_index(
     scale: int = 1_000_000,
     n_centroids: int = 16,
     cents: dict[int, list[int]] | None = None,
+    default_nprobe: int | None = None,
 ) -> Codebook:
     """Build the on-disk IVFADC index: train the PQ codebook, assign
     every (nonzero) vector to its nearest IVF cell, and persist the
@@ -813,7 +835,15 @@ def ivfpq_build_index(
     metric="l2e6" and assignment (build, append, query) is exact
     integer squared-L2 against the trained cells, the Faiss default.
     Without it, the deterministic seed set with cosine assignment
-    (metric="cosine") is persisted as before."""
+    (metric="cosine") is persisted as before.
+
+    ``default_nprobe`` (r11, layout v3): the measured serving operating
+    point — :func:`choose_default_nprobe` over an
+    :func:`ivfpq_probe_frontier` eval — persisted into the index's
+    ``meta/`` table and used by :func:`ivfpq_query_index` when the
+    caller passes no ``nprobe``. The 100 TB serving story ships its
+    measured tuning with the index, not a magic constant in code.
+    Defaults to :data:`IVFPQ_FALLBACK_NPROBE` when no frontier ran."""
     from pathlib import Path as _P
 
     from ..sources.manifest import manifest_txn
@@ -844,6 +874,12 @@ def ivfpq_build_index(
     book_rows = [
         (s, c, books[(s, c)]) for s in range(m) for c in range(ksub)
     ]
+    meta_rows = [
+        ("layout_version", int(IVFPQ_LAYOUT_VERSION)),
+        ("default_nprobe",
+         int(default_nprobe if default_nprobe is not None
+             else IVFPQ_FALLBACK_NPROBE)),
+    ]
     with manifest_txn(path):
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             str(_P(path) / "centroids")
@@ -851,6 +887,9 @@ def ivfpq_build_index(
         spark.createDataFrame(
             book_rows, "sub int, cid long, coords array<long>"
         ).coalesce(1).write.mode("overwrite").parquet(str(_P(path) / "codebook"))
+        spark.createDataFrame(
+            meta_rows, "key string, value long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(_P(path) / "meta"))
         assigned = _assign_index_cells(
             nz, id_col, vec_col, metric, payload, scale, max_rank=1
         ).select(F.col("_id").alias("id"), "cid")
@@ -921,12 +960,30 @@ def _books_from_rows(rows) -> Codebook:
     return {(int(r["sub"]), int(r["cid"])): list(r["coords"]) for r in rows}
 
 
+def _meta_default_nprobe(spark, path: str, snap: dict | None) -> int:
+    """The persisted serving operating point, or the fallback for
+    pre-v3 indexes (their snapshots list no ``meta/`` files) and
+    unmanaged trees."""
+    from ..sources.manifest import manifest_read
+
+    if snap is None or not any(f.startswith("meta/") for f in snap["files"]):
+        return IVFPQ_FALLBACK_NPROBE
+    rows = manifest_read(spark, path, "meta", snapshot=snap).collect()
+    vals = {r["key"]: int(r["value"]) for r in rows}
+    return vals.get("default_nprobe", IVFPQ_FALLBACK_NPROBE)
+
+
 def _cells_model_from_rows(rows):
     """(metric, payload) from persisted centroid rows. metric "cosine"
     (seed raw vectors, layout v1 rows have no metric column — default
     for back-compat) keeps the row list for assign_to_centroids;
     "l2e6" (trained k-means cells, layout v2) decodes the fixed-point
     coordinate dict for :func:`_ranked_cells`."""
+    if not rows:
+        raise RuntimeError(
+            "empty centroids table in the pinned snapshot; index is "
+            "corrupt — rebuild with ivfpq_build_index"
+        )
     first = rows[0].asDict()
     metric = first.get("metric", "cosine")
     if metric == "cosine":
@@ -965,7 +1022,7 @@ def ivfpq_query_index(
     m: int = 4,
     ksub: int = 16,
     scale: int = 1_000_000,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     top_k: int = 5,
     snapshot: dict | None = None,
 ) -> DataFrame:
@@ -974,13 +1031,22 @@ def ivfpq_query_index(
     those cells' partitions (partition pruning on ``cid``), and rank
     the candidates' CODES by ADC distance with driver-computed LUTs.
     Output (query_id, cand_id, adc_dist, rank) — the same contract as
-    :func:`ivfpq_topk`, pinned equal to the direct path. All three
-    metadata reads pin ONE manifest generation."""
+    :func:`ivfpq_topk`, pinned equal to the direct path. All metadata
+    reads pin ONE manifest generation.
+
+    ``nprobe=None`` (the default since r11) serves at the index's OWN
+    measured operating point: the ``default_nprobe`` the build persisted
+    into ``meta/`` (frontier-chosen via :func:`choose_default_nprobe`).
+    Pre-v3 indexes without a meta table fall back to
+    :data:`IVFPQ_FALLBACK_NPROBE`. Pass an explicit ``nprobe`` to
+    override (eval sweeps, oracle-pinned catalog queries)."""
     from ..sources.manifest import latest_manifest, manifest_read
     from .similarity import nonzero_vectors
 
     dsub = dim // m
     snap = snapshot if snapshot is not None else latest_manifest(path)
+    if nprobe is None:
+        nprobe = _meta_default_nprobe(spark, path, snap)
     metric, payload = _cells_model_from_rows(
         manifest_read(spark, path, "centroids", snapshot=snap).collect()
     )
@@ -2115,11 +2181,13 @@ def ivfpq_probe_frontier(
     max_np = max(probes)
     nz = nonzero_vectors(df, vec_col)
     fixed = _fixed_vecs(nz, id_col, vec_col, scale)
-    ranked = _ranked_cells(fixed, cents, max_np).persist()
-    if codes is None:
-        codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
-    dsub = dim // m
+    ranked = None
+    truth = None
     try:
+        ranked = _ranked_cells(fixed, cents, max_np).persist()
+        if codes is None:
+            codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
+        dsub = dim // m
         cand = ranked.filter(F.col("rn") == 1).select(
             F.col("id").alias("cand_id"), "cid"
         )
@@ -2199,12 +2267,13 @@ def ivfpq_probe_frontier(
             rows = row if rows is None else rows.unionAll(row)
         return rows
     finally:
-        ranked.unpersist()
-        # truth may not exist if probes was empty; guard via locals
-        try:
+        # both frames are initialized to None BEFORE the try (ADVICE
+        # r10 #4): a failure anywhere inside — including pq_encode —
+        # leaks neither persist
+        if ranked is not None:
+            ranked.unpersist()
+        if truth is not None:
             truth.unpersist()
-        except NameError:
-            pass
 
 
 def ivfpq_probe_frontier_sql(

@@ -1010,8 +1010,15 @@ def ivf_query_index(
 
     # centroids + cells pinned to ONE manifest generation (reader-atomic
     # under concurrent append/compaction — r7 soak's FILE_NOT_EXIST fix);
-    # ``snapshot`` (latest_manifest/manifest_at) time-travels the read
+    # ``snapshot`` (latest_manifest/manifest_at) time-travels the read.
+    # No snapshot at all = lost bootstrap commit (crash window): raise
+    # rather than fall through to an unpinned plain-directory read.
     snap = snapshot if snapshot is not None else latest_manifest(path)
+    if snap is None:
+        raise RuntimeError(
+            f"ivf_query_index: no published manifest snapshot under "
+            f"{path!r}; bootstrap with ivf_build_index first"
+        )
     cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
     probes = assign_to_centroids(
         nonzero_vectors(query_df, vec_col), id_col, vec_col, cents, max_rank=nprobe
@@ -1068,9 +1075,19 @@ def ivf_append_index(
     blind by design; a membership check would re-scan the corpus)."""
     from pathlib import Path
 
-    from ..sources.manifest import manifest_read, manifest_txn
+    from ..sources.manifest import latest_manifest, manifest_read, manifest_txn
 
-    cents = manifest_read(spark, path, "centroids").collect()
+    snap = latest_manifest(path)
+    if snap is None:
+        # Half-bootstrapped tree (data written, manifest commit lost):
+        # the caller must re-bootstrap, not append against whatever
+        # centroid files happen to be on disk — same rule as
+        # ivfpq_append_index / lsh_append_index.
+        raise RuntimeError(
+            f"ivf_append_index: no published manifest snapshot under "
+            f"{path!r}; bootstrap with ivf_build_index first"
+        )
+    cents = manifest_read(spark, path, "centroids", snapshot=snap).collect()
     assigned = assign_to_centroids(
         nonzero_vectors(df, vec_col), id_col, vec_col, cents, max_rank=1
     )

@@ -123,13 +123,18 @@ def histogram_quantiles_sql(
         f"LEAST({bins - 1}, GREATEST(0, "
         f"CAST(FLOOR(({value_col} - {lo}) / {w}) AS INTEGER)))"
     )
-    # CAST to DOUBLE: DuckDB parses the bin-width literal (e.g. ``0.5``)
-    # as DECIMAL, so the whole ROUND chain comes back DECIMAL(22,1) —
-    # driver-lossy (pandas float64 vs Spark double is coincidentally
-    # equal today, but the oracle type audit bans DECIMAL outright).
+    # CAST to DOUBLE — twice, deliberately. DuckDB parses numeric
+    # literals (bin width ``0.5``, edge ``lo``) as DECIMAL and does the
+    # quantile-edge arithmetic ``lo + (bin+1)*w`` EXACTLY, while Spark
+    # computes the same edge in binary double; a value landing on a
+    # .xxxxxx5 boundary would then ROUND differently at 6dp. Casting
+    # the width operand to DOUBLE makes DuckDB do the arithmetic in
+    # double, matching Spark bit-for-bit; the outer cast keeps the
+    # column type out of DECIMAL (the oracle type audit bans DECIMAL
+    # outright — driver-lossy through pandas).
     q_cols = ", ".join(
         f"CAST(ROUND(MIN(CASE WHEN cum >= CEIL({q} * n) "
-        f"THEN {lo} + (bin + 1) * {w} END), 6) AS DOUBLE)"
+        f"THEN {lo} + (bin + 1) * CAST({w} AS DOUBLE) END), 6) AS DOUBLE)"
         f" AS p{str(q).replace('0.', '')}"
         for q in qs
     )

@@ -727,22 +727,25 @@ def q_retention_recent_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _driver_green_names(correctness_dir: "Path | None" = None) -> set:
-    """Catalog names that already have a green row in some driver
-    CORRECTNESS_r*.json on disk. "Green" = the row's check actually
-    passed: a hash-matched row, or an errorless rows-only row for a
-    query that STILL has no oracle (a query whose only rows were
+def _green_latest_round(correctness_dir: "Path | None" = None) -> dict:
+    """``{catalog name: latest driver round with a green row}`` from the
+    CORRECTNESS_r*.json files on disk. "Green" = the row's check
+    actually passed: a hash-matched row, or an errorless rows-only row
+    for a query that STILL has no oracle (a query whose only rows were
     ``err: no_oracle`` and that has since grown an oracle is
     legitimately due for re-sampling). Missing/unreadable files simply
     contribute nothing — a fresh checkout degenerates to plain
     insertion order."""
     import glob as _glob
     import json as _json
+    import re as _re
     from pathlib import Path
 
     root = correctness_dir or Path(__file__).resolve().parents[2]
-    green: set = set()
+    latest: dict = {}
     for path in sorted(_glob.glob(str(Path(root) / "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = _json.load(fh)
@@ -751,25 +754,41 @@ def _driver_green_names(correctness_dir: "Path | None" = None) -> set:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match"):
-                green.add(name)
-            elif row.get("err") == "no_oracle" and name not in ORACLES:
-                green.add(name)
-    return green
+            ok = row.get("hash_match") or (
+                row.get("err") == "no_oracle" and name not in ORACLES
+            )
+            if ok:
+                latest[name] = max(rnd, latest.get(name, 0))
+    return latest
+
+
+def _driver_green_names(correctness_dir: "Path | None" = None) -> set:
+    """Catalog names ever-green in a committed driver CORRECTNESS file
+    (the key set of :func:`_green_latest_round`)."""
+    return set(_green_latest_round(correctness_dir))
 
 
 def _priority_ordered(reg: dict, correctness_dir: "Path | None" = None) -> dict:
     """Emit never-driver-sampled queries FIRST (insertion order among
-    themselves), then the rest in insertion order. The driver
-    oracle-checks a ~50-query sample per round taken as an
-    insertion-order prefix, so this rotates exactly the queries that
-    have never appeared green in a committed CORRECTNESS_r*.json into
-    coverage — computed from the files actually on disk at call time,
-    so it can never go stale (VERDICT r8 ask #1: the hand-maintained
-    literal was guaranteed red at every judging point)."""
-    green = _driver_green_names(correctness_dir)
+    themselves), then the rest OLDEST-GREEN-FIRST (ascending latest
+    green round, insertion order among ties). The driver oracle-checks
+    a ~50-query sample per round taken as an insertion-order prefix, so
+    this (a) rotates never-green queries into coverage immediately and
+    (b) bounds every green row's staleness: with N catalog names and a
+    sample of S per round, a name re-appears within ceil(N / S) driver
+    rounds of its last green row — the information-theoretic floor
+    (5 rounds at N=201, S=50; ≤4 whenever N <= 4S) (r10 VERDICT ask
+    #6; pinned by ``test_rotation_staleness_bound`` and recorded in
+    COVERAGE.md).
+    Computed from the files actually on disk at call time, so it can
+    never go stale (VERDICT r8 ask #1: the hand-maintained literal was
+    guaranteed red at every judging point)."""
+    green = _green_latest_round(correctness_dir)
     out = {k: v for k, v in reg.items() if k not in green}
-    out.update((k, v) for k, v in reg.items() if k not in out)
+    # sorted() is stable and the comprehension iterates reg in insertion
+    # order, so equal-round names keep their insertion order
+    for k in sorted((k for k in reg if k in green), key=lambda k: green[k]):
+        out[k] = reg[k]
     return out
 
 

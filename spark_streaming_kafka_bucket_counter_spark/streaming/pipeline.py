@@ -234,8 +234,6 @@ def start_near_dup_ingest(
     FILE_NOT_EXIST transients came from the prior symlink-swap scheme,
     whose leaf retarget invalidated already-planned paths.
     """
-    import os as _os
-
     from ..operators.dedup import (
         lsh_append_index,
         lsh_build_index,
@@ -243,6 +241,7 @@ def start_near_dup_ingest(
         minhash_lsh_pairs,
     )
     from ..operators.graph import drop_near_duplicate_docs
+    from ..sources.manifest import latest_manifest
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # empty micro-batch (idle source poll): writing it would create
@@ -259,7 +258,15 @@ def start_near_dup_ingest(
             )
             keepers = drop_near_duplicate_docs(batch_df, pairs_in, id_col).persist()
             cached.append(keepers)
-            bootstrap = not _os.path.isdir(_os.path.join(index_path, "bands"))
+            # Bootstrap keyed on the MANIFEST, not the directory (same
+            # rule as the IVFPQ loop below): a crash between the
+            # bootstrap's bands/shingles write and its manifest commit
+            # leaves data on disk with no published snapshot, and a
+            # directory-keyed restart would take the append path whose
+            # reads then have no snapshot to pin (lsh_query_index /
+            # lsh_append_index raise on that). "First published
+            # snapshot" is the durable truth.
+            bootstrap = latest_manifest(index_path) is None
             if bootstrap:
                 survivors = keepers
             else:
@@ -361,13 +368,12 @@ def start_semantic_dedup_ingest(
     IVF mirror of the LSH loop's replay story (both pytest-pinned
     against a real checkpoint rollback).
     """
-    import os as _os
-
     from ..operators.similarity import (
         ivf_append_index,
         ivf_build_index,
         ivf_query_index,
     )
+    from ..sources.manifest import latest_manifest
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # same empty-batch guard as the LSH loop (footerless write trap)
@@ -376,7 +382,12 @@ def start_semantic_dedup_ingest(
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            bootstrap = not _os.path.isdir(_os.path.join(index_path, "cells"))
+            # Manifest-keyed bootstrap, same crash-window rule as the
+            # LSH and IVFPQ loops: cells/ on disk with no published
+            # snapshot means the bootstrap's manifest commit was lost —
+            # re-bootstrap (overwrite replaces the orphans) instead of
+            # appending against an unpinned tree.
+            bootstrap = latest_manifest(index_path) is None
             if bootstrap:
                 survivors = batch_df
             else:
@@ -437,6 +448,7 @@ def start_ivfpq_ingest(
     available_now: bool = True,
     compact_every: int = 0,
     gc_grace_sec: float = 300.0,
+    default_nprobe: int | None = None,
 ) -> StreamingQuery:
     """Maintain the COMPRESSED serving index from a vector stream: per
     micro-batch of ``(id, vector)`` rows, encode against the index's
@@ -487,7 +499,7 @@ def start_ivfpq_ingest(
             ivfpq_build_index(
                 batch_df, id_col, vec_col, index_path,
                 dim=dim, m=m, ksub=ksub, n_centroids=n_centroids,
-                cents=cents,
+                cents=cents, default_nprobe=default_nprobe,
             )
         else:
             ivfpq_append_index(

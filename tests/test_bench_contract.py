@@ -105,3 +105,61 @@ def test_driver_priority_ignores_unreadable_correctness_files(tmp_path):
     assert _driver_green_names(tmp_path) == set()
     reg = {"a": 1, "b": 2}
     assert list(_priority_ordered(reg, correctness_dir=tmp_path)) == ["a", "b"]
+
+
+def test_core_median_protocol():
+    """r10 VERDICT ask #2: CORE timings are medians of N samples (odd or
+    even), the samples ride in the full record only, and the summary
+    line stays tail-safe without them."""
+    b = _bench()
+    assert b._median([3.0]) == 3.0
+    assert b._median([1.0, 9.0, 2.0]) == 2.0          # odd: middle
+    assert b._median([10.0, 1.0, 3.0, 2.0]) == 2.5    # even: mean of mids
+    timings = {n: 1.0 for n in b.CORE}
+    samples = {n: [0.9, 1.0, 1.1, 1.0, 1.0] for n in b.CORE}
+    full, summary = b.build_records(timings, "0.1", samples)
+    assert full["core_samples"] == samples
+    assert "core_samples" not in summary
+    assert len(json.dumps(summary)) < 1500
+
+
+def test_rotation_staleness_bound(tmp_path):
+    """r10 VERDICT ask #6: with oldest-green-first ordering, every
+    catalog name re-appears in the driver's S-query prefix within
+    ceil(N / S) rounds of its last green row — the information-
+    theoretic floor (N names through S slots per round; no ordering
+    does better). Simulated end-to-end against synthetic CORRECTNESS
+    files at N=20, S=5 (bound = 4). Production shape N=201, S=50 gives
+    bound 5 — ≤4 (the VERDICT's figure) holds whenever N <= 4S, i.e.
+    up to 200 names at the driver's 50-row sample; the derivation is
+    recorded in COVERAGE.md."""
+    import math
+
+    from spark_streaming_kafka_bucket_counter_spark.plans.queries import (
+        _priority_ordered,
+    )
+
+    N, S = 20, 5
+    bound = math.ceil(N / S)
+    assert bound == 4
+    # production shape: 201 catalog names, 50-query driver sample
+    assert math.ceil(201 / 50) == 5
+
+    reg = {f"q{i:03d}": None for i in range(N)}
+    last_seen: dict[str, int] = {}
+    for rnd in range(1, 15):
+        ordered = list(_priority_ordered(reg, correctness_dir=tmp_path))
+        assert sorted(ordered) == sorted(reg)
+        sampled = ordered[:S]
+        with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as fh:
+            json.dump({n: {"hash_match": True} for n in sampled}, fh)
+        for n in sampled:
+            if n in last_seen:
+                gap = rnd - last_seen[n]
+                assert gap <= bound, f"{n} stale for {gap} rounds (> {bound})"
+            last_seen[n] = rnd
+    # steady state reached: by round 14 every name has been sampled
+    # and re-sampled within the bound
+    assert set(last_seen) == set(reg)
+    stalest = max(14 - r for r in last_seen.values())
+    assert stalest < bound

@@ -285,3 +285,67 @@ def test_trained_topk_precomputed_codes_bit_identical(spark, emb, books):
         codes=codes, cents=cents,
     )
     assert spark_signature(a) == spark_signature(b)
+
+
+def test_cells_model_from_empty_rows_is_loud():
+    """ADVICE r10 #3: an empty/corrupt persisted centroids table must
+    surface as a diagnosable RuntimeError from the model decoder, not a
+    bare IndexError inside ivfpq_append_index / ivfpq_query_index."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="empty centroids table"):
+        PQ._cells_model_from_rows([])
+
+
+def test_choose_default_nprobe_frontier_rule():
+    """Smallest nprobe within `within` of the best measured recall."""
+    rows = [
+        {"nprobe": 1, "mean_recall_ppm": 900_000},
+        {"nprobe": 2, "mean_recall_ppm": 960_000},
+        {"nprobe": 4, "mean_recall_ppm": 1_000_000},
+    ]
+    assert PQ.choose_default_nprobe(rows) == 2            # within 5% of max
+    assert PQ.choose_default_nprobe(rows, within=0.0) == 4
+    assert PQ.choose_default_nprobe(rows, within=0.2) == 1
+    with pytest.raises(ValueError, match="empty frontier"):
+        PQ.choose_default_nprobe([])
+
+
+def test_index_meta_default_nprobe_round_trip(spark, emb, tmp_path):
+    """r10 VERDICT ask #4: the build persists the frontier-chosen
+    operating point into meta/, queries with nprobe=None serve at it,
+    and a rebuild with a different frontier changes the default."""
+    idx = str(tmp_path / "npidx")
+    PQ.ivfpq_build_index(
+        emb, "vec_id", "embedding", idx, dim=DIM, m=M, ksub=KSUB,
+        n_centroids=16, default_nprobe=4,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.manifest import (
+        latest_manifest,
+    )
+
+    snap = latest_manifest(idx)
+    assert PQ._meta_default_nprobe(spark, idx, snap) == 4
+    q = emb.filter(F.col("vec_id") < 5)
+    auto = PQ.ivfpq_query_index(
+        spark, idx, q, "vec_id", "embedding", dim=DIM, m=M, ksub=KSUB, top_k=3
+    )
+    explicit = PQ.ivfpq_query_index(
+        spark, idx, q, "vec_id", "embedding", dim=DIM, m=M, ksub=KSUB,
+        nprobe=4, top_k=3,
+    )
+    assert spark_signature(auto) == spark_signature(explicit)
+
+    # rebuild with a different measured frontier -> default changes
+    PQ.ivfpq_build_index(
+        emb, "vec_id", "embedding", idx, dim=DIM, m=M, ksub=KSUB,
+        n_centroids=16, default_nprobe=1,
+    )
+    assert PQ._meta_default_nprobe(spark, idx, latest_manifest(idx)) == 1
+
+    # pre-v3 snapshot (no meta/ files) and unmanaged tree fall back
+    assert (
+        PQ._meta_default_nprobe(spark, idx, {"files": ["cells/p.parquet"]})
+        == PQ.IVFPQ_FALLBACK_NPROBE
+    )
+    assert PQ._meta_default_nprobe(spark, idx, None) == PQ.IVFPQ_FALLBACK_NPROBE
