@@ -804,7 +804,12 @@ def choose_default_nprobe(frontier_rows, within: float = 0.05) -> int:
     if not pts:
         raise ValueError("choose_default_nprobe: empty frontier")
     best = max(ppm for _, ppm in pts)
-    return min(np_ for np_, ppm in pts if ppm >= (1.0 - within) * best)
+    # integer-exact threshold (``within`` snapped to basis points) so
+    # the rule replays bit-identically in SQL engines — see the
+    # sim_ivfpq_operating_point oracle, which applies the same
+    # ppm * 10000 >= thr_bp * best comparison
+    thr_bp = round((1.0 - within) * 10_000)
+    return min(np_ for np_, ppm in pts if ppm * 10_000 >= thr_bp * best)
 
 
 def ivfpq_build_index(
@@ -2375,4 +2380,72 @@ def ivfpq_probe_frontier_sql(
     return f"""
     WITH {body}
     {union}
+    """
+
+
+def ivfpq_operating_point(
+    frontier: DataFrame, within: float = 0.05
+) -> DataFrame:
+    """Layer the serving-knob DECISION onto a measured frontier: the
+    frontier rows plus ``chosen`` — true on exactly the row
+    :func:`choose_default_nprobe` would pick (smallest nprobe whose
+    mean recall is within ``within`` of the best). Same integer
+    basis-point rule on both engines
+    (:func:`ivfpq_operating_point_sql`), so the selection logic itself
+    sits under the oracle hash gate — this is the row whose nprobe
+    :func:`ivfpq_build_index` persists as the index's default.
+
+    Scale shape: the frontier is a #probes-row aggregate (3 rows); the
+    max/min reductions and the join-back all ride 1-row broadcasts."""
+    thr_bp = round((1.0 - within) * 10_000)
+    f = frontier.persist()
+    mx = f.agg(F.max("mean_recall_ppm").alias("_best"))
+    best = (
+        f.crossJoin(F.broadcast(mx))
+        .filter(F.col("mean_recall_ppm") * 10_000 >= F.col("_best") * thr_bp)
+        .agg(F.min("nprobe").alias("_chosen"))
+    )
+    out = f.crossJoin(F.broadcast(best)).select(
+        "nprobe", "n_queries", "k", "mean_recall_ppm", "min_recall_ppm",
+        "total_pairs",
+        (F.col("nprobe") == F.col("_chosen")).alias("chosen"),
+    )
+    from ._cache import unpersist_with
+
+    return unpersist_with(out, f)
+
+
+def ivfpq_operating_point_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    probes: tuple[int, ...] = (1, 2, 4),
+    query_max_id: int = 10,
+    top_k: int = 5,
+    within: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_operating_point` over the full
+    frontier chain (nested WITH — DuckDB scopes a CTE body's own WITH
+    clause correctly)."""
+    inner = ivfpq_probe_frontier_sql(
+        table, id_col, vec_col, dim, m, ksub, iters, scale,
+        n_centroids, cell_iters, probes, query_max_id, top_k,
+    )
+    thr_bp = round((1.0 - within) * 10_000)
+    return f"""
+    WITH frontier AS ({inner})
+    SELECT nprobe, n_queries, k, mean_recall_ppm, min_recall_ppm,
+           total_pairs,
+           nprobe = (SELECT MIN(nprobe) FROM frontier
+                     WHERE mean_recall_ppm * 10000 >=
+                           {thr_bp} * (SELECT MAX(mean_recall_ppm)
+                                       FROM frontier)) AS chosen
+    FROM frontier
     """

@@ -1037,6 +1037,33 @@ def q_sim_ivfpq_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivfpq_operating_point",
+    PQ.ivfpq_operating_point_sql(
+        "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
+        _PQ_ITERS, n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+    ),
+)
+def q_sim_ivfpq_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier DECISION under the oracle gate (r11): the same
+    measured nprobe frontier plus ``chosen`` — true on exactly the row
+    choose_default_nprobe picks (smallest nprobe within 5% of the best
+    mean recall, integer basis-point rule on both engines). This is the
+    value ivfpq_build_index persists into the index meta/ table as the
+    serving default, so the end-to-end tuning story — measure the
+    frontier, choose the point, ship it with the index — is itself
+    hash-checked, not asserted."""
+    frontier = PQ.ivfpq_probe_frontier(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+        probes=(1, 2, 4), query_max_id=10, top_k=5,
+        codes=_pq_codes_frame(spark, sf_dir),
+        cents=_ivf_trained_cents(spark, sf_dir),
+    )
+    return PQ.ivfpq_operating_point(frontier)
+
+
+@query(
     "sim_ivfpq_trained_recall_eval",
     PQ.ivfpq_trained_recall_sql(
         "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,

@@ -349,3 +349,25 @@ def test_index_meta_default_nprobe_round_trip(spark, emb, tmp_path):
         == PQ.IVFPQ_FALLBACK_NPROBE
     )
     assert PQ._meta_default_nprobe(spark, idx, None) == PQ.IVFPQ_FALLBACK_NPROBE
+
+
+def test_operating_point_matches_choose_default_nprobe(spark):
+    """The catalog's `chosen` column and the build-time
+    choose_default_nprobe must pick the same row — one rule, two
+    surfaces."""
+    rows = [
+        (1, 10, 5, 900_000, 800_000, 100),
+        (2, 10, 5, 960_000, 900_000, 220),
+        (4, 10, 5, 1_000_000, 950_000, 460),
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "nprobe long, n_queries long, k long, mean_recall_ppm long, "
+        "min_recall_ppm long, total_pairs long",
+    )
+    got = {r["nprobe"]: r["chosen"] for r in PQ.ivfpq_operating_point(frontier).collect()}
+    chosen = [np_ for np_, c in got.items() if c]
+    assert chosen == [PQ.choose_default_nprobe([
+        {"nprobe": n, "mean_recall_ppm": p} for n, _, _, p, _, _ in rows
+    ])]
+    assert chosen == [2]

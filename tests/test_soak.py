@@ -197,10 +197,13 @@ def test_streaming_quintet_soak(spark, tmp_path):
             compact_every=6, gc_grace_sec=GRACE,
         )
         # the compressed serving index (r9): bootstrap model trains on
-        # the first 4-vector batch (ksub = n_centroids = 4)
+        # the first 4-vector batch (ksub = n_centroids = 4).
+        # cell_iters > 0 (r11, VERDICT r10 ask #5): the soak pins the
+        # TRAINED-CELL layout (v2+: k-means coarse quantizer, persisted
+        # metric) that now serves, not the r9 seed-cell layout.
         q5 = start_ivfpq_ingest(
             _vec_stream(), "vec_id", "embedding", pq_idx, pq_ck,
-            dim=DIM, m=4, ksub=4, n_centroids=4,
+            dim=DIM, m=4, ksub=4, n_centroids=4, cell_iters=2,
             compact_every=7, gc_grace_sec=GRACE,
         )
         return [q1, q2, q3, q4, q5]
@@ -336,12 +339,17 @@ def test_streaming_quintet_soak(spark, tmp_path):
     # IVFADC: replay double-appends code rows by design (query-time
     # dedup); the INVARIANTS are (a) every ingested id is servable —
     # distinct ids in the cells == all ids — and (b) the live file set
-    # is bounded by cells x compaction cadence (+ 2 metadata files),
-    # NOT by total batch count: compact_every=7 leaves at most 6
-    # post-compaction appends per cell in flight at any moment
+    # is bounded by cells x compaction cadence (+ 3 metadata files:
+    # centroids, codebook, meta since layout v3), NOT by total batch
+    # count: compact_every=7 leaves at most 6 post-compaction appends
+    # per cell in flight at any moment
     pq_cells = spark.read.parquet(os.path.join(pq_idx, "cells"))
     assert pq_cells.select("id").distinct().count() == n_ids
-    assert gc_report["ivfpq"]["live_files"] <= 4 * 7 + 2, gc_report["ivfpq"]
+    assert gc_report["ivfpq"]["live_files"] <= 4 * 7 + 3, gc_report["ivfpq"]
+    # trained-cell layout actually serves (r11): persisted metric is the
+    # layout-v2+ k-means form, not the seed-cosine fallback
+    pq_cents = spark.read.parquet(os.path.join(pq_idx, "centroids")).collect()
+    assert all(r["metric"] == "l2e6" for r in pq_cents)
     pq_top = ivfpq_query_index(
         spark, pq_idx, probe_vec, "vec_id", "embedding", DIM, m=4, ksub=4, top_k=3
     ).collect()
