@@ -416,6 +416,189 @@ def bigram_logprob_sql(corpus_cte: str, id_col: str, text_col: str) -> str:
       FROM {corpus_cte} c LEFT JOIN _bg_per p USING ({id_col}))"""
 
 
+def bigram_backoff_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score EVERY document under a bigram LM trained on the TARGET
+    subset only (rows where ``target_pred`` is true), with stupid
+    backoff (Brants et al., 2007) for transitions the target never saw
+    — the CCNet recipe proper: train the LM on trusted text, rank the
+    whole crawl by how natural it looks under it. This is the
+    target-trained counterpart of :func:`bigram_logprob` (whose model
+    is the corpus itself, so every doc bigram is in-vocabulary) and the
+    conditional-model upgrade of :func:`dsir_importance`'s unigram
+    ratio.
+
+    Per adjacent pair (w1, w2), the -log2 term is the FIRST applicable:
+
+    - seen target bigram:   ``log2 c2(w1,w2) - log2 c1(w1)``
+    - backoff to unigram:   ``log2 a + log2 cu(w2) - log2 T2``
+    - OOV floor:            ``2 log2 a - log2(T2 + V + 1)``
+
+    where the unigram distribution is the target's CONTINUATION
+    distribution (cu(w) = target pairs ending in w, T2 = total target
+    pairs, V = distinct continuations) — self-consistent with the
+    bigram table, so the whole model derives from ONE pair scan. The
+    ``+1`` keeps the floor finite even for an empty target (the score
+    degenerates to a constant per pair, never NULL/inf).
+
+    Determinism: every term is fixed-pointed to nano-bits on its vocab
+    table (bigram, unigram, 1-row floor), so the per-doc aggregation is
+    an exact integer SUM; ``+ 0.0`` normalizes IEEE -0.0 exactly as in
+    :func:`bigram_logprob`.
+
+    Scale shape: one pair explode -> target bigram groupBy (pair-key
+    shuffle, map-side partials) -> w1 rollup + w2 rollup -> two LEFT
+    joins of doc pairs against the vocab tables (AQE broadcasts
+    natural-language vocabs) -> one groupBy(doc); totals ride a 1-row
+    broadcast. The corpus never shuffles wider than (pair | doc id).
+
+    Output: (id, n_bigrams, n_hit2, n_hit1, nll_bits) — the hit split
+    is the auditability hook (how much of this doc the target LM
+    actually knew).
+    """
+    t = tokens(F.col(text_col))
+    occ2 = (
+        df.select(F.col(id_col), target_pred.alias("_is_tgt"), t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            "_is_tgt",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("w1"),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("w2"),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            F.col(id_col), "_is_tgt",
+            F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"),
+        )
+    )
+    tv2 = (
+        occ2.filter(F.col("_is_tgt"))
+        .groupBy("_w1", "_w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    tv1 = tv2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
+    v2lp = tv2.join(tv1, "_w1").select(
+        "_w1", "_w2",
+        F.round((F.log2("_c2") - F.log2("_c1")) * F.lit(1e9))
+        .cast("long").alias("_lp9"),
+    )
+    tvu = tv2.groupBy("_w2").agg(F.sum("_c2").alias("_cu"))
+    tot = tvu.agg(
+        F.coalesce(F.sum("_cu"), F.lit(0)).cast("double").alias("_T2"),
+        F.count(F.lit(1)).cast("double").alias("_V"),
+    )
+    la = F.log2(F.lit(float(alpha)))
+    vulp = tvu.crossJoin(F.broadcast(tot)).select(
+        "_w2",
+        F.round((la + F.log2("_cu") - F.log2("_T2")) * F.lit(1e9))
+        .cast("long").alias("_lp9u"),
+    )
+    floor9 = tot.select(
+        F.round(
+            (la + la - F.log2(F.col("_T2") + F.col("_V") + F.lit(1.0)))
+            * F.lit(1e9)
+        )
+        .cast("long").alias("_flr9")
+    )
+    scored = (
+        occ2.join(v2lp, ["_w1", "_w2"], "left")
+        .join(vulp, "_w2", "left")
+        .crossJoin(F.broadcast(floor9))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("_lp9").isNotNull(), 1).otherwise(0)).alias("n_hit2"),
+        F.sum(
+            F.when(F.col("_lp9").isNull() & F.col("_lp9u").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_hit1"),
+        F.sum(F.coalesce("_lp9", "_lp9u", "_flr9")).alias("_s9"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_hit2", F.lit(0)).cast("long").alias("n_hit2"),
+            F.coalesce("n_hit1", F.lit(0)).cast("long").alias("n_hit1"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.round(-(F.col("_s9") / F.lit(1e9)) / F.col("n_bigrams"), 6)
+                + F.lit(0.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nll_bits"),
+        )
+    )
+
+
+def bigram_backoff_logprob_sql(
+    corpus_cte: str,
+    id_col: str,
+    text_col: str,
+    target_pred_sql: str,
+    alpha: float = 0.4,
+) -> str:
+    """DuckDB twin of :func:`bigram_backoff_logprob` — identical model
+    derivation, fixed-pointing, coalesce ladder, and -0.0
+    normalization. Emits a ``bb`` CTE chain; select from ``bb``.
+    ``alpha`` is emitted as CAST(.. AS DOUBLE) so DuckDB's DECIMAL
+    literal parsing never enters the arithmetic."""
+    tok = tokens_sql(text_col)
+    a = f"log2(CAST({alpha!r} AS DOUBLE))"
+    return f"""
+    bb_tok AS (SELECT {id_col}, {target_pred_sql} AS _is_tgt, {tok} AS t
+               FROM {corpus_cte}),
+    bb_occ AS (SELECT {id_col}, _is_tgt,
+                      t[CAST(i AS INT)] AS _w1, t[CAST(i + 1 AS INT)] AS _w2
+               FROM bb_tok,
+                    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) _i
+               WHERE len(t) >= 2),
+    bb_v2 AS (SELECT _w1, _w2, COUNT(*) AS _c2 FROM bb_occ
+              WHERE _is_tgt GROUP BY 1, 2),
+    bb_v1 AS (SELECT _w1, CAST(SUM(_c2) AS BIGINT) AS _c1 FROM bb_v2 GROUP BY 1),
+    bb_v2lp AS (SELECT _w1, _w2,
+                       CAST(ROUND((log2(_c2) - log2(_c1)) * 1e9) AS BIGINT) AS _lp9
+                FROM bb_v2 JOIN bb_v1 USING (_w1)),
+    bb_vu AS (SELECT _w2, CAST(SUM(_c2) AS BIGINT) AS _cu FROM bb_v2 GROUP BY 1),
+    bb_tot AS (SELECT CAST(COALESCE(SUM(_cu), 0) AS DOUBLE) AS _T2,
+                      CAST(COUNT(*) AS DOUBLE) AS _V FROM bb_vu),
+    bb_vulp AS (SELECT _w2,
+                       CAST(ROUND(({a} + log2(_cu) - log2(_T2)) * 1e9) AS BIGINT) AS _lp9u
+                FROM bb_vu CROSS JOIN bb_tot),
+    bb_flr AS (SELECT CAST(ROUND(({a} + {a} - log2(_T2 + _V + 1)) * 1e9) AS BIGINT) AS _flr9
+               FROM bb_tot),
+    bb_per AS (SELECT o.{id_col}, COUNT(*) AS n_bigrams,
+                      SUM(CASE WHEN b._lp9 IS NOT NULL THEN 1 ELSE 0 END) AS n_hit2,
+                      SUM(CASE WHEN b._lp9 IS NULL AND u._lp9u IS NOT NULL
+                               THEN 1 ELSE 0 END) AS n_hit1,
+                      CAST(SUM(COALESCE(b._lp9, u._lp9u, f._flr9)) AS BIGINT) AS _s9
+               FROM bb_occ o
+               LEFT JOIN bb_v2lp b ON o._w1 = b._w1 AND o._w2 = b._w2
+               LEFT JOIN bb_vulp u ON o._w2 = u._w2
+               CROSS JOIN bb_flr f
+               GROUP BY 1),
+    bb AS (
+      SELECT c.{id_col},
+             CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(p.n_hit2, 0) AS BIGINT) AS n_hit2,
+             CAST(COALESCE(p.n_hit1, 0) AS BIGINT) AS n_hit1,
+             CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                  THEN ROUND(-(p._s9 / 1e9) / p.n_bigrams, 6) + CAST(0 AS DOUBLE)
+                  ELSE 0.0 END AS nll_bits
+      FROM {corpus_cte} c LEFT JOIN bb_per p USING ({id_col}))"""
+
+
 def unigram_logprob_sql(corpus_cte: str, id_col: str, text_col: str) -> str:
     """DuckDB twin: identical vocab fixed-pointing (nano-bit BIGINTs),
     identical final rounding. Emits a ``unigram`` CTE chain; select from

@@ -1173,6 +1173,33 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+from ..operators.quality import (  # noqa: E402
+    bigram_backoff_logprob,
+    bigram_backoff_logprob_sql,
+)
+
+
+@query(
+    "text_bigram_backoff",
+    f"""
+    WITH {bigram_backoff_logprob_sql('documents', 'doc_id', 'text',
+                                     "source IN ('src0', 'src1')")}
+    SELECT * FROM bb
+    """,
+)
+def q_text_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet recipe proper (r11): a bigram LM trained ONLY on the
+    target subset (src0/src1) scores every document, with stupid
+    backoff (seen bigram -> unigram continuation -> OOV floor, alpha
+    0.4) for transitions the target never saw. The hit split
+    (n_hit2/n_hit1) is the auditability hook; terms are nano-bit
+    fixed-pointed per vocab entry so doc sums are exact integers."""
+    return bigram_backoff_logprob(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        F.col("source").isin("src0", "src1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-probe LSH (the recall lever on the sign-bucket scale path)
 # ---------------------------------------------------------------------------

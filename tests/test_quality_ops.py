@@ -511,3 +511,57 @@ def test_entropy_and_bigram_never_emit_negative_zero(spark, duck):
     )
     d_sig = pandas_signature(dbig[["doc_id", "n_bigrams", "nll2_bits"]])
     assert s_sig == d_sig
+
+
+def test_bigram_backoff_hit_ladder_and_edges(spark):
+    """The three-rung coalesce ladder of the target-trained backoff LM:
+    seen target bigrams score at the conditional MLE, unseen bigrams
+    with a known continuation fall to the alpha-discounted unigram,
+    fully-OOV pairs hit the floor — and the hit split reports exactly
+    which rung each pair landed on. Short docs and an empty target stay
+    finite (no NULL/inf)."""
+    import math
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.quality import (
+        bigram_backoff_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a c", "tgt"),       # trains the model
+            (2, "a b", "other"),             # seen bigram only
+            (3, "c a", "other"),             # unseen bigram, seen conts
+            (4, "x y z", "other"),           # fully OOV
+            (5, "solo", "other"),            # < 2 tokens -> zeros
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_backoff_logprob(
+            docs, "doc_id", "text", F.col("source") == "tgt"
+        ).collect()
+    }
+    # target pairs: (a,b)x2 (b,a)x2 (a,c)x1 -> c1(a)=3, c1(b)=2
+    # continuations: b:2, a:2, c:1 -> T2=5, V=3
+    assert (out[2]["n_bigrams"], out[2]["n_hit2"], out[2]["n_hit1"]) == (1, 1, 0)
+    assert out[2]["nll_bits"] == pytest.approx(-math.log2(2 / 3), abs=1e-6)
+    assert (out[3]["n_bigrams"], out[3]["n_hit2"], out[3]["n_hit1"]) == (1, 0, 1)
+    assert out[3]["nll_bits"] == pytest.approx(
+        -(math.log2(0.4) + math.log2(2 / 5)), abs=1e-6
+    )
+    assert (out[4]["n_bigrams"], out[4]["n_hit2"], out[4]["n_hit1"]) == (2, 0, 0)
+    assert out[4]["nll_bits"] == pytest.approx(
+        -(2 * math.log2(0.4) - math.log2(5 + 3 + 1)), abs=1e-6
+    )
+    assert (out[5]["n_bigrams"], out[5]["nll_bits"]) == (0, 0.0)
+
+    # empty target: every pair lands on the finite floor 2*log2(alpha)
+    out0 = {
+        r["doc_id"]: r
+        for r in bigram_backoff_logprob(
+            docs, "doc_id", "text", F.lit(False)
+        ).collect()
+    }
+    assert all(r["n_hit2"] == 0 and r["n_hit1"] == 0 for r in out0.values())
+    assert out0[2]["nll_bits"] == pytest.approx(-2 * math.log2(0.4), abs=1e-6)

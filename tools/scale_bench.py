@@ -85,6 +85,13 @@ QUERIES = [
     "sim_ivfpq_trained_cells",
     "sim_ivfpq_trained_index_topk",
     "sim_ivfpq_probe_frontier",
+    # round 11 (standing rule): the operating-point query rides the
+    # frontier chain plus 1-row broadcast reductions (its delta over
+    # probe_frontier must be scale-flat), and the target-trained
+    # backoff LM is two vocab-bounded shuffles + two left joins whose
+    # cost scales with the doc pair count
+    "sim_ivfpq_operating_point",
+    "text_bigram_backoff",
 ]
 
 SCALES = {
