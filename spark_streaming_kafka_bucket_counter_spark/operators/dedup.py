@@ -69,6 +69,115 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    stride: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span measurement (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): slide
+    a ``k``-character window over every document at ``stride``, count
+    each window's occurrences across the WHOLE corpus (same-doc repeats
+    included — internal boilerplate is duplication too), and report per
+    document how much of it is made of windows seen >= ``min_count``
+    times. The suffix-array pass of the paper finds exact spans; this
+    strided-window census is its distributable estimator — the
+    per-doc ``dup_ppm`` is the curation signal (drop or trim docs
+    dominated by corpus-repeated spans), and stride trades resolution
+    for cost (stride = 1 is the exact window census).
+
+    Output: (id, n_windows, n_dup_windows, dup_ppm) — all exact BIGINTs
+    (``dup_ppm = n_dup * 1e6 div n_windows``), no float anywhere. Docs
+    shorter than ``k`` (and NULL text) emit zeros.
+
+    Scale shape: the window explode is a bounded ~len/stride fan-out of
+    the text scan; ONE window-key shuffle builds the census (map-side
+    partials), the count joins back to the window stream (AQE
+    broadcasts when the distinct-window table fits), and one
+    groupBy(doc) folds the verdicts. At 100 TB the window string itself
+    never needs to shuffle twice: a deployment keys the census on
+    xxhash64(window) (8-byte keys, same plan shape); the raw-string
+    form here keeps the DuckDB twin byte-exact.
+    """
+    if k < 1 or stride < 1 or min_count < 1:
+        raise ValueError(
+            f"k, stride, min_count must be >= 1: {k}, {stride}, {min_count}"
+        )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    poss = F.when(
+        n >= k, F.sequence(F.lit(0), n - k, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(poss, lambda p: t.substr(p + F.lit(1), F.lit(k)))
+        ).alias("_w"),
+    )
+    freq = wins.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (
+        wins.join(freq, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("_c") >= min_count, 1).otherwise(0)
+            ).alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                F.expr("n_dup_windows * 1000000 div n_windows"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+def substring_dup_spans_sql(
+    corpus_cte: str,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    stride: int = 10,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`substring_dup_spans` — identical window
+    positions (0-based starts, inclusive stop at len-k), character (not
+    byte) semantics in both engines, exact integer output. Emits an
+    ``ss`` CTE chain; select from ``ss``."""
+    return f"""
+    ss_doc AS (SELECT {id_col}, COALESCE({text_col}, '') AS t FROM {corpus_cte}),
+    ss_win AS (SELECT {id_col}, substr(t, CAST(p + 1 AS INT), {k}) AS _w
+               FROM ss_doc,
+                    LATERAL (SELECT unnest(generate_series(0, len(t) - {k}, {stride})) AS p) _p
+               WHERE len(t) >= {k}),
+    ss_freq AS (SELECT _w, COUNT(*) AS _c FROM ss_win GROUP BY 1),
+    ss_per AS (SELECT w.{id_col}, COUNT(*) AS n_windows,
+                      SUM(CASE WHEN f._c >= {min_count} THEN 1 ELSE 0 END) AS n_dup_windows
+               FROM ss_win w JOIN ss_freq f USING (_w) GROUP BY 1),
+    ss AS (
+      SELECT c.{id_col},
+             CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+             CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+             CAST(CASE WHEN COALESCE(p.n_windows, 0) > 0
+                       THEN p.n_dup_windows * 1000000 // p.n_windows
+                       ELSE 0 END AS BIGINT) AS dup_ppm
+      FROM {corpus_cte} c LEFT JOIN ss_per p USING ({id_col}))"""
+
+
 def drop_repeated_lines(
     df: DataFrame,
     id_col: str = "doc_id",

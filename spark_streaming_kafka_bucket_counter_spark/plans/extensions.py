@@ -156,6 +156,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_char_spans",
+    f"""
+    WITH {D.substring_dup_spans_sql('documents', 'doc_id', 'text')}
+    SELECT * FROM ss
+    """,
+)
+def q_dedup_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-window duplicated-span census (r11): 40-char windows at
+    stride 10, corpus-wide occurrence counts, per-doc dup_ppm of windows
+    seen >= 2 times. Complements `dedup_substring_spans` (the TOKEN-span
+    census in operators/spans.py) on two axes the paper's suffix-array
+    pass measures: character granularity (whitespace/punctuation runs
+    count — tokenization can't hide a copied span) and SAME-DOC repeats
+    (internal boilerplate is duplication too; the token op counts only
+    cross-document spans). All exact integers; one window-key shuffle."""
+    return D.substring_dup_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     f"""
     WITH {_DOC_SHINGLES}, {_JACCARD_FROM_DS}

@@ -37,6 +37,16 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # Fail at import, not at judging time: the registry is a
+            # plain dict, so a duplicate name would SILENTLY shadow an
+            # existing query (which one wins depends on module import
+            # order) while its CORRECTNESS history keeps reading as the
+            # old semantics. r11 nearly shipped exactly this.
+            raise ValueError(
+                f"duplicate catalog query name {name!r} "
+                f"(existing: {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

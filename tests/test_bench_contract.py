@@ -163,3 +163,23 @@ def test_rotation_staleness_bound(tmp_path):
     assert set(last_seen) == set(reg)
     stalest = max(14 - r for r in last_seen.values())
     assert stalest < bound
+
+
+def test_duplicate_query_name_raises_at_import():
+    """The registry is a plain dict; before r11 a duplicate @query name
+    silently shadowed an existing query (import-order-dependent winner,
+    stale CORRECTNESS history). Now it fails at registration."""
+    import pytest
+
+    from spark_streaming_kafka_bucket_counter_spark.plans.queries import (
+        QUERIES,
+        query,
+    )
+
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate catalog query name"):
+        query(existing)(lambda spark, sf: None)
+    # registration of a fresh name still works (and is cleaned up)
+    query("__dup_guard_probe__")(lambda spark, sf: None)
+    assert "__dup_guard_probe__" in QUERIES
+    del QUERIES["__dup_guard_probe__"]

@@ -852,3 +852,48 @@ def test_resize_accepts_jpeg_inputs(spark):
     for did in (1, 2):
         redec = M.decode_png_pixels(bytes(got[did]["out_payload"]))
         assert redec is not None and redec[:3] == (8, 6, 3)
+
+
+def test_substring_dup_spans_window_semantics(spark):
+    """ExactSubstr census pins (r11): 0-based strided window positions
+    with an inclusive len-k stop, same-doc repeats count toward the
+    census, sub-k docs and NULL text emit zeros, and dup_ppm is exact
+    integer division."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    boiler = "0123456789"  # k=10 window == the whole string
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "abcdefghij" + boiler),   # windows at 0,10,20
+            (2, "x" * 9),                           # len < k -> zeros
+            (3, None),                              # NULL -> zeros
+            (4, boiler + "qrstuvwxyz"),             # shares window 0 with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(
+            docs, "doc_id", "text", k=10, stride=10, min_count=2
+        ).collect()
+    }
+    # doc 1: 3 windows; boiler appears 2x in doc1 + 1x in doc4 = 3 hits
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (3, 2)
+    assert out[1]["dup_ppm"] == 2 * 1_000_000 // 3
+    assert (out[2]["n_windows"], out[2]["dup_ppm"]) == (0, 0)
+    assert (out[3]["n_windows"], out[3]["dup_ppm"]) == (0, 0)
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (2, 1)
+
+    # stride 1 = the exact census: "aaaa" k=2 -> 3 windows, all "aa"
+    rep = spark.createDataFrame([(9, "aaaa")], "doc_id long, text string")
+    r9 = substring_dup_spans(rep, "doc_id", "text", k=2, stride=1).collect()[0]
+    assert (r9["n_windows"], r9["n_dup_windows"], r9["dup_ppm"]) == (
+        3, 3, 1_000_000,
+    )
+
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        substring_dup_spans(rep, "doc_id", "text", k=0)

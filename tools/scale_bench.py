@@ -92,6 +92,9 @@ QUERIES = [
     # cost scales with the doc pair count
     "sim_ivfpq_operating_point",
     "text_bigram_backoff",
+    # the char-window ExactSubstr census: a ~len/stride window fan-out
+    # whose one window-key shuffle must scale with corpus characters
+    "dedup_char_spans",
 ]
 
 SCALES = {
