@@ -72,8 +72,41 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-unix
+        return None
+
+
+def _machine_jiffies() -> tuple[int, int] | None:
+    """(busy, total) aggregate jiffies from /proc/stat — the
+    machine-wide CPU meter behind the per-run busy samples."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals) - idle, sum(vals)
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def _busy_frac(j0, j1) -> float | None:
+    """Machine-wide busy CPU fraction between two _machine_jiffies
+    samples (None when /proc/stat is unavailable or no time passed)."""
+    if j0 is None or j1 is None or j1[1] <= j0[1]:
+        return None
+    return round((j1[0] - j0[0]) / (j1[1] - j0[1]), 3)
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # pre-Spark loadavg = the co-tenant evidence (everything after this
+    # point includes our own 32-thread load); r11 SCALE.md read this by
+    # hand from /proc/loadavg — now it's stamped into the artifact so
+    # loaded bench windows are machine-detectable (VERDICT r11 ask #4)
+    load_start = _loadavg()
+    jiff_start = _machine_jiffies()
     spark = get_spark(app_name="ssbc-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -84,9 +117,15 @@ def main() -> None:
     if "sim_ivf_topk" in catalog.QUERIES:
         _force(catalog.QUERIES["sim_ivf_topk"](spark, SF_DIR))
 
-    core_runs = int(os.environ.get("SPARK_GRAFT_BENCH_CORE_RUNS", "5"))
+    try:
+        core_runs = int(os.environ.get("SPARK_GRAFT_BENCH_CORE_RUNS", "5"))
+    except ValueError:
+        # a malformed env override must not abort the bench after the
+        # expensive warmup (ADVICE r11 #3) — fall back to the default
+        core_runs = 5
     timings: dict[str, float] = {}
     core_samples: dict[str, list[float]] = {}
+    core_busy: dict[str, list[float | None]] = {}
     for name in HEADLINE:
         fn = catalog.QUERIES.get(name)
         if fn is None:
@@ -95,11 +134,15 @@ def main() -> None:
             # median protocol: warm throwaway, then N timed passes
             _force(fn(spark, SF_DIR))
             samples = []
+            busy = []
             for _ in range(max(1, core_runs)):
+                j0 = _machine_jiffies()
                 t0 = time.time()
                 _force(fn(spark, SF_DIR))
                 samples.append(round(time.time() - t0, 3))
+                busy.append(_busy_frac(j0, _machine_jiffies()))
             core_samples[name] = samples
+            core_busy[name] = busy
             timings[name] = _median(samples)
             continue
         t0 = time.time()
@@ -115,7 +158,12 @@ def main() -> None:
             elapsed = min(elapsed, time.time() - t1)
         timings[name] = round(elapsed, 3)
 
-    full, summary = build_records(timings, sf, core_samples)
+    load = {
+        "start": load_start,
+        "end": _loadavg(),
+        "busy_frac": _busy_frac(jiff_start, _machine_jiffies()),
+    }
+    full, summary = build_records(timings, sf, core_samples, core_busy, load)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -136,11 +184,18 @@ def _median(samples: list[float]) -> float:
 def build_records(
     timings: dict[str, float], sf: str,
     core_samples: dict[str, list[float]] | None = None,
+    core_busy: dict[str, list[float | None]] | None = None,
+    load: dict | None = None,
 ) -> tuple[dict, dict]:
     """(full record, one-line summary). The summary must stay SMALL —
     the driver captures a bounded stdout tail, and round 2's 8 KB line
     was truncated to an unparseable fragment (contract pinned in
-    tests/test_bench_contract.py)."""
+    tests/test_bench_contract.py). ``load`` (r11 ask #4) stamps the
+    co-tenant evidence into BOTH records: pre-Spark loadavg ("start" —
+    the only sample our own 32 threads haven't polluted), end loadavg,
+    and the machine-wide busy-CPU fraction over the whole window;
+    per-run busy fractions for the CORE medians land in the full record
+    so a loaded window is attributable to specific samples."""
     full = {
         "metric": f"headline_query_total_sf{sf}",
         "value": round(sum(timings.values()), 3),
@@ -150,9 +205,13 @@ def build_records(
         # raw N-run samples behind each CORE median — the drift audit's
         # evidence trail (summary line elides them to stay tail-safe)
         "core_samples": core_samples or {},
+        # machine-wide busy-CPU fraction during each CORE timed run
+        "core_busy_frac": core_busy or {},
+        "loadavg": load or {},
     }
     summary = dict(full)
     del summary["core_samples"]
+    del summary["core_busy_frac"]
     summary["queries"] = {n: timings[n] for n in CORE if n in timings}
     summary["n_queries"] = len(timings)
     summary["full"] = "bench_full.json"

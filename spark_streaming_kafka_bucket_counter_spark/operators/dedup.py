@@ -76,6 +76,7 @@ def substring_dup_spans(
     k: int = 40,
     stride: int = 10,
     min_count: int = 2,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span measurement (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): slide
@@ -98,9 +99,14 @@ def substring_dup_spans(
     partials), the count joins back to the window stream (AQE
     broadcasts when the distinct-window table fits), and one
     groupBy(doc) folds the verdicts. At 100 TB the window string itself
-    never needs to shuffle twice: a deployment keys the census on
-    xxhash64(window) (8-byte keys, same plan shape); the raw-string
-    form here keeps the DuckDB twin byte-exact.
+    never needs to shuffle twice: ``hash_keys=True`` (r12, VERDICT r11
+    ask #2) keys the census on xxhash64(window) — 8-byte keys instead
+    of ~40-char strings on BOTH shuffles (census groupBy + count
+    join-back), ~5x less shuffle wire at the default k=40, same plan
+    shape and (collision-free in practice: 64-bit keys) identical
+    output — pinned by ``test_char_census_hash_keys_parity``. The
+    raw-string default keeps the DuckDB twin byte-exact (DuckDB has no
+    xxhash64).
     """
     if k < 1 or stride < 1 or min_count < 1:
         raise ValueError(
@@ -111,12 +117,10 @@ def substring_dup_spans(
     poss = F.when(
         n >= k, F.sequence(F.lit(0), n - k, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
-    wins = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(poss, lambda p: t.substr(p + F.lit(1), F.lit(k)))
-        ).alias("_w"),
-    )
+    win_expr = F.transform(poss, lambda p: t.substr(p + F.lit(1), F.lit(k)))
+    if hash_keys:
+        win_expr = F.transform(win_expr, F.xxhash64)
+    wins = df.select(F.col(id_col), F.explode(win_expr).alias("_w"))
     freq = wins.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     per_doc = (
         wins.join(freq, "_w")
@@ -176,6 +180,195 @@ def substring_dup_spans_sql(
                        THEN p.n_dup_windows * 1000000 // p.n_windows
                        ELSE 0 END AS BIGINT) AS dup_ppm
       FROM {corpus_cte} c LEFT JOIN ss_per p USING ({id_col}))"""
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    stride: int = 10,
+    min_count: int = 2,
+    min_doc_len: int = 0,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """ExactSubstr span TRIM — the *transform* companion to
+    :func:`substring_dup_spans` (which only measures): Lee et al. 2022
+    §4's actual dedup step, re-expressed over the strided window
+    census. Every window occurring >= ``min_count`` times corpus-wide
+    marks its ``[pos, pos+k)`` char range as duplicated; per document,
+    overlapping/adjacent duplicated ranges coalesce into MAXIMAL spans
+    (gaps-and-islands on the strided positions — pure window
+    functions, no UDF), the spans are cut, and the surviving segments
+    are reassembled in order. ``min_doc_len > 0`` drops documents whose
+    trimmed text falls below the floor (a doc that was mostly
+    corpus-duplicated boilerplate is not worth keeping — the paper
+    drops them rather than train on fragments).
+
+    Output: (id, trimmed_text, n_cut_chars, n_spans) — one row per
+    surviving document; untouched docs (no duplicated window, or
+    shorter than ``k``) pass through with zeros. NULL text is treated
+    as ''.
+
+    Scale shape: the census half is exactly :func:`substring_dup_spans`
+    (one bounded ~len/stride explode, ONE window-key shuffle — 8-byte
+    xxhash64 keys under ``hash_keys=True``, see the census docstring);
+    the trim half adds only per-document work: the gaps-and-islands
+    window and the segment reassembly partition by the doc id, so
+    state per task is one document's strided positions (~len/stride
+    rows), never corpus-sized. Reassembly is array_sort + transform +
+    array_join over at most n_spans+1 substrings — JVM-side, driver
+    untouched.
+
+    Reference: beyond-reference scope (BASELINE.json north star);
+    census semantics shared with substring_dup_spans above.
+    """
+    if k < 1 or stride < 1 or min_count < 1 or min_doc_len < 0:
+        raise ValueError(
+            f"k, stride, min_count must be >= 1 and min_doc_len >= 0: "
+            f"{k}, {stride}, {min_count}, {min_doc_len}"
+        )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(F.col(id_col), t.alias("_t"))
+    n = F.length("_t")
+    poss = F.when(
+        n >= k, F.sequence(F.lit(0), n - k, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    win = F.col("_t").substr(F.col("_p") + F.lit(1), F.lit(k))
+    wins = base.select(
+        F.col(id_col), F.col("_t"), F.explode(poss).alias("_p")
+    ).select(
+        F.col(id_col),
+        F.col("_p"),
+        (F.xxhash64(win) if hash_keys else win).alias("_w"),
+    )
+    freq = wins.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    dup = (
+        wins.join(freq, "_w")
+        .filter(F.col("_c") >= min_count)
+        .select(id_col, "_p")
+    )
+    # gaps-and-islands: a duplicated position opens a NEW span iff it
+    # starts past every earlier duplicated window's end (running max of
+    # _p + k over preceding rows); islands = running sum of span-opens
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = dup.withColumn(
+        "_new",
+        F.when(
+            F.col("_p")
+            > F.coalesce(F.max(F.col("_p") + k).over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w_run))
+    spans = isl.groupBy(id_col, "_isl").agg(
+        F.min("_p").alias("_s"), (F.max("_p") + k).alias("_e")
+    )
+    # kept segment BEFORE each span: (prev span end, this span start);
+    # spans are disjoint and ordered by construction so lag(_e) works
+    w_span = Window.partitionBy(id_col).orderBy("_s")
+    segs = spans.withColumn(
+        "_pe", F.coalesce(F.lag("_e").over(w_span), F.lit(0))
+    )
+    cuts = segs.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("_s", "_pe"))).alias("_cuts"),
+        F.max("_e").alias("_last_e"),
+        F.sum(F.col("_e") - F.col("_s")).cast("long").alias("n_cut_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    joined = base.join(cuts, id_col, "left")
+    trimmed = F.when(F.col("_last_e").isNull(), F.col("_t")).otherwise(
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.col("_cuts"),
+                    lambda x: F.col("_t").substr(
+                        x["_pe"] + F.lit(1), x["_s"] - x["_pe"]
+                    ),
+                ),
+                "",
+            ),
+            F.col("_t").substr(
+                F.col("_last_e") + F.lit(1),
+                F.length("_t") - F.col("_last_e"),
+            ),
+        )
+    )
+    out = joined.select(
+        F.col(id_col),
+        trimmed.alias("trimmed_text"),
+        F.coalesce("n_cut_chars", F.lit(0)).cast("long").alias("n_cut_chars"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+    )
+    if min_doc_len > 0:
+        out = out.filter(F.length("trimmed_text") >= min_doc_len)
+    return out
+
+
+def trim_duplicate_spans_sql(
+    corpus_cte: str,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    stride: int = 10,
+    min_count: int = 2,
+    min_doc_len: int = 0,
+) -> str:
+    """DuckDB twin of :func:`trim_duplicate_spans` — identical census
+    positions, the same gaps-and-islands coalescing via window
+    functions, and segment reassembly via ordered string_agg. Emits a
+    ``td`` CTE chain; select from ``td``."""
+    floor_pred = (
+        f"WHERE len(trimmed_text) >= {min_doc_len}" if min_doc_len > 0 else ""
+    )
+    return f"""
+    td_doc AS (SELECT {id_col}, COALESCE({text_col}, '') AS t FROM {corpus_cte}),
+    td_win AS (SELECT {id_col}, p, substr(t, CAST(p + 1 AS INT), {k}) AS _w
+               FROM td_doc,
+                    LATERAL (SELECT unnest(generate_series(0, len(t) - {k}, {stride})) AS p) _p
+               WHERE len(t) >= {k}),
+    td_freq AS (SELECT _w, COUNT(*) AS _c FROM td_win GROUP BY 1),
+    td_dup AS (SELECT {id_col}, p FROM td_win JOIN td_freq USING (_w)
+               WHERE _c >= {min_count}),
+    td_pre AS (SELECT {id_col}, p,
+                      COALESCE(MAX(p + {k}) OVER (
+                        PARTITION BY {id_col} ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_end
+               FROM td_dup),
+    td_isl AS (SELECT {id_col}, p,
+                      SUM(CASE WHEN p > prev_end THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY {id_col} ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+               FROM td_pre),
+    td_span AS (SELECT {id_col}, isl, MIN(p) AS s, MAX(p) + {k} AS e
+                FROM td_isl GROUP BY 1, 2),
+    td_seg AS (SELECT {id_col}, s, e,
+                      COALESCE(LAG(e) OVER (PARTITION BY {id_col} ORDER BY s), 0) AS pe
+               FROM td_span),
+    td_cut AS (SELECT g.{id_col},
+                      string_agg(substr(d.t, CAST(g.pe + 1 AS INT),
+                                        CAST(g.s - g.pe AS INT)), '' ORDER BY g.s) AS head,
+                      MAX(g.e) AS last_e,
+                      CAST(SUM(g.e - g.s) AS BIGINT) AS n_cut_chars,
+                      CAST(COUNT(*) AS BIGINT) AS n_spans
+               FROM td_seg g JOIN td_doc d USING ({id_col})
+               GROUP BY 1),
+    td AS (
+      SELECT * FROM (
+        SELECT d.{id_col},
+               CASE WHEN c.last_e IS NULL THEN d.t
+                    ELSE c.head || substr(d.t, CAST(c.last_e + 1 AS INT)) END AS trimmed_text,
+               CAST(COALESCE(c.n_cut_chars, 0) AS BIGINT) AS n_cut_chars,
+               CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans
+        FROM td_doc d LEFT JOIN td_cut c USING ({id_col})) {floor_pred})"""
 
 
 def drop_repeated_lines(

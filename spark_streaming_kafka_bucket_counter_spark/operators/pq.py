@@ -965,13 +965,14 @@ def _books_from_rows(rows) -> Codebook:
     return {(int(r["sub"]), int(r["cid"])): list(r["coords"]) for r in rows}
 
 
-def _meta_default_nprobe(spark, path: str, snap: dict | None) -> int:
+def _meta_default_nprobe(spark, path: str, snap: dict) -> int:
     """The persisted serving operating point, or the fallback for
-    pre-v3 indexes (their snapshots list no ``meta/`` files) and
-    unmanaged trees."""
+    pre-v3 indexes (their snapshots list no ``meta/`` files). Callers
+    always hold a published snapshot — every index reader raises before
+    reaching here when no manifest exists (ADVICE r11 #1)."""
     from ..sources.manifest import manifest_read
 
-    if snap is None or not any(f.startswith("meta/") for f in snap["files"]):
+    if not any(f.startswith("meta/") for f in snap["files"]):
         return IVFPQ_FALLBACK_NPROBE
     rows = manifest_read(spark, path, "meta", snapshot=snap).collect()
     vals = {r["key"]: int(r["value"]) for r in rows}
@@ -1050,6 +1051,15 @@ def ivfpq_query_index(
 
     dsub = dim // m
     snap = snapshot if snapshot is not None else latest_manifest(path)
+    if snap is None:
+        # Matching lsh_query_index / ivf_query_index and both append
+        # paths (ADVICE r11 #1): a half-bootstrapped tree (cells
+        # written, manifest commit lost) must never be served via an
+        # unpinned plain-directory read of whatever files survive.
+        raise RuntimeError(
+            f"ivfpq_query_index: no published manifest snapshot under "
+            f"{path!r}; bootstrap with ivfpq_build_index first"
+        )
     if nprobe is None:
         nprobe = _meta_default_nprobe(spark, path, snap)
     metric, payload = _cells_model_from_rows(

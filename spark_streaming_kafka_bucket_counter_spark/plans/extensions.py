@@ -177,6 +177,26 @@ def q_dedup_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_trim",
+    f"""
+    WITH {D.trim_duplicate_spans_sql('documents', 'doc_id', 'text', min_doc_len=20)}
+    SELECT * FROM td
+    """,
+)
+def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span TRIM (r12) — the transform behind the
+    `dedup_char_spans` census (Lee et al. 2022's actual dedup step):
+    windows seen >= 2 times corpus-wide coalesce into maximal per-doc
+    spans (gaps-and-islands, no UDF), the spans are cut, segments
+    reassemble in order, and docs trimmed below 20 chars are dropped
+    (fully-boilerplate docs are not worth training on). Output is the
+    trimmed text itself plus exact cut accounting."""
+    return D.trim_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_doc_len=20
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     f"""
     WITH {_DOC_SHINGLES}, {_JACCARD_FROM_DS}

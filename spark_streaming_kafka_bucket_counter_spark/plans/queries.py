@@ -761,6 +761,11 @@ def _green_latest_round(correctness_dir: "Path | None" = None) -> dict:
                 rows = _json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # a well-formed-JSON-but-not-an-object file (e.g. a top-level
+            # array) parses fine and would crash at .items() below,
+            # breaking catalog ordering at import (ADVICE r11 #2)
+            continue
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue

@@ -183,3 +183,44 @@ def test_duplicate_query_name_raises_at_import():
     query("__dup_guard_probe__")(lambda spark, sf: None)
     assert "__dup_guard_probe__" in QUERIES
     del QUERIES["__dup_guard_probe__"]
+
+
+def test_load_evidence_stamped_into_both_records():
+    """r11 VERDICT ask #4: the bench artifact carries machine-readable
+    co-tenant-load evidence — pre-Spark loadavg, end loadavg, window
+    busy-CPU fraction — in the summary line AND the full record; the
+    per-run CORE busy fractions land in the full record only (tail
+    budget)."""
+    b = _bench()
+    load = {"start": [0.5, 0.4, 0.3], "end": [9.0, 5.0, 3.0], "busy_frac": 0.7}
+    full, summary = b.build_records(
+        {"bucket_count_epoch": 1.0}, "0.1",
+        {"bucket_count_epoch": [1.0]}, {"bucket_count_epoch": [0.6]}, load,
+    )
+    assert summary["loadavg"] == load
+    assert full["loadavg"] == load
+    assert full["core_busy_frac"] == {"bucket_count_epoch": [0.6]}
+    assert "core_busy_frac" not in summary
+    # the live meters work on this platform
+    la = b._loadavg()
+    assert la is None or len(la) == 3
+    j0 = b._machine_jiffies()
+    assert j0 is None or (j0[0] <= j0[1])
+    assert b._busy_frac(None, j0) is None
+    assert b._busy_frac((0, 0), (50, 100)) == 0.5
+
+
+def test_core_runs_env_malformed_falls_back(monkeypatch):
+    """ADVICE r11 #3: a malformed SPARK_GRAFT_BENCH_CORE_RUNS must not
+    abort the bench after warmup; the parse falls back to 5."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CORE_RUNS", "five")
+    try:
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_CORE_RUNS", "5"))
+    except ValueError:
+        runs = 5
+    assert runs == 5
+    # and the bench source actually guards the parse (not just this test)
+    src = Path(_bench().__file__).read_text()
+    assert "except ValueError" in src.split("core_runs")[1][:400]

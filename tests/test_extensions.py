@@ -897,3 +897,89 @@ def test_substring_dup_spans_window_semantics(spark):
 
     with _pytest.raises(ValueError, match="must be >= 1"):
         substring_dup_spans(rep, "doc_id", "text", k=0)
+
+
+def test_trim_duplicate_spans_semantics(spark):
+    """r12 span TRIM pins: duplicated windows coalesce into maximal
+    per-doc spans (adjacent windows merge, gapped ones don't), the
+    spans are cut with exact char accounting, untouched/sub-k/NULL
+    docs pass through, and the min_doc_len floor drops
+    mostly-boilerplate docs."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        trim_duplicate_spans,
+    )
+
+    boiler = "0123456789"  # k=10 window == the whole string
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "abcdefghij" + boiler),   # dup windows at 0, 20
+            (2, "x" * 9),                           # len < k -> untouched
+            (3, None),                              # NULL -> ''
+            (4, boiler + "qrstuvwxyz"),             # dup window at 0 only
+            (5, boiler + "ZZZ"),                    # strided tail survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in trim_duplicate_spans(
+            docs, "doc_id", "text", k=10, stride=10, min_count=2
+        ).collect()
+    }
+    assert (out[1]["trimmed_text"], out[1]["n_cut_chars"], out[1]["n_spans"]) == (
+        "abcdefghij", 20, 2,
+    )
+    assert (out[2]["trimmed_text"], out[2]["n_cut_chars"]) == ("x" * 9, 0)
+    assert (out[3]["trimmed_text"], out[3]["n_spans"]) == ("", 0)
+    assert (out[4]["trimmed_text"], out[4]["n_cut_chars"], out[4]["n_spans"]) == (
+        "qrstuvwxyz", 10, 1,
+    )
+    # the last-window..end tail is census-uncovered -> never cut
+    assert (out[5]["trimmed_text"], out[5]["n_cut_chars"]) == ("ZZZ", 10)
+
+    # overlapping windows coalesce to ONE maximal span covering the doc
+    rep = spark.createDataFrame([(9, "aaaa")], "doc_id long, text string")
+    r9 = trim_duplicate_spans(rep, "doc_id", "text", k=2, stride=1).collect()[0]
+    assert (r9["trimmed_text"], r9["n_cut_chars"], r9["n_spans"]) == ("", 4, 1)
+
+    # min_doc_len floor: docs trimmed below it disappear from the output
+    floored = trim_duplicate_spans(
+        docs, "doc_id", "text", k=10, stride=10, min_count=2, min_doc_len=5
+    )
+    assert sorted(r["doc_id"] for r in floored.collect()) == [1, 2, 4]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        trim_duplicate_spans(rep, "doc_id", "text", stride=0)
+
+
+def test_char_census_hash_keys_parity(spark):
+    """VERDICT r11 ask #2: hash_keys=True keys the census shuffles on
+    xxhash64(window) (8-byte wire keys) and must produce IDENTICAL
+    (id, n_windows, n_dup_windows, dup_ppm) — and the trim transform
+    identical (id, trimmed_text, n_cut_chars, n_spans) — as the
+    raw-string oracle form, on real sf0.001 documents plus the edge
+    shapes above."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        substring_dup_spans,
+        trim_duplicate_spans,
+    )
+
+    docs = _docs(spark)
+    edge = spark.createDataFrame(
+        [
+            (100001, "0123456789" * 3),
+            (100002, None),
+            (100003, "short"),
+            (100004, "0123456789" + "abc"),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", "text")
+    corpus = docs.select("doc_id", "text").unionByName(edge)
+    for fn in (substring_dup_spans, trim_duplicate_spans):
+        raw = sorted(map(tuple, fn(corpus, "doc_id", "text").collect()))
+        hashed = sorted(
+            map(tuple, fn(corpus, "doc_id", "text", hash_keys=True).collect())
+        )
+        assert raw == hashed, fn.__name__

@@ -343,12 +343,25 @@ def test_index_meta_default_nprobe_round_trip(spark, emb, tmp_path):
     )
     assert PQ._meta_default_nprobe(spark, idx, latest_manifest(idx)) == 1
 
-    # pre-v3 snapshot (no meta/ files) and unmanaged tree fall back
+    # pre-v3 snapshot (no meta/ files) falls back to the constant
     assert (
         PQ._meta_default_nprobe(spark, idx, {"files": ["cells/p.parquet"]})
         == PQ.IVFPQ_FALLBACK_NPROBE
     )
-    assert PQ._meta_default_nprobe(spark, idx, None) == PQ.IVFPQ_FALLBACK_NPROBE
+
+
+def test_query_index_without_manifest_is_loud(spark, emb, tmp_path):
+    """ADVICE r11 #1: a tree with data files but no published manifest
+    snapshot (bootstrap crashed between write and commit) must raise
+    from ivfpq_query_index, never serve an unpinned directory read —
+    matching lsh_query_index / ivf_query_index and both append paths."""
+    idx = str(tmp_path / "norphan")
+    emb.limit(4).select("vec_id", "embedding").write.parquet(f"{idx}/cells")
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(RuntimeError, match="no published manifest snapshot"):
+        PQ.ivfpq_query_index(
+            spark, idx, q, "vec_id", "embedding", dim=DIM, m=M, ksub=KSUB
+        )
 
 
 def test_operating_point_matches_choose_default_nprobe(spark):

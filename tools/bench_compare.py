@@ -24,8 +24,23 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=1.4)
     args = ap.parse_args()
 
-    old = json.load(open(args.old))["queries"]
-    new = json.load(open(args.new))["queries"]
+    old_rec = json.load(open(args.old))
+    new_rec = json.load(open(args.new))
+    old = old_rec["queries"]
+    new = new_rec["queries"]
+
+    # co-tenant load evidence (r11 ask #4): the "start" loadavg is
+    # sampled BEFORE Spark starts, so >2 there means the bench window
+    # itself was loaded — annotate instead of letting a ratio mislead
+    for label, rec in (("old", old_rec), ("new", new_rec)):
+        la = rec.get("loadavg") or {}
+        if la:
+            print(f"{label} load: start={la.get('start')} end={la.get('end')} "
+                  f"busy_frac={la.get('busy_frac')}")
+        start = (la.get("start") or [0])[0]
+        if start > 2:
+            print(f"  !! {label} record taken under co-tenant load "
+                  f"(pre-bench 1-min loadavg {start}) — timings suspect")
 
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
