@@ -79,6 +79,7 @@ __all__ = [
     "ivfpq_trained_recall_sql",
     "ivfpq_probe_frontier",
     "ivfpq_probe_frontier_sql",
+    "rotate_vectors",
 ]
 
 Codebook = dict[tuple[int, int], list[int]]  # (sub, cid) -> dsub fixed-point coords
@@ -783,9 +784,11 @@ def ivfpq_recall_eval(
 #: cached_index_dir keys; bump beside any ivfpq_build_index layout
 #: change (this format changed twice in r9 with staleness prevented
 #: only by discipline; now it's construction).
-IVFPQ_LAYOUT_VERSION = 3  # v3 (r11): meta/ table carries the serving
-#                           default_nprobe (frontier-chosen operating
-#                           point); v2 (r10): centroids carry `metric`
+IVFPQ_LAYOUT_VERSION = 4  # v4 (r12): optional rotation/ table carries
+#                           the OPQ orthogonal rotation (applied to
+#                           vectors before cell assignment + encode);
+#                           v3 (r11): meta/ carries default_nprobe;
+#                           v2 (r10): centroids carry `metric`
 
 #: Serving default when an index predates layout v3 (no meta/ table) or
 #: was built without a measured frontier.
@@ -825,6 +828,7 @@ def ivfpq_build_index(
     n_centroids: int = 16,
     cents: dict[int, list[int]] | None = None,
     default_nprobe: int | None = None,
+    rotation=None,
 ) -> Codebook:
     """Build the on-disk IVFADC index: train the PQ codebook, assign
     every (nonzero) vector to its nearest IVF cell, and persist the
@@ -848,12 +852,25 @@ def ivfpq_build_index(
     ``meta/`` table and used by :func:`ivfpq_query_index` when the
     caller passes no ``nprobe``. The 100 TB serving story ships its
     measured tuning with the index, not a magic constant in code.
-    Defaults to :data:`IVFPQ_FALLBACK_NPROBE` when no frontier ran."""
+    Defaults to :data:`IVFPQ_FALLBACK_NPROBE` when no frontier ran.
+
+    ``rotation`` (r12, layout v4): an OPQ orthogonal rotation (e.g.
+    from :func:`~.opq.opq_train_rotation`) applied to every vector
+    BEFORE cell assignment and encoding, and persisted under
+    ``rotation/`` so append and query rotate identically — the index
+    ships its learned geometry exactly as it ships its measured
+    nprobe. When supplied, any external ``cents`` must have been
+    trained on the ROTATED vectors (everything downstream lives in
+    rotated space)."""
     from pathlib import Path as _P
 
     from ..sources.manifest import manifest_txn
     from .similarity import nonzero_vectors
 
+    rot_rows = None
+    if rotation is not None:
+        rot_rows = _rotation_payload(rotation, dim)
+        df = rotate_vectors(df, id_col, vec_col, rotation)
     books = pq_train(df, id_col, vec_col, dim, m, ksub, iters, scale)
     nz = nonzero_vectors(df, vec_col)
     spark = df.sparkSession
@@ -895,6 +912,12 @@ def ivfpq_build_index(
         spark.createDataFrame(
             meta_rows, "key string, value long"
         ).coalesce(1).write.mode("overwrite").parquet(str(_P(path) / "meta"))
+        if rot_rows is not None:
+            spark.createDataFrame(
+                rot_rows, "i int, coords array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(_P(path) / "rotation")
+            )
         assigned = _assign_index_cells(
             nz, id_col, vec_col, metric, payload, scale, max_rank=1
         ).select(F.col("_id").alias("id"), "cid")
@@ -947,6 +970,12 @@ def ivfpq_append_index(
         manifest_read(spark, path, "codebook", snapshot=snap).collect()
     )
     _check_model(books, dim, m, ksub, "ivfpq_append_index")
+    rot = _load_rotation(spark, path, snap)
+    if rot is not None:
+        # layout v4: the index's persisted OPQ rotation — appends must
+        # live in the same rotated space as the build (rotation is
+        # norm-preserving, so the nonzero filter commutes with it)
+        df = rotate_vectors(df, id_col, vec_col, rot)
     nz = nonzero_vectors(df, vec_col)
     enc = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
     assigned = _assign_index_cells(
@@ -959,6 +988,75 @@ def ivfpq_append_index(
             .partitionBy("cid")
             .parquet(str(_P(path) / "cells"))
         )
+
+
+def rotate_vectors(df: DataFrame, id_col: str, vec_col: str, R) -> DataFrame:
+    """(id_col, vec_col): every vector replaced by its image under the
+    orthogonal rotation ``R`` (row-vector convention: y = x @ R), as
+    exact float64 arrays. Map-only Arrow stage — one numpy matmul per
+    batch, no shuffle, the same bulk shape as :func:`_encode_arrow`
+    (a dim x dim literal-expression matmul would be a 4096-term codegen
+    expression at dim=64 — past janino's method cap). Rotation precedes
+    the fixed-point snap everywhere (build, append, query), so both
+    sides of an index round-trip quantize identical doubles."""
+    import numpy as np
+
+    Rm = np.asarray(R, dtype=np.float64)
+    dim = Rm.shape[0]
+    if Rm.shape != (dim, dim):
+        raise ValueError(f"rotation must be square, got {Rm.shape}")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"rotate_vectors: vectors are {X.shape[1]}-dim but the "
+                    f"rotation is {dim}x{dim}"
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(X @ Rm)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, {vec_col} array<double>"
+    )
+
+
+def _rotation_payload(rotation, dim: int):
+    """Validated [(i, row_i)] rows for the ``rotation/`` table (layout
+    v4): row i of the dim x dim matrix under y = x @ R."""
+    import numpy as np
+
+    Rm = np.asarray(rotation, dtype=np.float64)
+    if Rm.shape != (dim, dim):
+        raise ValueError(
+            f"rotation must be {dim}x{dim} for this index, got {Rm.shape}"
+        )
+    return [(int(i), [float(x) for x in Rm[i]]) for i in range(dim)]
+
+
+def _load_rotation(spark, path: str, snap: dict):
+    """The persisted OPQ rotation as a numpy matrix, or None for
+    indexes built without one (their snapshots list no ``rotation/``
+    files — pre-v4 layouts included)."""
+    import numpy as np
+
+    from ..sources.manifest import manifest_read
+
+    if not any(f.startswith("rotation/") for f in snap["files"]):
+        return None
+    rows = manifest_read(spark, path, "rotation", snapshot=snap).collect()
+    return np.array(
+        [list(r["coords"]) for r in sorted(rows, key=lambda r: int(r["i"]))],
+        dtype=np.float64,
+    )
 
 
 def _books_from_rows(rows) -> Codebook:
@@ -1069,6 +1167,11 @@ def ivfpq_query_index(
         manifest_read(spark, path, "codebook", snapshot=snap).collect()
     )
     _check_model(books, dim, m, ksub, "ivfpq_query_index")
+    rot = _load_rotation(spark, path, snap)
+    if rot is not None:
+        # queries meet a v4 index in its own rotated space: centroids,
+        # codes and codebook were all built post-rotation
+        query_df = rotate_vectors(query_df, id_col, vec_col, rot)
     nzq = nonzero_vectors(query_df, vec_col)
     probes = _assign_index_cells(
         nzq, id_col, vec_col, metric, payload, scale, max_rank=nprobe

@@ -1139,6 +1139,194 @@ def q_sim_ivfpq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# round 12: OPQ — rotate before you quantize (Ge et al. 2014). The
+# hash-gated catalog form uses the diagonal-parametric rotation (an
+# exact-integer variance-balancing axis permutation both engines derive
+# independently); the non-parametric Procrustes form lives in the
+# layout-v4 index path (operators/opq.py, pytest-pinned).
+from ..operators import opq as OPQ  # noqa: E402
+
+
+def _opq_perm(spark: SparkSession, sf_dir: str) -> list:
+    """The learned axis permutation (perm[dst] = src), memoized per
+    (session, dataset): dim rows of exact-integer variance aggregates
+    reach the driver, nothing else."""
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark,
+        sf_dir,
+        f"opq_perm_{_PQ_DIM}_{_PQ_M}",
+        lambda: OPQ.opq_axis_permutation(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            dim=_PQ_DIM, m=_PQ_M,
+        ),
+    )
+
+
+def _opq_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding table in OPQ-rotated (axis-permuted) space — the
+    input to the whole permuted half of the 2x2x2 eval."""
+    return OPQ.apply_axis_permutation(
+        _t(spark, sf_dir, "embeddings"), "embedding",
+        _opq_perm(spark, sf_dir),
+    )
+
+
+def _opq_books(spark: SparkSession, sf_dir: str):
+    """Raw codebook in rotated space. NOT a permutation of _pq_books:
+    the sub-space GROUPING changes, which is the entire point of OPQ."""
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark, sf_dir, f"opq_books_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}",
+        lambda: PQ.pq_train(
+            _opq_emb(spark, sf_dir), "vec_id", "embedding",
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+        ),
+    )
+
+
+def _opq_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._memo import dataset_memo
+
+    return dataset_memo(
+        spark, sf_dir, f"opq_codes_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}",
+        lambda: PQ.pq_encode(
+            _opq_emb(spark, sf_dir), "vec_id", "embedding",
+            _opq_books(spark, sf_dir), dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        ),
+    )
+
+
+def _opq_res_books(spark: SparkSession, sf_dir: str):
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark, sf_dir, f"opq_res_books_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}",
+        lambda: PQ.pq_train(
+            PQ.residual_frame(_opq_emb(spark, sf_dir), "vec_id", "embedding"),
+            "id", "rv",
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+            already_fixed=True,
+        ),
+    )
+
+
+def _opq_res_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._memo import dataset_memo
+
+    return dataset_memo(
+        spark, sf_dir, f"opq_res_codes_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}",
+        lambda: PQ.pq_encode(
+            PQ.residual_frame(_opq_emb(spark, sf_dir), "vec_id", "embedding"),
+            "id", "rv", _opq_res_books(spark, sf_dir),
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, already_fixed=True,
+        ),
+    )
+
+
+def _opq_cents(spark: SparkSession, sf_dir: str):
+    """Trained coarse cells in rotated space (rotation changes nothing
+    about L2 geometry, but the integer Lloyd rounds see permuted
+    coordinates, so the cells must be retrained to match the oracle's
+    permuted chain)."""
+    from ..operators.clustering import kmeans_centroids
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark, sf_dir, f"opq_cents_{_CELL_K}_{_CELL_ITERS}",
+        lambda: kmeans_centroids(
+            _opq_emb(spark, sf_dir), "vec_id", "embedding",
+            k=_CELL_K, iters=_CELL_ITERS,
+        ),
+    )
+
+
+def _opq_tres_books(spark: SparkSession, sf_dir: str):
+    from ._memo import dataset_memo_obj
+
+    return dataset_memo_obj(
+        spark, sf_dir,
+        f"opq_tres_books_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}_{_CELL_K}_{_CELL_ITERS}",
+        lambda: PQ.pq_train(
+            PQ.trained_residual_frame(
+                _opq_emb(spark, sf_dir), "vec_id", "embedding",
+                _opq_cents(spark, sf_dir),
+            ),
+            "id", "rv",
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+            already_fixed=True,
+        ),
+    )
+
+
+def _opq_tres_codes_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._memo import dataset_memo
+
+    return dataset_memo(
+        spark, sf_dir,
+        f"opq_tres_codes_{_PQ_M}_{_PQ_KSUB}_{_PQ_ITERS}_{_CELL_K}_{_CELL_ITERS}",
+        lambda: PQ.pq_encode(
+            PQ.trained_residual_frame(
+                _opq_emb(spark, sf_dir), "vec_id", "embedding",
+                _opq_cents(spark, sf_dir),
+            ),
+            "id", "rv", _opq_tres_books(spark, sf_dir),
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, already_fixed=True,
+        ),
+    )
+
+
+@query(
+    "sim_opq_recall_eval",
+    OPQ.opq_recall_sql(
+        "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
+        _PQ_ITERS, n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+    ),
+)
+def q_sim_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2x2x2 OPQ experiment (r12): the full trained 2x2 —
+    (raw | residual) codes x (seed | trained) cells — run with and
+    without the OPQ rotation, eight rows against the same exact-L2
+    truth (orthogonal transforms preserve L2, so the base and rotated
+    halves share ground truth by construction). The rotation here is
+    the diagonal-parametric OPQ: dims ranked by EXACT integer variance
+    and snake-drafted across sub-spaces — an orthogonal permutation
+    both engines learn independently, which is what lets the whole
+    experiment (learning included) ride the hash gate. The
+    non-parametric Procrustes rotation ships in the layout-v4 index
+    path (opq_train_rotation + ivfpq_build_index(rotation=...)),
+    pinned by tests/test_opq.py."""
+    base = PQ.ivfpq_trained_recall_eval(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _pq_books(spark, sf_dir), _pq_res_books(spark, sf_dir),
+        _pq_tres_books(spark, sf_dir),
+        dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+        nprobe=2, query_max_id=10, top_k=5,
+        raw_codes=_pq_codes_frame(spark, sf_dir),
+        res_codes=_pq_res_codes_frame(spark, sf_dir),
+        tres_codes=_pq_tres_codes_frame(spark, sf_dir),
+        cents=_ivf_trained_cents(spark, sf_dir),
+    )
+    opq = PQ.ivfpq_trained_recall_eval(
+        _opq_emb(spark, sf_dir), "vec_id", "embedding",
+        _opq_books(spark, sf_dir), _opq_res_books(spark, sf_dir),
+        _opq_tres_books(spark, sf_dir),
+        dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+        nprobe=2, query_max_id=10, top_k=5,
+        raw_codes=_opq_codes_frame(spark, sf_dir),
+        res_codes=_opq_res_codes_frame(spark, sf_dir),
+        tres_codes=_opq_tres_codes_frame(spark, sf_dir),
+        cents=_opq_cents(spark, sf_dir),
+    )
+    return base.select(F.lit("base").alias("rot"), "*").unionAll(
+        opq.select(F.lit("opq").alias("rot"), "*")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits
 # ---------------------------------------------------------------------------
