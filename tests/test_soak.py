@@ -223,9 +223,13 @@ def test_streaming_quintet_soak(spark, tmp_path):
         _Reader("linecounts", lambda: manifest_read(
             spark, ld_idx, "line_counts"
         ).groupBy().sum("n_occ").collect()),
+        # nprobe=None (r12, VERDICT r11 ask #6): the soak pins the
+        # SERVING DEFAULT path — every query reads the persisted
+        # default_nprobe out of the pinned snapshot's meta/ table while
+        # maintenance/GC/forget churn underneath — not an explicit knob
         _Reader("ivfpq", lambda: ivfpq_query_index(
             spark, pq_idx, probe_vec, "vec_id", "embedding",
-            DIM, m=4, ksub=4, top_k=1,
+            DIM, m=4, ksub=4, nprobe=None, top_k=1,
         ).collect()),
     ]
     # start each reader only once its index EXISTS (first snapshot

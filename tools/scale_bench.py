@@ -95,7 +95,51 @@ QUERIES = [
     # the char-window ExactSubstr census: a ~len/stride window fan-out
     # whose one window-key shuffle must scale with corpus characters
     "dedup_char_spans",
+    # round 12 (standing rule): the span TRIM adds per-doc window
+    # functions + segment reassembly on top of the census — its delta
+    # over dedup_char_spans must stay doc-bounded; the OPQ 2x2x2 eval
+    # is 2x the trained 2x2 plus one dim-row aggregate (eval harness,
+    # not a serving path)
+    "dedup_span_trim",
+    "sim_opq_recall_eval",
 ]
+
+# Non-catalog timing lanes: deployment forms whose oracle twin can't
+# exist (DuckDB has no xxhash64) but whose SCALE behavior is the point —
+# the r12 hashed-key census (8-byte window keys on both census shuffles
+# vs the raw ~40-char strings the oracle form ships). Parity with the
+# raw form is pytest-pinned (test_char_census_hash_keys_parity); this
+# lane records the wire-size win in BENCH_sf1.json / SCALE.md.
+
+
+def _census_hashed(spark, sf_dir):
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+
+    return substring_dup_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        hash_keys=True,
+    )
+
+
+def _trim_hashed(spark, sf_dir):
+    from spark_streaming_kafka_bucket_counter_spark.operators.dedup import (
+        trim_duplicate_spans,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+
+    return trim_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        min_doc_len=20, hash_keys=True,
+    )
+
+
+EXTRAS = {
+    "dedup_char_spans_hashed": _census_hashed,
+    "dedup_span_trim_hashed": _trim_hashed,
+}
 
 SCALES = {
     "sf01": "/tmp/ssbc_scale/gen-sf0.1",
@@ -123,8 +167,8 @@ def main() -> None:
         # per-scale warmups, mirroring bench.py (JVM/codegen + Arrow pool)
         _force(catalog.QUERIES["bucket_count_epoch"](spark, sf_dir))
         _force(catalog.QUERIES["sim_ivf_topk"](spark, sf_dir))
-        for name in QUERIES:
-            fn = catalog.QUERIES[name]
+        for name in QUERIES + list(EXTRAS):
+            fn = EXTRAS.get(name) or catalog.QUERIES[name]
             passes = []
             for _ in range(2):
                 t0 = time.time()
