@@ -544,3 +544,37 @@ def test_probe_frontier_shares_one_assignment(spark):
     Arrow stages over the full vector set beyond the probe variants."""
     plan = _plan(spark, "sim_ivfpq_probe_frontier")
     assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan
+
+
+def test_span_trim_no_python_and_doc_partitioned_windows(spark):
+    """dedup_span_trim (r12): no row-at-a-time Python anywhere (the whole
+    trim is census + window functions + array reassembly in codegen),
+    every window pass partitions on the doc id (per-task state = one
+    document's strided positions, never corpus-sized), and no cartesian
+    product sneaks in."""
+    plan = _plan(spark, "dedup_span_trim")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # every Window's partition spec carries the doc id
+    for spec in re.findall(r"Window \[[^\]]*partitionBy=\[([^\]]*)\]", plan):
+        assert "doc_id" in spec, plan
+
+
+def test_opq_rotation_stage_is_arrow_map_only(spark):
+    """pq.rotate_vectors must plan as a single Arrow map stage (no
+    shuffle, no row-at-a-time Python): the rotation rides the scan."""
+    import numpy as np
+
+    from spark_streaming_kafka_bucket_counter_spark.operators.pq import rotate_vectors
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = rotate_vectors(emb, "vec_id", "embedding", np.eye(64))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
