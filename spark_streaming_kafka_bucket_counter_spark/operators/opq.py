@@ -59,8 +59,10 @@ from .pq import (
 __all__ = [
     "opq_axis_permutation",
     "apply_axis_permutation",
+    "permutation_matrix",
     "opq_axis_permutation_ctes",
     "opq_recall_sql",
+    "opq_trained_topk_sql",
     "opq_train_rotation",
 ]
 
@@ -142,6 +144,25 @@ def apply_axis_permutation(
     shuffle; the element type rides through unchanged."""
     permuted = F.array(*[F.col(vec_col).getItem(int(s)) for s in perm])
     return df.withColumn(vec_col, permuted)
+
+
+def permutation_matrix(perm: list[int]):
+    """The permutation as an orthogonal rotation matrix under the
+    row-vector convention (y = x @ P takes element dst from source
+    perm[dst]) — the bridge from the oracle-replayable permutation to
+    the layout-v4 index path: ``ivfpq_build_index(rotation=
+    permutation_matrix(perm))`` persists it like any Procrustes
+    rotation, and ``rotate_vectors`` applies it identically to
+    :func:`apply_axis_permutation` (pytest-pinned)."""
+    import numpy as np
+
+    dim = len(perm)
+    if sorted(perm) != list(range(dim)):
+        raise ValueError(f"not a permutation of 0..{dim - 1}: {perm}")
+    P = np.zeros((dim, dim), dtype=np.float64)
+    for dst, src in enumerate(perm):
+        P[src, dst] = 1.0
+    return P
 
 
 def opq_axis_permutation_ctes(
@@ -226,6 +247,42 @@ def opq_recall_sql(
     SELECT 'base' AS rot, t.* FROM ({base}) t
     UNION ALL
     SELECT 'opq' AS rot, t.* FROM ({opq}) t
+    """
+
+
+def opq_trained_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_centroids: int = 16,
+    cell_iters: int = 2,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> str:
+    """DuckDB twin of serving through a layout-v4 ROTATED index: the
+    axis permutation learned + applied in CTEs, then the full
+    trained-cell IVFADC chain (train, encode, assign, probe, ADC) over
+    the permuted vectors — exactly what ivfpq_build_index(rotation=P) +
+    ivfpq_query_index compute, since the persisted rotation is applied
+    to data at build and to queries at read."""
+    from .pq import ivfpq_trained_topk_sql
+
+    perm_ctes = ",\n    ".join(
+        opq_axis_permutation_ctes(table, id_col, vec_col, dim, m, scale)
+    )
+    inner = ivfpq_trained_topk_sql(
+        "opqv", id_col, vec_col, dim, m, ksub, iters, scale,
+        n_centroids, cell_iters, nprobe, query_max_id, top_k,
+    )
+    return f"""
+    WITH {perm_ctes}
+    SELECT * FROM ({inner})
     """
 
 

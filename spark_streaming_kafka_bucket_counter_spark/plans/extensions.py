@@ -1327,6 +1327,45 @@ def q_sim_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_opq_trained_index_topk",
+    OPQ.opq_trained_topk_sql(
+        "embeddings", "vec_id", "embedding", _PQ_DIM, _PQ_M, _PQ_KSUB,
+        _PQ_ITERS, n_centroids=_CELL_K, cell_iters=_CELL_ITERS,
+    ),
+)
+def q_sim_opq_trained_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving through a ROTATED layout-v4 index, end-to-end under the
+    hash gate (r12): the learned axis permutation — an orthogonal
+    rotation matrix — is persisted by ivfpq_build_index into the
+    index's rotation/ table; ivfpq_query_index reads it from the
+    pinned snapshot and rotates the queries before probing, so the
+    whole v4 geometry path (persist -> load -> apply at read) is what
+    this query exercises, oracle-identical to the permuted trained
+    IVFADC chain by construction. The Procrustes rotation serves the
+    same path (same table, same reader) with its gain pinned in
+    tests/test_opq.py — SQL can't replay an SVD, a permutation it
+    can."""
+    from ..sources.files import cached_index_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = cached_index_dir(
+        "opq-trained", sf_dir,
+        f"c{_CELL_K}i{_CELL_ITERS}-m{_PQ_M}k{_PQ_KSUB}",
+        lambda p: PQ.ivfpq_build_index(
+            emb, "vec_id", "embedding", p,
+            dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS,
+            n_centroids=_CELL_K, cents=_opq_cents(spark, sf_dir),
+            rotation=OPQ.permutation_matrix(_opq_perm(spark, sf_dir)),
+        ),
+        layout_version=PQ.IVFPQ_LAYOUT_VERSION,
+    )
+    return PQ.ivfpq_query_index(
+        spark, idx, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB, nprobe=2, top_k=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits
 # ---------------------------------------------------------------------------

@@ -208,3 +208,27 @@ def test_index_roundtrip_rotation_layout_v4(spark, emb, tmp_path):
             emb, "vec_id", "embedding", str(tmp_path / "bad"), dim=DIM,
             m=M, ksub=KSUB, rotation=np.eye(8),
         )
+
+
+def test_permutation_matrix_matches_axis_permutation(spark, emb):
+    """The bridge pin: rotate_vectors under permutation_matrix(perm)
+    must produce bit-identical vectors to apply_axis_permutation(perm)
+    after the fixed-point snap (multiplying by an exact 0/1 matrix
+    reorders float64 values exactly) — this is what lets the
+    `sim_opq_trained_index_topk` oracle replay the v4 rotation path as
+    a list reorder."""
+    perm = OPQ.opq_axis_permutation(emb, "vec_id", "embedding", DIM, M)
+    P = OPQ.permutation_matrix(perm)
+    assert np.allclose(P @ P.T, np.eye(DIM))
+    a = PQ._fixed_vecs(
+        OPQ.apply_axis_permutation(emb, "embedding", perm),
+        "vec_id", "embedding", 1_000_000,
+    )
+    b = PQ._fixed_vecs(
+        PQ.rotate_vectors(emb, "vec_id", "embedding", P),
+        "vec_id", "embedding", 1_000_000,
+    )
+    assert spark_signature(a) == spark_signature(b)
+
+    with pytest.raises(ValueError, match="not a permutation"):
+        OPQ.permutation_matrix([0, 0, 1])
