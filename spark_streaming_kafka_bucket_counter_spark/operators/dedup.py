@@ -119,7 +119,7 @@ def substring_dup_spans(
     ).otherwise(F.array().cast("array<int>"))
     win_expr = F.transform(poss, lambda p: t.substr(p + F.lit(1), F.lit(k)))
     if hash_keys:
-        win_expr = F.transform(win_expr, F.xxhash64)
+        win_expr = F.transform(win_expr, lambda w: F.xxhash64(w))
     wins = df.select(F.col(id_col), F.explode(win_expr).alias("_w"))
     freq = wins.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     per_doc = (
