@@ -200,7 +200,15 @@ def opq_axis_permutation_ctes(
            sub * {dsub} + row_number() OVER (PARTITION BY sub ORDER BY r) - 1
              AS dst
          FROM opq_sub)""",
-        f"""{out} AS (SELECT e.{id_col},
+        # MATERIALIZED is load-bearing, not a hint: DuckDB 1.0 INLINES
+        # plain CTEs, so every one of the trained-recall chain's ~15+
+        # references to the permuted table would re-expand the whole
+        # permutation subtree (a multi-million-row aggregate) into an
+        # already-huge plan — the multiplicative blowup OOM'd the
+        # allocator at gen-sf0.1 (r12 sweep). Materialized, each
+        # reference reads one ~N x dim temp table and the permuted
+        # half costs the same as the base half.
+        f"""{out} AS MATERIALIZED (SELECT e.{id_col},
            list(e.{vec_col}[CAST(p.src + 1 AS INT)] ORDER BY p.dst)
              AS {vec_col}
          FROM {table} e CROSS JOIN opq_perm p GROUP BY 1)""",
