@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_fingerprint, shingles, tokens
+from ..sources.files import fan_out_scan
 from ._cache import unpersist_with
 
 # ---------------------------------------------------------------------------
@@ -120,7 +121,11 @@ def substring_dup_spans(
     win_expr = F.transform(poss, lambda p: t.substr(p + F.lit(1), F.lit(k)))
     if hash_keys:
         win_expr = F.transform(win_expr, lambda w: F.xxhash64(w))
-    wins = df.select(F.col(id_col), F.explode(win_expr).alias("_w"))
+    # window slicing is scan-stage narrow work — fan the narrow (id,
+    # text) input out so it parallelizes on small inputs (no-op at scale)
+    wins = fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(win_expr).alias("_w")
+    )
     freq = wins.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     per_doc = (
         wins.join(freq, "_w")
@@ -229,7 +234,9 @@ def trim_duplicate_spans(
             f"{k}, {stride}, {min_count}, {min_doc_len}"
         )
     t = F.coalesce(F.col(text_col), F.lit(""))
-    base = df.select(F.col(id_col), t.alias("_t"))
+    # fanned for the same reason as the census above (no-op at scale);
+    # base feeds both the window stream and the final reassembly join
+    base = fan_out_scan(df.select(F.col(id_col), t.alias("_t")), id_col)
     n = F.length("_t")
     poss = F.when(
         n >= k, F.sequence(F.lit(0), n - k, F.lit(stride))
@@ -413,7 +420,7 @@ def drop_repeated_lines(
 
 def doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id, pos, line)`` rows — NULL text is one empty line."""
-    return df.select(
+    return fan_out_scan(df.select(id_col, text_col), id_col).select(
         id_col,
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
@@ -491,8 +498,14 @@ def doc_shingles(
     # Materialize the token array before the shingle HOF: interpreted
     # lambdas re-evaluate inline sub-expressions per element, so
     # shingles(tokens(text)) would re-tokenize O(tokens) times per row.
+    # Fan the narrow (id, text) projection out first (r12): tokenize +
+    # shingle + explode all live in the scan stage, which arrives as one
+    # task on small inputs (no-op at scale — see fan_out_scan).
+    base = fan_out_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
+    )
     sh = (
-        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tok"))
+        base.select("doc", tokens(F.col("_txt")).alias("_tok"))
         .select("doc", F.explode(F.array_distinct(shingles(F.col("_tok"), k))).alias("shingle"))
     )
     if max_shingle_freq is not None:
@@ -805,7 +818,7 @@ def simhash_signatures(
     """
     from ..functions.text import token_hash16
 
-    tok = df.select(
+    tok = fan_out_scan(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     ).withColumn("h", token_hash16(F.col("token")))
@@ -887,7 +900,7 @@ def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     """
     from ..functions.text import token_hash16_at
 
-    tok = df.select(
+    tok = fan_out_scan(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )

@@ -15,6 +15,7 @@ from ..operators import dedup as D
 from ..operators.asof import asof_join, asof_join_sql
 from ..operators.graph import transitive_closure_sql
 from ..operators.sessions import session_summary, session_summary_sql
+from ..sources.files import fan_out_scan
 from ..operators.sketches import (
     histogram_quantiles,
     histogram_quantiles_sql,
@@ -361,9 +362,12 @@ def q_sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-entropy quality signal (bits/char,
     in-order float fold so both engines agree; see char_entropy)."""
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "_ch", X.char_array(F.col("text"))
-    )
+    # char_array + entropy fold are scan-stage per-row work: fan the
+    # narrow projection out so small inputs use every core (r12; no-op
+    # at scale — see sources.files.fan_out_scan)
+    docs = fan_out_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).withColumn("_ch", X.char_array(F.col("text")))
     return docs.select(
         "doc_id",
         F.size(F.array_distinct(F.col("_ch"))).cast("long").alias("n_distinct_chars"),
@@ -607,7 +611,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     its share of bigram slots (one explode-groupBy-window pass on
     doc_id). `repetitive` is the filter flag a curation pipeline keys on.
     """
-    docs = _t(spark, sf_dir, "documents").withColumn("_tok", X.tokens(F.col("text")))
+    # both halves are tokenize-heavy scan-stage work — fan the narrow
+    # projection out (r12; no-op at scale)
+    docs = fan_out_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).withColumn("_tok", X.tokens(F.col("text")))
     rep = docs.select(
         "doc_id",
         *[c.alias(n) for n, c in repetition_columns(F.col("text"), tok=F.col("_tok")).items()],

