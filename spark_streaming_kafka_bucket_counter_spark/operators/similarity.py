@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.files import fan_out_scan
+
 
 #: DuckDB oracle twin of :func:`cosine` over aliased sides ``a.v``/``b.v``
 #: — ONE definition shared by every *_sql builder (extensions, knn, LPA)
@@ -664,7 +666,10 @@ def _assign_nearest_cell(
     e6 = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
     )
-    evec = df.select(F.col(id_col), e6.alias("_e6"))
+    # the K-way distance fan-out below is scan-stage per-row work over a
+    # broadcast — fan the narrow (id, vec) projection out first so a
+    # small input uses every core (r12; no-op at scale)
+    evec = fan_out_scan(df.select(F.col(id_col), e6.alias("_e6")), id_col)
     pairs = evec.crossJoin(F.broadcast(carr))
     dist = F.aggregate(
         F.zip_with(F.col("_e6"), F.col("_c6"), lambda a, b: (a - b) * (a - b)),
@@ -720,9 +725,13 @@ def semantic_dedup_pairs(
     # zero SNAPPED norm (all-zero or sub-1/scale vector) has no cosine
     # direction — exclude on the snapped criterion (a doubles-norm guard
     # would pass a 1e-12 vector that still snaps to zero and divide by 0)
+    # materialize the assignment ONCE: both pair-join sides consume it,
+    # and without the persist the whole centroid+argmin+join pipeline
+    # re-executes per side (measured 2.9 s -> 0.4 s warm at sf0.1;
+    # lifecycle tied to the result per the _cache convention)
     sided = assigned.select(F.col(id_col), "cell", "_e6", norm.alias("_n")).filter(
         F.col("_n") > 0
-    )
+    ).persist()
     a = sided.select(
         F.col(id_col).alias("id_a"), "cell",
         F.col("_e6").alias("_ea"), F.col("_n").alias("_na"),
@@ -741,13 +750,24 @@ def semantic_dedup_pairs(
         / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
         6,
     )
-    return (
-        a.join(b, "cell")
+    # The cell key is deliberately low-cardinality relative to cores on
+    # a small/medium corpus (K trained cells), so a plain join on "cell"
+    # caps the pair-enumeration stage at K busy tasks and concentrates
+    # the quadratic per-cell dot-product work (guide §2.5 hot keys).
+    # Salting the a-side spreads each cell's pair enumeration over
+    # salt_buckets reducers; the b-side replication is K-bounded and
+    # result-identity is pinned by test_salted_join_matches_plain_join.
+    from ._cache import unpersist_with
+    from .joins import salted_join
+
+    out = (
+        salted_join(a, b, ["cell"], salt_buckets=8)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cell", "cosine")
     )
+    return unpersist_with(out, sided)
 
 
 def _nearest_cell_sql(

@@ -342,13 +342,19 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..operators.sessions import streaming_session_counts
-    from ..session import restored_conf
+    from ..session import restored_conf, stream_drain_partitions
 
+    # state partitions sized to the drain's state (r12; see
+    # session.stream_drain_partitions)
     with restored_conf(
-        spark, "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"
+        spark, "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
     ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_drain_partitions(spark))
+        )
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = (
             spark.readStream.schema(raw_schema)
@@ -786,13 +792,19 @@ def q_streaming_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     not copy the memory sink to a cluster."""
     import uuid
 
-    from ..session import restored_conf
+    from ..session import restored_conf, stream_drain_partitions
 
+    # state partitions sized to the drain's state (r12; see
+    # session.stream_drain_partitions)
     with restored_conf(
-        spark, "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"
+        spark, "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
     ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_drain_partitions(spark))
+        )
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = (
             spark.readStream.schema(raw_schema)

@@ -1400,18 +1400,24 @@ def q_streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
     do not copy the memory sink to a cluster."""
     import uuid
 
-    from ..session import restored_conf
+    from ..session import restored_conf, stream_drain_partitions
     from ..streaming.pipeline import streaming_interval_join
 
     # the drain EXECUTES inside the block -> safe to restore the confs
     # after. Session tz is pinned to UTC for the duration because the
     # event-time columns round-trip through TIMESTAMP_LTZ (the driver may
-    # hand us a bare session with a local timezone).
+    # hand us a bare session with a local timezone). State partitions are
+    # sized to the drain's state, not the core count (r12 — see
+    # session.stream_drain_partitions; 32 -> 8 cut this drain ~3x).
     with restored_conf(
-        spark, "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"
+        spark, "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
     ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_drain_partitions(spark))
+        )
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = (
             spark.readStream.schema(raw_schema)
@@ -1484,14 +1490,20 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     do not copy the memory sink to a cluster."""
     import uuid
 
-    from ..session import restored_conf
+    from ..session import restored_conf, stream_drain_partitions
     from ..streaming.pipeline import streaming_drop_duplicates
 
+    # state partitions sized to the drain's state (r12; see
+    # session.stream_drain_partitions)
     with restored_conf(
-        spark, "spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"
+        spark, "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone", "spark.sql.shuffle.partitions",
     ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_drain_partitions(spark))
+        )
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = (
             spark.readStream.schema(raw_schema)

@@ -211,14 +211,22 @@ def q_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..functions.buckets import with_bucket
-    from ..session import restored_conf
+    from ..session import restored_conf, stream_drain_partitions
     from ..streaming.stateful import start_stateful_counter
 
     name = f"srSan_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ssbc_ckpt_")
     # The whole drain EXECUTES inside this block, so pinning + restoring
     # the nanos conf leaves the caller's session untouched (hygiene).
-    with restored_conf(spark, "spark.sql.legacy.parquet.nanosAsLong"):
+    # State partitions sized to the drain's state (r12; see
+    # session.stream_drain_partitions).
+    with restored_conf(
+        spark, "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.shuffle.partitions",
+    ):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_drain_partitions(spark))
+        )
         # raw parquet schema (ts = TIMESTAMP(NANOS) surfaces as bigint under
         # nanosAsLong); the stream applies the same ns -> us truncation as
         # sources.files.load_table so values match the batch/oracle path

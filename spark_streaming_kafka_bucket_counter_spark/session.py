@@ -74,6 +74,36 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def stream_drain_partitions(spark: SparkSession) -> int:
+    """Shuffle/state partition count for a bounded ``availableNow``
+    drain (the catalog's oracle-harness streaming queries).
+
+    In Structured Streaming ``spark.sql.shuffle.partitions`` fixes the
+    stateful operator's STATE-STORE partition count (locked in at the
+    first checkpoint; AQE never applies to stateful plans). Every state
+    partition pays a fixed per-micro-batch commit — a delta file write
+    plus maintenance snapshotting — independent of how many rows it
+    holds, so for a bounded drain whose whole state is KB-scale the
+    commit overhead dominates wall-clock: measured at sf0.1/local[32],
+    the stream-stream interval join drain runs ~8.5 s at 32 partitions
+    and ~2.7 s at 8 (guide §1 empirical loop; the per-partition commit
+    is the 'shuffle-adjacent fixed cost' analog of §2.2's many-small-
+    blocks problem). State partitioning should therefore track STATE
+    VOLUME, not core count — the production knob is the
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` env (set it to 2-3x cores for
+    genuinely large state); the default is
+    ``min(defaultParallelism, 8)`` so small drains stop paying 32
+    commit fees per batch while a lower-core bench stays comparable.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return max(1, min(spark.sparkContext.defaultParallelism, 8))
+
+
 @contextlib.contextmanager
 def restored_conf(spark: SparkSession, *keys: str):
     """Save the named session confs and restore them (set back or unset)
