@@ -732,6 +732,10 @@ def ivfpq_recall_eval(
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("cand_id").asc()
     )
+    # the exact-L2 truth table is consumed twice per variant (per-query
+    # totals + the hit semi-join) — materialize it ONCE instead of
+    # re-running the crossJoin + window per consumer (r12; lifecycle
+    # tied to the returned frame per the _cache convention)
     truth = (
         vecs.crossJoin(F.broadcast(queries))
         .filter(F.col("id") != F.col("query_id"))
@@ -739,6 +743,7 @@ def ivfpq_recall_eval(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)
         .select("query_id", "cand_id")
+        .persist()
     )
 
     def _ppm(approx: DataFrame, variant: str) -> DataFrame:
@@ -767,7 +772,9 @@ def ivfpq_recall_eval(
         df, id_col, vec_col, res_books, dim, m, ksub, scale,
         n_centroids, nprobe, query_max_id, top_k, res_codes,
     )
-    return _ppm(raw, "raw").unionAll(_ppm(res, "residual"))
+    from ._cache import unpersist_with
+
+    return unpersist_with(_ppm(raw, "raw").unionAll(_ppm(res, "residual")), truth)
 
 
 # ---------------------------------------------------------------------------
@@ -1989,6 +1996,8 @@ def ivfpq_trained_recall_eval(
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("cand_id").asc()
     )
+    # consumed twice per variant x FOUR variants — materialize once
+    # (r12; lifecycle tied to the returned frame, _cache convention)
     truth = (
         vecs.crossJoin(F.broadcast(queries))
         .filter(F.col("id") != F.col("query_id"))
@@ -1996,6 +2005,7 @@ def ivfpq_trained_recall_eval(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)
         .select("query_id", "cand_id")
+        .persist()
     )
 
     def _ppm(approx: DataFrame, variant: str) -> DataFrame:
@@ -2038,11 +2048,14 @@ def ivfpq_trained_recall_eval(
         n_centroids, cell_iters, nprobe, query_max_id, top_k,
         tres_codes, cents,
     )
-    return (
+    from ._cache import unpersist_with
+
+    return unpersist_with(
         _ppm(raw_seed, "raw_seed")
         .unionAll(_ppm(res_seed, "residual_seed"))
         .unionAll(_ppm(raw_tr, "raw_trained"))
-        .unionAll(_ppm(res_tr, "residual_trained"))
+        .unionAll(_ppm(res_tr, "residual_trained")),
+        truth,
     )
 
 
@@ -2383,8 +2396,7 @@ def ivfpq_probe_frontier(
                 .crossJoin(F.broadcast(npairs))
             )
             rows = row if rows is None else rows.unionAll(row)
-        return rows
-    finally:
+    except BaseException:
         # both frames are initialized to None BEFORE the try (ADVICE
         # r10 #4): a failure anywhere inside — including pq_encode —
         # leaks neither persist
@@ -2392,6 +2404,16 @@ def ivfpq_probe_frontier(
             ranked.unpersist()
         if truth is not None:
             truth.unpersist()
+        raise
+    # On success the caches must OUTLIVE this call: the returned frame
+    # is lazy, so the r10 finally-unpersist evicted both persists before
+    # any consumer executed and every probe row recomputed the ranked
+    # assignment AND the exact-L2 truth from scratch (r12 find). Tie the
+    # unpersists to the result's lifetime instead (_cache convention —
+    # same leak-safety, caches actually serve).
+    from ._cache import unpersist_with
+
+    return unpersist_with(rows, ranked, truth)
 
 
 def ivfpq_probe_frontier_sql(
