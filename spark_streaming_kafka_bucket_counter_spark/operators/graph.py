@@ -41,6 +41,7 @@ def _cut_lineage(
     rnd: int,
     checkpoint_every: int,
     checkpoint_dir: str | None,
+    eager: bool = False,
 ) -> DataFrame:
     """Per-round lineage cut for iterative loops.
 
@@ -64,7 +65,11 @@ def _cut_lineage(
                 "checkpoint_dir= or call sparkContext.setCheckpointDir first"
             )
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=False)
+    # ``eager=True`` on the LAST round forces the whole lazy cascade to
+    # materialize INSIDE the caller's pinned-conf window (r12): the
+    # loop's shuffle-partition conf is restored on exit, so execution
+    # must not leak past it. Intermediate rounds stay lazy — one job.
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(
@@ -146,47 +151,60 @@ def connected_components(
     prev = tuple(e.agg(*_stats).collect()[0])
     converged = prev[0] == 0  # no edges -> every node is its own root
     rounds = 0
-    for rnd in range(max_iter):
-        if converged:
-            break
-        # -- large-star: every edge's LARGER endpoint rewires to the min
-        # of its lower endpoint's neighborhood (incl. that endpoint).
-        # With canonical (hi, lo) edges, "(u, v) with v > u" is exactly
-        # the reversed edge list, so no fanout filter is needed; the
-        # intermediate output stays deduplication-free (|large| == |e|,
-        # duplicates are harmless to the min aggregates and the single
-        # end-of-round distinct), saving one shuffle per round.
-        rev = e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-        adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(rev)
-        m_all = adj.groupBy("u").agg(F.min("v").alias("_mv"))
-        m_all = m_all.select("u", F.least("_mv", "u").alias("m"))
-        large = (
-            rev.join(m_all, "u")
-            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-            .filter(F.col("hi") != F.col("lo"))
+    from ..session import loop_shuffle_partitions, restored_conf
+
+    spark = edges.sparkSession
+    # per-round shuffles sized by the canonical edge count (already in
+    # hand from the convergence potential), not the session default;
+    # every round's jobs — the convergence collects — execute inside
+    # this window, so the lazy cuts need no eager flag here (r12; see
+    # session.loop_shuffle_partitions)
+    with restored_conf(spark, "spark.sql.shuffle.partitions"):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(loop_shuffle_partitions(spark, int(prev[0]))),
         )
-        # -- small-star on canonical edges: per hi, its lo-neighbors
-        # (all <= hi) collapse onto their min, and hi links there too.
-        # groupBy + join (not a window over hi): a super-node partition
-        # must stay AQE-splittable — same skew argument as boilerplate.
-        m_lo = large.groupBy("hi").agg(F.min("lo").alias("m"))
-        small = (
-            large.join(m_lo, "hi")
-            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-            .unionByName(m_lo.select("hi", F.col("m").alias("lo")))
-            .filter(F.col("hi") != F.col("lo"))
-            .distinct()
-        )
-        e = _cut_lineage(small, rnd, checkpoint_every, checkpoint_dir)
-        rounds = rnd + 1
-        # convergence action only every check_every-th (or last) round:
-        # skipped rounds stay lazy and are materialized by the next
-        # check's job, so the span costs ONE job instead of one per round
-        if rounds % check_every == 0 or rnd == max_iter - 1:
-            cur = tuple(e.agg(*_stats).collect()[0])
-            if cur == prev:  # monotone pair -> equal == global fixpoint
-                converged = True
-            prev = cur
+        for rnd in range(max_iter):
+            if converged:
+                break
+            # -- large-star: every edge's LARGER endpoint rewires to the min
+            # of its lower endpoint's neighborhood (incl. that endpoint).
+            # With canonical (hi, lo) edges, "(u, v) with v > u" is exactly
+            # the reversed edge list, so no fanout filter is needed; the
+            # intermediate output stays deduplication-free (|large| == |e|,
+            # duplicates are harmless to the min aggregates and the single
+            # end-of-round distinct), saving one shuffle per round.
+            rev = e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+            adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(rev)
+            m_all = adj.groupBy("u").agg(F.min("v").alias("_mv"))
+            m_all = m_all.select("u", F.least("_mv", "u").alias("m"))
+            large = (
+                rev.join(m_all, "u")
+                .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                .filter(F.col("hi") != F.col("lo"))
+            )
+            # -- small-star on canonical edges: per hi, its lo-neighbors
+            # (all <= hi) collapse onto their min, and hi links there too.
+            # groupBy + join (not a window over hi): a super-node partition
+            # must stay AQE-splittable — same skew argument as boilerplate.
+            m_lo = large.groupBy("hi").agg(F.min("lo").alias("m"))
+            small = (
+                large.join(m_lo, "hi")
+                .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+                .unionByName(m_lo.select("hi", F.col("m").alias("lo")))
+                .filter(F.col("hi") != F.col("lo"))
+                .distinct()
+            )
+            e = _cut_lineage(small, rnd, checkpoint_every, checkpoint_dir)
+            rounds = rnd + 1
+            # convergence action only every check_every-th (or last) round:
+            # skipped rounds stay lazy and are materialized by the next
+            # check's job, so the span costs ONE job instead of one per round
+            if rounds % check_every == 0 or rnd == max_iter - 1:
+                cur = tuple(e.agg(*_stats).collect()[0])
+                if cur == prev:  # monotone pair -> equal == global fixpoint
+                    converged = True
+                prev = cur
     connected_components.last_n_rounds = rounds
     if not converged:
         e0.unpersist()
@@ -310,34 +328,50 @@ def pagerank(
         und.unpersist()
         return out
     base = (100 - damping_pct) * PR_UNIT // (100 * n_nodes)
-    # degree pre-joined into the static edge frame ONCE, hash-partitioned
-    # on the join key and cached: each round's ranks frame comes out of
-    # its groupBy already hash(u)-partitioned (localCheckpoint preserves
-    # partitioning), so the per-round join needs NO exchange on either
-    # side — one join + one shuffle (the aggregation) per round instead
-    # of two joins. The per-edge `r div deg` equals the per-node value
-    # (deg is constant within a node's fanout).
-    und_deg = und.join(deg, "u").repartition("u").persist()
-    ranks = deg.select("u", F.lit(PR_UNIT // n_nodes).cast("long").alias("r"))
-    for rnd in range(iterations):
-        contribs = (
-            ranks.join(und_deg, "u")
-            # SQL `div` = true BIGINT division (no float round-trip)
-            .select(F.col("v").alias("u"), F.expr("r div deg").alias("c"))
+    from ..session import loop_shuffle_partitions, restored_conf
+
+    spark = edges.sparkSession
+    # per-round shuffles sized by the edge volume, not the session
+    # default (r12 — see session.loop_shuffle_partitions); und is
+    # persisted so the extra count action is a cache read. The whole
+    # loop EXECUTES inside the pinned-conf window: the last round's
+    # lineage cut is eager, which materializes the lazy cascade before
+    # the conf is restored.
+    n_edges = und.count()
+    with restored_conf(spark, "spark.sql.shuffle.partitions"):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(loop_shuffle_partitions(spark, n_edges)),
         )
-        ranks = _cut_lineage(
-            contribs.groupBy("u")
-            .agg(F.sum("c").alias("_s"))
-            .select(
-                "u",
-                (F.lit(base) + F.expr(f"({damping_pct} * _s) div 100"))
-                .cast("long")
-                .alias("r"),
-            ),
-            rnd,
-            checkpoint_every,
-            checkpoint_dir,
-        )
+        # degree pre-joined into the static edge frame ONCE, hash-partitioned
+        # on the join key and cached: each round's ranks frame comes out of
+        # its groupBy already hash(u)-partitioned (localCheckpoint preserves
+        # partitioning), so the per-round join needs NO exchange on either
+        # side — one join + one shuffle (the aggregation) per round instead
+        # of two joins. The per-edge `r div deg` equals the per-node value
+        # (deg is constant within a node's fanout).
+        und_deg = und.join(deg, "u").repartition("u").persist()
+        ranks = deg.select("u", F.lit(PR_UNIT // n_nodes).cast("long").alias("r"))
+        for rnd in range(iterations):
+            contribs = (
+                ranks.join(und_deg, "u")
+                # SQL `div` = true BIGINT division (no float round-trip)
+                .select(F.col("v").alias("u"), F.expr("r div deg").alias("c"))
+            )
+            ranks = _cut_lineage(
+                contribs.groupBy("u")
+                .agg(F.sum("c").alias("_s"))
+                .select(
+                    "u",
+                    (F.lit(base) + F.expr(f"({damping_pct} * _s) div 100"))
+                    .cast("long")
+                    .alias("r"),
+                ),
+                rnd,
+                checkpoint_every,
+                checkpoint_dir,
+                eager=rnd == iterations - 1,
+            )
     out = ranks.select(F.col("u").alias("node"), F.col("r").alias("rank_e9"))
     from ._cache import unpersist_with
 
@@ -439,31 +473,43 @@ def label_propagation(
         ).cast("long"),
     ).otherwise(F.col("u").cast("long"))
     labels = und.select("u").distinct().select("u", id_guard.alias("label"))
-    for _ in range(iterations):
-        counted = (
-            labels.join(und, "u")
-            .groupBy(F.col("v"), F.col("label"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    from ..session import loop_shuffle_partitions, restored_conf
+
+    spark = edges.sparkSession
+    # per-round shuffles sized by edge volume; loop executes inside the
+    # pinned-conf window via the eager last-round cut (r12 — same
+    # treatment as pagerank; see session.loop_shuffle_partitions)
+    n_edges = und.count()
+    with restored_conf(spark, "spark.sql.shuffle.partitions"):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(loop_shuffle_partitions(spark, n_edges)),
         )
-        cnt_guard = F.when(
-            F.col("cnt") >= LPA_CNT_CAP,
-            F.raise_error(
-                F.lit(
-                    f"label_propagation: node degree exceeds {LPA_CNT_CAP} "
-                    "(LPA_CNT_CAP) — the argmax encoding would overflow"
-                )
-            ).cast("long"),
-        ).otherwise(F.col("cnt"))
-        enc = (F.lit(LPA_CNT_CAP) - cnt_guard) * F.lit(LPA_LBL_CAP) + F.col("label")
-        labels = (
-            counted.groupBy("v")
-            .agg(F.min(enc).alias("_m"))
-            .select(
-                F.col("v").alias("u"),
-                (F.col("_m") % F.lit(LPA_LBL_CAP)).cast("long").alias("label"),
+        for rnd in range(iterations):
+            counted = (
+                labels.join(und, "u")
+                .groupBy(F.col("v"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .localCheckpoint(eager=False)
-        )
+            cnt_guard = F.when(
+                F.col("cnt") >= LPA_CNT_CAP,
+                F.raise_error(
+                    F.lit(
+                        f"label_propagation: node degree exceeds {LPA_CNT_CAP} "
+                        "(LPA_CNT_CAP) — the argmax encoding would overflow"
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("cnt"))
+            enc = (F.lit(LPA_CNT_CAP) - cnt_guard) * F.lit(LPA_LBL_CAP) + F.col("label")
+            labels = (
+                counted.groupBy("v")
+                .agg(F.min(enc).alias("_m"))
+                .select(
+                    F.col("v").alias("u"),
+                    (F.col("_m") % F.lit(LPA_LBL_CAP)).cast("long").alias("label"),
+                )
+                .localCheckpoint(eager=rnd == iterations - 1)
+            )
     out = labels.select(F.col("u").alias("node"), F.col("label").alias("community"))
     from ._cache import unpersist_with
 

@@ -104,6 +104,38 @@ def stream_drain_partitions(spark: SparkSession) -> int:
     return max(1, min(spark.sparkContext.defaultParallelism, 8))
 
 
+def loop_shuffle_partitions(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 150_000
+) -> int:
+    """Per-round shuffle partition count for ITERATIVE DataFrame loops
+    (pagerank / LPA / star-alternation CC), sized by the loop's data
+    volume instead of the session's core-count default.
+
+    An iterative round does O(1) work per row, so its wall-clock is
+    (per-partition fixed cost: task launch, lineage-cut block write,
+    shuffle block handling — ~50-100 ms each locally) x partitions +
+    row work / partitions. With the session default (= cores) every
+    round pays the full fixed cost fan-out even when a partition holds
+    only a few thousand rows — measured at sf0.1/local[32], 5-round
+    pagerank over 1.2M mirrored edges runs 5.5 s at 32 partitions and
+    3.2 s at 8 (guide §2.2: fewer, larger partitions; a 1-partition
+    loop is WORSE again — 7.5 s — because rounds serialize, hence the
+    floor). ~150k edge rows per partition keeps per-partition row work
+    comfortably above the fixed cost while the cap
+    (4 x defaultParallelism, min 64) lets a wide cluster stay fully
+    used; ``SPARK_GRAFT_LOOP_PARTITIONS`` overrides for deployments
+    that know better.
+    """
+    env = os.environ.get("SPARK_GRAFT_LOOP_PARTITIONS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    cap = max(4 * spark.sparkContext.defaultParallelism, 64)
+    return max(2, min(-(-n_rows // max(1, rows_per_partition)), cap))
+
+
 @contextlib.contextmanager
 def restored_conf(spark: SparkSession, *keys: str):
     """Save the named session confs and restore them (set back or unset)
