@@ -1365,14 +1365,23 @@ def minhash_lsh_eval(
     """
     sh = doc_shingles(df, id_col, text_col, k).persist()
     banded = _minhash_banded(sh, num_hashes, bands)
+    # cand and truth are each consumed TWICE (the true-positive join +
+    # their own count aggregate) — without the persists the banded
+    # self-join and the full inverted-index truth join execute twice
+    # per eval (r12; lifecycle tied to the result below)
     cand = (
         banded.select(F.col("doc").alias("doc_a"), "band", "bk")
         .join(banded.select(F.col("doc").alias("doc_b"), "band", "bk"), ["band", "bk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
-    truth = _jaccard_pairs_from_shingles(sh, threshold).select("doc_a", "doc_b")
+    truth = (
+        _jaccard_pairs_from_shingles(sh, threshold)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
     tp = cand.join(truth, ["doc_a", "doc_b"])
     metrics = (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -1397,7 +1406,7 @@ def minhash_lsh_eval(
         .cast("long")
         .alias("recall_ppm"),
     )
-    return unpersist_with(out, sh)
+    return unpersist_with(out, sh, cand, truth)
 
 
 def lsh_append_index(

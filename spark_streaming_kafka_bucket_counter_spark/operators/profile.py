@@ -50,7 +50,13 @@ def profile_columns(
             F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
         ]
-    one = df.agg(*aggs)
+    from ..sources.files import fan_out_scan
+
+    # N exact count_distincts plan an Expand of (N+1)x input rows in the
+    # scan stage — fan the projected input out so the expansion and the
+    # partial aggregation parallelize on small inputs (r12; no-op at
+    # scale)
+    one = fan_out_scan(df.select(*cols), cols[0]).agg(*aggs)
     stacked = ", ".join(
         f"'{c}', _n_rows, _nn_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
     )

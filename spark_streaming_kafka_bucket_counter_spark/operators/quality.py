@@ -194,10 +194,22 @@ def decontaminate(
     ev = ev_cached
     if ev_cached.count() <= broadcast_max_grams:
         ev = F.broadcast(ev_cached)
-    corp = corpus.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("_s"),
-    ).select(F.col(id_col), token_hash32(F.col("_s")).alias("_h"))
+    # materialize the token array before the shingle HOF (interpreted
+    # lambdas re-evaluate inline sub-expressions per element — the
+    # doc_shingles lesson) and fan the narrow corpus projection out:
+    # tokenize+shingle+hash is scan-stage work that otherwise runs
+    # single-task on small inputs (r12; no-op at scale)
+    from ..sources.files import fan_out_scan
+
+    corp = (
+        fan_out_scan(corpus.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(F.col("_tok"), k))).alias("_s"),
+        )
+        .select(F.col(id_col), token_hash32(F.col("_s")).alias("_h"))
+    )
     joined = corp.join(ev.withColumn("_hit", F.lit(1)), "_h", "left")
     spine = corpus.select(F.col(id_col))
     agg = joined.groupBy(id_col).agg(

@@ -413,10 +413,16 @@ def bootstrap_mean_ci(
     #groups x B rows), then a #groups-sized rollup. No second data
     scan, no driver work; B is the explicit cost knob.
     """
+    from ..sources.files import fan_out_scan
+
+    # the B-way replicate explode + per-row md5 weight is scan-stage
+    # work — fan the narrow projection out first (r12; no-op at scale)
     b = F.explode(F.array(*[F.lit(i) for i in range(replicates)])).alias("_b")
-    exploded = df.select(
-        F.col(group_col), F.col(id_col), value_e4.alias("_v"), b
-    ).withColumn("_w", _boot_weight(id_col, F.col("_b")))
+    exploded = fan_out_scan(
+        df.select(F.col(group_col), F.col(id_col), value_e4.alias("_v")), id_col
+    ).select(F.col(group_col), F.col(id_col), F.col("_v"), b).withColumn(
+        "_w", _boot_weight(id_col, F.col("_b"))
+    )
     rep = (
         exploded.groupBy(group_col, "_b")
         .agg(
