@@ -528,6 +528,7 @@ def ivfpq_topk(
     query_max_id: int = 10,
     top_k: int = 5,
     codes: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, cand_id, adc_dist, rank): the full Faiss IVFADC
     composition — IVF cells prune the candidate set (each candidate
@@ -541,12 +542,18 @@ def ivfpq_topk(
     probes. Cell assignment keeps similarity.ivf_assign's contract
     (deterministic seed centroids id < n_centroids, cosine, zero-norm
     vectors excluded); ADC keeps pq_adc_topk's (exact fixed-point
-    BIGINT sub-distances, ties to the lower cand_id)."""
+    BIGINT sub-distances, ties to the lower cand_id).
+
+    ``assigned`` optionally supplies a precomputed (and typically
+    persisted) ``ivf_assign(..., max_rank=nprobe)`` frame so an eval
+    that runs several code variants over the SAME cells pays for the
+    assignment once (r12)."""
     from .similarity import ivf_assign, nonzero_vectors
 
     _check_dims(dim, m)
     nz = nonzero_vectors(df, vec_col)
-    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe)
+    if assigned is None:
+        assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe)
     cand = assigned.filter(F.col("_rn") == 1).select(
         F.col("_id").alias("cand_id"), "cid"
     )
@@ -625,6 +632,7 @@ def ivfpq_residual_topk(
     query_max_id: int = 10,
     top_k: int = 5,
     codes: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, cand_id, adc_dist, rank): IVFADC over RESIDUAL codes —
     the faithful Faiss recipe. ``books`` must be trained on
@@ -633,13 +641,18 @@ def ivfpq_residual_topk(
     (query, probed cell): the query's residual against THAT cell's
     centroid vs the codebook — nprobe * m * ksub exact BIGINTs per
     query, still driver-bounded. Distance ranks approximate
-    ||q - (c + r̂)||^2 within each probed cell."""
+    ||q - (c + r̂)||^2 within each probed cell.
+
+    ``assigned`` optionally supplies a precomputed/persisted
+    ``ivf_assign(..., max_rank=nprobe)`` frame (shared-cells eval
+    path, r12 — see :func:`ivfpq_topk`)."""
     from .similarity import ivf_assign, nonzero_vectors
 
     _check_dims(dim, m)
     dsub = dim // m
     nz = nonzero_vectors(df, vec_col)
-    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe)
+    if assigned is None:
+        assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe)
     cand = assigned.filter(F.col("_rn") == 1).select(
         F.col("_id").alias("cand_id"), "cid"
     )
@@ -764,17 +777,23 @@ def ivfpq_recall_eval(
             F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
         )
 
+    # ONE seed-cell assignment serves both code variants (r12)
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe).persist()
     raw = ivfpq_topk(
         df, id_col, vec_col, raw_books, dim, m, ksub, scale,
-        n_centroids, nprobe, query_max_id, top_k, raw_codes,
+        n_centroids, nprobe, query_max_id, top_k, raw_codes, assigned=assigned,
     )
     res = ivfpq_residual_topk(
         df, id_col, vec_col, res_books, dim, m, ksub, scale,
-        n_centroids, nprobe, query_max_id, top_k, res_codes,
+        n_centroids, nprobe, query_max_id, top_k, res_codes, assigned=assigned,
     )
     from ._cache import unpersist_with
 
-    return unpersist_with(_ppm(raw, "raw").unionAll(_ppm(res, "residual")), truth)
+    return unpersist_with(
+        _ppm(raw, "raw").unionAll(_ppm(res, "residual")), truth, assigned
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1817,6 +1836,7 @@ def ivfpq_trained_topk(
     top_k: int = 5,
     codes: DataFrame | None = None,
     cents: dict[int, list[int]] | None = None,
+    pairs_fixed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(query_id, cand_id, adc_dist, rank): IVFADC over TRAINED coarse
     cells — identical to :func:`ivfpq_topk` except the cells come from
@@ -1824,7 +1844,12 @@ def ivfpq_trained_topk(
     vectors, and assignment is exact integer squared-L2 (the metric the
     cells were trained under) instead of cosine. The PQ codebook/codes
     are the SAME raw ones (cell choice and code compression are
-    independent axes in Faiss's IVFADC)."""
+    independent axes in Faiss's IVFADC).
+
+    ``pairs_fixed`` optionally supplies a precomputed/persisted
+    ``_trained_pairs`` result so an eval running raw AND residual codes
+    over the same trained cells pays for the ranked assignment once
+    (r12)."""
     from .clustering import kmeans_centroids
 
     _check_dims(dim, m)
@@ -1832,7 +1857,7 @@ def ivfpq_trained_topk(
         cents = kmeans_centroids(
             df, id_col, vec_col, k=n_centroids, iters=cell_iters, scale=scale
         )
-    pairs, fixed = _trained_pairs(
+    pairs, fixed = pairs_fixed if pairs_fixed is not None else _trained_pairs(
         df, id_col, vec_col, cents, scale, nprobe, query_max_id
     )
     if codes is None:
@@ -1894,12 +1919,14 @@ def ivfpq_trained_residual_topk(
     top_k: int = 5,
     codes: DataFrame | None = None,
     cents: dict[int, list[int]] | None = None,
+    pairs_fixed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(query_id, cand_id, adc_dist, rank): the FULL Faiss IVFADC
     default — k-means coarse cells AND residual PQ codes. ``books``
     must be trained on :func:`trained_residual_frame` output
     (already_fixed=True); the per-(query, probed cell) LUT uses the
-    query's residual against that trained centroid."""
+    query's residual against that trained centroid. ``pairs_fixed``:
+    see :func:`ivfpq_trained_topk` (shared-cells eval path, r12)."""
     from .clustering import kmeans_centroids
 
     _check_dims(dim, m)
@@ -1908,7 +1935,7 @@ def ivfpq_trained_residual_topk(
         cents = kmeans_centroids(
             df, id_col, vec_col, k=n_centroids, iters=cell_iters, scale=scale
         )
-    pairs, fixed = _trained_pairs(
+    pairs, fixed = pairs_fixed if pairs_fixed is not None else _trained_pairs(
         df, id_col, vec_col, cents, scale, nprobe, query_max_id
     )
     if codes is None:
@@ -2030,23 +2057,32 @@ def ivfpq_trained_recall_eval(
             F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
         )
 
+    # ONE seed-cell assignment and ONE trained-cell ranked pair set
+    # serve both code variants of their half of the 2x2 (r12)
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe).persist()
+    tpairs, tfixed = _trained_pairs(
+        df, id_col, vec_col, cents, scale, nprobe, query_max_id
+    )
+    tpairs = tpairs.persist()
     raw_seed = ivfpq_topk(
         df, id_col, vec_col, raw_books, dim, m, ksub, scale,
-        n_centroids, nprobe, query_max_id, top_k, raw_codes,
+        n_centroids, nprobe, query_max_id, top_k, raw_codes, assigned=assigned,
     )
     res_seed = ivfpq_residual_topk(
         df, id_col, vec_col, res_books, dim, m, ksub, scale,
-        n_centroids, nprobe, query_max_id, top_k, res_codes,
+        n_centroids, nprobe, query_max_id, top_k, res_codes, assigned=assigned,
     )
     raw_tr = ivfpq_trained_topk(
         df, id_col, vec_col, raw_books, dim, m, ksub, scale,
         n_centroids, cell_iters, nprobe, query_max_id, top_k,
-        raw_codes, cents,
+        raw_codes, cents, pairs_fixed=(tpairs, tfixed),
     )
     res_tr = ivfpq_trained_residual_topk(
         df, id_col, vec_col, tres_books, dim, m, ksub, scale,
         n_centroids, cell_iters, nprobe, query_max_id, top_k,
-        tres_codes, cents,
+        tres_codes, cents, pairs_fixed=(tpairs, tfixed),
     )
     from ._cache import unpersist_with
 
@@ -2056,6 +2092,8 @@ def ivfpq_trained_recall_eval(
         .unionAll(_ppm(raw_tr, "raw_trained"))
         .unionAll(_ppm(res_tr, "residual_trained")),
         truth,
+        assigned,
+        tpairs,
     )
 
 

@@ -670,8 +670,15 @@ def quality_gate(
     null document silently passes the gate — in BOTH engines, so the
     oracle hash can't catch it. A gate must fail closed.
     """
+    from ..sources.files import fan_out_scan
+
     tok = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    base = df.select(F.col(id_col), F.col(text_col)).withColumn("_tok", tok)
+    # the per-rule flags tokenize + sort bigrams per row — scan-stage
+    # work that otherwise runs single-task on small inputs (r12; no-op
+    # at scale, where the projection stays a zero-shuffle scan)
+    base = fan_out_scan(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).withColumn("_tok", tok)
     n_tokens = F.size("_tok")
     uniq_ratio = F.size(F.array_distinct("_tok")).cast("double") / n_tokens
     dup_bi = dup_ngram_frac(F.col("_tok"), 2)
