@@ -300,9 +300,15 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     -> one groupBy(doc). The corpus is never shuffled on anything wider
     than (token | doc id); T rides a 1-row broadcast cross join.
     """
-    occ = df.select(
+    from ..sources.files import fan_out_scan
+    from ._cache import unpersist_with
+
+    # occ feeds BOTH the vocab build and the per-doc join — fan the
+    # tokenize/explode out of the single-task scan stage and persist it
+    # so the explode runs once (r12; lifecycle tied to the result)
+    occ = fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
-    )
+    ).persist()
     vocab = occ.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
     vocab = vocab.select(
         "_tok",
@@ -315,7 +321,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lp9").alias("_s9"))
     )
-    return (
+    out = (
         df.select(F.col(id_col))
         .join(per_doc, id_col, "left")
         .crossJoin(F.broadcast(total))
@@ -332,6 +338,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .alias("nll_bits"),
         )
     )
+    return unpersist_with(out, occ)
 
 
 def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -355,9 +362,16 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     broadcasts natural-language vocabs) -> one groupBy(doc). Docs with
     < 2 tokens emit m = 0, score 0.
     """
+    from ..sources.files import fan_out_scan
+    from ._cache import unpersist_with
+
     t = tokens(F.col(text_col))
+    # occ2 feeds BOTH the bigram-vocab build and the per-doc join — fan
+    # the tokenize/pair-explode out of the single-task scan stage and
+    # persist it so the explode runs once (r12)
     occ2 = (
-        df.select(F.col(id_col), t.alias("_t"))
+        fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), t.alias("_t"))
         .filter(F.size("_t") >= 2)
         .select(
             F.col(id_col),
@@ -369,6 +383,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("_p"),
         )
         .select(F.col(id_col), F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
+        .persist()
     )
     v2 = occ2.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
     v1 = v2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
@@ -382,7 +397,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_lp9").alias("_s9"))
     )
-    return (
+    out = (
         df.select(F.col(id_col))
         .join(per_doc, id_col, "left")
         .select(
@@ -400,6 +415,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .alias("nll2_bits"),
         )
     )
+    return unpersist_with(out, occ2)
 
 
 def bigram_logprob_sql(corpus_cte: str, id_col: str, text_col: str) -> str:
@@ -473,9 +489,19 @@ def bigram_backoff_logprob(
     is the auditability hook (how much of this doc the target LM
     actually knew).
     """
+    from ..sources.files import fan_out_scan
+    from ._cache import unpersist_with
+
     t = tokens(F.col(text_col))
+    # occ2 feeds the target-bigram build AND the scoring join; tv2
+    # feeds THREE consumers (w1 rollup, the lp9 join, the w2 rollup) —
+    # fan the pair explode out of the single-task scan stage and
+    # persist both so each computes once (r12)
+    # fanned WITHOUT projecting first: target_pred is caller-supplied
+    # and may reference any input column (e.g. source)
     occ2 = (
-        df.select(F.col(id_col), target_pred.alias("_is_tgt"), t.alias("_t"))
+        fan_out_scan(df, id_col)
+        .select(F.col(id_col), target_pred.alias("_is_tgt"), t.alias("_t"))
         .filter(F.size("_t") >= 2)
         .select(
             F.col(id_col),
@@ -491,11 +517,13 @@ def bigram_backoff_logprob(
             F.col(id_col), "_is_tgt",
             F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"),
         )
+        .persist()
     )
     tv2 = (
         occ2.filter(F.col("_is_tgt"))
         .groupBy("_w1", "_w2")
         .agg(F.count(F.lit(1)).alias("_c2"))
+        .persist()
     )
     tv1 = tv2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     v2lp = tv2.join(tv1, "_w1").select(
@@ -535,7 +563,7 @@ def bigram_backoff_logprob(
         ).alias("n_hit1"),
         F.sum(F.coalesce("_lp9", "_lp9u", "_flr9")).alias("_s9"),
     )
-    return (
+    out = (
         df.select(F.col(id_col))
         .join(per_doc, id_col, "left")
         .select(
@@ -552,6 +580,7 @@ def bigram_backoff_logprob(
             .alias("nll_bits"),
         )
     )
+    return unpersist_with(out, occ2, tv2)
 
 
 def bigram_backoff_logprob_sql(

@@ -45,8 +45,14 @@ def span_inventory(
     """
     if width < 1 or stride < 1:
         raise ValueError("width and stride must be >= 1")
+    from ..sources.files import fan_out_scan
+
     tok = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), tok.alias("_tok")).withColumn("_n", F.size("_tok"))
+    # tokenize + span slicing + per-span md5 are scan-stage work — fan
+    # small inputs out to the session's cores (r12; no-op at scale)
+    base = fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), tok.alias("_tok")
+    ).withColumn("_n", F.size("_tok"))
     starts = F.when(
         F.col("_n") >= width,
         F.sequence(F.lit(0), F.col("_n") - width, F.lit(stride)),
