@@ -123,11 +123,21 @@ def boilerplate_stats(
     Output: (id, n_shingles, n_boiler, boiler_ppm, flagged); documents
     with fewer than k tokens keep a row with zero counts.
     """
-    tok = X.tokens(F.col(text_col))
+    from ..sources.files import fan_out_scan
+    from ._cache import unpersist_with
+
+    # materialize the token array before the shingle HOF (interpreted
+    # lambdas re-evaluate inline sub-expressions per element — the
+    # doc_shingles lesson), fan the explode out of the single-task scan
+    # stage, and persist slots: it feeds BOTH the doc-frequency rollup
+    # and the join-back (r12)
     slots = (
-        df.select(F.col(id_col), F.explode(X.shingles(tok, k)).alias("gram"))
+        fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), X.tokens(F.col(text_col)).alias("_tok"))
+        .select(F.col(id_col), F.explode(X.shingles(F.col("_tok"), k)).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("cnt"))
+        .persist()
     )
     docfreq = slots.groupBy("gram").agg(F.count("*").alias("df"))
     per_doc = (
@@ -153,11 +163,12 @@ def boilerplate_stats(
         F.col("n_shingles") > 0,
         F.floor(F.col("n_boiler") * F.lit(1_000_000) / F.col("n_shingles")),
     ).otherwise(F.lit(0))
-    return out.withColumn("boiler_ppm", ppm.cast("long")).withColumn(
+    out = out.withColumn("boiler_ppm", ppm.cast("long")).withColumn(
         "flagged",
         (F.col("n_shingles") > 0)
         & (F.col("n_boiler") * F.lit(100) >= F.col("n_shingles") * F.lit(flag_pct)),
     )
+    return unpersist_with(out, slots)
 
 
 def boilerplate_stats_sql(
