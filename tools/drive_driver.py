@@ -93,18 +93,18 @@ def _session_memory_mb() -> dict[str, int]:
 # legitimately grows the session (say why in SCALE.md). The guard trips
 # at +25% — the "session caches grew past what the catalog budgeted"
 # signal, enforced only on full runs over the standard driver dataset.
-# Recorded r10 over two full passes at the 200-query catalog
-# (200q/526s: py 2372 / jvm 3300; 200q/387s: py 2184 / jvm 3302) —
-# larger of each kept. Python +131% over the r9 guard (1028): the
-# trained-cells 2x2 recall oracle (sim_ivfpq_trained_recall_eval) runs
-# FOUR full IVFADC chains (raw|residual x seed|trained cells) PLUS the
-# unrolled k-means coarse-quantizer chain in ONE DuckDB WITH clause —
-# DuckDB lives in the python process, so all its intermediates land on
-# this gauge; r9's two-chain eval drove the previous +21% the same way.
-# JVM +7% (3097 -> 3302), within the old +25% band. Justification:
-# SCALE.md r10 memory-guard note.
+# Recorded r12 over two full passes at the 207-query catalog
+# (207q/579s: py 4304 / jvm 3445; 207q/561s: py 4425 / jvm 2976) —
+# larger of each kept. Python +81-87% over the r10 guard (2372) for the
+# same structural reason r9 (+21%, two chains) and r10 (+131%, four
+# chains + k-means) documented when THEY regenerated: the r12 build's
+# sim_opq_recall_eval oracle runs the full 2x2x2 — EIGHT IVFADC chains
+# plus two unrolled k-means chains in ONE DuckDB WITH clause — and
+# DuckDB executes inside the python process, so its intermediates land
+# on this gauge. JVM 3445 stayed inside the old band (3302 * 1.25).
+# Justification: SCALE.md r12 memory-guard note.
 _MEM_HWM_MB = {
-    "/root/testdata/sf0.01": {"python_peak_mb": 2372, "jvm_peak_mb": 3302}
+    "/root/testdata/sf0.01": {"python_peak_mb": 4425, "jvm_peak_mb": 3445}
 }
 
 
