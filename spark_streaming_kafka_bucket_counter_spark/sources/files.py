@@ -94,8 +94,36 @@ def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    # Estimate the scan's parallelism from DRIVER-SIDE FILE METADATA
+    # only. The obvious df.rdd.getNumPartitions() is a trap under AQE:
+    # finalizing the plan to an RDD can EXECUTE the frame's upstream
+    # query stages (measured: curation_report re-ran its gate+window
+    # subtree once per decontaminate call through this guard). File
+    # count, topped up with size/maxPartitionBytes for the few-huge-
+    # files case, needs no job: at scale either the file count alone
+    # clears the bar or the byte estimate does, and this returns df
+    # untouched.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= n:
         return df
+    if files:
+        try:
+            mpb = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)).rstrip("b"))
+        except ValueError:
+            mpb = 128 * 1024 * 1024
+        total = 0
+        for f in files:
+            try:
+                total += os.stat(f.removeprefix("file:")).st_size
+            except OSError:
+                # non-local / unstatable source: assume a big split count
+                # rather than shuffling an input of unknown size
+                return df
+        if max(len(files), total // max(1, mpb)) >= n:
+            return df
     return df.repartition(n, F.col(key_col))
 
 
