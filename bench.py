@@ -64,6 +64,14 @@ CORE = [
     "dedup_minhash_lsh",
     "sim_ivf_topk",
     "corpus_curation_stack",
+    # CPU-bound scaling witness (r13, VERDICT r12 ask #2): every other
+    # CORE query is <=2 s fixed-cost-bound at sf0.1, so low-core/high-
+    # core ratios sit at ~1 and the driver cannot distinguish "env
+    # ignored" from "nothing here scales". text_entropy's per-doc
+    # folds are fanned to defaultParallelism (sources/files.fan_out_scan),
+    # so its runtime genuinely tracks core count. ADDITION-only: no
+    # existing CORE entry moved or renamed.
+    "text_entropy",
 ]
 HEADLINE = CORE + [n for n in sorted(catalog.QUERIES) if n not in CORE]
 
@@ -109,6 +117,15 @@ def main() -> None:
     jiff_start = _machine_jiffies()
     spark = get_spark(app_name="ssbc-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # stamp the APPLIED parallelism into the artifact (VERDICT r12 ask
+    # #2): session code honors $SPARK_GRAFT_CPUS (session.get_spark),
+    # but the JSON line carried no evidence, so a scaling run could not
+    # be distinguished from an ignored env from the artifact alone
+    parallelism = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+    }
 
     # Warmups (untimed): JVM/codegen via the flagship, then the Arrow
     # python-worker pool via an Arrow-path query — so no CORE query pays
@@ -163,7 +180,9 @@ def main() -> None:
         "end": _loadavg(),
         "busy_frac": _busy_frac(jiff_start, _machine_jiffies()),
     }
-    full, summary = build_records(timings, sf, core_samples, core_busy, load)
+    full, summary = build_records(
+        timings, sf, core_samples, core_busy, load, parallelism
+    )
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -186,6 +205,7 @@ def build_records(
     core_samples: dict[str, list[float]] | None = None,
     core_busy: dict[str, list[float | None]] | None = None,
     load: dict | None = None,
+    parallelism: dict | None = None,
 ) -> tuple[dict, dict]:
     """(full record, one-line summary). The summary must stay SMALL —
     the driver captures a bounded stdout tail, and round 2's 8 KB line
@@ -195,7 +215,11 @@ def build_records(
     the only sample our own 32 threads haven't polluted), end loadavg,
     and the machine-wide busy-CPU fraction over the whole window;
     per-run busy fractions for the CORE medians land in the full record
-    so a loaded window is attributable to specific samples."""
+    so a loaded window is attributable to specific samples.
+    ``parallelism`` (r13, VERDICT r12 ask #2) stamps the applied
+    master / defaultParallelism / shuffle-partition default into BOTH
+    records (~70 bytes, tail-safe) so the scaling contract is
+    verifiable from the artifact."""
     full = {
         "metric": f"headline_query_total_sf{sf}",
         "value": round(sum(timings.values()), 3),
@@ -208,6 +232,7 @@ def build_records(
         # machine-wide busy-CPU fraction during each CORE timed run
         "core_busy_frac": core_busy or {},
         "loadavg": load or {},
+        "parallelism": parallelism or {},
     }
     summary = dict(full)
     del summary["core_samples"]

@@ -206,7 +206,7 @@ def kmeans_ctes(
     # would turn md5 into mid5)
     rank_on_id = "md5(CAST(id AS VARCHAR)), id"
     ctes = [
-        f"""{P}v AS (SELECT {id_col} AS id,
+        f"""{P}v AS MATERIALIZED (SELECT {id_col} AS id,
              list_transform(CAST({vec_col} AS DOUBLE[]),
                             x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
            FROM {table})""",

@@ -655,7 +655,12 @@ def drop_contained_docs(
         .select(F.col("doc_a").alias(id_col))
         .distinct()
     )
-    return df.join(dropped, id_col, "left_anti")
+    from ._cache import adopt_lifetime
+
+    # `pairs` carries containment_pairs' persisted shingle set; the
+    # anti-join result must adopt it or the persist dies at return and
+    # the shingle subtree recomputes uncached (r13 persist audit)
+    return adopt_lifetime(df.join(dropped, id_col, "left_anti"), pairs)
 
 
 # ---------------------------------------------------------------------------

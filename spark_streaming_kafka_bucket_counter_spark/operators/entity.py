@@ -23,6 +23,7 @@ def blocked_fuzzy_pairs(
     name_col: str,
     block_expr: Column,
     max_distance: int = 4,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Within-block candidate pairs whose names are within
     ``max_distance`` edits: (id_a, id_b, name_a, name_b, distance),
@@ -30,11 +31,20 @@ def blocked_fuzzy_pairs(
 
     ``block_expr`` is the blocking key (e.g. last token of the name, a
     phonetic code, a sorted-token prefix). At 100 TB the join shuffles
-    on the block key only; skewed mega-blocks should be additionally
-    salted or length-bucketed (pair with ``length(name) DIV k`` as a
-    composite key) — the verify cost inside a block is |block|^2, which
-    the blocking key must keep bounded.
-    """
+    on the block key only; the verify cost inside a block is |block|^2,
+    which the blocking key must keep bounded.
+
+    ``salt_buckets`` additionally SALTS the block-key self-join
+    (guide §2.5 hot keys, via the repo's ``salted_join`` — result
+    identity pinned in test_joins): a natural-language blocking key is
+    inherently hot (one common surname / head noun concentrates the
+    quadratic levenshtein work on one reducer), so the a-side rows take
+    a partition-local salt and the b-side replicates ``salt_buckets``x,
+    spreading each block across that many tasks. Cost: b-side shuffle
+    volume grows ``salt_buckets``x — names are short strings, while the
+    avoided straggler is quadratic in the hot block, so 8 is a cheap
+    default for skewed corpora; leave None when blocks are known
+    uniform."""
     kb = df.select(
         F.col(id_col).alias("_id"),
         F.col(name_col).alias("_name"),
@@ -46,8 +56,14 @@ def blocked_fuzzy_pairs(
     b = kb.select(
         F.col("_id").alias("id_b"), F.col("_name").alias("name_b"), "_blk"
     )
+    if salt_buckets is not None:
+        from .joins import salted_join
+
+        joined = salted_join(a, b, ["_blk"], salt_buckets=salt_buckets)
+    else:
+        joined = a.join(b, "_blk")
     return (
-        a.join(b, "_blk")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "distance", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")

@@ -80,6 +80,8 @@ __all__ = [
     "ivfpq_probe_frontier",
     "ivfpq_probe_frontier_sql",
     "rotate_vectors",
+    "exact_l2_truth",
+    "recall_truth",
 ]
 
 Codebook = dict[tuple[int, int], list[int]]  # (sub, cid) -> dsub fixed-point coords
@@ -475,25 +477,7 @@ def pq_recall_eval(
     convention) — the measurement that decides whether an (m, ksub)
     config is shippable before committing the 100 TB encode."""
     vecs = _fixed_vecs(df, id_col, vec_col, scale)
-    queries = vecs.filter(F.col("id") < query_max_id).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
-    )
-    exact_d = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("cand_id").asc()
-    )
-    truth = (
-        vecs.crossJoin(F.broadcast(queries))
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_k)
-        .select("query_id", "cand_id")
-    )
+    truth = exact_l2_truth(vecs, query_max_id, top_k)
     approx = pq_adc_topk(
         df, id_col, vec_col, books, dim, m, ksub, scale, query_max_id, top_k, codes
     ).select("query_id", "cand_id")
@@ -734,30 +718,11 @@ def ivfpq_recall_eval(
 
     nz = nonzero_vectors(df, vec_col)
     vecs = _fixed_vecs(nz, id_col, vec_col, scale)
-    queries = vecs.filter(F.col("id") < query_max_id).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
-    )
-    exact_d = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("cand_id").asc()
-    )
     # the exact-L2 truth table is consumed twice per variant (per-query
     # totals + the hit semi-join) — materialize it ONCE instead of
     # re-running the crossJoin + window per consumer (r12; lifecycle
     # tied to the returned frame per the _cache convention)
-    truth = (
-        vecs.crossJoin(F.broadcast(queries))
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_k)
-        .select("query_id", "cand_id")
-        .persist()
-    )
+    truth = exact_l2_truth(vecs, query_max_id, top_k).persist()
 
     def _ppm(approx: DataFrame, variant: str) -> DataFrame:
         per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
@@ -1266,8 +1231,16 @@ def _pq_ctes(
              list_transform(CAST({vec_col} AS DOUBLE[]),
                             x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS v
            FROM {table}"""
+    # MATERIALIZED on the hot CTEs is a memory/time lever, not a hint:
+    # DuckDB 1.x INLINES plain CTEs, so `{P}v` (referenced ~10x per
+    # chain, ~132x in the 2x2x2 OPQ oracle) and `{P}enc` re-expand their
+    # whole subtree per reference — measured on the sim_opq_recall_eval
+    # oracle at sf0.01: 4113 MiB peak RSS / 19.0 s inlined vs 1348 MiB /
+    # 1.3 s with the hot CTEs materialized, identical rows (r13,
+    # VERDICT r12 ask #7 — the oracle, not the engine, was eating the
+    # session memory budget).
     ctes = [
-        f"""{P}v AS ({v_sql})""",
+        f"""{P}v AS MATERIALIZED ({v_sql})""",
         f"""{P}seeds AS (SELECT CAST(row_number() OVER (ORDER BY {rank_on_id}) - 1
                     AS BIGINT) AS cid, v
            FROM {P}v ORDER BY {rank_on_id} LIMIT {ksub})""",
@@ -1312,7 +1285,7 @@ def _pq_ctes(
          FROM {P}v vv, {prev} cc GROUP BY 1, 2, 3)"""
     )
     ctes.append(
-        f"""{P}enc AS (SELECT id, sub, cid FROM (
+        f"""{P}enc AS MATERIALIZED (SELECT id, sub, cid FROM (
            SELECT id, sub, cid,
                   row_number() OVER (PARTITION BY id, sub
                                      ORDER BY dist, cid) AS rn
@@ -1366,7 +1339,7 @@ def _adc_ctes(
         f"{P}q AS (SELECT id AS query_id, v AS qv FROM {P}v WHERE id < {query_max_id})"
     )
     ctes.append(
-        f"""{P}lut AS (SELECT q.query_id, cc.sub, cc.cid,
+        f"""{P}lut AS MATERIALIZED (SELECT q.query_id, cc.sub, cc.cid,
            SUM((q.qv[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)
                * (q.qv[CAST(cc.sub * {dsub} + cc.dim + 1 AS INT)] - cc.c)) AS d
          FROM {P}q q, {cent} cc GROUP BY 1, 2, 3)"""
@@ -1422,11 +1395,13 @@ def _cell_ctes(
            "(sqrt(list_dot_product(e.dv, e.dv)) * "
            "sqrt(list_dot_product(cent.cv, cent.cv))), 6)")
     return [
-        f"""e AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS dv
+        # MATERIALIZED: see the _pq_ctes note — `e` is referenced by
+        # every downstream chain and DuckDB 1.x re-inlines plain CTEs
+        f"""e AS MATERIALIZED (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS dv
          FROM {table}
          WHERE list_dot_product(CAST({vec_col} AS DOUBLE[]),
                                 CAST({vec_col} AS DOUBLE[])) > 0)""",
-        f"cent AS (SELECT id AS ccid, dv AS cv FROM e WHERE id < {n_centroids})",
+        f"cent AS MATERIALIZED (SELECT id AS ccid, dv AS cv FROM e WHERE id < {n_centroids})",
         f"""sc AS (SELECT e.id, cent.ccid, {cos} AS sim
          FROM e CROSS JOIN cent)""",
         """rk AS (SELECT id, ccid,
@@ -1513,7 +1488,8 @@ def _residual_adc_ctes(
         f"qr.ve[{i + 1}] - cv.cv[{i + 1}]" for i in range(dim)
     ) + "]"
     pre = [
-        f"""{P}rw AS (SELECT {id_col} AS id,
+        # MATERIALIZED: see the _pq_ctes note (hot multi-referenced CTE)
+        f"""{P}rw AS MATERIALIZED (SELECT {id_col} AS id,
              list_transform(CAST({vec_col} AS DOUBLE[]),
                             x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS ve
            FROM {table})""",
@@ -1629,7 +1605,7 @@ def ivfpq_recall_sql(
          GROUP BY 1, 2)"""
     )
     ctes.append(
-        f"""ext AS (SELECT query_id, cand_id FROM (
+        f"""ext AS MATERIALIZED (SELECT query_id, cand_id FROM (
            SELECT query_id, cand_id,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY dist, cand_id) AS rn
@@ -1692,7 +1668,7 @@ def pq_recall_sql(
          WHERE vv.id <> q.query_id GROUP BY 1, 2)"""
     )
     ctes.append(
-        f"""ext AS (SELECT query_id, cand_id FROM (
+        f"""ext AS MATERIALIZED (SELECT query_id, cand_id FROM (
            SELECT query_id, cand_id,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY dist, cand_id) AS rn
@@ -1972,6 +1948,62 @@ def ivfpq_trained_residual_topk(
     return _rank_topk(scored, top_k)
 
 
+def exact_l2_truth(
+    vecs: DataFrame, query_max_id: int = 10, top_k: int = 5
+) -> DataFrame:
+    """(query_id, cand_id): the exact fixed-point squared-L2 top-``top_k``
+    per query (id < ``query_max_id``) over the candidate universe
+    ``vecs`` — an (id, v) frame of fixed-point integer vectors — self
+    excluded, distance ties to the lower cand_id. Returned UNPERSISTED;
+    callers that consume it more than once persist it and own the
+    lifecycle (the `_cache` convention).
+
+    This relation is invariant under a common PERMUTATION of the vector
+    coordinates: per-element fixed-point rounding commutes with
+    reordering, and the integer squared-L2 sum is order-independent —
+    so one truth serves both halves of the OPQ axis-permutation eval
+    (r13; pinned by test_opq's truth-invariance test)."""
+    queries = vecs.filter(F.col("id") < query_max_id).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact_d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "cand_id")
+    )
+
+
+def recall_truth(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+    query_max_id: int = 10,
+    top_k: int = 5,
+) -> DataFrame:
+    """:func:`exact_l2_truth` over the NONZERO fixed-point vectors of a
+    raw (id, vector) frame — the exact truth every IVFADC recall eval in
+    this module scores against, exposed so a composition that evaluates
+    several geometric variants of the same table (e.g. the OPQ base +
+    permuted halves) can compute it once and pass it into each eval via
+    their ``truth=`` parameter."""
+    from .similarity import nonzero_vectors
+
+    vecs = _fixed_vecs(nonzero_vectors(df, vec_col), id_col, vec_col, scale)
+    return exact_l2_truth(vecs, query_max_id, top_k)
+
+
 def ivfpq_trained_recall_eval(
     df: DataFrame,
     id_col: str,
@@ -1992,6 +2024,7 @@ def ivfpq_trained_recall_eval(
     res_codes: DataFrame | None = None,
     tres_codes: DataFrame | None = None,
     cents: dict[int, list[int]] | None = None,
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Four rows (variant, n_queries, k, mean_recall_ppm,
     min_recall_ppm): the full 2x2 — (raw | residual) codes x (seed |
@@ -2002,7 +2035,12 @@ def ivfpq_trained_recall_eval(
     ``tres_books``/``tres_codes`` are trained on
     :func:`trained_residual_frame` output (the residual population
     CHANGES with the cells, so the seed-residual codebook can't be
-    reused)."""
+    reused).
+
+    ``truth`` optionally supplies an externally persisted
+    :func:`recall_truth` frame; the caller owns its lifecycle (r13 —
+    lets the OPQ 2x2x2 composition compute the crossJoin+window truth
+    ONCE for both its halves instead of once per half)."""
     from .clustering import kmeans_centroids
     from .similarity import nonzero_vectors
 
@@ -2012,28 +2050,11 @@ def ivfpq_trained_recall_eval(
         )
     nz = nonzero_vectors(df, vec_col)
     vecs = _fixed_vecs(nz, id_col, vec_col, scale)
-    queries = vecs.filter(F.col("id") < query_max_id).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
-    )
-    exact_d = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("cand_id").asc()
-    )
     # consumed twice per variant x FOUR variants — materialize once
     # (r12; lifecycle tied to the returned frame, _cache convention)
-    truth = (
-        vecs.crossJoin(F.broadcast(queries))
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_k)
-        .select("query_id", "cand_id")
-        .persist()
-    )
+    own_truth = truth is None
+    if own_truth:
+        truth = exact_l2_truth(vecs, query_max_id, top_k).persist()
 
     def _ppm(approx: DataFrame, variant: str) -> DataFrame:
         per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
@@ -2086,15 +2107,14 @@ def ivfpq_trained_recall_eval(
     )
     from ._cache import unpersist_with
 
-    return unpersist_with(
+    result = (
         _ppm(raw_seed, "raw_seed")
         .unionAll(_ppm(res_seed, "residual_seed"))
         .unionAll(_ppm(raw_tr, "raw_trained"))
-        .unionAll(_ppm(res_tr, "residual_trained")),
-        truth,
-        assigned,
-        tpairs,
+        .unionAll(_ppm(res_tr, "residual_trained"))
     )
+    cached = (truth, assigned, tpairs) if own_truth else (assigned, tpairs)
+    return unpersist_with(result, *cached)
 
 
 def _trained_cell_ctes(
@@ -2122,12 +2142,13 @@ def _trained_cell_ctes(
         table, id_col, vec_col, dim, k=n_centroids, iters=cell_iters,
         scale=scale, prefix=f"{C}km",
     )
+    # MATERIALIZED: see the _pq_ctes note (hot multi-referenced CTEs)
     ctes.append(
-        f"""{C}cw AS (SELECT cid AS ccid, list(c ORDER BY dim) AS cv
+        f"""{C}cw AS MATERIALIZED (SELECT cid AS ccid, list(c ORDER BY dim) AS cv
          FROM {final} GROUP BY cid)"""
     )
     ctes.append(
-        f"""{C}e AS (SELECT {id_col} AS id,
+        f"""{C}e AS MATERIALIZED (SELECT {id_col} AS id,
            list_transform(CAST({vec_col} AS DOUBLE[]),
                           x -> CAST(ROUND(x * {scale}) AS BIGINT)) AS ve
          FROM {table}
@@ -2270,7 +2291,7 @@ def ivfpq_trained_recall_sql(
          GROUP BY 1, 2)"""
     )
     ctes.append(
-        f"""ext AS (SELECT query_id, cand_id FROM (
+        f"""ext AS MATERIALIZED (SELECT query_id, cand_id FROM (
            SELECT query_id, cand_id,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY dist, cand_id) AS rn
@@ -2343,6 +2364,11 @@ def ivfpq_probe_frontier(
     from .similarity import nonzero_vectors
 
     _check_dims(dim, m)
+    if not probes:
+        # guard BEFORE any persist: an empty frontier would otherwise
+        # fall through to unpersist_with(None, ...) and leak both
+        # persisted frames (ADVICE r12 #1)
+        raise ValueError("ivfpq_probe_frontier: probes must be non-empty")
     if cents is None:
         cents = kmeans_centroids(
             df, id_col, vec_col, k=n_centroids, iters=cell_iters, scale=scale
@@ -2362,26 +2388,7 @@ def ivfpq_probe_frontier(
         )
         qrows = fixed.filter(F.col("id") < query_max_id).collect()
         lut = _driver_lut_frame(df.sparkSession, qrows, books, m, ksub, dsub)
-        queries = fixed.filter(F.col("id") < query_max_id).select(
-            F.col("id").alias("query_id"), F.col("v").alias("qv")
-        )
-        exact_d = F.aggregate(
-            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist").asc(), F.col("cand_id").asc()
-        )
-        truth = (
-            fixed.crossJoin(F.broadcast(queries))
-            .filter(F.col("id") != F.col("query_id"))
-            .select("query_id", F.col("id").alias("cand_id"), exact_d.alias("dist"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= top_k)
-            .select("query_id", "cand_id")
-            .persist()
-        )
+        truth = exact_l2_truth(fixed, query_max_id, top_k).persist()
         rows = None
         for np_ in probes:
             probes_df = (
@@ -2493,7 +2500,7 @@ def ivfpq_probe_frontier_sql(
          GROUP BY 1, 2)"""
     )
     ctes.append(
-        f"""fext AS (SELECT query_id, cand_id FROM (
+        f"""fext AS MATERIALIZED (SELECT query_id, cand_id FROM (
            SELECT query_id, cand_id,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY dist, cand_id) AS rn

@@ -55,8 +55,10 @@ def profile_columns(
     # N exact count_distincts plan an Expand of (N+1)x input rows in the
     # scan stage — fan the projected input out so the expansion and the
     # partial aggregation parallelize on small inputs (r12; no-op at
-    # scale)
-    one = fan_out_scan(df.select(*cols), cols[0]).agg(*aggs)
+    # scale). Hash on ALL projected columns: profiled columns are often
+    # low-cardinality or null-heavy, so cols[0] alone could collapse the
+    # fan-out into <= distinct-value partitions (ADVICE r12 #4).
+    one = fan_out_scan(df.select(*cols), list(cols)).agg(*aggs)
     stacked = ", ".join(
         f"'{c}', _n_rows, _nn_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
     )

@@ -37,18 +37,28 @@ def bm25_topk(
     (Robertson always-positive idf: ``ln((N - df + .5)/(df + .5) + 1)``):
     ``(id, score, rank)``; only documents matching >= 1 term rank.
     """
+    from ..sources.files import fan_out_scan
+
     terms = sorted({t.lower() for t in query_terms})
-    docs = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).select(
+    # tokenize is scan-stage work that otherwise runs single-task on
+    # small inputs (r13; fan_out_scan is a no-op at scale)
+    base = fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
+    docs = base.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok")).select(
         F.col(id_col), F.col("_tok"), F.size("_tok").alias("_dl")
     )
     stats = docs.agg(
         F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl")
     )
+    # consumed twice (dfreq + scored) — each consumer re-ran the whole
+    # corpus tokenize+explode leg; materialize the tiny matched-docs
+    # aggregate once (r13, guide §5; lifecycle tied to the returned
+    # frame per the _cache convention)
     tf = (
         docs.select(F.col(id_col), "_dl", F.explode("_tok").alias("_t"))
         .filter(F.col("_t").isin(terms))
         .groupBy(id_col, "_dl", "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .persist()
     )
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
@@ -73,7 +83,9 @@ def bm25_topk(
     # The rank column is then a window over just top_k rows.
     topk = per_doc.orderBy(F.col("_s9").desc(), F.col(id_col)).limit(top_k)
     rk = Window.orderBy(F.col("_s9").desc(), F.col(id_col))
-    return (
+    from ._cache import unpersist_with
+
+    result = (
         topk.withColumn("rank", F.row_number().over(rk))
         .select(
             F.col(id_col),
@@ -81,6 +93,7 @@ def bm25_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+    return unpersist_with(result, tf)
 
 
 def bm25_topk_sql(

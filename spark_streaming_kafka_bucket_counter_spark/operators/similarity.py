@@ -755,8 +755,15 @@ def semantic_dedup_pairs(
     # caps the pair-enumeration stage at K busy tasks and concentrates
     # the quadratic per-cell dot-product work (guide §2.5 hot keys).
     # Salting the a-side spreads each cell's pair enumeration over
-    # salt_buckets reducers; the b-side replication is K-bounded and
-    # result-identity is pinned by test_salted_join_matches_plain_join.
+    # salt_buckets reducers. Honest cost accounting (ADVICE r12 #3): the
+    # b-side — the WHOLE sided vector frame, not K rows — is replicated
+    # salt_buckets(=8)x through the shuffle. That trade is right when
+    # cells are few relative to cores (the skew this fixes); a
+    # deployment with K >> cores pays 8x b-side shuffle for no
+    # parallelism it didn't already have, and should pass the pair join
+    # unsalted — at that K the per-cell quadratic work is already
+    # spread. Result-identity is pinned by
+    # test_salted_join_matches_plain_join.
     from ._cache import unpersist_with
     from .joins import salted_join
 

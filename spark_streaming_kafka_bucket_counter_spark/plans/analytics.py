@@ -1447,6 +1447,8 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 (query = vec_id 0) by reciprocal-rank fusion, final top-20.
     The two retrieval legs run independently (each with its own
     scale-safe plan); fusion joins two 50-row lists."""
+    from ..operators._cache import adopt_lifetime
+
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     lex = bm25_topk(docs, "doc_id", "text", _BM25_QUERY, top_k=_RRF_POOL)
@@ -1455,7 +1457,11 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_df=emb.filter(F.col("vec_id") == _QVEC_ID),
         top_k=_RRF_POOL,
     ).select(F.col("cand_id").alias("doc_id"), "rank")
-    return hybrid_rrf(lex, sem, "doc_id", k=_RRF_K, top_k=_RRF_TOPK)
+    # the fusion frame must keep the legs alive or their operator
+    # persists (BM25's matched-docs tf) die at return (r13 audit)
+    return adopt_lifetime(
+        hybrid_rrf(lex, sem, "doc_id", k=_RRF_K, top_k=_RRF_TOPK), lex, sem
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1594,6 +1600,9 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dropped"),
     )
-    from ..operators._cache import unpersist_with
+    from ..operators._cache import adopt_lifetime, unpersist_with
 
-    return unpersist_with(out, s2)
+    # s3 derives from `dec` without referencing it Python-side — adopt
+    # it so decontaminate's internal eval-gram persist survives until
+    # the report executes (r13 persist audit)
+    return unpersist_with(adopt_lifetime(out, dec), s2)

@@ -241,6 +241,10 @@ def q_entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.element_at(F.split(F.col("p_name"), " "), -1),
         max_distance=_ER_MAXDIST,
+        # the head-noun block key is hot (common nouns own big blocks);
+        # salt spreads each block's quadratic verify across 8 tasks
+        # (r13, guide §2.5 — same recipe as SemDeDup's cells)
+        salt_buckets=8,
     )
 
 
@@ -746,9 +750,14 @@ def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         entities, "ent_id", "p_name",
         F.element_at(F.split(F.col("p_name"), " "), -1),
         max_distance=_ER_MAXDIST,
+        # salt the hot head-noun blocks (r13, guide §2.5) — see
+        # q_entity_match_parts
+        salt_buckets=8,
     ).select("id_a", "id_b")
     cc = connected_components(pairs, "id_a", "id_b")
-    return (
+    from ..operators._cache import adopt_lifetime
+
+    out = (
         entities.join(cc, entities["ent_id"] == cc["node"], "left")
         .select(
             F.coalesce("component", "ent_id").cast("long").alias("cluster_id"),
@@ -761,6 +770,10 @@ def q_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("p_name", "ent_id").alias("canonical_name"),
         )
     )
+    # cc's persisted mirrored-edge set (the whole fuzzy-match subtree!)
+    # must survive until this rollup executes, or the blocked
+    # levenshtein join recomputes uncached (r13 persist audit)
+    return adopt_lifetime(out, cc)
 
 
 # ---------------------------------------------------------------------------
@@ -997,7 +1010,9 @@ def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = Q.decontaminate(
         corpus, ev, "doc_id", "text", k=_CBS_K, min_overlap_frac=_CBS_FRAC
     )
-    return (
+    from ..operators._cache import adopt_lifetime
+
+    out = (
         dc.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
@@ -1011,3 +1026,6 @@ def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_contaminated * 1000000 div n_docs").cast("long"),
         )
     )
+    # keep decontaminate's internal persist alive until the rollup
+    # executes (r13 persist audit)
+    return adopt_lifetime(out, dc)

@@ -282,9 +282,14 @@ def q_dedup_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end containment dedup: the corpus minus every doc
     (near-)contained in a strictly larger doc (equal sizes keep the min
     id — the exact-dedup rule). One inverted-index pass + one anti-join."""
-    return D.drop_contained_docs(
+    from ..operators._cache import adopt_lifetime
+
+    kept = D.drop_contained_docs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.75
-    ).select("doc_id", "source", "lang")
+    )
+    # the projection wraps the operator result — adopt it so the
+    # persisted shingle set survives to execution (r13 persist audit)
+    return adopt_lifetime(kept.select("doc_id", "source", "lang"), kept)
 
 
 # Affine MinHash family (one md5-derived 32-bit base hash per shingle,
@@ -672,11 +677,17 @@ def q_sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     before committing the 100 TB index build; mean tracks aggregate
     quality, min exposes the worst query (a cell-boundary victim mean
     alone would hide)."""
+    from ..operators._cache import unpersist_with
+
     emb = _t(spark, sf_dir, "embeddings")
+    # the brute-force cosine truth is consumed twice (per-query totals +
+    # the hit semi-join) — without a persist each consumer re-ran the
+    # full crossJoin + rank window (r13, guide §5; lifecycle tied to the
+    # returned frame per the _cache convention)
     truth = S.cosine_topk(
         emb, "vec_id", "embedding",
         query_df=emb.filter(F.col("vec_id") < 10), top_k=5,
-    ).select("query_id", "cand_id")
+    ).select("query_id", "cand_id").persist()
     approx = S.ivf_topk(
         emb, "vec_id", "embedding",
         query_ids_below=10, n_centroids=16, nprobe=2, top_k=5,
@@ -690,12 +701,13 @@ def q_sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = per_q.join(hits, "query_id", "left").select(
         F.expr("coalesce(n_hit, 0) * 1000000 div n_true").alias("recall_ppm")
     )
-    return r.agg(
+    out = r.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.lit(5).cast("long").alias("k"),
         F.expr("sum(recall_ppm) div count(1)").cast("long").alias("mean_recall_ppm"),
         F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
     )
+    return unpersist_with(out, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -1298,6 +1310,19 @@ def q_sim_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-parametric Procrustes rotation ships in the layout-v4 index
     path (opq_train_rotation + ivfpq_build_index(rotation=...)),
     pinned by tests/test_opq.py."""
+    from ..operators._cache import adopt_lifetime, unpersist_with
+
+    # ONE persisted exact-L2 truth serves BOTH halves (r13): the axis
+    # permutation preserves integer squared-L2 term-for-term (rounding
+    # is per-element, the sum is order-independent), so the base and
+    # rotated truths are the same relation — computing it per half ran
+    # the crossJoin+window pass twice for identical rows. Invariance is
+    # pinned by test_opq's truth-invariance test; lifecycle tied to the
+    # returned union per the _cache convention.
+    truth = PQ.recall_truth(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        query_max_id=10, top_k=5,
+    ).persist()
     base = PQ.ivfpq_trained_recall_eval(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         _pq_books(spark, sf_dir), _pq_res_books(spark, sf_dir),
@@ -1309,6 +1334,7 @@ def q_sim_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         res_codes=_pq_res_codes_frame(spark, sf_dir),
         tres_codes=_pq_tres_codes_frame(spark, sf_dir),
         cents=_ivf_trained_cents(spark, sf_dir),
+        truth=truth,
     )
     opq = PQ.ivfpq_trained_recall_eval(
         _opq_emb(spark, sf_dir), "vec_id", "embedding",
@@ -1321,10 +1347,17 @@ def q_sim_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         res_codes=_opq_res_codes_frame(spark, sf_dir),
         tres_codes=_opq_tres_codes_frame(spark, sf_dir),
         cents=_opq_cents(spark, sf_dir),
+        truth=truth,
     )
-    return base.select(F.lit("base").alias("rot"), "*").unionAll(
+    result = base.select(F.lit("base").alias("rot"), "*").unionAll(
         opq.select(F.lit("opq").alias("rot"), "*")
     )
+    # the halves' own persists (seed assignment + trained pairs) are
+    # lifecycle-tied to `base`/`opq`, which this union does NOT
+    # reference on the Python side — adopt them so those caches
+    # survive until the union executes (r13 persist audit)
+    adopt_lifetime(result, base, opq)
+    return unpersist_with(result, truth)
 
 
 @query(

@@ -64,7 +64,7 @@ def load_tables(
     return out
 
 
-def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
+def fan_out_scan(df: DataFrame, key_col: str | list[str]) -> DataFrame:
     """Scale-adaptive fan-out of a narrow input ahead of heavy per-row
     work (optimization guide §2.5, "input skew ... repartition
     immediately after the read").
@@ -107,24 +107,55 @@ def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
         files = df.inputFiles()
     except Exception:
         files = []
+    if not files:
+        # non-file-backed frame (createDataFrame, memoized checkpoint,
+        # non-file source): size unknown — return untouched rather than
+        # pay an unconditional shuffle on an input of unknown size, so
+        # the documented "no-op at scale" guarantee holds for every
+        # source kind, not just file scans (ADVICE r12 #2)
+        return df
     if len(files) >= n:
         return df
-    if files:
+    mpb = _size_bytes(
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        ),
+        default=128 * 1024 * 1024,
+    )
+    total = 0
+    for f in files:
         try:
-            mpb = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)).rstrip("b"))
-        except ValueError:
-            mpb = 128 * 1024 * 1024
-        total = 0
-        for f in files:
-            try:
-                total += os.stat(f.removeprefix("file:")).st_size
-            except OSError:
-                # non-local / unstatable source: assume a big split count
-                # rather than shuffling an input of unknown size
-                return df
-        if max(len(files), total // max(1, mpb)) >= n:
+            total += os.stat(f.removeprefix("file:")).st_size
+        except OSError:
+            # non-local / unstatable source: assume a big split count
+            # rather than shuffling an input of unknown size
             return df
-    return df.repartition(n, F.col(key_col))
+    if total // max(1, mpb) >= n:
+        return df
+    # a list key hashes on the COMPOSITE of all named columns — callers
+    # whose first column may be low-cardinality/null-heavy (profiling)
+    # pass every projected column so the hash actually spreads
+    # (ADVICE r12 #4)
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
+def _size_bytes(value: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g',
+    '512k', with an optional 'b' suffix, case-insensitive) — the conf
+    accepts unit forms, and treating '64m' as unparseable silently fell
+    back to 128MB, skewing fan_out_scan's split estimate toward
+    repartitioning large tables (ADVICE r12 #5)."""
+    s = value.strip().lower().removesuffix("b")
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    mult = 1
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
 
 
 def write_bucketed(

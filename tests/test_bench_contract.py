@@ -123,6 +123,34 @@ def test_core_median_protocol():
     assert len(json.dumps(summary)) < 1500
 
 
+def test_parallelism_stamp_rides_both_records_and_stays_tail_safe():
+    """r13 (VERDICT r12 ask #2): the applied master /
+    defaultParallelism / shuffle-partition default must appear in BOTH
+    the full record and the printed summary line — the artifact-side
+    evidence that $SPARK_GRAFT_CPUS was honored — without growing the
+    line past the tail-capture budget."""
+    b = _bench()
+    timings = {n: 1.0 for n in b.CORE}
+    par = {
+        "master": "local[32]",
+        "default_parallelism": 32,
+        "shuffle_partitions": 32,
+    }
+    full, summary = b.build_records(timings, "0.1", parallelism=par)
+    assert full["parallelism"] == par
+    assert summary["parallelism"] == par
+    assert len(json.dumps(summary)) < 1500
+
+
+def test_core_has_a_cpu_bound_scaling_witness():
+    """r13: the CORE scaling set must include text_entropy — the
+    CPU-bound query whose low-core/high-core ratio can actually differ
+    from 1 (every other CORE query is per-job fixed-cost-bound at
+    sf0.1)."""
+    b = _bench()
+    assert "text_entropy" in b.CORE
+
+
 def test_rotation_staleness_bound(tmp_path):
     """r10 VERDICT ask #6: with oldest-green-first ordering, every
     catalog name re-appears in the driver's S-query prefix within

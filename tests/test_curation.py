@@ -162,6 +162,39 @@ def test_blocked_fuzzy_pairs_blocks_and_verifies(spark):
     assert got == {(1, 2): 1}
 
 
+def test_blocked_fuzzy_pairs_salted_matches_plain(spark):
+    """The r13 hot-block salt (guide §2.5): salting the block-key
+    self-join widens the shuffle key with `_salt` but must return the
+    identical pair relation — every (a, b) block pair meets exactly
+    once because the b-side replica set covers every salt value."""
+    from spark_streaming_kafka_bucket_counter_spark.operators.entity import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [
+        (i, f"{w} widget")
+        for i, w in enumerate(
+            ["cold", "gold", "bold", "colt", "golf", "old", "mold", "sold"]
+        )
+    ] + [(100, "lone rod"), (101, "long rod")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    blk = F.element_at(F.split(F.col("name"), " "), -1)
+
+    def rel(salt):
+        return sorted(
+            map(
+                tuple,
+                blocked_fuzzy_pairs(
+                    df, "id", "name", blk, max_distance=2, salt_buckets=salt
+                ).collect(),
+            )
+        )
+
+    plain = rel(None)
+    assert rel(8) == plain
+    assert len(plain) > 5  # the hot "widget" block actually paired up
+
+
 def test_dsir_prefers_target_like_docs(spark):
     from spark_streaming_kafka_bucket_counter_spark.operators.quality import (
         dsir_importance,

@@ -83,6 +83,26 @@ def test_axis_permutation_preserves_exact_l2(spark, emb):
     assert [r["d"] for r in pair_dists(emb)] == [r["d"] for r in pair_dists(rot)]
 
 
+def test_recall_truth_invariant_under_axis_permutation(spark, emb):
+    """The r13 shared-truth optimization's load-bearing property: the
+    exact-L2 recall truth (pq.recall_truth — nonzero universe, fixed
+    point, top-k per query, ties to lower cand_id) is the SAME RELATION
+    on the base table and on its axis-permuted form, because rounding
+    is per-element and the integer squared-L2 sum is order-independent.
+    This is what lets sim_opq_recall_eval compute ONE truth for both
+    halves of the 2x2x2."""
+    perm = OPQ.opq_axis_permutation(emb, "vec_id", "embedding", DIM, M)
+    rot = OPQ.apply_axis_permutation(emb, "embedding", perm)
+    t_base = sorted(
+        map(tuple, PQ.recall_truth(emb, "vec_id", "embedding").collect())
+    )
+    t_rot = sorted(
+        map(tuple, PQ.recall_truth(rot, "vec_id", "embedding").collect())
+    )
+    assert t_base == t_rot
+    assert len(t_base) > 0
+
+
 def _aniso_df(spark, n=64, dim=16, seed=7):
     """Anisotropic construction where natural-order PQ is maximally
     wasteful at m=4 (dsub=4): ALL the variance lives in dims 0..3 —

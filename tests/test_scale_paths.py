@@ -143,3 +143,80 @@ def test_operator_caches_drain_after_result_gc(spark):
     del results, df
     gc.collect()
     assert _n_persistent(spark) == before
+
+
+def test_fan_out_scan_no_ops_on_non_file_frames(spark):
+    """ADVICE r12 #2: a frame with no inputFiles() (createDataFrame,
+    memoized checkpoint, non-file source) has unknown size — fan_out_scan
+    must return it UNTOUCHED instead of paying an unconditional shuffle,
+    so the documented 'no-op at scale' guarantee holds for every source
+    kind."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        fan_out_scan,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+    assert df.inputFiles() == []
+    assert fan_out_scan(df, "id") is df
+
+
+def test_fan_out_scan_fans_small_file_scan(spark):
+    """A small single-split parquet scan IS repartitioned to the
+    session's default parallelism (the r12 single-task-scan remedy)."""
+    import re
+
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        fan_out_scan,
+        load_table,
+    )
+
+    df = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = fan_out_scan(df, "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"hashpartitioning\(doc_id", plan), plan
+
+
+def test_size_bytes_parses_spark_unit_suffixes():
+    """ADVICE r12 #5: '64m'/'1g' style conf values must parse instead of
+    silently falling back to the 128MB default."""
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        _size_bytes,
+    )
+
+    assert _size_bytes("134217728", default=0) == 134217728
+    assert _size_bytes("134217728b", default=0) == 134217728
+    assert _size_bytes("64m", default=0) == 64 * 1024**2
+    assert _size_bytes("64M", default=0) == 64 * 1024**2
+    assert _size_bytes("1g", default=0) == 1024**3
+    assert _size_bytes("512k", default=0) == 512 * 1024
+    assert _size_bytes("not-a-size", default=77) == 77
+
+
+def test_adopt_lifetime_keeps_wrapped_persists_alive(spark):
+    """r13 persist-audit fix: a derived frame holds no Python reference
+    to the operator result it wraps, so unpersist_with caches tied to
+    that result died at function return, BEFORE the derived frame ever
+    executed. adopt_lifetime must keep the wrapped result (and its
+    caches) alive exactly until the derived frame is GC'd."""
+    from spark_streaming_kafka_bucket_counter_spark.operators._cache import (
+        adopt_lifetime,
+        unpersist_with,
+    )
+
+    def is_cached(df):
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        return cm.lookupCachedData(df._jdf).isDefined()
+
+    base = spark.createDataFrame([(1,), (2,)], "x long").persist()
+    assert is_cached(base)
+    op_result = unpersist_with(base.select("x"), base)  # operator return
+    wrapped = adopt_lifetime(op_result.selectExpr("x + 1 as y"), op_result)
+    del op_result
+    gc.collect()
+    assert is_cached(base), "adoption must keep the operator result alive"
+    del wrapped
+    gc.collect()
+    assert not is_cached(base), "cache must drain once the wrapper dies"
