@@ -39,6 +39,36 @@ def _noop(parents: tuple) -> None:
     pass
 
 
+def persist_for_scale(df: DataFrame, source: DataFrame) -> DataFrame:
+    """``df.persist()`` gated on input scale: skipped when ``source``
+    is a provably-small file scan, applied otherwise.
+
+    Measured r13 (interleaved persist-on/off A/B at sf0.1/local[32],
+    table in SCALE.md): on a small input every one of these persists
+    LOSES 0.1-0.9 s per query — the cached subtree executes without AQE
+    (static shuffle partitions, no coalescing) and the InMemoryRelation
+    build adds a materialization pass, while recomputing the subtree
+    per consumer is an O(one-split) pass that whole-stage codegen makes
+    nearly free. At real input scale the same persist saves whole
+    corpus passes per consumer, so removing it outright would be a
+    local-only "win" that breaks the 100 TB design — hence a gate on
+    the same driver-side file-metadata smallness test fan_out_scan
+    uses (unknown-size sources persist: at scale that is the safe
+    side). ``SPARK_GRAFT_FORCE_PERSIST=1`` forces the persist (plan
+    evidence, tests). Callers keep their ``unpersist_with``
+    registration unconditionally — unpersisting a never-persisted
+    frame is a no-op."""
+    import os
+
+    from ..sources.files import provably_small_scan
+
+    if os.environ.get("SPARK_GRAFT_FORCE_PERSIST") == "1":
+        return df.persist()
+    if provably_small_scan(source):
+        return df
+    return df.persist()
+
+
 def adopt_lifetime(child: DataFrame, *parents: DataFrame) -> DataFrame:
     """Keep each ``parent`` frame alive until ``child`` is GC'd.
 

@@ -531,10 +531,14 @@ def ngram_jaccard_pairs(
     shingle. Output: doc_a < doc_b, intersection/set sizes (exact ints),
     jaccard (one IEEE division).
     """
+    from ._cache import persist_for_scale
+
     sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq)
     # The inverted index feeds both the sizes agg and the pair join —
-    # materialize it once (at cluster scale: checkpoint/exchange reuse).
-    sh = sh.persist()
+    # materialize it once at scale (persist size-gated r13 — see
+    # persist_for_scale: locally the exploded shingle frame is cheaper
+    # to recompute than to cache).
+    sh = persist_for_scale(sh, df)
     out = _jaccard_pairs_from_shingles(sh, threshold)
     return unpersist_with(out, sh)
 
@@ -592,7 +596,12 @@ def containment_pairs(
     Output: (doc_a, doc_b, n_common, size_a, size_b, containment),
     emitted once per direction that clears the threshold.
     """
-    sh = doc_shingles(df, id_col, text_col, k, max_shingle_freq).persist()
+    from ._cache import persist_for_scale
+
+    # persist size-gated r13 — see persist_for_scale
+    sh = persist_for_scale(
+        doc_shingles(df, id_col, text_col, k, max_shingle_freq), df
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")

@@ -716,13 +716,16 @@ def ivfpq_recall_eval(
     residual quantization buys recall at identical bytes."""
     from .similarity import nonzero_vectors
 
+    from ._cache import persist_for_scale
+
     nz = nonzero_vectors(df, vec_col)
     vecs = _fixed_vecs(nz, id_col, vec_col, scale)
     # the exact-L2 truth table is consumed twice per variant (per-query
     # totals + the hit semi-join) — materialize it ONCE instead of
-    # re-running the crossJoin + window per consumer (r12; lifecycle
-    # tied to the returned frame per the _cache convention)
-    truth = exact_l2_truth(vecs, query_max_id, top_k).persist()
+    # re-running the crossJoin + window per consumer (r12; persist
+    # size-gated r13 — see persist_for_scale; lifecycle tied to the
+    # returned frame per the _cache convention)
+    truth = persist_for_scale(exact_l2_truth(vecs, query_max_id, top_k), df)
 
     def _ppm(approx: DataFrame, variant: str) -> DataFrame:
         per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
@@ -742,10 +745,13 @@ def ivfpq_recall_eval(
             F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
         )
 
-    # ONE seed-cell assignment serves both code variants (r12)
+    # ONE seed-cell assignment serves both code variants (r12; persist
+    # size-gated r13)
     from .similarity import ivf_assign
 
-    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe).persist()
+    assigned = persist_for_scale(
+        ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe), df
+    )
     raw = ivfpq_topk(
         df, id_col, vec_col, raw_books, dim, m, ksub, scale,
         n_centroids, nprobe, query_max_id, top_k, raw_codes, assigned=assigned,
@@ -2048,13 +2054,18 @@ def ivfpq_trained_recall_eval(
         cents = kmeans_centroids(
             df, id_col, vec_col, k=n_centroids, iters=cell_iters, scale=scale
         )
+    from ._cache import persist_for_scale
+
     nz = nonzero_vectors(df, vec_col)
     vecs = _fixed_vecs(nz, id_col, vec_col, scale)
     # consumed twice per variant x FOUR variants — materialize once
-    # (r12; lifecycle tied to the returned frame, _cache convention)
+    # (r12; persist size-gated r13 — see persist_for_scale; lifecycle
+    # tied to the returned frame, _cache convention)
     own_truth = truth is None
     if own_truth:
-        truth = exact_l2_truth(vecs, query_max_id, top_k).persist()
+        truth = persist_for_scale(
+            exact_l2_truth(vecs, query_max_id, top_k), df
+        )
 
     def _ppm(approx: DataFrame, variant: str) -> DataFrame:
         per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
@@ -2079,14 +2090,17 @@ def ivfpq_trained_recall_eval(
         )
 
     # ONE seed-cell assignment and ONE trained-cell ranked pair set
-    # serve both code variants of their half of the 2x2 (r12)
+    # serve both code variants of their half of the 2x2 (r12; persists
+    # size-gated r13)
     from .similarity import ivf_assign
 
-    assigned = ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe).persist()
+    assigned = persist_for_scale(
+        ivf_assign(nz, id_col, vec_col, n_centroids, max_rank=nprobe), df
+    )
     tpairs, tfixed = _trained_pairs(
         df, id_col, vec_col, cents, scale, nprobe, query_max_id
     )
-    tpairs = tpairs.persist()
+    tpairs = persist_for_scale(tpairs, df)
     raw_seed = ivfpq_topk(
         df, id_col, vec_col, raw_books, dim, m, ksub, scale,
         n_centroids, nprobe, query_max_id, top_k, raw_codes, assigned=assigned,
@@ -2376,10 +2390,13 @@ def ivfpq_probe_frontier(
     max_np = max(probes)
     nz = nonzero_vectors(df, vec_col)
     fixed = _fixed_vecs(nz, id_col, vec_col, scale)
+    from ._cache import persist_for_scale
+
     ranked = None
     truth = None
     try:
-        ranked = _ranked_cells(fixed, cents, max_np).persist()
+        # persists size-gated r13 — see persist_for_scale
+        ranked = persist_for_scale(_ranked_cells(fixed, cents, max_np), df)
         if codes is None:
             codes = pq_encode(df, id_col, vec_col, books, dim, m, ksub, scale)
         dsub = dim // m
@@ -2388,7 +2405,7 @@ def ivfpq_probe_frontier(
         )
         qrows = fixed.filter(F.col("id") < query_max_id).collect()
         lut = _driver_lut_frame(df.sparkSession, qrows, books, m, ksub, dsub)
-        truth = exact_l2_truth(fixed, query_max_id, top_k).persist()
+        truth = persist_for_scale(exact_l2_truth(fixed, query_max_id, top_k), df)
         rows = None
         for np_ in probes:
             probes_df = (

@@ -303,12 +303,18 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from ..sources.files import fan_out_scan
     from ._cache import unpersist_with
 
+    from ._cache import persist_for_scale
+
     # occ feeds BOTH the vocab build and the per-doc join — fan the
     # tokenize/explode out of the single-task scan stage and persist it
-    # so the explode runs once (r12; lifecycle tied to the result)
-    occ = fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
-    ).persist()
+    # so the explode runs once (r12; persist size-gated r13 — see
+    # persist_for_scale; lifecycle tied to the result)
+    occ = persist_for_scale(
+        fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+        ),
+        df,
+    )
     vocab = occ.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
     vocab = vocab.select(
         "_tok",
@@ -366,10 +372,12 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from ._cache import unpersist_with
 
     t = tokens(F.col(text_col))
+    from ._cache import persist_for_scale
+
     # occ2 feeds BOTH the bigram-vocab build and the per-doc join — fan
     # the tokenize/pair-explode out of the single-task scan stage and
-    # persist it so the explode runs once (r12)
-    occ2 = (
+    # persist it so the explode runs once (r12; persist size-gated r13)
+    occ2 = persist_for_scale((
         fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
         .select(F.col(id_col), t.alias("_t"))
         .filter(F.size("_t") >= 2)
@@ -383,8 +391,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("_p"),
         )
         .select(F.col(id_col), F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
-        .persist()
-    )
+    ), df)
     v2 = occ2.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
     v1 = v2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     vlp = v2.join(v1, "_w1").select(
@@ -496,10 +503,14 @@ def bigram_backoff_logprob(
     # occ2 feeds the target-bigram build AND the scoring join; tv2
     # feeds THREE consumers (w1 rollup, the lp9 join, the w2 rollup) —
     # fan the pair explode out of the single-task scan stage and
-    # persist both so each computes once (r12)
+    # persist both so each computes once (r12). Deliberately NOT
+    # size-gated (r13): the interleaved persist-on/off A/B measured
+    # this family's persists WINNING at sf0.1 (ON 1.554s vs OFF 1.635s
+    # — three consumers amortize the cache build), unlike the gated
+    # losers; see persist_for_scale.
     # fanned WITHOUT projecting first: target_pred is caller-supplied
     # and may reference any input column (e.g. source)
-    occ2 = (
+    occ2 = ((
         fan_out_scan(df, id_col)
         .select(F.col(id_col), target_pred.alias("_is_tgt"), t.alias("_t"))
         .filter(F.size("_t") >= 2)
@@ -517,8 +528,7 @@ def bigram_backoff_logprob(
             F.col(id_col), "_is_tgt",
             F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"),
         )
-        .persist()
-    )
+    )).persist()
     tv2 = (
         occ2.filter(F.col("_is_tgt"))
         .groupBy("_w1", "_w2")

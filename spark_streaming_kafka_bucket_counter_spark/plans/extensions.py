@@ -677,17 +677,21 @@ def q_sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     before committing the 100 TB index build; mean tracks aggregate
     quality, min exposes the worst query (a cell-boundary victim mean
     alone would hide)."""
-    from ..operators._cache import unpersist_with
+    from ..operators._cache import persist_for_scale, unpersist_with
 
     emb = _t(spark, sf_dir, "embeddings")
     # the brute-force cosine truth is consumed twice (per-query totals +
-    # the hit semi-join) — without a persist each consumer re-ran the
-    # full crossJoin + rank window (r13, guide §5; lifecycle tied to the
+    # the hit semi-join) — without a persist each consumer re-runs the
+    # full crossJoin + rank window per corpus pass (r13, guide §5;
+    # persist size-gated — see persist_for_scale; lifecycle tied to the
     # returned frame per the _cache convention)
-    truth = S.cosine_topk(
-        emb, "vec_id", "embedding",
-        query_df=emb.filter(F.col("vec_id") < 10), top_k=5,
-    ).select("query_id", "cand_id").persist()
+    truth = persist_for_scale(
+        S.cosine_topk(
+            emb, "vec_id", "embedding",
+            query_df=emb.filter(F.col("vec_id") < 10), top_k=5,
+        ).select("query_id", "cand_id"),
+        emb,
+    )
     approx = S.ivf_topk(
         emb, "vec_id", "embedding",
         query_ids_below=10, n_centroids=16, nprobe=2, top_k=5,
@@ -1310,21 +1314,23 @@ def q_sim_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-parametric Procrustes rotation ships in the layout-v4 index
     path (opq_train_rotation + ivfpq_build_index(rotation=...)),
     pinned by tests/test_opq.py."""
-    from ..operators._cache import adopt_lifetime, unpersist_with
+    from ..operators._cache import adopt_lifetime, persist_for_scale, unpersist_with
 
-    # ONE persisted exact-L2 truth serves BOTH halves (r13): the axis
-    # permutation preserves integer squared-L2 term-for-term (rounding
-    # is per-element, the sum is order-independent), so the base and
+    # ONE exact-L2 truth serves BOTH halves (r13): the axis permutation
+    # preserves integer squared-L2 term-for-term (rounding is
+    # per-element, the sum is order-independent), so the base and
     # rotated truths are the same relation — computing it per half ran
     # the crossJoin+window pass twice for identical rows. Invariance is
-    # pinned by test_opq's truth-invariance test; lifecycle tied to the
+    # pinned by test_opq's truth-invariance test; the persist is
+    # size-gated (persist_for_scale) and its lifecycle tied to the
     # returned union per the _cache convention.
-    truth = PQ.recall_truth(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        query_max_id=10, top_k=5,
-    ).persist()
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = persist_for_scale(
+        PQ.recall_truth(emb, "vec_id", "embedding", query_max_id=10, top_k=5),
+        emb,
+    )
     base = PQ.ivfpq_trained_recall_eval(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        emb, "vec_id", "embedding",
         _pq_books(spark, sf_dir), _pq_res_books(spark, sf_dir),
         _pq_tres_books(spark, sf_dir),
         dim=_PQ_DIM, m=_PQ_M, ksub=_PQ_KSUB,

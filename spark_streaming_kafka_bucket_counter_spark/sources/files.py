@@ -90,32 +90,46 @@ def fan_out_scan(df: DataFrame, key_col: str | list[str]) -> DataFrame:
     order-insensitive aggregates; content-hash sampling), so the only
     observable effect is parallelism.
     """
-    if df.isStreaming:
+    if not provably_small_scan(df):
         return df
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    # Estimate the scan's parallelism from DRIVER-SIDE FILE METADATA
-    # only. The obvious df.rdd.getNumPartitions() is a trap under AQE:
-    # finalizing the plan to an RDD can EXECUTE the frame's upstream
-    # query stages (measured: curation_report re-ran its gate+window
-    # subtree once per decontaminate call through this guard). File
-    # count, topped up with size/maxPartitionBytes for the few-huge-
-    # files case, needs no job: at scale either the file count alone
-    # clears the bar or the byte estimate does, and this returns df
-    # untouched.
+    # a list key hashes on the COMPOSITE of all named columns — callers
+    # whose first column may be low-cardinality/null-heavy (profiling)
+    # pass every projected column so the hash actually spreads
+    # (ADVICE r12 #4)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
+def provably_small_scan(df: DataFrame) -> bool:
+    """True only when ``df`` is a non-streaming file-backed scan whose
+    split count is provably below the session's default parallelism.
+
+    Estimated from DRIVER-SIDE FILE METADATA only. The obvious
+    df.rdd.getNumPartitions() is a trap under AQE: finalizing the plan
+    to an RDD can EXECUTE the frame's upstream query stages (measured:
+    curation_report re-ran its gate+window subtree once per
+    decontaminate call through this guard). File count, topped up with
+    size/maxPartitionBytes for the few-huge-files case, needs no job:
+    at scale either the file count alone clears the bar or the byte
+    estimate does. Non-file-backed frames (createDataFrame, memoized
+    checkpoints) and unstatable sources report False — unknown size
+    must never trigger a small-input remedy (ADVICE r12 #2).
+
+    This is the shared smallness test behind two scale-adaptive
+    behaviors: :func:`fan_out_scan` (small inputs are fanned out) and
+    ``operators._cache.persist_for_scale`` (small inputs SKIP the
+    persist — recomputing their subtree per consumer is an O(one-split)
+    pass, cheaper than the cached plan's AQE-less execution)."""
+    if df.isStreaming:
+        return False
+    n = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    if not files:
-        # non-file-backed frame (createDataFrame, memoized checkpoint,
-        # non-file source): size unknown — return untouched rather than
-        # pay an unconditional shuffle on an input of unknown size, so
-        # the documented "no-op at scale" guarantee holds for every
-        # source kind, not just file scans (ADVICE r12 #2)
-        return df
-    if len(files) >= n:
-        return df
+    if not files or len(files) >= n:
+        return False
     mpb = _size_bytes(
         df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
@@ -127,17 +141,9 @@ def fan_out_scan(df: DataFrame, key_col: str | list[str]) -> DataFrame:
         try:
             total += os.stat(f.removeprefix("file:")).st_size
         except OSError:
-            # non-local / unstatable source: assume a big split count
-            # rather than shuffling an input of unknown size
-            return df
-    if total // max(1, mpb) >= n:
-        return df
-    # a list key hashes on the COMPOSITE of all named columns — callers
-    # whose first column may be low-cardinality/null-heavy (profiling)
-    # pass every projected column so the hash actually spreads
-    # (ADVICE r12 #4)
-    keys = [key_col] if isinstance(key_col, str) else list(key_col)
-    return df.repartition(n, *[F.col(k) for k in keys])
+            # non-local / unstatable source: assume big
+            return False
+    return total // max(1, mpb) < n
 
 
 def _size_bytes(value: str, default: int) -> int:

@@ -220,3 +220,36 @@ def test_adopt_lifetime_keeps_wrapped_persists_alive(spark):
     del wrapped
     gc.collect()
     assert not is_cached(base), "cache must drain once the wrapper dies"
+
+
+def test_persist_for_scale_gates_on_input_size(spark, monkeypatch):
+    """r13: persists whose subtree is cheap to recompute on a small
+    input LOSE locally (the cached plan executes without AQE and pays a
+    materialization pass) but save whole corpus passes at scale — so
+    persist_for_scale persists iff the source is NOT a provably-small
+    file scan, with SPARK_GRAFT_FORCE_PERSIST=1 as the override."""
+    from spark_streaming_kafka_bucket_counter_spark.operators._cache import (
+        persist_for_scale,
+    )
+    from spark_streaming_kafka_bucket_counter_spark.sources.files import (
+        load_table,
+    )
+
+    def is_cached(df):
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        return cm.lookupCachedData(df._jdf).isDefined()
+
+    small = load_table(spark, SF_DIR, "documents")
+    derived = small.select("doc_id")
+    out = persist_for_scale(derived, small)
+    assert out is derived and not is_cached(out)  # small scan: skipped
+
+    unknown = spark.createDataFrame([(1,)], "x long")  # non-file: persist
+    d2 = persist_for_scale(unknown.select("x"), unknown)
+    assert is_cached(d2)
+    d2.unpersist()
+
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_PERSIST", "1")
+    d3 = persist_for_scale(small.select("doc_id", "source"), small)
+    assert is_cached(d3)
+    d3.unpersist()
