@@ -93,18 +93,19 @@ def _session_memory_mb() -> dict[str, int]:
 # legitimately grows the session (say why in SCALE.md). The guard trips
 # at +25% — the "session caches grew past what the catalog budgeted"
 # signal, enforced only on full runs over the standard driver dataset.
-# Recorded r12 over two full passes at the 207-query catalog
-# (207q/579s: py 4304 / jvm 3445; 207q/561s: py 4425 / jvm 2976) —
-# larger of each kept. Python +81-87% over the r10 guard (2372) for the
-# same structural reason r9 (+21%, two chains) and r10 (+131%, four
-# chains + k-means) documented when THEY regenerated: the r12 build's
-# sim_opq_recall_eval oracle runs the full 2x2x2 — EIGHT IVFADC chains
-# plus two unrolled k-means chains in ONE DuckDB WITH clause — and
-# DuckDB executes inside the python process, so its intermediates land
-# on this gauge. JVM 3445 stayed inside the old band (3302 * 1.25).
-# Justification: SCALE.md r12 memory-guard note.
+# Recorded r13 over two full passes at the 207-query catalog
+# (207q/235s: py 1708 / jvm 3214; 207q/217s: py 1725 / jvm 3163) —
+# larger of each kept. Python TIGHTENED 4425 -> 1725 (VERDICT r12 ask
+# #7): the r9-r12 ratchet was the DuckDB oracle inlining its plain
+# CTEs (the 2x2x2 OPQ oracle re-expanded the fixed-point vector view
+# ~132x — 4019 MiB / 19 s for that one oracle alone); the hot
+# multi-referenced CTEs are now AS MATERIALIZED in the oracle builders
+# (operators/pq.py `_pq_ctes` note), dropping that oracle to 1312 MiB /
+# 1.3 s with identical rows and the full-pass python peak below even
+# the r10 band (2372). JVM unchanged-in-band.
+# Justification: SCALE.md r13 memory-guard note.
 _MEM_HWM_MB = {
-    "/root/testdata/sf0.01": {"python_peak_mb": 4425, "jvm_peak_mb": 3445}
+    "/root/testdata/sf0.01": {"python_peak_mb": 1725, "jvm_peak_mb": 3214}
 }
 
 
